@@ -1,38 +1,64 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` exposes
+every implemented operator from SURVEY.md §2 as (spark, sf_dir) -> DataFrame;
+``oracle_sql()`` gives the DuckDB-runnable ANSI SQL equivalent for each
+SQL-expressible query (non-relational ops omit theirs → rows-only check).
+
+The real implementations live in ``weather_database_system_spark``; this file
+only aggregates the per-module QUERIES / ORACLE registries.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _registries():
+    from weather_database_system_spark.operators import relational
+
+    modules = [relational]
+    for name in ("dedup", "similarity", "textan", "multimodal"):
+        try:
+            mod = __import__(
+                f"weather_database_system_spark.operators.{name}", fromlist=[name]
+            )
+            modules.append(mod)
+        except ImportError:
+            pass
+    try:
+        from weather_database_system_spark.streaming import windows as streaming_windows
+
+        modules.append(streaming_windows)
+    except ImportError:
+        pass
+
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracle: dict[str, str] = {}
+    for mod in modules:
+        queries.update(getattr(mod, "QUERIES", {}))
+        oracle.update(getattr(mod, "ORACLE", {}))
+    return queries, oracle
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H-Q1-shaped pricing summary) on sf0.001."""
+    from weather_database_system_spark.operators.relational import pricing_summary
+
+    return pricing_summary(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registries()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registries()[1]

@@ -1,0 +1,55 @@
+"""Every queries() entry that declares an oracle must match DuckDB exactly.
+
+This is the local twin of the driver's CORRECTNESS gate. Runs at sf0.001 by
+default; set SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.01 to run the full gate
+locally.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from tests.oracle import compare, register_duck_views
+
+PARITY_SF = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
+
+_QUERIES = entrymod.queries()
+_ORACLE = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck_with_views(duck):
+    register_duck_views(duck, PARITY_SF)
+    return duck
+
+
+def test_oracle_keys_subset_of_queries():
+    missing = set(_ORACLE) - set(_QUERIES)
+    assert not missing, f"oracle_sql keys without queries(): {missing}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns  # stable schema
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLE))
+def test_parity(name, spark, duck_with_views):
+    df = _QUERIES[name](spark, PARITY_SF)
+    compare(df, duck_with_views, _ORACLE[name], name=name)
+
+
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLE)))
+def test_rows_only(name, spark):
+    """Queries without an oracle still must run and return a stable schema."""
+    df = _QUERIES[name](spark, PARITY_SF)
+    assert df.columns
+    df.collect()

@@ -1,0 +1,947 @@
+"""Relational operator surface (SURVEY.md §2A parity + §2B completeness).
+
+Every reference operator (cited file:line into /root/reference/) is
+re-expressed over the driver's star schema with idiomatic DataFrame code;
+Catalyst supplies pushdown/pruning/join-selection. The mapping of the
+reference's weather domain onto the star schema:
+
+- ``events`` plays the hourly observation feed (ts ≙ observation timestamp,
+  event_type ≙ city, value ≙ temperatureC).
+- ``orders``/``lineitem`` provide the volume for joins/aggregates the
+  reference delegates to ClickHouse.
+
+Cross-engine determinism rules (shared with the DuckDB oracle in ORACLE):
+
+- Monetary/additive SUMs go through an exact DECIMAL(30,10) cast so the
+  result is independent of float summation order (Spark's partial aggregation
+  sums in a different order than any single-threaded engine) — and then a
+  half-up ROUND on the exact decimal, which both engines resolve identically.
+- Scalar (non-aggregated) doubles are rounded with floor(x*s + 0.5)/s — pure
+  IEEE ops that both engines evaluate bit-identically — because Spark's
+  round() rounds the shortest decimal repr (HALF_UP on "x.885") while DuckDB
+  rounds the binary value (x.88499..), and they disagree on half-looking
+  doubles.
+- AVG is computed as double(decimal_sum)/count, then floor-rounded: same
+  operand bits on both engines ⇒ same quotient bits.
+- DATE values are emitted as 'yyyy-MM-dd' strings: Spark hands pandas
+  datetime.date objects while DuckDB hands datetime64 — strings canonicalize
+  identically under any value-hash.
+
+Scale notes (100 TB): every query groups/joins on bounded-cardinality or
+date-derived keys, so shuffles hash-partition evenly; dimension sides of
+joins are broadcast; no driver-side collects inside operators. Decimal sums
+cost ~2× a double sum but stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from weather_database_system_spark.sources.star import load_table
+
+DEC = "decimal(30,10)"
+
+
+def _fr(c: Column, nd: int = 2) -> Column:
+    """Portable floor-based rounding: floor(x*10^nd + 0.5)/10^nd.
+
+    Bit-identical across engines for identical input doubles (see module
+    docstring); use for non-aggregated doubles."""
+    s = 10 ** nd
+    return F.floor(c * s + F.lit(0.5)) / s
+
+
+def _sum2(c: Column, nd: int = 2) -> Column:
+    """Order-independent monetary sum: exact decimal accumulation, then a
+    half-up round both engines agree on, surfaced as double."""
+    return F.round(F.sum(c.cast(DEC)), nd).cast("double")
+
+
+def _avg4(c: Column, nd: int = 4) -> Column:
+    """Cross-engine-stable mean: double(exact decimal sum) / count, then
+    portable floor-rounding."""
+    return _fr(F.sum(c.cast(DEC)).cast("double") / F.count(c), nd)
+
+
+def _dstr(c: Column) -> Column:
+    return F.date_format(c, "yyyy-MM-dd")
+
+
+# SQL fragments mirroring the helpers above, for the DuckDB oracle.
+def _sql_fr(expr: str, nd: int = 2) -> str:
+    s = 10 ** nd
+    return f"floor(({expr}) * {s} + 0.5) / {s}"
+
+
+def _sql_sum2(expr: str, nd: int = 2) -> str:
+    return f"CAST(round(sum(CAST(({expr}) AS DECIMAL(30,10))), {nd}) AS DOUBLE)"
+
+
+def _sql_avg4(expr: str, nd: int = 4) -> str:
+    return _sql_fr(
+        f"CAST(sum(CAST(({expr}) AS DECIMAL(30,10))) AS DOUBLE) / count({expr})", nd
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity operators (§2A)
+# ---------------------------------------------------------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-shaped pricing summary.
+
+    The widest aggregate the engine runs: scan → filter (pushed to parquet)
+    → hash agg on two low-cardinality keys → sort. Exercises the reference's
+    core GROUP BY pattern (etlToClickHouse.js:157-173) at fact-table volume.
+    Map-side partial aggregation makes the shuffle carry only
+    |returnflag×linestatus| rows per partition — scale-independent.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _sum2(F.col("l_quantity")).alias("sum_qty"),
+            _sum2(F.col("l_extendedprice")).alias("sum_base_price"),
+            _sum2(disc_price).alias("sum_disc_price"),
+            _sum2(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            _avg4(F.col("l_quantity")).alias("avg_qty"),
+            _avg4(F.col("l_extendedprice")).alias("avg_price"),
+            _avg4(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core analytic query (etlToClickHouse.js:157-173):
+    GROUP BY city, toStartOfMonth(date) with avg/sum/count — mapped onto
+    events (event_type ≙ city, value ≙ temperatureC/rainfallMm)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("event_type"),
+            _dstr(F.date_trunc("month", F.col("ts"))).alias("month"),
+        )
+        .agg(
+            _avg4(F.col("value")).alias("avg_value"),
+            _sum2(F.col("value")).alias("total_value"),
+            F.count("*").alias("rows_loaded"),
+        )
+        .orderBy("event_type", "month")
+    )
+
+
+def monthly_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized filtered query (backend/routes/monthly.js:58-70):
+    WHERE city = ? ORDER BY month — parameter bound as a real predicate, not
+    string-spliced SQL. Predicate + projection push down to the parquet scan."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == F.lit("click"))
+        .groupBy(_dstr(F.date_trunc("month", F.col("ts"))).alias("month"))
+        .agg(
+            _avg4(F.col("value")).alias("avg_value"),
+            _sum2(F.col("value")).alias("total_value"),
+            F.count("*").alias("rows_loaded"),
+        )
+        .orderBy("month")
+    )
+
+
+def projection_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table projection + multi-key sort (clickhouseToRedis.js:27-46:
+    SELECT cols FROM monthly_agg ORDER BY city, month). Column pruning reaches
+    the scan; range-partitioned sort avoids a single-reducer bottleneck."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderstatus", "o_orderpriority", "o_orderkey")
+    )
+
+
+def coercion_fill_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field null fallback policy (fetchStocktonWeather.js:73-75,88-92:
+    toNumber(v, fallback) — null default, 0 for rainfall/gusts), plus the
+    null-preserving unit conversion temperatureF = C*9/5+32 (:97)."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = F.when(F.col("value") >= 0.5, F.col("value"))  # simulate missing readings
+    return ev.select(
+        "event_id",
+        _fr(raw, 4).alias("value_nullable"),
+        _fr(F.coalesce(raw, F.lit(0.0)), 4).alias("value_zero_filled"),
+        _fr(raw * 9 / 5 + 32, 4).alias("value_fahrenheit"),
+    ).orderBy("event_id")
+
+
+def derived_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-column arithmetic (fetchStocktonWeather.js:97) at fact volume:
+    null-propagating expression evaluated inside whole-stage codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _fr(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
+        _fr(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2).alias("charge"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+def date_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp normalization (etlToClickHouse.js:82-95: toCHDateTime /
+    gmtToClickHouseDateTime → 'YYYY-MM-DD hh:mm:ss'): engine-side it is one
+    date_format; invalid inputs become null (Spark's default parse behavior)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_normalized"),
+        _dstr(F.col("ts")).alias("event_date"),
+        F.hour("ts").alias("event_hour"),
+    ).orderBy("event_id")
+
+
+def presentation_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presentation projections (dashboard/dashboard.js:91-97): month →
+    'MMM yyyy' label, measures rounded to 1 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("event_type"),
+            F.date_format(F.date_trunc("month", F.col("ts")), "MMM yyyy").alias("month_label"),
+        )
+        .agg(_avg4(F.col("value"), 1).alias("avg_value_1dp"))
+        .orderBy("event_type", "month_label")
+    )
+
+
+def lineage_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten + project with lineage metadata (etlToClickHouse.js:97-122):
+    date from timestamp, null-coalesced id, constant load-metadata columns
+    (rows_loaded=1, sync_interval_min=60, load_mode='incremental')."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        _dstr(F.col("o_orderdate")).alias("order_date"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("")).alias("priority_filled"),
+        F.lit(1).alias("rows_loaded"),
+        F.lit(60).alias("sync_interval_min"),
+        F.lit("incremental").alias("load_mode"),
+    ).orderBy("o_orderkey")
+
+
+def count_diagnostic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostics count probe (backend/routes/diagnostics.js:80-100:
+    SELECT count() FROM monthly_agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(F.count("*").alias("total"))
+
+
+def filter_limit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + LIMIT sample probe (backend/routes/diagnostics.js:102-121);
+    made deterministic with an explicit sort key."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "event_type", _fr(F.col("value"), 4).alias("value"))
+        .orderBy("event_id")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational completeness (§2B): joins
+# ---------------------------------------------------------------------------
+
+def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join (region→nation→customer→orders→lineitem), revenue per
+    nation in a date window. Dimensions are broadcast (no shuffle for their
+    sides); the orders⋈lineitem equi-join shuffles on orderkey — at 100 TB
+    both facts would be bucketed on orderkey to make it co-located."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            _sum2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders; count coalesced
+    to 0. Aggregate-before-join keeps the shuffled side small (one row per
+    custkey before the join) — the scalable shape."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n"), _sum2(F.col("o_totalprice")).alias("spend")
+    )
+    return (
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("spend"), F.lit(0.0)).alias("total_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join ≙ EXISTS: customers holding at least one open order.
+    Semi joins shuffle only the keys of the probe side — prefer over
+    join+distinct at scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O")
+    return (
+        customer.join(open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def join_anti_unordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join ≙ NOT EXISTS: parts never shipped in 2001+."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    recent = li.filter(F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp"))
+    return (
+        part.join(recent, part.p_partkey == recent.l_partkey, "left_anti")
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: customer count vs supplier count per nationkey,
+    preserving nations present on only one side."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.groupBy("c_nationkey").agg(F.count("*").alias("n_customers"))
+    s = supplier.groupBy("s_nationkey").agg(F.count("*").alias("n_suppliers"))
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+        .select(
+            F.coalesce(F.col("c_nationkey"), F.col("s_nationkey")).alias("nationkey"),
+            F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+            F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational completeness (§2B): aggregates beyond avg/sum/count
+# ---------------------------------------------------------------------------
+
+def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full aggregate set: min/max/stddev/variance/count-distinct per group
+    (reference only ever uses avg/sum/count — etlToClickHouse.js:163-166)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            _fr(F.min("l_extendedprice"), 2).alias("min_price"),
+            _fr(F.max("l_extendedprice"), 2).alias("max_price"),
+            _fr(F.stddev_samp("l_quantity"), 4).alias("stddev_qty"),
+            _fr(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (continuous definition shared with the
+    oracle). The approx_percentile / approx_count_distinct sketch variants are
+    exercised in tests with tolerance — sketches are engine-specific so they
+    cannot hash-match a different engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            _fr(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+            _fr(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+            _fr(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25_qty"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — subtotals + grand total in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(_sum2(F.col("l_quantity")).alias("sum_qty"), F.count("*").alias("n"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+def cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all grouping-set combinations."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(_sum2(F.col("o_totalprice")).alias("sum_price"), F.count("*").alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (sum/count over CASE WHEN) — the freshness
+    ladder shape (backend/routes/monthly.js:36-42) applied as an aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))
+    indicator = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            _sum2(urgent).alias("urgent_value"),
+            F.count(urgent).alias("urgent_n"),
+            _avg4(indicator).alias("urgent_share"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational completeness (§2B): window functions
+# ---------------------------------------------------------------------------
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by value: row_number over a per-key window.
+    The canonical scale-safe top-k — no global sort, one shuffle on the
+    partition key; deterministic via orderkey tiebreak."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", _fr(F.col("o_totalprice"), 2).alias("o_totalprice"))
+        .orderBy("o_custkey", "rk")
+    )
+
+
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: month-over-month delta of monthly totals per
+    event_type (the reference's monthly_agg consumers chart exactly this
+    trend — dashboard/dashboard.js:91-97 — but ClickHouse computed no deltas).
+    Totals stay exact decimals until the final presentation round, so deltas
+    are order-independent too."""
+    ev = load_table(spark, sf_dir, "events")
+    monthly = ev.groupBy(
+        "event_type", _dstr(F.date_trunc("month", F.col("ts"))).alias("month")
+    ).agg(F.sum(F.col("value").cast(DEC)).alias("total"))
+    w = W.partitionBy("event_type").orderBy("month")
+    return monthly.select(
+        "event_type",
+        "month",
+        F.round(F.col("total"), 2).cast("double").alias("total_value"),
+        F.round(F.col("total") - F.lag("total").over(w), 2).cast("double").alias("delta_prev_month"),
+        F.round(F.lead("total").over(w), 2).cast("double").alias("next_month_total"),
+    ).orderBy("event_type", "month")
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) revenue per supplier ordered by ship date — rows
+    frame with fully deterministic ordering keys; exact decimal accumulation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).over(w)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(running, 2).cast("double").alias("running_revenue"),
+    ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+
+
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over part prices within brand."""
+    part = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        _fr(F.col("p_retailprice"), 2).alias("p_retailprice"),
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+    ).orderBy("p_brand", "price_rank", "p_partkey")
+
+
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 by value (ORDER BY … LIMIT k): Spark plans TakeOrdered —
+    per-partition heaps, no full sort; scale-independent result size."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", _fr(F.col("o_totalprice"), 2).alias("o_totalprice"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational completeness (§2B): set ops, pivot/unpivot
+# ---------------------------------------------------------------------------
+
+def set_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of customer-nations and supplier-nations."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .union(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+        .orderBy("nationkey")
+    )
+
+
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations with both customers and suppliers."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .orderBy("nationkey")
+    )
+
+
+def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nations with customers but no well-capitalized supplier."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .subtract(
+            supplier.filter(F.col("s_acctbal") > 5000)
+            .select(F.col("s_nationkey").alias("nationkey"))
+        )
+        .orderBy("nationkey")
+    )
+
+
+def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts, priority × status matrix. Explicit pivot values
+    keep the plan single-pass (no extra distinct scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("o_orderpriority")
+    )
+
+
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (stack): wide measures → long (measure, value) rows, then
+    aggregate per measure."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.selectExpr(
+        "l_returnflag",
+        "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice, 'discount', l_discount) as (measure, value)",
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(_sum2(F.col("value")).alias("total"), F.count("*").alias("n"))
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational completeness (§2B): JSON / string / scalar functions
+# ---------------------------------------------------------------------------
+
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions over the events.props string column (the reference
+    JSON-parses at every boundary — clickhouseToRedis.js:71, monthly.js:23)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_id", k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+        .orderBy("k_bucket")
+    )
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface: lower/upper/concat/substring/replace/length/
+    split (the reference's string ops: escaping at monthly.js:58, lowercase
+    keys at monthly.js:14)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.size(F.split("p_name", " ")).alias("name_words"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowels"),
+    ).orderBy("p_partkey")
+
+
+ORACLE: dict[str, str] = {
+    "pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {_sql_sum2('l_quantity')}                                        AS sum_qty,
+               {_sql_sum2('l_extendedprice')}                                   AS sum_base_price,
+               {_sql_sum2('l_extendedprice * (1 - l_discount)')}                AS sum_disc_price,
+               {_sql_sum2('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}  AS sum_charge,
+               {_sql_avg4('l_quantity')}                                        AS avg_qty,
+               {_sql_avg4('l_extendedprice')}                                   AS avg_price,
+               {_sql_avg4('l_discount')}                                        AS avg_disc,
+               count(*)                                                         AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "monthly_rollup": f"""
+        SELECT event_type,
+               strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
+               {_sql_avg4('value')}                          AS avg_value,
+               {_sql_sum2('value')}                          AS total_value,
+               count(*)                                      AS rows_loaded
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "monthly_filtered": f"""
+        SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
+               {_sql_avg4('value')}                          AS avg_value,
+               {_sql_sum2('value')}                          AS total_value,
+               count(*)                                      AS rows_loaded
+        FROM events
+        WHERE event_type = 'click'
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "projection_sort": """
+        SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        FROM orders
+        ORDER BY o_orderstatus, o_orderpriority, o_orderkey
+    """,
+    "coercion_fill_policy": f"""
+        SELECT event_id,
+               {_sql_fr('CASE WHEN value >= 0.5 THEN value END', 4)}               AS value_nullable,
+               {_sql_fr('coalesce(CASE WHEN value >= 0.5 THEN value END, 0)', 4)}  AS value_zero_filled,
+               {_sql_fr('CASE WHEN value >= 0.5 THEN value END * 9 / 5 + 32', 4)}  AS value_fahrenheit
+        FROM events
+        ORDER BY event_id
+    """,
+    "derived_revenue": f"""
+        SELECT l_orderkey, l_linenumber,
+               {_sql_fr('l_extendedprice * (1 - l_discount)', 2)}                AS revenue,
+               {_sql_fr('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 2)}  AS charge
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    "date_normalization": """
+        SELECT event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_normalized,
+               strftime(ts, '%Y-%m-%d')          AS event_date,
+               CAST(hour(ts) AS INT)             AS event_hour
+        FROM events
+        ORDER BY event_id
+    """,
+    "presentation_format": f"""
+        SELECT event_type,
+               strftime(date_trunc('month', ts), '%b %Y') AS month_label,
+               {_sql_avg4('value', 1)}                    AS avg_value_1dp
+        FROM events
+        GROUP BY event_type, month_label
+        ORDER BY event_type, month_label
+    """,
+    "lineage_projection": """
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               coalesce(o_orderpriority, '')     AS priority_filled,
+               1                                 AS rows_loaded,
+               60                                AS sync_interval_min,
+               'incremental'                     AS load_mode
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+    "count_diagnostic": "SELECT count(*) AS total FROM events",
+    "filter_limit_sample": f"""
+        SELECT event_id, user_id, event_type, {_sql_fr('value', 4)} AS value
+        FROM events WHERE event_type = 'click'
+        ORDER BY event_id LIMIT 5
+    """,
+    "join_star_revenue": f"""
+        SELECT r_name, n_name,
+               {_sql_sum2('l_extendedprice * (1 - l_discount)')} AS revenue,
+               count(*)                                          AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name
+    """,
+    "join_left_order_counts": f"""
+        SELECT c_custkey, c_mktsegment,
+               coalesce(n, 0)          AS n_orders,
+               coalesce(spend, 0.0)    AS total_spend
+        FROM customer
+        LEFT JOIN (
+            SELECT o_custkey, count(*) AS n, {_sql_sum2('o_totalprice')} AS spend
+            FROM orders GROUP BY o_custkey
+        ) ON c_custkey = o_custkey
+        ORDER BY c_custkey
+    """,
+    "join_semi_active_customers": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        ORDER BY c_custkey
+    """,
+    "join_anti_unordered_parts": """
+        SELECT p_partkey, p_name, p_brand
+        FROM part
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_partkey = p_partkey
+                            AND l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
+        ORDER BY p_partkey
+    """,
+    "join_full_outer_nation_presence": """
+        SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+               coalesce(n_customers, 0)           AS n_customers,
+               coalesce(n_suppliers, 0)           AS n_suppliers
+        FROM (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY 1) c
+        FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+          ON c_nationkey = s_nationkey
+        ORDER BY nationkey
+    """,
+    "agg_statistics": f"""
+        SELECT l_returnflag,
+               {_sql_fr('min(l_extendedprice)', 2)}    AS min_price,
+               {_sql_fr('max(l_extendedprice)', 2)}    AS max_price,
+               {_sql_fr('stddev_samp(l_quantity)', 4)} AS stddev_qty,
+               {_sql_fr('var_samp(l_quantity)', 4)}    AS var_qty,
+               count(DISTINCT l_suppkey)               AS n_suppliers,
+               count(DISTINCT l_partkey)               AS n_parts
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "agg_quantiles": f"""
+        SELECT l_linestatus,
+               {_sql_fr('quantile_cont(l_extendedprice, 0.5)', 4)}  AS p50_price,
+               {_sql_fr('quantile_cont(l_extendedprice, 0.9)', 4)}  AS p90_price,
+               {_sql_fr('quantile_cont(l_quantity, 0.25)', 4)}      AS p25_qty
+        FROM lineitem
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    "rollup_totals": f"""
+        SELECT l_returnflag, l_linestatus,
+               {_sql_sum2('l_quantity')} AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "cube_totals": f"""
+        SELECT o_orderstatus, o_orderpriority,
+               {_sql_sum2('o_totalprice')} AS sum_price, count(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "conditional_agg": f"""
+        SELECT o_orderstatus,
+               {_sql_sum2("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END")} AS urgent_value,
+               count(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END)         AS urgent_n,
+               {_sql_avg4("CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END")}     AS urgent_share
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    "window_topk_per_group": f"""
+        SELECT o_custkey, rk, o_orderkey, {_sql_fr('o_totalprice', 2)} AS o_totalprice
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+            FROM orders
+        ) ranked
+        WHERE rk <= 3
+        ORDER BY o_custkey, rk
+    """,
+    "window_lag_delta": """
+        WITH monthly AS (
+            SELECT event_type,
+                   strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
+                   sum(CAST(value AS DECIMAL(30,10))) AS total
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, month,
+               CAST(round(total, 2) AS DOUBLE) AS total_value,
+               CAST(round(total - lag(total) OVER (PARTITION BY event_type ORDER BY month), 2) AS DOUBLE) AS delta_prev_month,
+               CAST(round(lead(total) OVER (PARTITION BY event_type ORDER BY month), 2) AS DOUBLE)        AS next_month_total
+        FROM monthly
+        ORDER BY event_type, month
+    """,
+    "window_running_sum": """
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)))
+                     OVER (PARTITION BY l_suppkey
+                           ORDER BY l_shipdate, l_orderkey, l_linenumber
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_revenue
+        FROM lineitem
+        ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """,
+    "window_rank_dense": f"""
+        SELECT p_brand, p_partkey, {_sql_fr('p_retailprice', 2)} AS p_retailprice,
+               price_rank, price_dense_rank, price_quartile
+        FROM (
+            SELECT p_brand, p_partkey, p_retailprice,
+                   CAST(rank()       OVER w AS INT) AS price_rank,
+                   CAST(dense_rank() OVER w AS INT) AS price_dense_rank,
+                   CAST(ntile(4)     OVER w AS INT) AS price_quartile
+            FROM part
+            WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+        ) ranked
+        ORDER BY p_brand, price_rank, p_partkey
+    """,
+    "topk_global": f"""
+        SELECT o_orderkey, o_custkey, {_sql_fr('o_totalprice', 2)} AS o_totalprice
+        FROM (
+            SELECT * FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 10
+        ) top
+        ORDER BY o_orderkey
+    """,
+    "set_union_nations": """
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    "set_intersect_nations": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    "set_except_nations": """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+        ORDER BY nationkey
+    """,
+    "pivot_status_matrix": """
+        SELECT o_orderpriority,
+               count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+               count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+               count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "unpivot_measures": f"""
+        WITH long AS (
+            SELECT l_returnflag, 'quantity' AS measure, l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_returnflag, 'discount', l_discount FROM lineitem
+        )
+        SELECT l_returnflag, measure, {_sql_sum2('value')} AS total, count(*) AS n
+        FROM long
+        GROUP BY l_returnflag, measure
+        ORDER BY l_returnflag, measure
+    """,
+    "json_extract_props": """
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+               count(*)                                            AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "string_functions": """
+        SELECT p_partkey,
+               lower(p_name)                                    AS name_lower,
+               upper(p_brand)                                   AS brand_upper,
+               concat_ws('|', p_brand, p_type)                  AS brand_type,
+               substring(p_type, 1, 5)                          AS type_prefix,
+               CAST(length(p_name) AS INT)                      AS name_len,
+               CAST(len(string_split(p_name, ' ')) AS INT)      AS name_words,
+               regexp_replace(p_name, '[aeiou]', '', 'g')       AS name_novowels
+        FROM part
+        ORDER BY p_partkey
+    """,
+}
+
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "monthly_rollup": monthly_rollup,
+    "monthly_filtered": monthly_filtered,
+    "projection_sort": projection_sort,
+    "coercion_fill_policy": coercion_fill_policy,
+    "derived_revenue": derived_revenue,
+    "date_normalization": date_normalization,
+    "presentation_format": presentation_format,
+    "lineage_projection": lineage_projection,
+    "count_diagnostic": count_diagnostic,
+    "filter_limit_sample": filter_limit_sample,
+    "join_star_revenue": join_star_revenue,
+    "join_left_order_counts": join_left_order_counts,
+    "join_semi_active_customers": join_semi_active_customers,
+    "join_anti_unordered_parts": join_anti_unordered_parts,
+    "join_full_outer_nation_presence": join_full_outer_nation_presence,
+    "agg_statistics": agg_statistics,
+    "agg_quantiles": agg_quantiles,
+    "rollup_totals": rollup_totals,
+    "cube_totals": cube_totals,
+    "conditional_agg": conditional_agg,
+    "window_topk_per_group": window_topk_per_group,
+    "window_lag_delta": window_lag_delta,
+    "window_running_sum": window_running_sum,
+    "window_rank_dense": window_rank_dense,
+    "topk_global": topk_global,
+    "set_union_nations": set_union_nations,
+    "set_intersect_nations": set_intersect_nations,
+    "set_except_nations": set_except_nations,
+    "pivot_status_matrix": pivot_status_matrix,
+    "unpivot_measures": unpivot_measures,
+    "json_extract_props": json_extract_props,
+    "string_functions": string_functions,
+}
