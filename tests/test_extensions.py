@@ -1,0 +1,126 @@
+"""Semantic tests for the dedup / similarity / text / multimodal extensions —
+beyond oracle parity: do the algorithms find what they should?"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.conftest import SF_SMOKE
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    """The synthetic corpus plants near-duplicate docs (token-level edits).
+    Exact Jaccard >= 0.5 pairs must all surface as LSH candidates with a high
+    estimated Jaccard — LSH recall on real near-dups, not noise."""
+    from weather_database_system_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        ngram_jaccard_pairs,
+    )
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(spark, SF_SMOKE).collect()
+    }
+    assert len(exact) >= 10, "expected planted near-dups in the corpus"
+
+    lsh = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    }
+    # recall: every exact pair with jaccard >= 0.9 must be an LSH candidate
+    strong = {p for p, j in exact.items() if j >= 0.9}
+    missed = strong - set(lsh)
+    assert not missed, f"LSH missed strong near-dups: {missed}"
+    # and their estimated jaccard should be high
+    for p in strong:
+        assert lsh[p] >= 0.5, f"pair {p}: est_jaccard {lsh[p]} too low"
+
+
+def test_simhash_places_near_dups_at_small_hamming_distance(spark):
+    """Near-identical docs (exact jaccard >= 0.95) must land within a small
+    hamming distance of each other — the property SimHash bucketing (with
+    1-bit probes) relies on. Random doc pairs sit around d=8 on 16 bits."""
+    from weather_database_system_spark.operators.dedup import (
+        dedup_simhash,
+        ngram_jaccard_pairs,
+    )
+
+    sim = {r.doc_id: r.simhash for r in dedup_simhash(spark, SF_SMOKE).collect()}
+    strong = [
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(spark, SF_SMOKE).collect()
+        if r.jaccard >= 0.95
+    ]
+    assert strong
+    dists = [sum(x != y for x, y in zip(sim[a], sim[b])) for a, b in strong]
+    assert all(d <= 4 for d in dists), f"outlier hamming distances: {dists}"
+    close = sum(1 for d in dists if d <= 1)
+    assert close >= len(dists) * 0.8, f"only {close}/{len(dists)} within d<=1"
+
+
+def test_pandas_ann_matches_exact_ann(spark):
+    """The numpy-matmul scorer must agree with the decimal-exact SQL path on
+    neighbor membership (float noise may swap adjacent ranks only)."""
+    from weather_database_system_spark.operators.similarity import (
+        ann_brute_force,
+        ann_bruteforce_pandas,
+    )
+
+    def by_query(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+        return {q: [n for _, n in sorted(v)] for q, v in out.items()}
+
+    exact = by_query(ann_brute_force(spark, SF_SMOKE))
+    fast = by_query(ann_bruteforce_pandas(spark, SF_SMOKE))
+    assert exact.keys() == fast.keys()
+    for q in exact:
+        overlap = len(set(exact[q]) & set(fast[q]))
+        assert overlap >= 4, f"query {q}: top-5 overlap only {overlap}"
+        assert exact[q][0] == fast[q][0], f"query {q}: rank-1 neighbor differs"
+
+
+def test_multimodal_features_deterministic_and_correct(spark):
+    """The decode stub is deterministic and derived from the payload bytes."""
+    from weather_database_system_spark.operators.multimodal import (
+        _fake_decode,
+        multimodal_features,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    feats = {r.doc_id: r for r in multimodal_features(spark, SF_SMOKE).collect()}
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_SMOKE, "documents").limit(20).collect()
+    }
+    for doc_id, text in texts.items():
+        expected = _fake_decode(text.encode("utf-8"))
+        row = feats[doc_id]
+        assert row.n_bytes == expected["n_bytes"]
+        assert row.first_byte == expected["first_byte"]
+        assert row.byte_sum_mod == expected["byte_sum_mod"]
+        assert (row.width, row.height) == (expected["width"], expected["height"])
+
+    again = {r.doc_id: r for r in multimodal_features(spark, SF_SMOKE).collect()}
+    assert feats == again
+
+
+def test_ivf_matches_brute_force_when_cell_is_right(spark):
+    """IVF is approximate (probes one cell); sanity-check its results are
+    well-formed and its cosines match brute force for shared neighbors."""
+    from weather_database_system_spark.operators.similarity import (
+        ann_brute_force,
+        ann_ivf_label,
+    )
+
+    bf = {(r.query_id, r.neighbor_id): r.cosine for r in ann_brute_force(spark, SF_SMOKE).collect()}
+    ivf = ann_ivf_label(spark, SF_SMOKE).collect()
+    assert len({r.query_id for r in ivf}) == 10
+    for r in ivf:
+        assert 1 <= r.rank <= 3
+        if (r.query_id, r.neighbor_id) in bf:
+            assert abs(bf[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9

@@ -1,0 +1,426 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference deduplicates nothing (its warehouse double-loads on rerun —
+etlToClickHouse.js:124-128, SURVEY §2A wart 1/2); these operators are the
+BASELINE.json extension surface, designed Spark-first:
+
+- exact:        hash-groupBy on content digest — one shuffle on the digest,
+                perfectly parallel at any scale.
+- MinHash-LSH:  shingle → K minhashes → banded signatures → equi-join on
+                (band, signature). The join is the point: candidate pairs come
+                from hash-bucket co-location, NEVER an all-pairs crossJoin, so
+                cost is O(candidates) not O(n²) — the 100 TB path.
+- SimHash:      per-token hash bits → signed sums → compact bit signature;
+                near-dups land in the same bucket (equality join at scale,
+                optionally with bit-flip probes).
+- n-gram Jaccard: exact verification via an inverted shingle index
+                (explode → join on shingle → count) — used to confirm LSH
+                candidates; kept exact here so the oracle can check it.
+- embedding near-dup: cosine over dense vectors in long (vec_id, dim, val)
+                form with exact decimal dot products; at scale the all-pairs
+                join is replaced by LSH/IVF blocking (see similarity.py).
+
+All hashes are md5 (identical bytes→hex in Spark and DuckDB), so every
+operator here is oracle-checkable — the determinism story matters as much as
+the algorithm: a dedup pass over 100 TB must be reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from weather_database_system_spark.operators.relational import DEC, _fr, _sql_fr
+from weather_database_system_spark.sources.star import load_table
+
+N_HASHES = 8          # minhash signature length
+N_BANDS = 4           # LSH bands (rows per band = N_HASHES / N_BANDS = 2)
+SIMHASH_BITS = 16     # hex digits of md5 used for simhash
+NEAR_DUP_COS = 0.45   # embedding near-dup threshold (data is near-orthogonal)
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def _shingles(toks: Column) -> Column:
+    """Distinct 3-gram token shingles; [] when the doc has <3 tokens.
+
+    The size guard matters: F.sequence(0, n-3) with n<3 would generate a
+    DESCENDING sequence, not an empty one."""
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
+    return F.when(F.size(toks) >= 3, F.array_distinct(gram)).otherwise(empty)
+
+
+def _minhash_sig(sh: Column) -> Column:
+    """K min-hashes: h_j = min over shingles of md5('{j}|' + shingle).
+    Lexicographic min over hex strings — identical in any engine.
+
+    NB: the per-salt lambda must be built by a 1-arg factory — a
+    ``lambda s, j=j`` would have arity 2, which pyspark treats as an
+    (element, index) lambda and silently binds the array index to j."""
+
+    def salted(j: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, salted(j))) for j in range(N_HASHES)]
+    )
+
+
+# SQL twins of the helpers (DuckDB list lambdas), kept adjacent for review.
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+
+def _sql_minhash_sig(sh_expr: str) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform({sh_expr}, s -> md5('{j}|' || s)))" for j in range(N_HASHES)
+    )
+    return f"[{mins}]"
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest: groupBy(md5(text)) keeping the lowest
+    doc_id as canonical. Equivalent to dropDuplicates(["text"]) but with a
+    deterministic survivor and an explicit duplicate count. One shuffle on
+    the digest; digests are uniform so no skew at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text")).alias("text_md5"), "doc_id")
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("canonical_doc_id")
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    shingle(3-gram) → 8 minhashes → 4 bands × 2 rows → candidate pairs are
+    docs sharing any (band, band-signature) — an equi-join on the banded
+    signature, which at 100 TB is a plain shuffled hash join on uniformly
+    distributed keys (no crossJoin anywhere). Output includes the estimated
+    Jaccard (fraction of matching minhashes) for each candidate pair.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # A small corpus arrives as one parquet split → one task; the signature
+    # stage is CPU-bound (K md5s per shingle), so spread it across cores.
+    # At 100 TB the input is already many splits and this is a no-op cost.
+    n_part = spark.sparkContext.defaultParallelism
+    sigs = docs.repartition(n_part, "doc_id").select(
+        "doc_id", _minhash_sig(_shingles(_tokens(F.col("text")))).alias("sig")
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            F.element_at("sig", 2 * b + 1), F.element_at("sig", 2 * b + 2)
+                        ).alias("bsig"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.countDistinct("a.band").alias("n_shared_bands"))
+    )
+
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    matched = (
+        F.aggregate(
+            F.zip_with(
+                F.col("sa.sig"), F.col("sb.sig"), lambda x, y: F.when(x == y, 1).otherwise(0)
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
+        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            matched.cast("int").alias("matched_hashes"),
+            _fr(matched / F.lit(float(N_HASHES)), 4).alias("est_jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bucketing: 16-bit signature from per-token md5 bits.
+
+    bit_j = sign of Σ_tokens (±1 by the high bit of hex digit j of
+    md5(token)) — token *multiset*, so frequency-weighted like classic
+    SimHash. Docs sharing a signature are near-dup bucket mates; n_bucket
+    is the bucket size (window count — at scale a broadcastable agg join).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    hashed = toks.select("doc_id", F.md5(F.col("tok")).alias("h"))
+    high = ("8", "9", "a", "b", "c", "d", "e", "f")
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring("h", j, 1).isin(*high), 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(1, SIMHASH_BITS + 1)
+        ]
+    )
+    bits = F.concat(
+        *[
+            F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(1, SIMHASH_BITS + 1)
+        ]
+    )
+    w = W.partitionBy("simhash")
+    return (
+        sums.select("doc_id", bits.alias("simhash"))
+        .withColumn("n_bucket", F.count("*").over(w))
+        .orderBy("doc_id")
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard via an inverted shingle index: explode distinct
+    shingles → equi-join on the shingle → |A∩B| per pair → Jaccard with
+    per-doc set sizes. No crossJoin: pair candidates exist only where a
+    shingle co-occurs. At 100 TB, hot shingles are the skew risk — AQE skew
+    join or dropping top-frequency shingles (they carry no dedup signal)
+    bounds it. Returns pairs with Jaccard ≥ 0.5 (the planted near-dups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        inter.join(sa, inter.doc_a == F.col("sa.doc_id"))
+        .join(sb, inter.doc_b == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (F.col("sa.n") + F.col("sb.n") - F.col("n_common")).alias("n_union"),
+            _fr(jac, 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _long_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings in long (vec_id, dim, val) form, val as double.
+
+    Long form makes every dot product an equi-join + decimal-sum aggregation:
+    exact (order-independent) and shuffle-partitioned on vec pairs — the
+    layout a 100 TB similarity pass would use between blocked matmuls."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "fval")
+    ).select("vec_id", (F.col("dim") + 1).alias("dim"), F.col("fval").cast("double").alias("val"))
+
+
+def _dot_dec(a: Column, b: Column) -> Column:
+    """Exact dot product of two double arrays: elementwise products (IEEE,
+    engine-identical) accumulated in DECIMAL(30,10). Adding scale-10
+    decimals never rounds (only widens), so the fold is exact and therefore
+    order-independent — bit-identical to the oracle's decimal SUM."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast(DEC)),
+        F.lit(0).cast(DEC),
+        lambda acc, v: (acc + v).cast(DEC),
+    ).cast("double")
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.45).
+
+    Dot products and norms accumulate through DECIMAL(30,10) so the result
+    is bit-identical regardless of summation order — reproducibility is a
+    dedup requirement, not a nicety. Pairs are generated by a range-split
+    self-join over whole vectors and the dot runs as an array fold inside
+    codegen (the long-form join-on-dim alternative explodes to |pairs|×dims
+    rows). All-pairs is the exact baseline; similarity.py holds the
+    sub-quadratic LSH/IVF variants used at 100 TB."""
+    n_part = spark.sparkContext.defaultParallelism
+    vecs = _emb_double(spark, sf_dir).select(
+        "vec_id",
+        "emb",
+        F.sqrt(_dot_dec(F.col("emb"), F.col("emb"))).alias("nrm"),
+    ).repartition(n_part, "vec_id")
+    a, b = vecs.alias("a"), vecs.alias("b")
+    cos = _dot_dec(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= NEAR_DUP_COS)
+        .select("vec_a", "vec_b", _fr(F.col("cos"), 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+_SQL_DOCS_TOKS = "SELECT doc_id, string_split(text, ' ') AS toks FROM documents"
+
+_SQL_LONG_EMB = """
+    SELECT vec_id, i AS dim, CAST(emb[i] AS DOUBLE) AS val
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                 unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings)
+"""
+
+ORACLE: dict[str, str] = {
+    "dedup_exact": """
+        SELECT md5(text) AS text_md5,
+               min(doc_id) AS canonical_doc_id,
+               count(*)    AS n_copies
+        FROM documents
+        GROUP BY 1
+        ORDER BY canonical_doc_id
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH docs AS ({_SQL_DOCS_TOKS}),
+        sigs AS (
+            SELECT doc_id, {_sql_minhash_sig(_SQL_SHINGLES)} AS sig FROM docs
+        ),
+        bands AS (
+            SELECT doc_id, b AS band, sig[2*b + 1] || sig[2*b + 2] AS bsig
+            FROM sigs, range(0, {N_BANDS}) AS t(b)
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(DISTINCT a.band) AS n_shared_bands
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+                        AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_shared_bands,
+               CAST(list_sum(list_transform(range(1, {N_HASHES} + 1),
+                    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS INT)
+                   AS matched_hashes,
+               {_sql_fr("list_sum(list_transform(range(1, " + str(N_HASHES) + " + 1), i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / " + str(float(N_HASHES)), 4)}
+                   AS est_jaccard
+        FROM pairs
+        JOIN sigs sa ON pairs.doc_a = sa.doc_id
+        JOIN sigs sb ON pairs.doc_b = sb.doc_id
+        ORDER BY doc_a, doc_b
+    """,
+    "dedup_simhash": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+        sums AS (
+            SELECT doc_id,
+                   {", ".join(f"sum(CASE WHEN substring(h, {j}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{j}" for j in range(1, SIMHASH_BITS + 1))}
+            FROM hashed GROUP BY doc_id
+        ),
+        sh AS (
+            SELECT doc_id,
+                   {" || ".join(f"(CASE WHEN s{j} >= 0 THEN '1' ELSE '0' END)" for j in range(1, SIMHASH_BITS + 1))} AS simhash
+            FROM sums
+        )
+        SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_bucket
+        FROM sh
+        ORDER BY doc_id
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH docs AS ({_SQL_DOCS_TOKS}),
+        sh AS (
+            SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM docs
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_common,
+               sa.n + sb.n - n_common AS n_union,
+               {_sql_fr("n_common * 1.0 / (sa.n + sb.n - n_common)", 4)} AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+        ORDER BY doc_a, doc_b
+    """,
+    "embedding_near_dup": f"""
+        WITH long AS ({_SQL_LONG_EMB}),
+        norms AS (
+            SELECT vec_id,
+                   sqrt(CAST(sum(CAST(val * val AS DECIMAL(30,10))) AS DOUBLE)) AS nrm
+            FROM long GROUP BY 1
+        ),
+        dots AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(sum(CAST(a.val * b.val AS DECIMAL(30,10))) AS DOUBLE) AS dot
+            FROM long a
+            JOIN long b ON a.dim = b.dim AND a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT vec_a, vec_b,
+               {_sql_fr("dot / (na.nrm * nb.nrm)", 6)} AS cosine
+        FROM dots
+        JOIN norms na ON vec_a = na.vec_id
+        JOIN norms nb ON vec_b = nb.vec_id
+        WHERE dot / (na.nrm * nb.nrm) >= {NEAR_DUP_COS}
+        ORDER BY vec_a, vec_b
+    """,
+}
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "embedding_near_dup": embedding_near_dup,
+}

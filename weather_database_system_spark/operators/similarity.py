@@ -1,0 +1,286 @@
+"""Similarity search over the ``embeddings`` table (BASELINE.json extension).
+
+Three tiers, mirroring how an ANN service scales:
+
+- ``ann_brute_force``: exact cosine top-k, long-form joins + decimal-exact
+  dot products. The correctness baseline every approximate method is
+  validated against; oracle-checked bit-for-bit.
+- ``ann_ivf_label``: IVF-style two-stage search — coarse quantization to a
+  centroid (here the labeled partition, standing in for k-means cells),
+  probe only the best cell, exact re-rank inside it. The candidate set drops
+  from N to N/cells: this is the 100 TB shape (cells partition the table, a
+  query touches one partition). Fully oracle-checked, including the
+  centroid computation.
+- ``ann_bruteforce_pandas``: the same brute-force math as an Arrow-batched
+  vectorized numpy matmul (mapInPandas) — the JVM↔Python batch path you use
+  when the scoring really is Python (custom metrics, learned rerankers).
+  Rows-only check (numpy float accumulation can't bit-match a SQL oracle).
+
+Query set = vec_id < N_QUERIES; candidates = the rest. Ranking ties are
+broken by vec_id so results are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from weather_database_system_spark.operators.relational import DEC, _fr
+from weather_database_system_spark.operators.dedup import _long_embeddings
+from weather_database_system_spark.sources.star import load_table
+
+N_QUERIES = 10
+TOP_K = 5
+
+
+def _norms(long: DataFrame) -> DataFrame:
+    return long.groupBy("vec_id").agg(
+        F.sqrt(F.sum((F.col("val") * F.col("val")).cast(DEC)).cast("double")).alias("nrm")
+    )
+
+
+def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: queries × candidates via a dim-aligned equi-join
+    (no crossJoin — the join key is the dimension index, the pair space is
+    realized only inside the aggregation), per-query window top-k."""
+    long = _long_embeddings(spark, sf_dir)
+    norms = _norms(long)
+    q = long.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = long.filter(F.col("vec_id") >= N_QUERIES).alias("c")
+    dots = (
+        q.join(c, F.col("q.dim") == F.col("c.dim"))
+        .groupBy(F.col("q.vec_id").alias("query_id"), F.col("c.vec_id").alias("neighbor_id"))
+        .agg(F.sum((F.col("q.val") * F.col("c.val")).cast(DEC)).cast("double").alias("dot"))
+    )
+    nq, nc = _norms(long).alias("nq"), norms.alias("nc")
+    cos = (F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm"))).alias("cos")
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        dots.join(nq, dots.query_id == F.col("nq.vec_id"))
+        .join(nc, dots.neighbor_id == F.col("nc.vec_id"))
+        .select("query_id", "neighbor_id", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", _fr(F.col("cos"), 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style search: (1) per-label centroids (exact decimal means), (2)
+    route each query to its best centroid by cosine, (3) exact top-3 within
+    that cell only. Probing 1 of ~10 cells ⇒ ~10× less work than brute
+    force; at scale the cells are k-means cells and the table is
+    partitioned by cell id, so step 3 reads one partition."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    long = _long_embeddings(spark, sf_dir).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    cand = long.filter(F.col("vec_id") >= N_QUERIES)
+    centroids = cand.groupBy("label", "dim").agg(
+        (F.sum(F.col("val").cast(DEC)).cast("double") / F.count("val")).alias("cval")
+    )
+    cnorm = centroids.groupBy("label").agg(
+        F.sqrt(F.sum((F.col("cval") * F.col("cval")).cast(DEC)).cast("double")).alias("cnrm")
+    )
+    q = long.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    qnorm = _norms(q.select("vec_id", "dim", "val"))
+
+    qc = (
+        q.join(centroids.alias("ce"), F.col("q.dim") == F.col("ce.dim"))
+        .groupBy(F.col("q.vec_id").alias("query_id"), F.col("ce.label").alias("label"))
+        .agg(F.sum((F.col("q.val") * F.col("ce.cval")).cast(DEC)).cast("double").alias("dot"))
+    )
+    qc_cos = (
+        qc.join(qnorm.alias("qn"), qc.query_id == F.col("qn.vec_id"))
+        .join(cnorm.alias("cn"), "label")
+        .select("query_id", "label", (F.col("dot") / (F.col("qn.nrm") * F.col("cn.cnrm"))).alias("ccos"))
+    )
+    wbest = W.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("label"))
+    best = (
+        qc_cos.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("label").alias("best_label"))
+    )
+
+    cand_best = cand.alias("c").join(
+        best.alias("b"), F.col("c.label") == F.col("b.best_label")
+    )
+    dots = (
+        q.join(cand_best, (F.col("q.dim") == F.col("c.dim")) & (F.col("q.vec_id") == F.col("b.query_id")))
+        .groupBy(
+            F.col("b.query_id").alias("query_id"),
+            F.col("b.best_label").alias("best_label"),
+            F.col("c.vec_id").alias("neighbor_id"),
+        )
+        .agg(F.sum((F.col("q.val") * F.col("c.val")).cast(DEC)).cast("double").alias("dot"))
+    )
+    norms = _norms(_long_embeddings(spark, sf_dir))
+    cos = (F.col("dot") / (F.col("qn.nrm") * F.col("nc.nrm"))).alias("cos")
+    wk = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        dots.join(qnorm.alias("qn"), dots.query_id == F.col("qn.vec_id"))
+        .join(norms.alias("nc"), dots.neighbor_id == F.col("nc.vec_id"))
+        .select("query_id", "best_label", "neighbor_id", cos)
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "best_label", "rank", "neighbor_id", _fr(F.col("cos"), 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized brute-force scoring via mapInPandas: queries are collected
+    once (tiny, bounded by N_QUERIES), broadcast into each Arrow batch, and
+    scored with one numpy matmul per batch — the blocked-matmul shape of a
+    GPU/BLAS scorer. Rows-only correctness check (float32 matmul ≠ oracle
+    decimal), validated against ann_brute_force in tests by rank overlap."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    qids = np.array([r["vec_id"] for r in qrows])
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    bqids = spark.sparkContext.broadcast(qids)
+    bqmat = spark.sparkContext.broadcast(qmat)
+
+    def score(batches):
+        for pdf in batches:
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ bqmat.value.T  # (batch, n_queries)
+            n, k = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(bqids.value, n),
+                    "neighbor_id": np.tile(pdf["vec_id"].to_numpy(), k),
+                    "cosine": sims.T.ravel(),
+                }
+            )
+
+    scored = (
+        emb.filter(F.col("vec_id") >= N_QUERIES)
+        .select("vec_id", "embedding")
+        .mapInPandas(score, schema="query_id long, neighbor_id long, cosine double")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", _fr(F.col("cosine"), 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+_SQL_LONG = """
+    SELECT vec_id, i AS dim, CAST(emb[i] AS DOUBLE) AS val
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                 unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings)
+"""
+
+ORACLE: dict[str, str] = {
+    "ann_brute_force": f"""
+        WITH long AS ({_SQL_LONG}),
+        norms AS (
+            SELECT vec_id, sqrt(CAST(sum(CAST(val*val AS DECIMAL(30,10))) AS DOUBLE)) AS nrm
+            FROM long GROUP BY 1
+        ),
+        dots AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(sum(CAST(q.val * c.val AS DECIMAL(30,10))) AS DOUBLE) AS dot
+            FROM long q JOIN long c ON q.dim = c.dim
+            WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   dot / (nq.nrm * nc.nrm) AS cos
+            FROM dots
+            JOIN norms nq ON query_id = nq.vec_id
+            JOIN norms nc ON neighbor_id = nc.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, neighbor_id,
+               floor(cos * 1000000 + 0.5) / 1000000 AS cosine
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """,
+    "ann_ivf_label": f"""
+        WITH long AS (
+            SELECT l.vec_id, l.dim, l.val, e.label
+            FROM ({_SQL_LONG}) l JOIN embeddings e ON l.vec_id = e.vec_id
+        ),
+        cand AS (SELECT * FROM long WHERE vec_id >= {N_QUERIES}),
+        q AS (SELECT * FROM long WHERE vec_id < {N_QUERIES}),
+        centroids AS (
+            SELECT label, dim,
+                   CAST(sum(CAST(val AS DECIMAL(30,10))) AS DOUBLE) / count(val) AS cval
+            FROM cand GROUP BY 1, 2
+        ),
+        cnorm AS (
+            SELECT label, sqrt(CAST(sum(CAST(cval*cval AS DECIMAL(30,10))) AS DOUBLE)) AS cnrm
+            FROM centroids GROUP BY 1
+        ),
+        qnorm AS (
+            SELECT vec_id, sqrt(CAST(sum(CAST(val*val AS DECIMAL(30,10))) AS DOUBLE)) AS nrm
+            FROM q GROUP BY 1
+        ),
+        qc AS (
+            SELECT q.vec_id AS query_id, ce.label,
+                   CAST(sum(CAST(q.val * ce.cval AS DECIMAL(30,10))) AS DOUBLE) AS dot
+            FROM q JOIN centroids ce ON q.dim = ce.dim
+            GROUP BY 1, 2
+        ),
+        qc_cos AS (
+            SELECT query_id, label, dot / (qn.nrm * cn.cnrm) AS ccos
+            FROM qc JOIN qnorm qn ON query_id = qn.vec_id
+                    JOIN cnorm cn USING (label)
+        ),
+        best AS (
+            SELECT query_id, label AS best_label FROM (
+                SELECT query_id, label,
+                       row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, label) AS rk
+                FROM qc_cos
+            ) WHERE rk = 1
+        ),
+        dots AS (
+            SELECT b.query_id, b.best_label, c.vec_id AS neighbor_id,
+                   CAST(sum(CAST(q.val * c.val AS DECIMAL(30,10))) AS DOUBLE) AS dot
+            FROM q
+            JOIN best b ON q.vec_id = b.query_id
+            JOIN cand c ON c.label = b.best_label AND q.dim = c.dim
+            GROUP BY 1, 2, 3
+        ),
+        nall AS (
+            SELECT vec_id, sqrt(CAST(sum(CAST(val*val AS DECIMAL(30,10))) AS DOUBLE)) AS nrm
+            FROM ({_SQL_LONG}) GROUP BY 1
+        ),
+        ranked AS (
+            SELECT query_id, best_label, neighbor_id,
+                   dot / (qn.nrm * nc.nrm) AS cos,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY dot / (qn.nrm * nc.nrm) DESC, neighbor_id) AS INT) AS rank
+            FROM dots
+            JOIN qnorm qn ON query_id = qn.vec_id
+            JOIN nall nc ON neighbor_id = nc.vec_id
+        )
+        SELECT query_id, best_label, rank, neighbor_id,
+               floor(cos * 1000000 + 0.5) / 1000000 AS cosine
+        FROM ranked WHERE rank <= 3
+        ORDER BY query_id, rank
+    """,
+}
+
+QUERIES = {
+    "ann_brute_force": ann_brute_force,
+    "ann_ivf_label": ann_ivf_label,
+    "ann_bruteforce_pandas": ann_bruteforce_pandas,
+}

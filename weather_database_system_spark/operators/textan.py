@@ -1,0 +1,198 @@
+"""Text-analysis operators over the ``documents`` table.
+
+BASELINE.json extension surface (absent from the reference, which stores only
+numeric observations): language-ID, quality scoring, token counting, and
+document fingerprinting — the per-document metrics a training-data pipeline
+computes before filtering/dedup at 100 TB.
+
+Everything is built-in column functions (split / regexp / md5 / transform) —
+whole-stage-codegen'd, zero Python in the hot path. Each metric is a pure
+function of the text, so results are reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_database_system_spark.operators.relational import _fr, _sql_fr
+from weather_database_system_spark.operators.dedup import _shingles, _tokens
+from weather_database_system_spark.sources.star import load_table
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+# Deterministic tiebreak order: first list wins ties.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "y", "de", "que"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+WORD_RE = "[a-z0-9]+"
+
+
+def _hits(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, regex word tokens
+    (BPE-ish pre-tokenizer pass), and mean token length."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, v: acc + v
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(WORD_RE), F.lit(0))).alias("n_word_tokens"),
+        F.length("text").alias("n_chars_observed"),
+        _fr(sum_len / n, 4).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/diversity ratios folded into a score,
+    then a 3-state classification ladder — the same threshold-ladder shape as
+    the reference's cache freshness classifier (backend/routes/monthly.js:36-42)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    stop_ratio = _hits(toks, EN_STOPWORDS) / n
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    score = (
+        F.least(F.lit(1.0), n / F.lit(200.0)) * 0.5
+        + (F.lit(1.0) - stop_ratio) * 0.3
+        + F.least(F.lit(1.0), distinct_ratio * 2) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        _fr(stop_ratio, 4).alias("stopword_ratio"),
+        _fr(distinct_ratio, 4).alias("distinct_ratio"),
+        _fr(score, 4).alias("quality_score"),
+        F.when(score >= 0.6, "high")
+        .when(score >= 0.4, "medium")
+        .otherwise("low")
+        .alias("quality_class"),
+    ).orderBy("doc_id")
+
+
+def lang_id_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword hits per language, argmax with a
+    deterministic tiebreak (list order). Output keeps the per-language scores
+    so the labeled ``lang`` column can be compared downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    scores = {lang: _hits(toks, words) for lang, words in LANG_STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    for lang in reversed(list(LANG_STOPWORDS)):
+        pred = F.when(scores[lang] >= best, lang).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_STOPWORDS],
+        pred.alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-content digest, min-shingle fingerprint
+    (winnowing-style: the lexicographic min of shingle hashes — stable under
+    small edits), and a prefix fingerprint over the first 8 tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    sh = _shingles(toks)
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp_full"),
+        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fp_min_shingle"),
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("fp_prefix8"),
+    ).orderBy("doc_id")
+
+
+def _sql_hits(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, t -> t IN ({inlist})))"
+
+
+_SQL_TOKS = "SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents"
+
+ORACLE: dict[str, str] = {
+    "text_token_stats": f"""
+        WITH d AS ({_SQL_TOKS})
+        SELECT doc_id,
+               CAST(len(toks) AS INT)                                       AS n_tokens,
+               CAST(len(list_distinct(toks)) AS INT)                        AS n_distinct_tokens,
+               CAST(len(regexp_extract_all(text, '{WORD_RE}')) AS INT)      AS n_word_tokens,
+               CAST(length(text) AS INT)                                    AS n_chars_observed,
+               {_sql_fr("list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks)", 4)} AS avg_token_len
+        FROM d
+        ORDER BY doc_id
+    """,
+    "text_quality": f"""
+        WITH d AS ({_SQL_TOKS}),
+        m AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   {_sql_hits(EN_STOPWORDS)} * 1.0 / len(toks) AS stop_ratio,
+                   len(list_distinct(toks)) * 1.0 / len(toks)  AS distinct_ratio
+            FROM d
+        ),
+        s AS (
+            SELECT *,
+                   least(1.0, n_tokens / 200.0) * 0.5
+                     + (1.0 - stop_ratio) * 0.3
+                     + least(1.0, distinct_ratio * 2) * 0.2 AS score
+            FROM m
+        )
+        SELECT doc_id, n_tokens,
+               {_sql_fr('stop_ratio', 4)}     AS stopword_ratio,
+               {_sql_fr('distinct_ratio', 4)} AS distinct_ratio,
+               {_sql_fr('score', 4)}          AS quality_score,
+               CASE WHEN score >= 0.6 THEN 'high'
+                    WHEN score >= 0.4 THEN 'medium'
+                    ELSE 'low' END            AS quality_class
+        FROM s
+        ORDER BY doc_id
+    """,
+    "lang_id_stopword": f"""
+        WITH d AS ({_SQL_TOKS}),
+        s AS (
+            SELECT doc_id, lang,
+                   {", ".join(f"CAST({_sql_hits(words)} AS INT) AS score_{lang}" for lang, words in LANG_STOPWORDS.items())}
+            FROM d
+        )
+        SELECT doc_id, lang,
+               {", ".join(f"score_{lang}" for lang in LANG_STOPWORDS)},
+               CASE {" ".join(f"WHEN score_{lang} >= greatest({', '.join('score_' + l for l in LANG_STOPWORDS)}) THEN '{lang}'" for lang in LANG_STOPWORDS)}
+               END AS lang_pred
+        FROM s
+        ORDER BY doc_id
+    """,
+    "doc_fingerprint": f"""
+        WITH d AS ({_SQL_TOKS})
+        SELECT doc_id,
+               md5(text) AS fp_full,
+               list_min(list_transform(
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
+                   s -> md5(s))) AS fp_min_shingle,
+               md5(array_to_string(toks[1:8], ' ')) AS fp_prefix8
+        FROM d
+        ORDER BY doc_id
+    """,
+}
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "lang_id_stopword": lang_id_stopword,
+    "doc_fingerprint": doc_fingerprint,
+}
