@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark harness: times the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Queries execute via the no-op sink (``format("noop")``) so the timing covers
+scan → shuffle → compute with zero driver-side materialization cost — the
+number a cluster job would see, not a toPandas tax.
+
+The headline set spans every operator family: full-scan aggregation, 5-way
+star join, window analytics, JSON extraction, and each extension (dedup /
+LSH / similarity / text). One warm-up run of the flagship query absorbs JVM
+/ codegen warm-up so per-query numbers are comparable across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = (
+    "pricing_summary",        # flagship scan + wide agg (lineitem full scan)
+    "join_star_revenue",      # 5-way broadcast star join + agg
+    "join_left_order_counts", # pre-aggregated outer join
+    "window_topk_per_group",  # per-key window top-k
+    "window_running_sum",     # cumulative window over the fact table
+    "monthly_rollup",         # the reference's core GROUP BY month query
+    "json_extract_props",     # JSON path extraction + agg
+    "topk_global",            # TakeOrdered global top-k
+    "dedup_exact",            # digest groupBy
+    "dedup_minhash_lsh",      # shingle → minhash → banded LSH join
+    "ngram_jaccard_pairs",    # inverted-index exact Jaccard
+    "ann_brute_force",        # exact cosine top-k over embeddings
+    "text_quality",           # per-doc text metrics
+)
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from weather_database_system_spark.session import get_spark
+
+    import __spark_entry__ as em
+
+    spark = get_spark(app_name="wdss-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = em.queries()
+
+    # Warm up JVM/codegen/parquet footer caches on the flagship query.
+    queries["pricing_summary"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -119,9 +119,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage is CPU-bound (K md5s per shingle), so spread it across cores.
     # At 100 TB the input is already many splits and this is a no-op cost.
     n_part = spark.sparkContext.defaultParallelism
+    # Persist the signatures: bands + both sides of the pair join reference
+    # them, and without a persist each branch re-hashes the whole corpus
+    # (3× the md5 work — measured 3.5× slower at sf0.1). Signatures are
+    # tiny next to the text (K hex strings/doc), so this holds at 100 TB.
     sigs = docs.repartition(n_part, "doc_id").select(
         "doc_id", _minhash_sig(_shingles(_tokens(F.col("text")))).alias("sig")
-    )
+    ).persist()
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -217,9 +221,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join or dropping top-frequency shingles (they carry no dedup signal)
     bounds it. Returns pairs with Jaccard ≥ 0.5 (the planted near-dups)."""
     docs = load_table(spark, sf_dir, "documents")
+    # Persisted: the inverted index feeds the self-join (twice) and the
+    # per-doc set sizes; recomputing the explode per branch triples the
+    # scan/shingle cost. MEMORY_AND_DISK by default, so at 100 TB the
+    # exploded index spills rather than OOMs.
     sh = docs.select(
         "doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("s")
-    )
+    ).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

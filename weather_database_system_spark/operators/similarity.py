@@ -43,8 +43,10 @@ def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: queries × candidates via a dim-aligned equi-join
     (no crossJoin — the join key is the dimension index, the pair space is
     realized only inside the aggregation), per-query window top-k."""
-    long = _long_embeddings(spark, sf_dir)
-    norms = _norms(long)
+    # Persisted: the long form feeds the q side, the c side, and the norms —
+    # without it each branch re-explodes the parquet scan.
+    long = _long_embeddings(spark, sf_dir).persist()
+    norms = _norms(long).persist()
     q = long.filter(F.col("vec_id") < N_QUERIES).alias("q")
     c = long.filter(F.col("vec_id") >= N_QUERIES).alias("c")
     dots = (
@@ -52,7 +54,7 @@ def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("q.vec_id").alias("query_id"), F.col("c.vec_id").alias("neighbor_id"))
         .agg(F.sum((F.col("q.val") * F.col("c.val")).cast(DEC)).cast("double").alias("dot"))
     )
-    nq, nc = _norms(long).alias("nq"), norms.alias("nc")
+    nq, nc = norms.alias("nq"), norms.alias("nc")
     cos = (F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm"))).alias("cos")
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
