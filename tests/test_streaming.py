@@ -1,0 +1,181 @@
+"""Real Structured Streaming tests: the same operator bodies that pass the
+batch oracle are driven through readStream/writeStream with availableNow
+triggers, asserting the streaming contract — a fully drained stream equals
+the batch query over the same data (modulo watermark-closed windows in
+append mode, which is itself asserted)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, tmp_path_factory):
+    """events (sf0.001) rewritten to a temp dir as micros-timestamped parquet
+    (the raw file is TIMESTAMP(NANOS), which no Spark reader — batch or
+    streaming — accepts natively), split into several files so the stream
+    has multiple input slices."""
+    from weather_database_system_spark.sources.star import load_table
+
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, SF_SMOKE, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def _read_stream(spark, path):
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def _drain(stream_df, mode, name, tmp_path):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    return q
+
+
+def _rows(spark, name, order_cols):
+    return [tuple(r) for r in spark.table(name).orderBy(*order_cols).collect()]
+
+
+def test_streamed_tumbling_equals_batch(spark, stream_src, tmp_path):
+    """Complete-mode windowed aggregation over the drained stream must equal
+    the batch run of the same operator body."""
+    from weather_database_system_spark.streaming.windows import tumbling_counts
+
+    batch = [
+        tuple(r)
+        for r in tumbling_counts(spark.read.parquet(stream_src))
+        .orderBy("window_start", "event_type")
+        .collect()
+    ]
+    _drain(
+        tumbling_counts(_read_stream(spark, stream_src)),
+        "complete",
+        "tumbling_complete",
+        tmp_path,
+    )
+    streamed = _rows(spark, "tumbling_complete", ["window_start", "event_type"])
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
+def test_watermark_append_emits_closed_windows(spark, stream_src, tmp_path):
+    """Append mode + watermark: after the stream drains, every emitted window
+    is watermark-closed and matches its batch twin; windows still open at the
+    final watermark are withheld. (availableNow runs the input as one batch,
+    so the watermark only advances after it — emitted = closed-as-of-final-
+    watermark minus the last batch's own contribution, i.e. none here; the
+    invariant tested is emitted ⊆ batch and emitted windows are closed.)"""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.streaming.windows import tumbling_counts
+
+    events = _read_stream(spark, stream_src).withWatermark("ts", "1 hour")
+    _drain(tumbling_counts(events), "append", "tumbling_append", tmp_path)
+    emitted = {
+        tuple(r)
+        for r in spark.table("tumbling_append").collect()
+    }
+    batch_df = tumbling_counts(spark.read.parquet(stream_src))
+    batch = {tuple(r) for r in batch_df.collect()}
+    assert emitted <= batch
+    if emitted:  # every emitted window must be closed w.r.t. the final watermark
+        max_ts = spark.read.parquet(stream_src).agg(F.max("ts")).collect()[0][0]
+        for row in emitted:
+            assert row[1] <= max_ts.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def test_streamed_session_window_subset_of_batch(spark, stream_src, tmp_path):
+    """Session windows in append mode: emitted sessions are exactly the batch
+    sessions that closed before the final watermark."""
+    from weather_database_system_spark.streaming.windows import session_windows
+
+    events = _read_stream(spark, stream_src).withWatermark("ts", "1 hour")
+    _drain(session_windows(events), "append", "sessions_append", tmp_path)
+    emitted = {tuple(r) for r in spark.table("sessions_append").collect()}
+    batch = {
+        tuple(r)
+        for r in session_windows(spark.read.parquet(stream_src)).collect()
+    }
+    assert emitted <= batch
+
+
+def test_streaming_dedup_within_watermark(spark, stream_src, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one survivor per key (survivor
+    choice is arrival-order-dependent, so assert key-set equality, not rows)."""
+    from pyspark.sql import functions as F
+
+    events = _read_stream(spark, stream_src).withWatermark("ts", "2 hours")
+    deduped = events.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    _drain(
+        deduped.select("user_id", "event_type", "event_id"),
+        "append",
+        "dedup_stream",
+        tmp_path,
+    )
+    streamed_keys = {
+        (r.user_id, r.event_type) for r in spark.table("dedup_stream").collect()
+    }
+    batch_keys = {
+        (r.user_id, r.event_type)
+        for r in spark.read.parquet(stream_src)
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert streamed_keys == batch_keys
+
+
+def test_stateful_running_count_applyInPandasWithState(spark, stream_src, tmp_path):
+    """Custom stateful operator: per-user running event count via
+    applyInPandasWithState — the extension point for operators Spark lacks.
+    After draining, the state-backed counts must equal batch groupBy counts."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def running_count(key, pdfs, state: GroupState):
+        count = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            count += len(pdf)
+        state.update((count,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [count]})
+
+    events = _read_stream(spark, stream_src)
+    counted = events.groupBy("user_id").applyInPandasWithState(
+        running_count,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _drain(counted, "update", "state_counts", tmp_path)
+    # memory sink in update mode appends each update; keep the last per user
+    latest = {}
+    for r in spark.table("state_counts").collect():
+        latest[r.user_id] = max(latest.get(r.user_id, 0), r.n_events)
+    batch = {
+        r.user_id: r.n
+        for r in spark.read.parquet(stream_src)
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert latest == batch
