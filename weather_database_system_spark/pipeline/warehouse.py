@@ -1,0 +1,187 @@
+"""Warehouse build: silver → gold ``daily_weather`` → gold ``monthly_agg``.
+
+Reference parity (SURVEY §2A ops #8-13, §3.2):
+
+- op #8   DDL if-not-exists          etlToClickHouse.js:17-60,137-155
+- op #9   author-predicate scan      etlToClickHouse.js:74
+- op #10  timestamp normalization    etlToClickHouse.js:82-95
+- op #11  flatten + project          etlToClickHouse.js:97-122
+- op #12  batch append               etlToClickHouse.js:124-128
+- op #13  monthly GROUP BY agg       etlToClickHouse.js:157-173
+
+Physical design (SURVEY §4): ``daily_weather`` is partitioned by
+``year_month`` (≙ MergeTree PARTITION BY toYYYYMM(date)) and sorted within
+partitions by (city, date) (≙ ORDER BY (city, date)) — partition pruning
+plus parquet min/max row-group skipping replace ClickHouse's sparse index.
+``monthly_agg`` is rebuilt with mode=overwrite: the reference APPENDS on
+every rerun and serves duplicate months (wart §2A-1); we document the
+divergence and make the materialization idempotent.
+
+Scale: the daily load is an append of flat rows (no shuffle); the monthly
+build is one hash-agg shuffle on (city, month) — bounded cardinality, skew-
+free. Both scale linearly with partitions.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_database_system_spark.pipeline.schemas import DAILY_COLUMNS
+
+DEFAULT_AUTHOR = "weather_database_system_spark"
+SYNC_INTERVAL_DAILY_MIN = 60   # etlToClickHouse.js:120
+SYNC_INTERVAL_MONTHLY_MIN = 0  # etlToClickHouse.js:168
+LOAD_MODE = "incremental"
+
+DAILY = "daily_weather"
+MONTHLY = "monthly_agg"
+
+
+def daily_path(root: str) -> str:
+    return os.path.join(root, DAILY)
+
+
+def monthly_path(root: str) -> str:
+    return os.path.join(root, MONTHLY)
+
+
+def create_warehouse(spark: SparkSession, database: str = "weather_dw") -> None:
+    """op #8: CREATE DATABASE IF NOT EXISTS (etlToClickHouse.js:17-21).
+    Table "DDL" is carried by the explicit write schemas + layout below —
+    Parquet zones need no pre-declared table object."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+
+
+def silver_to_daily(
+    silver: DataFrame,
+    *,
+    author: str = DEFAULT_AUTHOR,
+    load_time: dt.datetime | None = None,
+) -> DataFrame:
+    """ops #9-11: author equality filter on the nested metadata field (the
+    predicate pushes down to the parquet scan), timestamp normalization, and
+    the 19-column flatten/projection with warehouse load metadata."""
+    load_time = load_time or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    ts = F.to_timestamp(F.col("metadata.source_timestamp"))
+    return (
+        silver.filter(F.col("metadata.author") == author)  # op #9
+        .select(
+            # op #11: date = timestamp.slice(0,10) (etlToClickHouse.js:100)
+            F.substring("timestamp", 1, 10).alias("date"),
+            "temperatureC",
+            "temperatureF",
+            "humidityPercent",
+            "rainfallMm",
+            "windSpeedMps",
+            "windGustMps",
+            F.col("location.city").alias("city"),
+            F.col("location.state").alias("state"),
+            # op #10: ISO-with-T/Z/millis → naive 'yyyy-MM-dd HH:mm:ss';
+            # invalid strings parse to null (Spark default, matching the
+            # reference's null-on-invalid at etlToClickHouse.js:88-95).
+            F.date_format(ts, "yyyy-MM-dd HH:mm:ss").alias("source_timestamp"),
+            F.col("metadata.source_database").alias("source_database"),
+            F.col("metadata.data_quality").alias("data_quality"),
+            # ?? '' coalesce (etlToClickHouse.js:114)
+            F.coalesce(F.col("metadata.api_request_id"), F.lit("")).alias("api_request_id"),
+            F.col("metadata.etl_batch_id").alias("etl_batch_id"),
+            F.col("metadata.author").alias("author"),
+            F.lit(load_time).alias("warehouse_load_time"),
+            F.lit(1).alias("rows_loaded"),  # per-row grain (wart §2A-3)
+            F.lit(SYNC_INTERVAL_DAILY_MIN).alias("sync_interval_min"),
+            F.lit(LOAD_MODE).alias("load_mode"),
+        )
+    )
+
+
+def load_daily(df: DataFrame, root: str, *, dedup: bool = True) -> None:
+    """op #12: append into daily_weather, laid out like the MergeTree table —
+    partitioned by year_month, sorted within partitions by (city, date).
+
+    dedup=True makes the load idempotent at batch granularity: incoming rows
+    whose etl_batch_id is already in the warehouse are anti-joined away, so
+    rerunning an ETL is a no-op instead of the reference's row duplication
+    (wart §2A-2). The loaded-batch set is tiny (one id per run) ⇒ broadcast
+    anti-join, no shuffle of the incoming data."""
+    import os as _os
+
+    from pyspark.sql.functions import broadcast
+
+    path = daily_path(root)
+    if dedup and _os.path.isdir(path):
+        loaded = df.sparkSession.read.parquet(path).select("etl_batch_id").distinct()
+        df = df.join(broadcast(loaded), "etl_batch_id", "left_anti")
+    (
+        df.withColumn("year_month", F.substring("date", 1, 7))
+        .repartition("year_month")
+        .sortWithinPartitions("city", "date")
+        .write.mode("append")
+        .partitionBy("year_month")
+        .parquet(daily_path(root))
+    )
+
+
+def read_daily(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(daily_path(root)).select(*DAILY_COLUMNS)
+
+
+def build_monthly_agg(
+    spark: SparkSession,
+    root: str,
+    *,
+    load_time: dt.datetime | None = None,
+) -> DataFrame:
+    """op #13 — the reference's one real analytic query
+    (etlToClickHouse.js:157-173):
+
+        SELECT city, toStartOfMonth(date), avg(temperatureC),
+               sum(rainfallMm), now(), count(*), 'incremental', 0
+        FROM daily_weather GROUP BY city, month ORDER BY month
+
+    Rebuilt idempotently: mode=overwrite replaces the whole aggregate
+    (documented divergence from the reference's INSERT…SELECT append).
+    One map-side-combined shuffle on (city, month)."""
+    load_time = load_time or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    monthly = (
+        read_daily(spark, root)
+        .groupBy(
+            "city",
+            F.concat(F.substring("date", 1, 7), F.lit("-01")).alias("month"),
+        )
+        .agg(
+            F.avg("temperatureC").alias("avg_temp_c"),
+            F.sum("rainfallMm").alias("total_rain_mm"),
+            F.count("*").alias("rows_loaded"),
+        )
+        .select(
+            "city",
+            "month",
+            "avg_temp_c",
+            "total_rain_mm",
+            F.lit(load_time).alias("warehouse_load_time"),
+            F.col("rows_loaded").cast("int").alias("rows_loaded"),
+            F.lit(LOAD_MODE).alias("load_mode"),
+            F.lit(SYNC_INTERVAL_MONTHLY_MIN).alias("sync_interval_min"),
+        )
+        .orderBy("city", "month")
+    )
+    monthly.write.mode("overwrite").parquet(monthly_path(root))
+    return spark.read.parquet(monthly_path(root))
+
+
+def run_etl(
+    spark: SparkSession,
+    silver: DataFrame,
+    root: str,
+    *,
+    author: str = DEFAULT_AUTHOR,
+    load_time: dt.datetime | None = None,
+) -> DataFrame:
+    """§3.2 main(): createTables → incrementalSync → updateMonthlyAgg,
+    in-process (no per-stage process boundaries)."""
+    load_daily(silver_to_daily(silver, author=author, load_time=load_time), root)
+    return build_monthly_agg(spark, root, load_time=load_time)
