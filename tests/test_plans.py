@@ -1,0 +1,128 @@
+"""Physical-plan shape tests: pin the scale-critical plan properties
+(SURVEY §4) so refactors can't silently regress them. Result-correctness is
+the oracle's job; THESE tests are the 100 TB story."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.conftest import SF_SMOKE
+
+
+def test_pricing_summary_pushdown_pruning_partial_agg(spark):
+    """Flagship: the shipdate filter reaches the parquet scan, only needed
+    columns are read, and aggregation is partial (map-side combine) — one
+    shuffle carrying group-sized data."""
+    from weather_database_system_spark.operators.relational import pricing_summary
+    from weather_database_system_spark.plans import (
+        formatted_plan,
+        pushed_filters,
+        read_schema_columns,
+        shuffle_count,
+    )
+
+    df = pricing_summary(spark, SF_SMOKE)
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    (scan_cols,) = read_schema_columns(df)
+    assert scan_cols == {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert shuffle_count(df) <= 2  # group-by exchange + order-by range exchange
+
+
+def test_star_join_broadcasts_all_dimensions(spark):
+    """The 5-way star join must broadcast every dimension side; the only
+    shuffles are the fact-fact join and the final agg/sort."""
+    from weather_database_system_spark.operators.relational import join_star_revenue
+    from weather_database_system_spark.plans import broadcast_join_count, shuffle_count
+
+    df = join_star_revenue(spark, SF_SMOKE)
+    assert broadcast_join_count(df) >= 3  # customer, nation, region
+    # lineitem⋈orders shuffle (2 sides) + agg + sort — no dimension shuffles
+    assert shuffle_count(df) <= 4
+
+
+def test_projection_sort_prunes_columns(spark):
+    """A 4-column projection over a 6-column table must scan exactly 4."""
+    from weather_database_system_spark.operators.relational import projection_sort
+    from weather_database_system_spark.plans import read_schema_columns
+
+    (scan_cols,) = read_schema_columns(projection_sort(spark, SF_SMOKE))
+    assert scan_cols == {"o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"}
+
+
+def test_filtered_query_pushes_equality_predicate(spark):
+    """op #18's city-parameter filter must reach the scan as an equality
+    pushdown, not evaluate post-scan."""
+    from weather_database_system_spark.operators.relational import monthly_filtered
+    from weather_database_system_spark.plans import pushed_filters
+
+    filters = pushed_filters(monthly_filtered(spark, SF_SMOKE))
+    assert any("EqualTo(event_type,click)" in f.replace(" ", "") for f in filters)
+
+
+def test_window_topk_single_shuffle(spark):
+    """Per-group top-k must shuffle once (on the partition key) — no global
+    sort. The final presentation orderBy adds a range exchange; anything
+    beyond that is a regression."""
+    from weather_database_system_spark.operators.relational import window_topk_per_group
+    from weather_database_system_spark.plans import shuffle_count
+
+    assert shuffle_count(window_topk_per_group(spark, SF_SMOKE)) <= 2
+
+
+def test_global_topk_avoids_total_sort(spark):
+    """ORDER BY + LIMIT k must plan TakeOrderedAndProject (per-partition
+    heaps), never a full range-partitioned sort."""
+    from weather_database_system_spark.operators.relational import topk_global
+    from weather_database_system_spark.plans import formatted_plan
+
+    from weather_database_system_spark.plans import shuffle_count
+
+    df = topk_global(spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+    assert shuffle_count(df) == 0
+
+
+def test_multimodal_metadata_never_scans_payload(spark):
+    """Metadata-only reads over the multimodal table must prune the payload
+    bytes out of the scan entirely."""
+    from weather_database_system_spark.operators.multimodal import multimodal_metadata
+    from weather_database_system_spark.plans import read_schema_columns
+
+    for cols in read_schema_columns(multimodal_metadata(spark, SF_SMOKE)):
+        assert "payload" not in cols
+
+    # and the columns actually read are just what the metadata needs
+    assert read_schema_columns(multimodal_metadata(spark, SF_SMOKE)) == [
+        {"doc_id", "text"}
+    ]
+
+
+def test_range_band_join_broadcasts_interval_side(spark):
+    """The interval dimension must broadcast: zero shuffles on the probe
+    side before aggregation."""
+    from weather_database_system_spark.operators.temporal import range_band_join
+    from weather_database_system_spark.plans import broadcast_join_count, shuffle_count
+
+    df = range_band_join(spark, SF_SMOKE)
+    assert broadcast_join_count(df) >= 1
+    # the ONLY shuffles are post-join (agg + presentation sort); the probe
+    # side reaches the join straight from the scan
+    assert shuffle_count(df) == 2
+
+
+def test_whole_stage_codegen_covers_hot_path(spark):
+    """The scan→filter→project→partial-agg pipeline of the flagship query
+    runs inside WholeStageCodegen (no interpreted operators in the hot
+    path)."""
+    from weather_database_system_spark.operators.relational import pricing_summary
+    from weather_database_system_spark.plans import wholestage_codegen_count
+
+    assert wholestage_codegen_count(pricing_summary(spark, SF_SMOKE)) >= 2

@@ -1,0 +1,134 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and range
+join (SURVEY §2B "custom operators"; the reference has no joins at all).
+
+Both are implemented as compositions of existing DataFrame ops — the
+preferred tier (a) of the custom-operator ladder — NOT with per-row Python:
+
+- as-of join: union both sides tagged, one window pass per key carries the
+  most recent build-side row forward (`last(..., ignorenulls=True)` over an
+  unbounded-preceding frame). ONE shuffle on the join key, no range
+  explosion, no driver logic — the classic scalable as-of shape. A
+  sort-merge "MergeAsof" would touch the same data; this reuses Spark's
+  existing window machinery and AQE handles key skew.
+- range join: probe-side values against a small interval dimension via a
+  broadcast inequality join — no shuffle at all on the probe side; Spark
+  turns it into BroadcastNestedLoopJoin, which is the right plan when one
+  side is tiny. (Large×large interval joins would instead bucket both sides
+  by coarse range then equi-join the bucket — see the docstring on
+  ``range_band_join``.)
+
+DuckDB's native ASOF JOIN is the oracle for the as-of semantics — an
+independent implementation agreeing bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from weather_database_system_spark.operators.relational import _avg4, _sql_avg4
+from weather_database_system_spark.sources.star import load_table
+
+_TS_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, applied: attribute each click to the user's most recent
+    view at-or-before it (the ad-attribution query). Backward as-of on
+    (user_id, ts); clicks with no prior view keep null attribution."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+
+    tagged = clicks.select(
+        F.lit(1).alias("is_click"), "user_id", "ts", "event_id"
+    ).unionByName(
+        views.select(F.lit(0).alias("is_click"), "user_id", "ts", "event_id")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").asc(), F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_view_ts = F.last(
+        F.when(F.col("is_click") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        tagged.withColumn("last_view_ts", last_view_ts)
+        .filter(F.col("is_click") == 1)
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            "user_id",
+            F.date_format("ts", _TS_US).alias("click_ts"),
+            F.date_format("last_view_ts", _TS_US).alias("view_ts"),
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_view_ts"))).alias(
+                "gap_us"
+            ),
+        )
+        .orderBy("click_event_id")
+    )
+
+
+BANDS = (
+    # (band, lo, hi) — price bands; hi exclusive
+    ("low", 0.0, 20_000.0),
+    ("mid", 20_000.0, 60_000.0),
+    ("high", 60_000.0, 200_000.0),
+)
+
+
+def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join: orders matched to the price band
+    containing o_totalprice, then aggregated per band.
+
+    The band dimension is broadcast, so the probe side never shuffles —
+    at 100 TB this stays a map-only pass. If the interval side were large,
+    the scalable rewrite assigns both sides a coarse bucket
+    (floor(price/width)) and equi-joins on bucket before the range filter."""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(list(BANDS), "band string, lo double, hi double")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band", "lo")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _avg4(F.col("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("lo")
+        .select("band", "n_orders", "avg_price")
+    )
+
+
+ORACLE: dict[str, str] = {
+    "asof_attribution": """
+        SELECT c.event_id AS click_event_id,
+               c.user_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+               strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+               epoch_us(c.ts) - epoch_us(v.ts)        AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+        ORDER BY click_event_id
+    """,
+    "range_band_join": f"""
+        WITH bands(band, lo, hi) AS (
+            VALUES ('low', 0.0, 20000.0), ('mid', 20000.0, 60000.0),
+                   ('high', 60000.0, 200000.0)
+        )
+        SELECT band, count(*) AS n_orders,
+               {_sql_avg4('o_totalprice', 2)} AS avg_price
+        FROM orders JOIN bands
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band, lo
+        ORDER BY lo
+    """,
+}
+
+QUERIES = {
+    "asof_attribution": asof_attribution,
+    "range_band_join": range_band_join,
+}
