@@ -34,12 +34,14 @@ def _registries():
             modules.append(mod)
         except ImportError:
             pass
-    try:
-        from weather_database_system_spark.streaming import windows as streaming_windows
-
-        modules.append(streaming_windows)
-    except ImportError:
-        pass
+    for path in (
+        "weather_database_system_spark.streaming.windows",
+        "weather_database_system_spark.functions.scalar",
+    ):
+        try:
+            modules.append(__import__(path, fromlist=["_"]))
+        except ImportError:
+            pass
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}

@@ -40,6 +40,8 @@ HEADLINE = (
     "ngram_jaccard_pairs",    # inverted-index exact Jaccard
     "ann_brute_force",        # exact cosine top-k over embeddings
     "text_quality",           # per-doc text metrics
+    "asof_attribution",       # as-of join via union+window
+    "stream_session_window",  # session windows (batch mode)
 )
 
 
