@@ -109,6 +109,34 @@ def test_multimodal_features_deterministic_and_correct(spark):
     assert feats == again
 
 
+def test_sketch_aggregates_within_error_bounds(spark):
+    """HLL++ (rsd=1%) and KLL-style approx percentile must land within their
+    documented error of the exact values — sketches are the only viable
+    COUNT(DISTINCT)/percentile shape at 100 TB, but only if the bounds hold."""
+    from weather_database_system_spark.operators.scale import approx_distinct_users
+
+    rows = approx_distinct_users(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(3, 0.05 * r.exact_users), (
+            f"{r.event_type}: approx {r.approx_users} vs exact {r.exact_users}"
+        )
+        assert abs(r.approx_p50 - r.exact_p50) <= 0.05 * max(1.0, abs(r.exact_p50))
+
+
+def test_salted_agg_plan_is_two_stage(spark):
+    """The salted aggregate must actually split into two shuffle stages
+    (key,salt) then (key) — otherwise it silently degenerates to the hot-key
+    plan it exists to avoid."""
+    from weather_database_system_spark.operators.scale import skew_salted_agg
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = skew_salted_agg(spark, SF_SMOKE)
+    # two agg shuffles + presentation sort
+    assert shuffle_count(df) == 3
+    assert formatted_plan(df).count("HashAggregate") >= 4  # partial+final × 2 stages
+
+
 def test_ivf_matches_brute_force_when_cell_is_right(spark):
     """IVF is approximate (probes one cell); sanity-check its results are
     well-formed and its cosines match brute force for shared neighbors."""

@@ -1,0 +1,167 @@
+"""Scale patterns and the SQL entry point.
+
+Three things a 100 TB deployment leans on, demonstrated as oracle-checked
+queries:
+
+- **Salted two-stage aggregation** (``skew_salted_agg``): when a group key is
+  hot (one event_type = 40% of a 100 TB feed), a single hash-agg shuffle
+  sends the hot key to one reducer. Salting splits each key into S
+  sub-groups, aggregates partially per (key, salt), then merges the S
+  partials — the hot key's work spreads over S reducers. The result is
+  IDENTICAL to the unsalted groupBy (the oracle proves it: its SQL is the
+  plain GROUP BY), because sum/count are reassociable and the value sums
+  accumulate in exact decimals.
+- **Sketch aggregates** (``approx_distinct_users``): HLL++/KLL sketches are
+  mergeable (map-side partial, tiny shuffle payload) — the only viable shape
+  for COUNT(DISTINCT) over 100 TB. Sketch values are engine-specific, so the
+  query also emits the exact values; the sketch columns get a tolerance test
+  in pytest instead of an oracle hash (rows-only for the driver).
+- **SQL API** (``sql_*``): every query surface the engine exposes is equally
+  reachable through ``spark.sql`` over registered views — including
+  correlated subqueries, which Catalyst decorrelates into joins (SURVEY §4's
+  RewriteCorrelatedScalarSubquery, exercised here on purpose).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_database_system_spark.operators.relational import DEC, _sql_avg4
+from weather_database_system_spark.sources.star import load_table, register_views
+
+N_SALTS = 8
+
+
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over events: count + decimal-exact sum
+    + mean per event_type, with the hot-key shuffle split across N_SALTS
+    reducers. Stage 1 groups on (event_type, salt); stage 2 merges partials
+    per event_type. Equivalent to the plain GROUP BY — and checked as such."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(N_SALTS)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(DEC)).alias("s"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("s"), 2).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch vs exact distinct counts per event_type: HLL++
+    (approx_count_distinct, rsd=1%) next to the exact countDistinct, plus
+    approx median vs exact. Driver check is rows-only; the pytest tolerance
+    test asserts the sketch error bound actually holds."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.percentile("value", F.lit(0.5)).alias("exact_p50"),
+            F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx_p50"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery through the SQL surface: orders above half the max
+    price. The threshold uses max (exact cross-engine; an avg-of-doubles
+    threshold would put boundary rows at the mercy of summation order)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.5
+        ORDER BY o_orderkey
+        """
+    )
+
+
+def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS via spark.sql: customers with no order in 1997.
+    Catalyst decorrelates this into an anti-join — no per-row re-execution."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        )
+        ORDER BY c_custkey
+        """
+    )
+
+
+def sql_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING through the SQL surface, with the portable
+    decimal-exact mean."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT o_custkey, count(*) AS n_orders,
+               {_sql_avg4('o_totalprice', 2)} AS avg_price
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) >= 15
+        ORDER BY o_custkey
+        """
+    )
+
+
+ORACLE: dict[str, str] = {
+    "skew_salted_agg": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "sql_scalar_subquery": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.5
+        ORDER BY o_orderkey
+    """,
+    "sql_correlated_exists": """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        )
+        ORDER BY c_custkey
+    """,
+    "sql_groupby_having": f"""
+        SELECT o_custkey, count(*) AS n_orders,
+               {_sql_avg4('o_totalprice', 2)} AS avg_price
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) >= 15
+        ORDER BY o_custkey
+    """,
+}
+
+QUERIES = {
+    "skew_salted_agg": skew_salted_agg,
+    "approx_distinct_users": approx_distinct_users,
+    "sql_scalar_subquery": sql_scalar_subquery,
+    "sql_correlated_exists": sql_correlated_exists,
+    "sql_groupby_having": sql_groupby_having,
+}
