@@ -1,0 +1,101 @@
+"""File-format source/sink coverage (SURVEY §2B row 1): parquet is the
+canonical store; JSON and CSV round-trip through explicit schemas (bronze
+fidelity vs interchange). The reference only reaches data through DB client
+libraries — file formats are engine-owned here."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.conftest import SF_SMOKE
+
+
+def _events(spark):
+    from weather_database_system_spark.sources.star import load_table
+
+    return load_table(spark, SF_SMOKE, "events")
+
+
+def test_parquet_roundtrip_preserves_schema_and_values(spark, tmp_path):
+    ev = _events(spark)
+    path = str(tmp_path / "ev_parquet")
+    ev.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert back.schema == ev.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))
+
+
+def test_json_roundtrip_with_explicit_schema(spark, tmp_path):
+    """JSON keeps bronze-zone fidelity for nested data; reading back with the
+    writer's schema (not inference) must reproduce values exactly. Timestamps
+    survive via ISO strings."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark).withColumn("props_parsed", F.from_json("props", "k int"))
+    path = str(tmp_path / "ev_json")
+    # default timestampFormat carries only millis — micros need an explicit
+    # format on BOTH sides or the roundtrip silently truncates
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ev.write.mode("overwrite").option("timestampFormat", fmt).json(path)
+    back = spark.read.schema(ev.schema).option("timestampFormat", fmt).json(path)
+    assert back.schema == ev.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))
+
+
+def test_json_schema_inference_reads_nested(spark, tmp_path):
+    """Inference (the Mongo-style dynamic-schema path, SURVEY §1.3) still
+    lands usable nested structs."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark).select(
+        "event_id", F.struct("user_id", "event_type").alias("who"), "value"
+    )
+    path = str(tmp_path / "ev_json_nested")
+    ev.write.mode("overwrite").json(path)
+    inferred = spark.read.json(path)
+    assert set(inferred.columns) == {"event_id", "who", "value"}
+    row = inferred.orderBy("event_id").first()
+    assert row["who"]["event_type"] in {"click", "view", "purchase", "error", "signup"}
+
+
+def test_csv_roundtrip_with_header_and_schema(spark, tmp_path):
+    """CSV as the interchange format: header on, explicit schema + timestamp
+    format on read; null round-trips via emptyValue-vs-nullValue defaults are
+    the classic trap, so nulls are asserted explicitly."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "user_id",
+        "event_type",
+        F.when(F.col("value") > 1.0, F.col("value")).alias("value_nullable"),
+    )
+    path = str(tmp_path / "ev_csv")
+    ev.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(
+        "event_id long, ts_str string, user_id long, event_type string, value_nullable double"
+    ).option("header", True).csv(path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))
+    assert back.filter(F.col("value_nullable").isNull()).count() > 0
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """partitionBy layout must produce partition-pruned scans: reading one
+    event_type touches only that directory (PartitionFilters, not a full
+    scan + filter)."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.plans import formatted_plan
+
+    ev = _events(spark)
+    path = str(tmp_path / "ev_part")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    one = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = formatted_plan(one)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+    expected = ev.filter(F.col("event_type") == "click").count()
+    assert one.count() == expected

@@ -99,7 +99,102 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(mm.select("doc_id", "payload")).orderBy("doc_id")
 
 
+def _fake_resize(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """STUB resize. A real deployment decodes + resamples pixels (PIL/cv2 —
+    not in this container). Deterministic fake with the real contract: output
+    length scales with target area, content derived from the input bytes."""
+    if not payload:
+        return b""
+    out_len = max(1, target_w * target_h // 8)
+    reps = out_len // len(payload) + 1
+    return (payload * reps)[:out_len]
+
+
+def resize_payloads(df: DataFrame, target_w: int = 32, target_h: int = 24) -> DataFrame:
+    """Batched 'resize' transform: binary in → binary out via mapInPandas.
+    The plumbing under a real image resampler: Arrow binary columns both
+    directions, bounded batch memory, output metadata recomputed engine-side."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload_resized": pdf["payload"].map(
+                        lambda b: _fake_resize(b, target_w, target_h)
+                    ),
+                }
+            )
+
+    out = df.mapInPandas(run, schema="doc_id long, payload_resized binary")
+    return out.select(
+        "doc_id",
+        "payload_resized",
+        F.octet_length("payload_resized").alias("n_bytes_resized"),
+    )
+
+
+def frame_sample(df: DataFrame, frame_size: int = 64, stride: int = 4) -> DataFrame:
+    """'Video' frame sampling as pure column ops — NO Python in the path:
+    the payload is sliced into fixed-size frames and every stride-th frame
+    is emitted as its own row (posexplode). At 100 TB this is the shape that
+    turns one fat video row into many scoreable frame rows while metadata
+    (doc_id, frame_no) stays columnar."""
+    n_frames = F.floor(F.octet_length("payload") / frame_size).cast("int")
+    frame_idx = F.filter(
+        F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+        lambda i: (i % stride == 0) & (n_frames > 0),
+    )
+    return (
+        df.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    frame_idx,
+                    lambda i: F.substring(F.col("payload"), i * frame_size + 1, F.lit(frame_size)),
+                )
+            ).alias("sample_no", "frame"),
+        )
+        .select(
+            "doc_id",
+            "sample_no",
+            F.md5(F.col("frame")).alias("frame_digest"),
+            F.length("frame").alias("frame_len"),
+        )
+    )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the binary table, oracle-checked byte-for-byte:
+    every 4th 64-byte frame digested. Pure column ops (sequence/transform/
+    posexplode/substring-on-binary) — no Python anywhere."""
+    mm = with_binary_payload(spark, sf_dir)
+    return frame_sample(mm.select("doc_id", "payload")).orderBy("doc_id", "sample_no")
+
+
 ORACLE: dict[str, str] = {
+    # NB: DuckDB's md5/substring only take VARCHAR; the corpus is pure ASCII
+    # (asserted in tests), so char-slicing the text here equals the engine's
+    # byte-slicing of the binary payload.
+    "multimodal_frame_sample": """
+        WITH d AS (
+            SELECT doc_id, text,
+                   CAST(floor(octet_length(encode(text)) / 64) AS INT) AS nf
+            FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, text, unnest(range(0, nf)) AS i
+            FROM d WHERE nf > 0
+        )
+        SELECT doc_id,
+               CAST(i // 4 AS INT)                      AS sample_no,
+               md5(substring(text, i * 64 + 1, 64))     AS frame_digest,
+               CAST(length(substring(text, i * 64 + 1, 64)) AS INT) AS frame_len
+        FROM idx
+        WHERE i % 4 = 0
+        ORDER BY doc_id, sample_no
+    """,
     "multimodal_metadata": """
         SELECT doc_id,
                'text/plain'                    AS mime,
@@ -113,4 +208,5 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
