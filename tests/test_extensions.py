@@ -109,6 +109,38 @@ def test_multimodal_features_deterministic_and_correct(spark):
     assert feats == again
 
 
+def test_lsh_ann_scores_exactly_and_recalls_strong_neighbors(spark):
+    """Banded hyperplane LSH: (1) every returned cosine must equal the
+    brute-force cosine for that pair bit-for-bit (the re-rank is exact);
+    (2) with fixed planes + seed-42 data the candidate generation is fully
+    deterministic, so rank-1 recall has a hard floor; (3) ranks well-formed."""
+    from weather_database_system_spark.operators.similarity import (
+        ann_brute_force,
+        ann_lsh_hyperplane,
+    )
+
+    bf = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in ann_brute_force(spark, SF_SMOKE).collect()
+    }
+    bf_rank1 = {
+        r.query_id: r.neighbor_id
+        for r in ann_brute_force(spark, SF_SMOKE).collect()
+        if r.rank == 1
+    }
+    lsh_rows = ann_lsh_hyperplane(spark, SF_SMOKE).collect()
+    assert lsh_rows
+    by_q: dict[int, list[int]] = {}
+    for r in lsh_rows:
+        assert 1 <= r.rank <= 3
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+        if (r.query_id, r.neighbor_id) in bf:
+            assert bf[(r.query_id, r.neighbor_id)] == r.cosine
+
+    hits = sum(1 for q, n in bf_rank1.items() if n in by_q.get(q, []))
+    assert hits >= 0.3 * len(bf_rank1), f"rank-1 recall {hits}/{len(bf_rank1)}"
+
+
 def test_sketch_aggregates_within_error_bounds(spark):
     """HLL++ (rsd=1%) and KLL-style approx percentile must land within their
     documented error of the exact values — sketches are the only viable

@@ -26,7 +26,11 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from weather_database_system_spark.operators.relational import DEC, _fr
-from weather_database_system_spark.operators.dedup import _long_embeddings
+from weather_database_system_spark.operators.dedup import (
+    _dot_dec,
+    _emb_double,
+    _long_embeddings,
+)
 from weather_database_system_spark.sources.star import load_table
 
 N_QUERIES = 10
@@ -176,6 +180,97 @@ def ann_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PLANES = 16
+N_TABLES = 4  # 4 planes per table
+
+
+def _hyperplanes(n_planes: int = N_PLANES, dims: int = 64) -> list[list[float]]:
+    """Deterministic random hyperplanes, rounded to 6 decimals so the SAME
+    literal values feed the Spark plan and the oracle SQL (decimal literals
+    parse to identical doubles in both engines)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    return [[round(float(x), 6) for x in row] for row in rng.standard_normal((n_planes, dims))]
+
+
+def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — the sub-quadratic scale path.
+
+    Sign-random-projection with banding: 16 fixed hyperplanes → 16 sign
+    bits → 4 tables of 4-bit signatures. Candidates are vectors sharing ANY
+    table's signature with the query (equi-join on (table, signature) —
+    exactly the minhash banding shape; multi-table OR is what keeps recall
+    usable: P[candidate] = 1-(1-p^4)^4 vs the single-table p^16). Exact
+    cosine re-ranks the deduplicated candidates (top-3). At 100 TB the
+    candidate join is a plain shuffled hash join on uniform keys; there is
+    no all-pairs stage anywhere.
+
+    Signature bits are in-projection array folds (no shuffle) over exact
+    decimal dots, so bucket membership and ranking are engine-identical —
+    the oracle recomputes everything long-form in SQL and must agree
+    bit-for-bit. Recall vs ann_brute_force is measured in tests."""
+    planes = _hyperplanes()
+    per_table = N_PLANES // N_TABLES
+    bits = [
+        F.when(
+            _dot_dec(F.col("emb"), F.array(*[F.lit(x) for x in p])) >= 0, "1"
+        ).otherwise("0")
+        for p in planes
+    ]
+    vecs = _emb_double(spark, sf_dir).select(
+        "vec_id",
+        "emb",
+        F.sqrt(_dot_dec(F.col("emb"), F.col("emb"))).alias("nrm"),
+        *[
+            F.concat(*bits[t * per_table : (t + 1) * per_table]).alias(f"sig{t}")
+            for t in range(N_TABLES)
+        ],
+    ).persist()
+    tables = vecs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), F.col(f"sig{t}").alias("sig"))
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "b.tbl", "b.sig")
+
+    qt = tables.filter(F.col("vec_id") < N_QUERIES).alias("qt")
+    ct = tables.filter(F.col("vec_id") >= N_QUERIES).alias("ct")
+    pairs = (
+        qt.join(ct, (F.col("qt.tbl") == F.col("ct.tbl")) & (F.col("qt.sig") == F.col("ct.sig")))
+        .select(
+            F.col("qt.vec_id").alias("query_id"),
+            F.col("ct.vec_id").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    q, c = vecs.alias("q"), vecs.alias("c")
+    cos = _dot_dec(F.col("q.emb"), F.col("c.emb")) / (F.col("q.nrm") * F.col("c.nrm"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.join(q, pairs.query_id == F.col("q.vec_id"))
+        .join(c, pairs.neighbor_id == F.col("c.vec_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "neighbor_id", _fr(F.col("cos"), 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _sql_planes_values() -> str:
+    rows = []
+    for pid, plane in enumerate(_hyperplanes()):
+        for dim, val in enumerate(plane, start=1):
+            rows.append(f"({pid},{dim},{val!r})")
+    return ",".join(rows)
+
+
 _SQL_LONG = """
     SELECT vec_id, i AS dim, CAST(emb[i] AS DOUBLE) AS val
     FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
@@ -183,7 +278,56 @@ _SQL_LONG = """
           FROM embeddings)
 """
 
+def _sql_ann_lsh() -> str:
+    return f"""
+        WITH long AS ({_SQL_LONG}),
+        planes(pid, dim, val) AS (VALUES {_sql_planes_values()}),
+        dots AS (
+            SELECT l.vec_id, p.pid,
+                   CAST(sum(CAST(l.val * p.val AS DECIMAL(30,10))) AS DOUBLE) AS dot
+            FROM long l JOIN planes p ON l.dim = p.dim
+            GROUP BY 1, 2
+        ),
+        sigs AS (
+            SELECT vec_id, pid // {N_PLANES // N_TABLES} AS tbl,
+                   string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY pid) AS sig
+            FROM dots GROUP BY 1, 2
+        ),
+        norms AS (
+            SELECT vec_id, sqrt(CAST(sum(CAST(val*val AS DECIMAL(30,10))) AS DOUBLE)) AS nrm
+            FROM long GROUP BY 1
+        ),
+        pairs AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.sig = c.sig
+            WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+        ),
+        pdots AS (
+            SELECT p.query_id, p.neighbor_id,
+                   CAST(sum(CAST(a.val * b.val AS DECIMAL(30,10))) AS DOUBLE) AS dot
+            FROM pairs p
+            JOIN long a ON a.vec_id = p.query_id
+            JOIN long b ON b.vec_id = p.neighbor_id AND a.dim = b.dim
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   dot / (nq.nrm * nc.nrm) AS cos,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS INT) AS rank
+            FROM pdots
+            JOIN norms nq ON query_id = nq.vec_id
+            JOIN norms nc ON neighbor_id = nc.vec_id
+        )
+        SELECT query_id, rank, neighbor_id,
+               floor(cos * 1000000 + 0.5) / 1000000 AS cosine
+        FROM ranked WHERE rank <= 3
+        ORDER BY query_id, rank
+    """
+
+
 ORACLE: dict[str, str] = {
+    "ann_lsh_hyperplane": _sql_ann_lsh(),
     "ann_brute_force": f"""
         WITH long AS ({_SQL_LONG}),
         norms AS (
@@ -285,4 +429,5 @@ QUERIES = {
     "ann_brute_force": ann_brute_force,
     "ann_ivf_label": ann_ivf_label,
     "ann_bruteforce_pandas": ann_bruteforce_pandas,
+    "ann_lsh_hyperplane": ann_lsh_hyperplane,
 }
