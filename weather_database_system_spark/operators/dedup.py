@@ -221,22 +221,50 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join or dropping top-frequency shingles (they carry no dedup signal)
     bounds it. Returns pairs with Jaccard ≥ 0.5 (the planted near-dups)."""
     docs = load_table(spark, sf_dir, "documents")
-    # Persisted: the inverted index feeds the self-join (twice) and the
-    # per-doc set sizes; recomputing the explode per branch triples the
-    # scan/shingle cost. MEMORY_AND_DISK by default, so at 100 TB the
-    # exploded index spills rather than OOMs.
-    sh = docs.select(
+    # Spread the CPU-bound shingle stage across cores (one parquet split =
+    # one task otherwise; a no-op at 100 TB where the input is many splits),
+    # and persist: the inverted index feeds the pair stage and the per-doc
+    # set sizes — recomputing the explode per branch doubles the cost.
+    # MEMORY_AND_DISK by default, so at 100 TB the index spills, not OOMs.
+    n_part = spark.sparkContext.defaultParallelism
+    sh = docs.repartition(n_part, "doc_id").select(
         "doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("s")
     ).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # Pair generation: ONE shuffle on the shingle (groupBy + collect the
+    # posting list), pairs emitted inline per posting — versus a self-join,
+    # this halves shuffle volume and skips the join build. Posting-list
+    # length is the skew bound: a shingle shared by k docs emits k²/2 pairs
+    # either way, but here the quadratic work stays in one task per hot
+    # shingle, which is why hot-shingle capping (drop postings above a
+    # length ceiling — they carry no dedup signal) is the 100 TB knob.
+    postings = sh.groupBy("s").agg(F.collect_list("doc_id").alias("ds"))
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x: F.filter(
+                    F.transform(
+                        F.col("ds"),
+                        lambda y: F.when(x < y, F.struct(x.alias("doc_a"), y.alias("doc_b"))),
+                    ),
+                    lambda p: p.isNotNull(),
+                ),
+            )
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        postings.filter(F.size("ds") > 1)
+        .select(pair.alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    # sizes joins: left to AQE — it broadcasts the aggregated side when its
+    # runtime size is small (always at bench SFs) and shuffles when the
+    # corpus is genuinely huge; forcing broadcast here would be a 100 TB
+    # footgun (sizes has one row per document).
     return (
         inter.join(sa, inter.doc_a == F.col("sa.doc_id"))
         .join(sb, inter.doc_b == F.col("sb.doc_id"))

