@@ -37,6 +37,7 @@ def _registries():
     for path in (
         "weather_database_system_spark.streaming.windows",
         "weather_database_system_spark.functions.scalar",
+        "weather_database_system_spark.functions.udfs",
     ):
         try:
             modules.append(__import__(path, fromlist=["_"]))
