@@ -153,8 +153,14 @@ def build_monthly_agg(
             F.concat(F.substring("date", 1, 7), F.lit("-01")).alias("month"),
         )
         .agg(
-            F.avg("temperatureC").alias("avg_temp_c"),
-            F.sum("rainfallMm").alias("total_rain_mm"),
+            # decimal accumulation: the aggregate is bit-identical however
+            # the warehouse files are partitioned (batch vs streamed loads),
+            # which is what makes rebuilds comparable run-to-run
+            (
+                F.sum(F.col("temperatureC").cast("decimal(30,10)")).cast("double")
+                / F.count("temperatureC")
+            ).alias("avg_temp_c"),
+            F.sum(F.col("rainfallMm").cast("decimal(30,10)")).cast("double").alias("total_rain_mm"),
             F.count("*").alias("rows_loaded"),
         )
         .select(
@@ -171,6 +177,40 @@ def build_monthly_agg(
     )
     monthly.write.mode("overwrite").parquet(monthly_path(root))
     return spark.read.parquet(monthly_path(root))
+
+
+def stream_silver_to_daily(
+    silver_stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    *,
+    author: str = DEFAULT_AUTHOR,
+    load_time: dt.datetime | None = None,
+):
+    """Streaming incremental load: micro-batches of silver observations run
+    through the SAME silver_to_daily transform and append into the same
+    gold layout via foreachBatch.
+
+    Exactly-once comes from the streaming checkpoint (a replayed epoch is
+    not re-delivered after restart), NOT from the batch-id anti-join —
+    dedup=False here because one etl_batch_id can legitimately span several
+    micro-batches and the anti-join would silently drop the later ones.
+    Returns the StreamingQuery; callers pick the trigger cadence (tests use
+    availableNow)."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        load_daily(
+            silver_to_daily(batch_df, author=author, load_time=load_time),
+            root,
+            dedup=False,
+        )
+
+    return (
+        silver_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def run_etl(
