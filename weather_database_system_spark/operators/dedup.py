@@ -126,8 +126,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = docs.repartition(n_part, "doc_id").select(
         "doc_id", _minhash_sig(_shingles(_tokens(F.col("text")))).alias("sig")
     ).persist()
+    # Bands carry the full signature (K hex strings ≈ 300 B/doc — cheap next
+    # to re-joining the signature table twice after the pair join): the pair
+    # stage then computes matched-hash counts inline from the two sig arrays
+    # it already has, so the whole operator is ONE band-bucket join + one agg.
     bands = sigs.select(
         "doc_id",
+        "sig",
         F.explode(
             F.array(
                 *[
@@ -141,10 +146,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
 
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
+    matched = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"), F.col("b.sig"), lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -152,28 +164,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.countDistinct("a.band").alias("n_shared_bands"))
-    )
-
-    sa, sb = sigs.alias("sa"), sigs.alias("sb")
-    matched = (
-        F.aggregate(
-            F.zip_with(
-                F.col("sa.sig"), F.col("sb.sig"), lambda x, y: F.when(x == y, 1).otherwise(0)
-            ),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-    )
-    return (
-        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
-        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_shared_bands",
-            matched.cast("int").alias("matched_hashes"),
-            _fr(matched / F.lit(float(N_HASHES)), 4).alias("est_jaccard"),
+        .agg(
+            F.countDistinct("a.band").alias("n_shared_bands"),
+            F.first(matched).cast("int").alias("matched_hashes"),
+            _fr(F.first(matched) / F.lit(float(N_HASHES)), 4).alias("est_jaccard"),
         )
         .orderBy("doc_a", "doc_b")
     )
