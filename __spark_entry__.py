@@ -38,6 +38,7 @@ def _registries():
         "weather_database_system_spark.streaming.windows",
         "weather_database_system_spark.functions.scalar",
         "weather_database_system_spark.functions.udfs",
+        "weather_database_system_spark.pipeline.rollup",
     ):
         try:
             modules.append(__import__(path, fromlist=["_"]))

@@ -321,6 +321,40 @@ def test_streaming_incremental_warehouse_load(spark, zones, tmp_path):
     )
 
 
+def test_rollup_cascade_materialization_is_lossless(spark, tmp_path):
+    """hour→day→month cascade: every materialized grain must equal the
+    direct aggregation of raw events at that grain (reassociated decimal
+    partials lose nothing), and avg derives correctly from partials."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.pipeline.rollup import (
+        build_rollup_cascade,
+        read_rollup,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    tables = build_rollup_cascade(spark, ev, str(tmp_path / "rollups"))
+    assert set(tables) == {"hour", "day", "month"}
+
+    for grain, table in tables.items():
+        direct = ev.groupBy(
+            "event_type", F.date_trunc(grain, "ts").alias("bucket")
+        ).agg(
+            F.sum(F.col("value").cast("decimal(30,10)")).alias("psum"),
+            F.count("value").alias("pcount"),
+            F.min("value").alias("pmin"),
+            F.max("value").alias("pmax"),
+        )
+        got = sorted(map(tuple, table.collect()))
+        want = sorted(map(tuple, direct.collect()))
+        assert got == want, f"{grain} grain diverged from direct aggregation"
+
+    with_avg = read_rollup(tables["month"]).collect()
+    for r in with_avg:
+        assert abs(r.avg_value - float(r.psum) / r.pcount) < 1e-12
+
+
 def test_diagnostics_staged_probe(spark, zones, tmp_path):
     """ops #24-27 (§5.6): healthy path = 5 successes; missing warehouse
     short-circuits at step 2 with remediation; unknown city → warning."""
