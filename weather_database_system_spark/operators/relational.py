@@ -610,7 +610,108 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: unshipped-revenue top-10 — segment-filtered customer
+    (broadcast) ⋈ orders ⋈ lineitem, revenue per order, TakeOrdered top-10.
+    The classic join+agg+top-k ladder a serving API issues ad hoc."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1997-06-30").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", _dstr(F.col("o_orderdate")).alias("o_orderdate"), "o_orderpriority")
+        .agg(_sum2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def late_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped: orders with at least one lineitem shipped >60 days
+    after the order date, counted per priority — EXISTS (semi join) + date
+    arithmetic. Semi join shuffles only keys; the date predicate pushes into
+    the lineitem⋈orders join condition."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.alias("o")
+    late = li.alias("l").join(
+        o,
+        (F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        & (F.col("l.l_shipdate") > F.date_add(F.col("o.o_orderdate"), 60)),
+        "left_semi",
+    )  # lineitems that are late w.r.t. their order
+    late_orders = orders.join(
+        late.select("l_orderkey").distinct(),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "left_semi",
+    )
+    return (
+        late_orders.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: per nation, its region name and the
+    lexicographically sorted supplier-name list joined to one string
+    (collect_list is order-nondeterministic — sort_array pins it; the
+    oracle's list(x ORDER BY x) is the SQL twin)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias("supplier_names"),
+        )
+        .orderBy("n_name")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "shipping_priority": f"""
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority,
+               {_sql_sum2('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1997-06-30 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "late_orders_by_priority": """
+        SELECT o_orderpriority, count(*) AS n_late_orders
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "agg_collect_sorted": """
+        SELECT n_name,
+               count(*) AS n_suppliers,
+               array_to_string(list(s_name ORDER BY s_name), ',') AS supplier_names
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
     "pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                {_sql_sum2('l_quantity')}                                        AS sum_qty,
@@ -944,4 +1045,7 @@ QUERIES = {
     "unpivot_measures": unpivot_measures,
     "json_extract_props": json_extract_props,
     "string_functions": string_functions,
+    "shipping_priority": shipping_priority,
+    "late_orders_by_priority": late_orders_by_priority,
+    "agg_collect_sorted": agg_collect_sorted,
 }
