@@ -143,6 +143,44 @@ def test_streaming_dedup_within_watermark(spark, stream_src, tmp_path):
     assert streamed_keys == batch_keys
 
 
+def test_stream_stream_join_with_watermarks(spark, stream_src, tmp_path):
+    """Stream-stream inner join: clicks ⋈ views per user within a 30-minute
+    event-time window, both sides watermarked (bounded state). The drained
+    result must equal the equivalent batch join."""
+    from pyspark.sql import functions as F
+
+    def split(df, kind):
+        return (
+            df.filter(F.col("event_type") == kind)
+            .select(
+                F.col("user_id").alias(f"{kind}_user"),
+                F.col("ts").alias(f"{kind}_ts"),
+                F.col("event_id").alias(f"{kind}_id"),
+            )
+        )
+
+    def joined(clicks, views):
+        return clicks.join(
+            views,
+            (F.col("click_user") == F.col("view_user"))
+            & (F.col("view_ts") <= F.col("click_ts"))
+            & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 30 MINUTES")),
+        ).select("click_id", "view_id")
+
+    s = _read_stream(spark, stream_src)
+    stream_result = joined(
+        split(s, "click").withWatermark("click_ts", "1 hour"),
+        split(s, "view").withWatermark("view_ts", "1 hour"),
+    )
+    _drain(stream_result, "append", "ss_join", tmp_path)
+    streamed = {tuple(r) for r in spark.table("ss_join").collect()}
+
+    b = spark.read.parquet(stream_src)
+    batch = {tuple(r) for r in joined(split(b, "click"), split(b, "view")).collect()}
+    assert streamed == batch
+    assert len(batch) > 0
+
+
 def test_stateful_running_count_applyInPandasWithState(spark, stream_src, tmp_path):
     """Custom stateful operator: per-user running event count via
     applyInPandasWithState — the extension point for operators Spark lacks.
