@@ -309,16 +309,76 @@ def test_streaming_incremental_warehouse_load(spark, zones, tmp_path):
     # the one built from the batch warehouse
     from weather_database_system_spark.pipeline.warehouse import (
         build_monthly_agg,
-        monthly_path,
+        read_monthly,
     )
 
     monthly_streamed = build_monthly_agg(spark, wh, load_time=NOW)
     # re-read the batch aggregate from its path: the fixture's DataFrame may
     # hold a stale file listing after the idempotency test's overwrite
-    monthly_batch = spark.read.parquet(monthly_path(zones["warehouse"]))
+    monthly_batch = read_monthly(spark, zones["warehouse"])
     assert sorted(map(tuple, monthly_streamed.collect())) == sorted(
         map(tuple, monthly_batch.collect())
     )
+
+
+def test_incremental_monthly_refresh_touches_only_affected_months(spark, tmp_path):
+    """Partition-level aggregate maintenance: after a new batch lands in one
+    month, refreshing just that month must (a) update its rows to exactly
+    what a full rebuild computes, (b) leave every other month's files AND
+    warehouse_load_time untouched."""
+    import datetime as dt
+
+    from weather_database_system_spark.pipeline.ingest import ingest_payload
+    from weather_database_system_spark.pipeline.warehouse import (
+        build_monthly_agg,
+        read_monthly,
+        refresh_monthly_incremental,
+        run_etl,
+    )
+
+    root = tmp_path
+    silver, wh = str(root / "silver"), str(root / "gold")
+    p = make_payload(0, n_days=60)  # Jan(31) + Feb(29, leap) exactly
+    ingest_payload(spark, p, city=p["_city"], state=p["_state"],
+                   silver_path=silver, fetched_at=NOW)
+    run_etl(spark, spark.read.parquet(silver), wh, load_time=NOW)
+    before = {r["month"]: tuple(r) for r in read_monthly(spark, wh).collect()}
+    assert set(before) == {"2024-01-01", "2024-02-01"}
+
+    # a late-arriving February-only batch from a second "sensor"
+    later = dt.datetime(2024, 4, 2, 9, 0, 0)
+    p2 = make_payload(1, n_days=60)
+    feb = {
+        "latitude": p2["latitude"], "longitude": p2["longitude"],
+        "timezone": p2["timezone"],
+        "hourly": {
+            k: [v for v, t in zip(p2["hourly"][k], p2["hourly"]["time"])
+                if t.startswith("2024-02")]
+            if k != "time" else [t for t in p2["hourly"]["time"] if t.startswith("2024-02")]
+            for k in p2["hourly"]
+        },
+    }
+    ingest_payload(spark, feb, city="Stockton", state="CA",
+                   silver_path=silver, fetched_at=later)
+    new_batch = spark.read.parquet(silver)
+    from weather_database_system_spark.pipeline.warehouse import load_daily, silver_to_daily
+
+    load_daily(silver_to_daily(new_batch, load_time=later), wh)
+
+    incr = refresh_monthly_incremental(spark, wh, ["2024-02-01"], load_time=later)
+    after = {r["month"]: tuple(r) for r in incr.collect()}
+
+    # January rows byte-identical (including the ORIGINAL load_time)
+    assert after["2024-01-01"] == before["2024-01-01"]
+    # February updated with the new data and the new load_time
+    assert after["2024-02-01"] != before["2024-02-01"]
+    assert after["2024-02-01"][4] == later  # warehouse_load_time
+
+    # and the February VALUES equal a full rebuild's (load_times differ for
+    # January by design, so compare February only)
+    full = {r["month"]: tuple(r) for r in
+            build_monthly_agg(spark, wh, load_time=later).collect()}
+    assert after["2024-02-01"] == full["2024-02-01"]
 
 
 def test_rollup_cascade_materialization_is_lossless(spark, tmp_path):

@@ -118,6 +118,39 @@ def test_range_band_join_broadcasts_interval_side(spark):
     assert shuffle_count(df) == 2
 
 
+def test_no_registry_query_plans_a_cartesian_product(spark):
+    """Sweeping guard: NO query in the whole registry may plan a
+    CartesianProduct — pair generation must always go through derived join
+    keys or an explicit bounded broadcast. BroadcastNestedLoopJoin is
+    allowed only where a side is provably bounded (documented allowlist)."""
+    import __spark_entry__ as em
+
+    from weather_database_system_spark.plans import formatted_plan
+
+    # BNLJ-sanctioned: bounded broadcast side by construction
+    bnlj_ok = {
+        "ann_brute_force",      # N_QUERIES whole vectors broadcast
+        "embedding_near_dup",   # exact all-pairs baseline (doc'd; LSH is the scale path)
+        "range_band_join",      # 3-row interval dimension
+        "stream_late_data_policy",  # 1-row watermark scalar crossJoin
+    }
+    for name, fn in em.queries().items():
+        plan = formatted_plan(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+        if "BroadcastNestedLoopJoin" in plan:
+            assert name in bnlj_ok, f"{name} plans an unsanctioned BNLJ"
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must cost one hash shuffle (the union'd window
+    partition key) + the presentation sort — the union+window trick's whole
+    selling point."""
+    from weather_database_system_spark.operators.temporal import asof_attribution
+    from weather_database_system_spark.plans import shuffle_count
+
+    assert shuffle_count(asof_attribution(spark, SF_SMOKE)) <= 2
+
+
 def test_whole_stage_codegen_covers_hot_path(spark):
     """The scan→filter→project→partial-agg pipeline of the flagship query
     runs inside WholeStageCodegen (no interpreted operators in the hot

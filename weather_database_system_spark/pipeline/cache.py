@@ -156,10 +156,10 @@ def refresh_cache(
     filter to the city, sort, snapshot."""
     from pyspark.sql import functions as F
 
-    from weather_database_system_spark.pipeline.warehouse import monthly_path
+    from weather_database_system_spark.pipeline.warehouse import read_monthly
 
     monthly = (
-        spark.read.parquet(monthly_path(warehouse_root))
+        read_monthly(spark, warehouse_root)
         .filter(F.col("city") == city)  # op #15, engine-side not client-side
         .orderBy("month")
     )

@@ -73,7 +73,9 @@ def run_diagnostics(
     steps.append({"step": "table_exists", "status": "success", "detail": mpath})
 
     # Step 4 — op #26: row count > 0.
-    monthly = spark.read.parquet(mpath)
+    from weather_database_system_spark.pipeline.warehouse import read_monthly
+
+    monthly = read_monthly(spark, warehouse_root)
     n = monthly.count()
     if n == 0:
         steps.append(

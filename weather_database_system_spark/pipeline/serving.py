@@ -27,7 +27,7 @@ from weather_database_system_spark.pipeline.cache import (
     read_snapshot,
     ttl_remaining,
 )
-from weather_database_system_spark.pipeline.warehouse import monthly_path
+from weather_database_system_spark.pipeline.warehouse import read_monthly
 
 SERVING_COLUMNS = ("city", "month", "avg_temp_c", "total_rain_mm", "warehouse_load_time")
 
@@ -104,7 +104,7 @@ def serve_monthly(
     # Fallback: op #18 parameterized query against gold.
     try:
         rows = (
-            spark.read.parquet(monthly_path(warehouse_root))
+            read_monthly(spark, warehouse_root)
             .filter(F.col("city") == city)
             .select(*SERVING_COLUMNS)
             .orderBy("month")

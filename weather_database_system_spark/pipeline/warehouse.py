@@ -129,26 +129,20 @@ def read_daily(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(daily_path(root)).select(*DAILY_COLUMNS)
 
 
-def build_monthly_agg(
-    spark: SparkSession,
-    root: str,
-    *,
-    load_time: dt.datetime | None = None,
+def read_monthly(spark: SparkSession, root: str) -> DataFrame:
+    """monthly_agg with its column contract. The physical layout carries a
+    ``month_part`` partition-directory copy of ``month``; projecting the
+    contract columns drops it (and sidesteps partition-type inference)."""
+    from weather_database_system_spark.pipeline.schemas import MONTHLY_COLUMNS
+
+    return spark.read.parquet(monthly_path(root)).select(*MONTHLY_COLUMNS)
+
+
+def _monthly_for(
+    daily: DataFrame, load_time: dt.datetime
 ) -> DataFrame:
-    """op #13 — the reference's one real analytic query
-    (etlToClickHouse.js:157-173):
-
-        SELECT city, toStartOfMonth(date), avg(temperatureC),
-               sum(rainfallMm), now(), count(*), 'incremental', 0
-        FROM daily_weather GROUP BY city, month ORDER BY month
-
-    Rebuilt idempotently: mode=overwrite replaces the whole aggregate
-    (documented divergence from the reference's INSERT…SELECT append).
-    One map-side-combined shuffle on (city, month)."""
-    load_time = load_time or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     monthly = (
-        read_daily(spark, root)
-        .groupBy(
+        daily.groupBy(
             "city",
             F.concat(F.substring("date", 1, 7), F.lit("-01")).alias("month"),
         )
@@ -175,8 +169,61 @@ def build_monthly_agg(
         )
         .orderBy("city", "month")
     )
-    monthly.write.mode("overwrite").parquet(monthly_path(root))
-    return spark.read.parquet(monthly_path(root))
+    return monthly.withColumn("month_part", F.col("month"))
+
+
+def build_monthly_agg(
+    spark: SparkSession,
+    root: str,
+    *,
+    load_time: dt.datetime | None = None,
+) -> DataFrame:
+    """op #13 — the reference's one real analytic query
+    (etlToClickHouse.js:157-173):
+
+        SELECT city, toStartOfMonth(date), avg(temperatureC),
+               sum(rainfallMm), now(), count(*), 'incremental', 0
+        FROM daily_weather GROUP BY city, month ORDER BY month
+
+    Full rebuild, idempotent (mode=overwrite — documented divergence from
+    the reference's duplicate-appending INSERT…SELECT); partitioned by
+    month so the incremental variant below can replace single months.
+    One map-side-combined shuffle on (city, month)."""
+    load_time = load_time or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    monthly = _monthly_for(read_daily(spark, root), load_time)
+    monthly.write.mode("overwrite").partitionBy("month_part").parquet(monthly_path(root))
+    return read_monthly(spark, root)
+
+
+def refresh_monthly_incremental(
+    spark: SparkSession,
+    root: str,
+    months: list[str],
+    *,
+    load_time: dt.datetime | None = None,
+) -> DataFrame:
+    """Incremental aggregate maintenance: recompute ONLY the given months
+    (from the daily table, whose year_month partitioning prunes the scan)
+    and replace exactly those partition directories via dynamic partition
+    overwrite. At 100 TB this is the difference between touching one month
+    of aggregates and rewriting years of them; the caller knows the
+    affected months from the batch it just loaded. Untouched months keep
+    their previous warehouse_load_time — the lineage you want."""
+    load_time = load_time or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    year_months = [m[:7] for m in months]
+    daily = read_daily(spark, root).filter(
+        F.substring("date", 1, 7).isin(year_months)  # prunes via year_month dirs
+    )
+    monthly = _monthly_for(daily, load_time)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        monthly.write.mode("overwrite").partitionBy("month_part").parquet(
+            monthly_path(root)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return read_monthly(spark, root)
 
 
 def stream_silver_to_daily(
