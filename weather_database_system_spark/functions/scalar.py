@@ -89,7 +89,31 @@ def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: build a map from the parsed JSON props,
+    read it back with element_at, enumerate it with map_keys/map_entries,
+    and explode it to long form. DuckDB has no Spark-style MAP over JSON,
+    so the oracle recomputes the same long form straight from the JSON —
+    independent derivations, identical rows."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("k"), F.get_json_object("props", "$.k"),
+        F.lit("type"), F.col("event_type"),
+    )
+    return (
+        ev.select("event_id", F.explode(m).alias("key", "val"))
+        .orderBy("event_id", "key")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "map_functions": """
+        SELECT event_id, 'k' AS key, json_extract_string(props, '$.k') AS val
+        FROM events
+        UNION ALL
+        SELECT event_id, 'type', event_type FROM events
+        ORDER BY event_id, key
+    """,
     "math_functions": f"""
         SELECT l_orderkey, l_linenumber,
                abs(l_extendedprice - 30000)              AS abs_centered,
@@ -144,6 +168,7 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "map_functions": map_functions,
     "math_functions": math_functions,
     "datetime_functions": datetime_functions,
     "array_functions": array_functions,
