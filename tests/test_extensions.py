@@ -141,6 +141,24 @@ def test_lsh_ann_scores_exactly_and_recalls_strong_neighbors(spark):
     assert hits >= 0.3 * len(bf_rank1), f"rank-1 recall {hits}/{len(bf_rank1)}"
 
 
+def test_lsh_near_dup_is_precise_subset_of_exact(spark):
+    """LSH-blocked near-dup: perfect precision (every returned pair is an
+    exact-baseline pair with the identical cosine — the re-check is exact),
+    recall bounded below deterministically (fixed planes + seed-42 data)."""
+    from weather_database_system_spark.operators.dedup import embedding_near_dup
+    from weather_database_system_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+    )
+
+    exact = {(r.vec_a, r.vec_b): r.cosine for r in embedding_near_dup(spark, SF_SMOKE).collect()}
+    lsh = {(r.vec_a, r.vec_b): r.cosine for r in embedding_near_dup_lsh(spark, SF_SMOKE).collect()}
+    assert lsh, "LSH found no near-dups at all"
+    assert set(lsh) <= set(exact), f"false positives: {set(lsh) - set(exact)}"
+    for p, c in lsh.items():
+        assert exact[p] == c
+    assert len(lsh) >= 0.4 * len(exact), f"recall {len(lsh)}/{len(exact)}"
+
+
 def test_sketch_aggregates_within_error_bounds(spark):
     """HLL++ (rsd=1%) and KLL-style approx percentile must land within their
     documented error of the exact values — sketches are the only viable

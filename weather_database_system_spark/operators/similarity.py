@@ -197,22 +197,11 @@ def _hyperplanes(n_planes: int = N_PLANES, dims: int = 64) -> list[list[float]]:
     return [[round(float(x), 6) for x in row] for row in rng.standard_normal((n_planes, dims))]
 
 
-def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN — the sub-quadratic scale path.
-
-    Sign-random-projection with banding: 16 fixed hyperplanes → 16 sign
-    bits → 4 tables of 4-bit signatures. Candidates are vectors sharing ANY
-    table's signature with the query (equi-join on (table, signature) —
-    exactly the minhash banding shape; multi-table OR is what keeps recall
-    usable: P[candidate] = 1-(1-p^4)^4 vs the single-table p^16). Exact
-    cosine re-ranks the deduplicated candidates (top-3). At 100 TB the
-    candidate join is a plain shuffled hash join on uniform keys; there is
-    no all-pairs stage anywhere.
-
-    Signature bits are in-projection array folds (no shuffle) over exact
-    decimal dots, so bucket membership and ranking are engine-identical —
-    the oracle recomputes everything long-form in SQL and must agree
-    bit-for-bit. Recall vs ann_brute_force is measured in tests."""
+def _lsh_tables(spark: SparkSession, sf_dir: str):
+    """Shared sign-random-projection machinery: per-vector norm + banded
+    signatures (N_TABLES tables of N_PLANES/N_TABLES sign bits, each bit an
+    exact decimal dot against a fixed literal hyperplane), plus the exploded
+    (vec_id, tbl, sig) bucket table the candidate equi-joins run on."""
     planes = _hyperplanes()
     per_table = N_PLANES // N_TABLES
     bits = [
@@ -241,7 +230,60 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("vec_id", "b.tbl", "b.sig")
+    return vecs, tables
 
+
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via LSH blocking — the sub-quadratic replacement
+    for dedup.embedding_near_dup's exact all-pairs baseline: candidate pairs
+    come ONLY from shared (table, signature) buckets (equi-join on uniform
+    keys), then exact decimal cosine keeps pairs ≥ the near-dup threshold.
+    At 100 TB the bucket join scales linearly in candidates while the
+    baseline is quadratic in vectors. Recall vs the exact baseline is
+    measured in tests; precision is exact (same cosine, same threshold)."""
+    from weather_database_system_spark.operators.dedup import NEAR_DUP_COS
+
+    vecs, tables = _lsh_tables(spark, sf_dir)
+    a, b = tables.alias("a"), tables.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va, vb = vecs.alias("va"), vecs.alias("vb")
+    cos = _dot_dec(F.col("va.emb"), F.col("vb.emb")) / (F.col("va.nrm") * F.col("vb.nrm"))
+    return (
+        pairs.join(va, pairs.vec_a == F.col("va.vec_id"))
+        .join(vb, pairs.vec_b == F.col("vb.vec_id"))
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= NEAR_DUP_COS)
+        .select("vec_a", "vec_b", _fr(F.col("cos"), 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — the sub-quadratic scale path.
+
+    Sign-random-projection with banding: 16 fixed hyperplanes → 16 sign
+    bits → 4 tables of 4-bit signatures. Candidates are vectors sharing ANY
+    table's signature with the query (equi-join on (table, signature) —
+    exactly the minhash banding shape; multi-table OR is what keeps recall
+    usable: P[candidate] = 1-(1-p^4)^4 vs the single-table p^16). Exact
+    cosine re-ranks the deduplicated candidates (top-3). At 100 TB the
+    candidate join is a plain shuffled hash join on uniform keys; there is
+    no all-pairs stage anywhere.
+
+    Signature bits are in-projection array folds (no shuffle) over exact
+    decimal dots, so bucket membership and ranking are engine-identical —
+    the oracle recomputes everything long-form in SQL and must agree
+    bit-for-bit. Recall vs ann_brute_force is measured in tests."""
+    vecs, tables = _lsh_tables(spark, sf_dir)
     qt = tables.filter(F.col("vec_id") < N_QUERIES).alias("qt")
     ct = tables.filter(F.col("vec_id") >= N_QUERIES).alias("ct")
     pairs = (
@@ -329,8 +371,53 @@ def _sql_ann_lsh() -> str:
     """
 
 
+def _sql_near_dup_lsh() -> str:
+    from weather_database_system_spark.operators.dedup import NEAR_DUP_COS
+
+    return f"""
+        WITH long AS ({_SQL_LONG}),
+        planes(pid, dim, val) AS (VALUES {_sql_planes_values()}),
+        dots AS (
+            SELECT l.vec_id, p.pid,
+                   CAST(sum(CAST(l.val * p.val AS DECIMAL(30,10))) AS DOUBLE) AS dot
+            FROM long l JOIN planes p ON l.dim = p.dim
+            GROUP BY 1, 2
+        ),
+        sigs AS (
+            SELECT vec_id, pid // {N_PLANES // N_TABLES} AS tbl,
+                   string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY pid) AS sig
+            FROM dots GROUP BY 1, 2
+        ),
+        norms AS (
+            SELECT vec_id, sqrt(CAST(sum(CAST(val*val AS DECIMAL(30,10))) AS DOUBLE)) AS nrm
+            FROM long GROUP BY 1
+        ),
+        pairs AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM sigs a JOIN sigs b
+              ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+        ),
+        pdots AS (
+            SELECT p.vec_a, p.vec_b,
+                   CAST(sum(CAST(x.val * y.val AS DECIMAL(30,10))) AS DOUBLE) AS dot
+            FROM pairs p
+            JOIN long x ON x.vec_id = p.vec_a
+            JOIN long y ON y.vec_id = p.vec_b AND x.dim = y.dim
+            GROUP BY 1, 2
+        )
+        SELECT vec_a, vec_b,
+               floor(dot / (na.nrm * nb.nrm) * 1000000 + 0.5) / 1000000 AS cosine
+        FROM pdots
+        JOIN norms na ON vec_a = na.vec_id
+        JOIN norms nb ON vec_b = nb.vec_id
+        WHERE dot / (na.nrm * nb.nrm) >= {NEAR_DUP_COS}
+        ORDER BY vec_a, vec_b
+    """
+
+
 ORACLE: dict[str, str] = {
     "ann_lsh_hyperplane": _sql_ann_lsh(),
+    "embedding_near_dup_lsh": _sql_near_dup_lsh(),
     "ann_brute_force": f"""
         WITH long AS ({_SQL_LONG}),
         norms AS (
@@ -433,4 +520,5 @@ QUERIES = {
     "ann_ivf_label": ann_ivf_label,
     "ann_bruteforce_pandas": ann_bruteforce_pandas,
     "ann_lsh_hyperplane": ann_lsh_hyperplane,
+    "embedding_near_dup_lsh": embedding_near_dup_lsh,
 }
