@@ -496,6 +496,33 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_brand", "price_rank", "p_partkey")
 
 
+def window_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-user rolling 1-hour event sum/count, frame
+    bounded by event-TIME (epoch seconds), not row position — the
+    batch-mode twin of a sliding stream aggregate, and the frame type the
+    rest of the window family doesn't cover. Exact decimal accumulation;
+    count breaks ties deterministically (same-timestamp rows share a frame
+    in RANGE semantics on both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.sum(F.col("value").cast(DEC)).over(w), 2)
+            .cast("double")
+            .alias("rolling_1h_value"),
+            F.count("*").over(w).alias("rolling_1h_events"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-10 by value (ORDER BY … LIMIT k): Spark plans TakeOrdered —
     per-partition heaps, no full sort; scale-independent result size."""
@@ -926,6 +953,18 @@ ORACLE: dict[str, str] = {
         FROM lineitem
         ORDER BY l_suppkey, l_orderkey, l_linenumber
     """,
+    "window_rolling_1h": """
+        SELECT user_id, event_id,
+               CAST(round(sum(CAST(value AS DECIMAL(30,10)))
+                     OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+                   AS rolling_1h_value,
+               count(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                   AS rolling_1h_events
+        FROM events
+        ORDER BY user_id, event_id
+    """,
     "window_rank_dense": f"""
         SELECT p_brand, p_partkey, {_sql_fr('p_retailprice', 2)} AS p_retailprice,
                price_rank, price_dense_rank, price_quartile
@@ -1037,6 +1076,7 @@ QUERIES = {
     "window_lag_delta": window_lag_delta,
     "window_running_sum": window_running_sum,
     "window_rank_dense": window_rank_dense,
+    "window_rolling_1h": window_rolling_1h,
     "topk_global": topk_global,
     "set_union_nations": set_union_nations,
     "set_intersect_nations": set_intersect_nations,
