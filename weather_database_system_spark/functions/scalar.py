@@ -106,7 +106,37 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def string_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-family batch: regexp group extraction, fixed-width
+    padding, character translation, reverse, repeat — the remaining scalar
+    string surface the first batch (operators/relational.string_functions)
+    doesn't cover."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_first_word"),
+        F.regexp_extract("p_brand", r"(\d+)", 1).alias("brand_digits"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.rpad("p_brand", 12, ".").alias("brand_rpad"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_vowels_upper"),
+        F.reverse("p_brand").alias("brand_reversed"),
+        F.repeat(F.lit("-"), (F.col("p_size") % 5) + 1).alias("size_bar"),
+    ).orderBy("p_partkey")
+
+
 ORACLE: dict[str, str] = {
+    "string_functions_extended": r"""
+        SELECT p_partkey,
+               regexp_extract(p_type, '^(\w+)', 1)           AS type_first_word,
+               regexp_extract(p_brand, '(\d+)', 1)           AS brand_digits,
+               lpad(CAST(p_partkey AS VARCHAR), 10, '0')     AS key_padded,
+               rpad(p_brand, 12, '.')                        AS brand_rpad,
+               translate(p_name, 'aeiou', 'AEIOU')           AS name_vowels_upper,
+               reverse(p_brand)                              AS brand_reversed,
+               repeat('-', p_size % 5 + 1)                   AS size_bar
+        FROM part
+        ORDER BY p_partkey
+    """,
     "map_functions": """
         SELECT event_id, 'k' AS key, json_extract_string(props, '$.k') AS val
         FROM events
@@ -169,6 +199,7 @@ ORACLE: dict[str, str] = {
 
 QUERIES = {
     "map_functions": map_functions,
+    "string_functions_extended": string_functions_extended,
     "math_functions": math_functions,
     "datetime_functions": datetime_functions,
     "array_functions": array_functions,
