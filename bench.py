@@ -70,12 +70,18 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    from weather_database_system_spark.session import release_persisted
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Release per-operator persisted intermediates (minhash signatures,
+        # LSH tables) so later queries see an empty storage pool — the
+        # lifecycle contract documented in session.track_persisted.
+        release_persisted()
 
     total = round(sum(timings.values()), 3)
     print(

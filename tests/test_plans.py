@@ -127,10 +127,13 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
 
     from weather_database_system_spark.plans import formatted_plan
 
-    # BNLJ-sanctioned: bounded broadcast side by construction
+    # BNLJ-sanctioned: bounded side by construction or by executable guard —
+    # anything else planning a BNLJ is an unbounded all-pairs bug.
     bnlj_ok = {
         "ann_brute_force",      # N_QUERIES whole vectors broadcast
-        "embedding_near_dup",   # exact all-pairs baseline (doc'd; LSH is the scale path)
+        "embedding_near_dup",   # exact baseline; REFUSES >MAX_EXACT_VECTORS
+                                # (test_extensions guard test) — LSH is the
+                                # canonical scale path
         "range_band_join",      # 3-row interval dimension
         "stream_late_data_policy",  # 1-row watermark scalar crossJoin
     }

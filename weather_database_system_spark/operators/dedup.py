@@ -31,12 +31,23 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from weather_database_system_spark.operators.relational import DEC, _fr, _sql_fr
+from weather_database_system_spark.session import track_persisted
 from weather_database_system_spark.sources.star import load_table
 
 N_HASHES = 8          # minhash signature length
 N_BANDS = 4           # LSH bands (rows per band = N_HASHES / N_BANDS = 2)
 SIMHASH_BITS = 16     # hex digits of md5 used for simhash
 NEAR_DUP_COS = 0.45   # embedding near-dup threshold (data is near-orthogonal)
+# Hot-shingle cap: a shingle shared by k docs emits k(k-1)/2 pairs in ONE
+# task, so an uncapped boilerplate shingle (licence header, template) is the
+# skew bomb at 100 TB. Shingles above this posting-list length are dropped
+# from pair generation — they carry no dedup signal (they are, by
+# definition, common text). 64 bounds any task at ~2k pairs/shingle.
+MAX_POSTING_LEN = 64
+# Exact all-pairs near-dup is O(n²) BY DESIGN (it is the verification
+# baseline for the LSH path in similarity.py); the guard makes "never run
+# this on unbounded input" executable instead of a docstring promise.
+MAX_EXACT_VECTORS = 50_000
 
 
 def _tokens(text: Column) -> Column:
@@ -123,9 +134,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # them, and without a persist each branch re-hashes the whole corpus
     # (3× the md5 work — measured 3.5× slower at sf0.1). Signatures are
     # tiny next to the text (K hex strings/doc), so this holds at 100 TB.
-    sigs = docs.repartition(n_part, "doc_id").select(
-        "doc_id", _minhash_sig(_shingles(_tokens(F.col("text")))).alias("sig")
-    ).persist()
+    # Lifecycle: tracked — callers release via session.release_persisted().
+    sigs = track_persisted(
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", _minhash_sig(_shingles(_tokens(F.col("text")))).alias("sig"))
+        .persist()
+    )
     # Bands carry the full signature (K hex strings ≈ 300 B/doc — cheap next
     # to re-joining the signature table twice after the pair join): the pair
     # stage then computes matched-hash counts inline from the two sig arrays
@@ -207,13 +221,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, *, max_posting_len: int = MAX_POSTING_LEN
+) -> DataFrame:
     """Exact n-gram Jaccard via an inverted shingle index: explode distinct
     shingles → equi-join on the shingle → |A∩B| per pair → Jaccard with
     per-doc set sizes. No crossJoin: pair candidates exist only where a
-    shingle co-occurs. At 100 TB, hot shingles are the skew risk — AQE skew
-    join or dropping top-frequency shingles (they carry no dedup signal)
-    bounds it. Returns pairs with Jaccard ≥ 0.5 (the planted near-dups)."""
+    shingle co-occurs. Returns pairs with Jaccard ≥ 0.5 (the planted
+    near-dups).
+
+    Hot-shingle skew is BOUNDED: posting lists longer than
+    ``max_posting_len`` are dropped before pair expansion, capping the
+    quadratic per-shingle work at max_posting_len²/2 pairs in any one task.
+    Per-doc set sizes still count every shingle, so Jaccard for surviving
+    pairs is a (tight) lower bound — near-dup pairs share many RARE
+    shingles, which is exactly what the planted-dup test pins. The oracle
+    implements the identical cap."""
     docs = load_table(spark, sf_dir, "documents")
     # Spread the CPU-bound shingle stage across cores (one parquet split =
     # one task otherwise; a no-op at 100 TB where the input is many splits),
@@ -221,17 +244,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set sizes — recomputing the explode per branch doubles the cost.
     # MEMORY_AND_DISK by default, so at 100 TB the index spills, not OOMs.
     n_part = spark.sparkContext.defaultParallelism
-    sh = docs.repartition(n_part, "doc_id").select(
-        "doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("s")
-    ).persist()
+    # Lifecycle: tracked — callers release via session.release_persisted().
+    sh = track_persisted(
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("s"))
+        .persist()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # Pair generation: ONE shuffle on the shingle (groupBy + collect the
     # posting list), pairs emitted inline per posting — versus a self-join,
-    # this halves shuffle volume and skips the join build. Posting-list
-    # length is the skew bound: a shingle shared by k docs emits k²/2 pairs
-    # either way, but here the quadratic work stays in one task per hot
-    # shingle, which is why hot-shingle capping (drop postings above a
-    # length ceiling — they carry no dedup signal) is the 100 TB knob.
+    # this halves shuffle volume and skips the join build. The posting-list
+    # length cap below is the 100 TB skew knob (see docstring).
     postings = sh.groupBy("s").agg(F.collect_list("doc_id").alias("ds"))
     pair = F.explode(
         F.flatten(
@@ -248,7 +271,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     inter = (
-        postings.filter(F.size("ds") > 1)
+        postings.filter((F.size("ds") > 1) & (F.size("ds") <= max_posting_len))
         .select(pair.alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
@@ -307,16 +330,30 @@ def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.45).
+def embedding_near_dup(
+    spark: SparkSession, sf_dir: str, *, max_vectors: int = MAX_EXACT_VECTORS
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.45) — the EXACT
+    all-pairs baseline, size-guarded.
 
     Dot products and norms accumulate through DECIMAL(30,10) so the result
     is bit-identical regardless of summation order — reproducibility is a
-    dedup requirement, not a nicety. Pairs are generated by a range-split
-    self-join over whole vectors and the dot runs as an array fold inside
-    codegen (the long-form join-on-dim alternative explodes to |pairs|×dims
-    rows). All-pairs is the exact baseline; similarity.py holds the
-    sub-quadratic LSH/IVF variants used at 100 TB."""
+    dedup requirement, not a nicety. Pairs are generated by a self-join over
+    whole vectors (BroadcastNestedLoopJoin: quadratic BY DESIGN) and the dot
+    runs as an array fold inside codegen.
+
+    This is the recall/precision reference that similarity.py's
+    sub-quadratic ``embedding_near_dup_lsh`` is validated against — the
+    canonical near-dup operator at scale is the LSH one. The ``max_vectors``
+    guard (a near-free parquet-footer count) raises instead of planning an
+    all-pairs stage over unbounded input."""
+    n_input = load_table(spark, sf_dir, "embeddings").count()
+    if n_input > max_vectors:
+        raise ValueError(
+            f"embedding_near_dup is the exact O(n²) baseline and refuses "
+            f"{n_input} vectors (cap {max_vectors}); use "
+            f"similarity.embedding_near_dup_lsh — the sub-quadratic scale path."
+        )
     n_part = spark.sparkContext.defaultParallelism
     vecs = _emb_double(spark, sf_dir).select(
         "vec_id",
@@ -409,9 +446,12 @@ ORACLE: dict[str, str] = {
             SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM docs
         ),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        -- hot-shingle cap: mirror of MAX_POSTING_LEN in the Spark plan
+        scount AS (SELECT s, count(*) AS c FROM sh GROUP BY 1),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            JOIN scount sc ON a.s = sc.s AND sc.c <= {MAX_POSTING_LEN}
             GROUP BY 1, 2
         )
         SELECT doc_a, doc_b, n_common,

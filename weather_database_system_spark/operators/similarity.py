@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from weather_database_system_spark.operators.relational import DEC, _fr
+from weather_database_system_spark.session import track_persisted
 from weather_database_system_spark.operators.dedup import (
     _dot_dec,
     _emb_double,
@@ -210,15 +211,18 @@ def _lsh_tables(spark: SparkSession, sf_dir: str):
         ).otherwise("0")
         for p in planes
     ]
-    vecs = _emb_double(spark, sf_dir).select(
-        "vec_id",
-        "emb",
-        F.sqrt(_dot_dec(F.col("emb"), F.col("emb"))).alias("nrm"),
-        *[
-            F.concat(*bits[t * per_table : (t + 1) * per_table]).alias(f"sig{t}")
-            for t in range(N_TABLES)
-        ],
-    ).persist()
+    # Lifecycle: tracked — callers release via session.release_persisted().
+    vecs = track_persisted(
+        _emb_double(spark, sf_dir).select(
+            "vec_id",
+            "emb",
+            F.sqrt(_dot_dec(F.col("emb"), F.col("emb"))).alias("nrm"),
+            *[
+                F.concat(*bits[t * per_table : (t + 1) * per_table]).alias(f"sig{t}")
+                for t in range(N_TABLES)
+            ],
+        ).persist()
+    )
     tables = vecs.select(
         "vec_id",
         F.explode(

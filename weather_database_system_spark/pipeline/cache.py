@@ -91,7 +91,9 @@ def write_snapshot(
         "data": rows,
         "metadata": {
             "cache_timestamp": now.isoformat(sep=" ", timespec="seconds"),
-            "data_version": f"v{int(now.timestamp())}",
+            # now is naive-UTC by convention (_utcnow); pin tzinfo before
+            # .timestamp() so the id doesn't shift on non-UTC hosts.
+            "data_version": f"v{int(now.replace(tzinfo=dt.timezone.utc).timestamp())}",
             "refresh_interval_sec": ttl_sec,
         },
     }

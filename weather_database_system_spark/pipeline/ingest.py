@@ -193,7 +193,9 @@ def ingest_payload(
         city,
         state,
         source_timestamp=fetched_at.isoformat(timespec="milliseconds") + "Z",
-        etl_batch_id=f"etl-{int(fetched_at.timestamp() * 1000)}",
+        # fetched_at is naive-UTC by convention; pin tzinfo before
+        # .timestamp() so the batch id doesn't shift on non-UTC hosts.
+        etl_batch_id=f"etl-{int(fetched_at.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)}",
         api_request_id=api_request_id,
         author=author,
     )

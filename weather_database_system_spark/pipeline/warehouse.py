@@ -211,8 +211,14 @@ def refresh_monthly_incremental(
     their previous warehouse_load_time — the lineage you want."""
     load_time = load_time or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     year_months = [m[:7] for m in months]
-    daily = read_daily(spark, root).filter(
-        F.substring("date", 1, 7).isin(year_months)  # prunes via year_month dirs
+    # Filter on the year_month PARTITION column itself, before projecting it
+    # away: Spark maps this IN-list onto partition directories (PartitionFilters
+    # in the scan), so only the affected months' files are opened. A filter on
+    # substring(date,...) — a function of a data column — could not prune.
+    daily = (
+        spark.read.parquet(daily_path(root))
+        .filter(F.col("year_month").isin(year_months))
+        .select(*DAILY_COLUMNS)
     )
     monthly = _monthly_for(daily, load_time)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

@@ -42,6 +42,10 @@ def get_spark(app_name: str = "weather_database_system_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.ts is parquet TIMESTAMP(NANOS); the vectorized reader rejects
+        # it, so the engine reads raw nanos and converts (sources/star.py).
+        # Set at build time so ensure_engine_confs never mutates mid-flight.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -53,3 +57,38 @@ def get_spark(app_name: str = "weather_database_system_spark",
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# --- persisted-intermediate lifecycle -------------------------------------
+#
+# Operators that persist() an intermediate (minhash signatures, shingle
+# inverted index, LSH signature table) register it here. The persist is load-
+# bearing WHILE the returned DataFrame is being consumed — unpersisting
+# inside the operator would defeat it — so the contract is: the CALLER that
+# owns the terminal action (bench loop, parity test, driver sweep) calls
+# release_persisted() between queries. A long-lived session that never calls
+# it degrades gracefully (MEMORY_AND_DISK evicts under pressure) but a
+# registry-wide sweep should not accumulate dead cached blocks.
+
+_TRACKED: list = []
+
+
+def track_persisted(df):
+    """Register a persist()ed DataFrame for later bulk release; returns df."""
+    _TRACKED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked intermediate (blocking=False). Returns the
+    number released. Safe to call at any time; consuming a DataFrame whose
+    input was released just recomputes."""
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    return n

@@ -29,34 +29,58 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at any realistic scale factor
-# (region=5 rows, nation=25 at every SF; supplier/part/customer grow with SF
-# but stay dimension-sized relative to the fact tables).
-BROADCAST_DIMS = ("region", "nation", "supplier", "part", "customer")
+# Broadcast decisions are made per query (and pinned by plan tests in
+# tests/test_plans.py), not here: a loader-level blanket hint would leak into
+# joins where broadcasting is wrong (full outer) or wasteful.
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    # The driver supplies its own SparkSession; pin the session timezone so
-    # date_trunc/date_format agree with the (timezone-naive) DuckDB oracle
-    # even if the host JVM default ever isn't UTC.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_engine_confs(spark)
     if name == "events":
         return _load_events(spark, path)
     return spark.read.parquet(path)
 
 
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Session confs the engine's semantics depend on, applied once per
+    session (get_spark sets them at build time; the driver supplies its OWN
+    session, so the first load_table call is the bootstrap there):
+
+    - session.timeZone=UTC — date_trunc/date_format must agree with the
+      timezone-naive DuckDB oracle even if the host JVM default isn't UTC.
+    - legacy.parquet.nanosAsLong — events.ts is TIMESTAMP(NANOS), which the
+      vectorized reader rejects; read raw nanos and convert (see
+      _load_events). Must be set before the first events scan is PLANNED.
+
+    This is a documented global override, not a per-call side effect: the
+    set() only fires when the value differs, so a session already
+    bootstrapped (every get_spark session) is never touched again.
+    """
+    wanted = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }
+    for k, v in wanted.items():
+        try:
+            current = spark.conf.get(k)
+        except Exception:
+            current = None
+        if current != v:
+            spark.conf.set(k, v)
+
+
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
     """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects outright. Read it as raw nanos (legacy conf) and convert with
-    integer division — NOT float division, which would lose precision on
-    ~1.7e18 nano values — truncating toward zero exactly like the DuckDB
-    oracle's ns→us narrowing for positive epochs."""
+    rejects outright. Read it as raw nanos (legacy conf, set by
+    ensure_engine_confs) and convert with integer division — NOT float
+    division, which would lose precision on ~1.7e18 nano values — truncating
+    toward zero exactly like the DuckDB oracle's ns→us narrowing for
+    positive epochs."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
