@@ -1,0 +1,94 @@
+"""CLI smoke tests: every subcommand drives the same flow a reference user
+runs via ``node fetchStocktonWeather.js`` → ``node etlToClickHouse.js`` →
+``POST /api/sync-now`` → ``GET /api/monthly-rainfall`` → diagnostics.
+
+Runs main() in-process (getOrCreate reuses the test session — a subprocess
+would pay a fresh JVM per subcommand for no extra coverage).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.fixtures_weather import make_payload
+
+
+def _run(capsys, argv: list[str]) -> tuple[int, dict]:
+    from weather_database_system_spark.__main__ import main
+
+    code = main(argv)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return code, json.loads(out)
+
+
+def test_cli_full_flow(spark, tmp_path, capsys):
+    payload_file = tmp_path / "payload.json"
+    payload_file.write_text(json.dumps(make_payload(0, n_days=40)))
+    silver = str(tmp_path / "silver")
+    warehouse = str(tmp_path / "dw")
+    cache = str(tmp_path / "cache")
+
+    code, out = _run(capsys, [
+        "ingest", "--payload-json", str(payload_file),
+        "--city", "Stockton", "--state", "CA", "--silver", silver,
+    ])
+    assert code == 0 and out["status"] == "ok"
+    assert out["silver_rows"] == 40 * 24
+
+    code, out = _run(capsys, ["etl", "--silver", silver, "--warehouse", warehouse])
+    assert code == 0 and out["status"] == "ok"
+    assert out["monthly_rows"] == 2  # 40 days spans Jan+Feb
+
+    code, out = _run(capsys, [
+        "refresh-cache", "--warehouse", warehouse, "--cache", cache,
+        "--city", "Stockton",
+    ])
+    assert code == 0 and out["rows_cached"] == 2
+
+    code, out = _run(capsys, [
+        "serve", "--warehouse", warehouse, "--cache", cache, "--city", "Stockton",
+    ])
+    assert code == 0
+    assert out["source"] == "cache" and out["count"] == 2
+    assert {r["month"] for r in out["data"]} == {"2024-01-01", "2024-02-01"}
+
+    code, out = _run(capsys, ["diagnostics", "--warehouse", warehouse])
+    assert code == 0
+    assert [s["status"] for s in out["steps"]] == ["success"] * 5
+
+
+def test_cli_diagnostics_fails_on_missing_warehouse(spark, tmp_path, capsys):
+    code, out = _run(capsys, ["diagnostics", "--warehouse", str(tmp_path / "nope")])
+    assert code == 1
+    statuses = {s["step"]: s["status"] for s in out["steps"]}
+    assert statuses["database_exists"] == "error"
+    assert "remediation" in out["steps"][-1]
+
+
+def test_cli_serve_miss_then_warehouse_fallback(spark, tmp_path, capsys):
+    """serve with no cache snapshot must fall back to the warehouse and
+    label the response out-of-sync — monthly.js:98-105 behavior."""
+    payload_file = tmp_path / "payload.json"
+    payload_file.write_text(json.dumps(make_payload(1, n_days=10)))
+    silver = str(tmp_path / "silver")
+    warehouse = str(tmp_path / "dw")
+
+    _run(capsys, [
+        "ingest", "--payload-json", str(payload_file),
+        "--city", "Fresno", "--state", "CA", "--silver", silver,
+    ])
+    _run(capsys, ["etl", "--silver", silver, "--warehouse", warehouse])
+
+    code, out = _run(capsys, [
+        "serve", "--warehouse", warehouse, "--cache", str(tmp_path / "cache"),
+        "--city", "Fresno",
+    ])
+    assert code == 0
+    assert out["source"] == "warehouse"
+    assert out["cache_status"] == "miss"
+    assert out["sync_status"] == "out-of-sync"
+    assert out["count"] == 1

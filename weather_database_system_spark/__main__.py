@@ -1,0 +1,160 @@
+"""CLI entry point — shell parity with the reference's runnable surface.
+
+The reference is operated via ``node fetchStocktonWeather.js`` (ingest),
+``node etlToClickHouse.js`` (etlToClickHouse.js:178-185), the
+``POST /api/sync-now`` refresh (backend/routes/cache.js:66-99), the
+``GET /api/monthly-rainfall`` read (backend/routes/monthly.js:11-105) and
+``GET /api/diagnostics`` (backend/routes/diagnostics.js). This module maps
+each onto the engine's library calls:
+
+    python -m weather_database_system_spark ingest --payload-json f.json \
+        --city Stockton --state CA --bronze /tmp/bronze --silver /tmp/silver
+    python -m weather_database_system_spark etl --silver /tmp/silver \
+        --warehouse /tmp/dw
+    python -m weather_database_system_spark refresh-cache --warehouse /tmp/dw \
+        --cache /tmp/cache --city Stockton
+    python -m weather_database_system_spark serve --warehouse /tmp/dw \
+        --cache /tmp/cache --city Stockton
+    python -m weather_database_system_spark diagnostics --warehouse /tmp/dw
+
+Every subcommand prints ONE JSON document to stdout (machine-consumable,
+like the reference's route responses) and returns a conventional exit code
+(diagnostics: 1 if any step errored — usable from cron/CI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Any
+
+
+def _spark(cpus: str | None):
+    from weather_database_system_spark.session import get_spark
+
+    return get_spark(app_name="wdss-cli", cpus=cpus)
+
+
+def _cmd_ingest(args: argparse.Namespace) -> int:
+    from weather_database_system_spark.pipeline.ingest import (
+        fetch_hourly_history,
+        ingest_payload,
+    )
+
+    if args.payload_json:
+        with open(args.payload_json, encoding="utf-8") as f:
+            payload = json.load(f)
+    else:
+        payload = fetch_hourly_history(
+            args.latitude, args.longitude, args.start_date, args.end_date
+        )
+    spark = _spark(args.cpus)
+    silver = ingest_payload(
+        spark,
+        payload,
+        city=args.city,
+        state=args.state,
+        bronze_path=args.bronze,
+        silver_path=args.silver,
+    )
+    print(json.dumps({"status": "ok", "silver_rows": silver.count(),
+                      "bronze": args.bronze, "silver": args.silver}))
+    return 0
+
+
+def _cmd_etl(args: argparse.Namespace) -> int:
+    from weather_database_system_spark.pipeline.warehouse import run_etl
+
+    spark = _spark(args.cpus)
+    silver = spark.read.parquet(args.silver)
+    monthly = run_etl(spark, silver, args.warehouse, author=args.author)
+    print(json.dumps({"status": "ok", "monthly_rows": monthly.count(),
+                      "warehouse": args.warehouse}))
+    return 0
+
+
+def _cmd_refresh_cache(args: argparse.Namespace) -> int:
+    from weather_database_system_spark.pipeline.cache import refresh_cache
+
+    spark = _spark(args.cpus)
+    envelope = refresh_cache(
+        spark, args.warehouse, args.cache, args.city, ttl_sec=args.ttl_sec
+    )
+    print(json.dumps({"status": "ok", "rows_cached": len(envelope["data"]),
+                      "metadata": envelope["metadata"]}))
+    return 0
+
+
+def _cmd_serve(args: argparse.Namespace) -> int:
+    from weather_database_system_spark.pipeline.serving import serve_monthly
+
+    spark = _spark(args.cpus)
+    response = serve_monthly(spark, args.warehouse, args.cache, args.city)
+    print(json.dumps(response))
+    return 0 if "error" not in response else 1
+
+
+def _cmd_diagnostics(args: argparse.Namespace) -> int:
+    from weather_database_system_spark.pipeline.diagnostics import run_diagnostics
+
+    spark = _spark(args.cpus)
+    steps = run_diagnostics(spark, args.warehouse, sample_city=args.city)
+    print(json.dumps({"steps": steps}))
+    return 1 if any(s["status"] == "error" for s in steps) else 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m weather_database_system_spark",
+        description=__doc__.split("\n", 1)[0],
+    )
+    p.add_argument("--cpus", default=None, help="local[<cpus>] for the session")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    ing = sub.add_parser("ingest", help="API payload → bronze + silver zones")
+    src = ing.add_mutually_exclusive_group(required=True)
+    src.add_argument("--payload-json", help="offline payload file (API-shaped JSON)")
+    src.add_argument("--latitude", type=float, help="fetch live from Open-Meteo")
+    ing.add_argument("--longitude", type=float)
+    ing.add_argument("--start-date")
+    ing.add_argument("--end-date")
+    ing.add_argument("--city", required=True)
+    ing.add_argument("--state", required=True)
+    ing.add_argument("--bronze", help="bronze zone path (optional)")
+    ing.add_argument("--silver", required=True, help="silver zone path")
+    ing.set_defaults(func=_cmd_ingest)
+
+    etl = sub.add_parser("etl", help="silver → daily_weather → monthly_agg")
+    etl.add_argument("--silver", required=True)
+    etl.add_argument("--warehouse", required=True)
+    etl.add_argument("--author", default="weather_database_system_spark")
+    etl.set_defaults(func=_cmd_etl)
+
+    rc = sub.add_parser("refresh-cache", help="rebuild a city's cache snapshot")
+    rc.add_argument("--warehouse", required=True)
+    rc.add_argument("--cache", required=True)
+    rc.add_argument("--city", default="Stockton")
+    rc.add_argument("--ttl-sec", type=int, default=3600)
+    rc.set_defaults(func=_cmd_refresh_cache)
+
+    sv = sub.add_parser("serve", help="cache-first monthly read (JSON envelope)")
+    sv.add_argument("--warehouse", required=True)
+    sv.add_argument("--cache", required=True)
+    sv.add_argument("--city", default="Stockton")
+    sv.set_defaults(func=_cmd_serve)
+
+    dg = sub.add_parser("diagnostics", help="5-step staged self-probe")
+    dg.add_argument("--warehouse", required=True)
+    dg.add_argument("--city", default="Stockton")
+    dg.set_defaults(func=_cmd_diagnostics)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
