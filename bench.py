@@ -36,7 +36,9 @@ HEADLINE = (
     "json_extract_props",     # JSON path extraction + agg
     "topk_global",            # TakeOrdered global top-k
     "dedup_exact",            # digest groupBy
-    "dedup_minhash_lsh",      # shingle → minhash → banded LSH join
+    "dedup_minhash_lsh_fast", # shingle → xxhash64 minhash → banded LSH join
+                              # (production hash; md5 twin stays in the
+                              # registry for byte-exact oracle parity)
     "ngram_jaccard_pairs",    # inverted-index exact Jaccard
     "ann_brute_force",        # exact cosine top-k over embeddings
     "text_quality",           # per-doc text metrics

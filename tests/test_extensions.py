@@ -39,6 +39,32 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
         assert lsh[p] >= 0.5, f"pair {p}: est_jaccard {lsh[p]} too low"
 
 
+def test_fast_minhash_matches_md5_twin_on_strong_dups(spark):
+    """The xxhash64 signature variant must find every strong planted
+    near-dup the oracle-checkable md5 twin finds — hash-function choice may
+    move borderline candidates, never the real dups the operator exists
+    for. est_jaccard estimates the same quantity (tolerance: 2/K hashes)."""
+    from weather_database_system_spark.operators.dedup import (
+        N_HASHES,
+        dedup_minhash_lsh,
+        dedup_minhash_lsh_fast,
+        ngram_jaccard_pairs,
+    )
+
+    strong = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(spark, SF_SMOKE).collect()
+        if r.jaccard >= 0.9
+    }
+    assert strong
+    md5 = {(r.doc_a, r.doc_b): r.est_jaccard for r in dedup_minhash_lsh(spark, SF_SMOKE).collect()}
+    fast = {(r.doc_a, r.doc_b): r.est_jaccard for r in dedup_minhash_lsh_fast(spark, SF_SMOKE).collect()}
+    missed = strong - set(fast)
+    assert not missed, f"fast variant missed strong near-dups: {missed}"
+    for p in strong & set(md5):
+        assert abs(fast[p] - md5[p]) <= 2.0 / N_HASHES, (p, fast[p], md5[p])
+
+
 def test_simhash_places_near_dups_at_small_hamming_distance(spark):
     """Near-identical docs (exact jaccard >= 0.95) must land within a small
     hamming distance of each other — the property SimHash bucketing (with
@@ -287,6 +313,44 @@ def test_resize_and_frame_sample_plumbing(spark):
         for i in range(0, len(b) // 64, 4):
             expect = hashlib.md5(b[i * 64 : i * 64 + 64]).hexdigest()
             assert got[(doc_id, i // 4)] == expect
+
+
+def test_kmeans_ivf_learns_cells_and_beats_or_matches_label_recall(spark):
+    """The learned k-means quantizer must (1) produce well-formed one-cell
+    probes whose cosines match brute force bit-for-bit for shared
+    neighbors, and (2) recall rank-1 brute-force neighbors at least as well
+    as the label-cell stand-in it replaces (VERDICT r1 next-round #7)."""
+    from weather_database_system_spark.operators.similarity import (
+        ann_brute_force,
+        ann_ivf_kmeans,
+        ann_ivf_label,
+    )
+
+    bf_rows = ann_brute_force(spark, SF_SMOKE).collect()
+    bf = {(r.query_id, r.neighbor_id): r.cosine for r in bf_rows}
+    bf_rank1 = {r.query_id: r.neighbor_id for r in bf_rows if r.rank == 1}
+
+    km = ann_ivf_kmeans(spark, SF_SMOKE).collect()
+    assert len({r.query_id for r in km}) == 10  # every query answered
+    cells = {r.best_cell for r in km}
+    assert cells <= set(range(8))
+    assert len(cells) > 1, "k-means degenerated to a single cell"
+    for r in km:
+        assert 1 <= r.rank <= 3
+        if (r.query_id, r.neighbor_id) in bf:
+            assert bf[(r.query_id, r.neighbor_id)] == r.cosine
+
+    def rank1_recall(rows):
+        by_q: dict[int, list[int]] = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+        return sum(1 for q, n in bf_rank1.items() if n in by_q.get(q, []))
+
+    km_recall = rank1_recall(km)
+    label_recall = rank1_recall(ann_ivf_label(spark, SF_SMOKE).collect())
+    assert km_recall >= label_recall, (
+        f"k-means IVF rank-1 recall {km_recall} < label-cell {label_recall}"
+    )
 
 
 def test_ivf_matches_brute_force_when_cell_is_right(spark):
