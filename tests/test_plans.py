@@ -131,6 +131,8 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
     # anything else planning a BNLJ is an unbounded all-pairs bug.
     bnlj_ok = {
         "ann_brute_force",      # N_QUERIES whole vectors broadcast
+        "ann_ivf_kmeans",       # K_CELLS=8 centroid rows broadcast (map-side
+                                # assignment — candidates never shuffle)
         "embedding_near_dup",   # exact baseline; REFUSES >MAX_EXACT_VECTORS
                                 # (test_extensions guard test) — LSH is the
                                 # canonical scale path

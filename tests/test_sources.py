@@ -83,6 +83,77 @@ def test_csv_roundtrip_with_header_and_schema(spark, tmp_path):
     assert back.filter(F.col("value_nullable").isNull()).count() > 0
 
 
+def test_binaryfile_source_ingests_payloads_with_metadata(spark, tmp_path):
+    """binaryFile-source multimodal ingestion (paths-as-pointers): one row
+    per file, payload bytes + derived metadata, and the decode plumbing
+    (mapInPandas) runs unchanged over the binaryFile-sourced payloads."""
+    import hashlib
+
+    from weather_database_system_spark.operators.multimodal import (
+        _fake_decode,
+        decode_features,
+        read_binary_dir,
+    )
+
+    files = {
+        "a.png": b"\x89PNG fake image bytes",
+        "b.jpg": b"\xff\xd8 fake jpeg payload",
+        "c.wav": b"RIFF fake audio",
+        "notes.txt": b"plain text payload",
+    }
+    for name, content in files.items():
+        (tmp_path / name).write_bytes(content)
+
+    mm = read_binary_dir(spark, str(tmp_path))
+    rows = {os.path.basename(r.uri): r for r in mm.collect()}
+    assert set(rows) == set(files)
+    expected_mime = {
+        "a.png": "image/png", "b.jpg": "image/jpeg",
+        "c.wav": "audio/wav", "notes.txt": "text/plain",
+    }
+    for name, content in files.items():
+        r = rows[name]
+        assert bytes(r.payload) == content
+        assert r.meta.mime == expected_mime[name]
+        assert r.meta.n_bytes == len(content)
+        assert r.meta.content_md5 == hashlib.md5(content).hexdigest()
+
+    # decode plumbing reuse: doc_id contract is long, so key files by a hash
+    with_ids = mm.selectExpr("xxhash64(uri) AS doc_id", "payload")
+    feats = {r.doc_id: r for r in decode_features(with_ids).collect()}
+    by_hash = {r.doc_id: bytes(r.payload) for r in with_ids.collect()}
+    assert len(feats) == len(files)
+    for doc_id, row in feats.items():
+        expected = _fake_decode(by_hash[doc_id])
+        assert row.n_bytes == expected["n_bytes"]
+        assert row.byte_sum_mod == expected["byte_sum_mod"]
+
+
+def test_binaryfile_metadata_listing_never_reads_content(spark, tmp_path):
+    """The metadata-only listing must prune the ``content`` column out of
+    the binaryFile scan — at 100 TB that's a directory stat, not a read."""
+    from weather_database_system_spark.operators.multimodal import (
+        binary_dir_metadata,
+    )
+    from weather_database_system_spark.plans import read_schema_columns
+
+    (tmp_path / "x.png").write_bytes(b"payload bytes")
+    (tmp_path / "y.mp4").write_bytes(b"more payload bytes")
+
+    md = binary_dir_metadata(spark, str(tmp_path))
+    for cols in read_schema_columns(md):
+        assert "content" not in cols
+
+    rows = {os.path.basename(r.uri): r for r in md.collect()}
+    assert rows["x.png"].mime == "image/png"
+    assert rows["y.mp4"].mime == "video/mp4"
+    assert rows["x.png"].n_bytes == 13
+
+    # glob filter pushes into the listing
+    only_png = binary_dir_metadata(spark, str(tmp_path), glob="*.png")
+    assert [os.path.basename(r.uri) for r in only_png.collect()] == ["x.png"]
+
+
 def test_partitioned_write_prunes_on_read(spark, tmp_path):
     """partitionBy layout must produce partition-pruned scans: reading one
     event_type touches only that directory (PartitionFilters, not a full

@@ -42,6 +42,62 @@ def with_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def read_binary_dir(spark: SparkSession, src_dir: str, glob: str = "*") -> DataFrame:
+    """Large-payload multimodal ingestion via the ``binaryFile`` source —
+    the paths-as-pointers route for payloads too big to inline in the same
+    parquet row group as their metadata (module docstring's >100 MB case).
+
+    One row per file: (uri, modified_at, payload, meta{mime,n_bytes,
+    content_md5}). mime is derived from the extension the way an ingest
+    job would stamp it. At scale the directory IS the table: listing is
+    distributed, each file is read by the task that owns it, and a
+    metadata-only projection (see binary_dir_metadata) never opens file
+    contents at all — binaryFile prunes the ``content`` column."""
+    raw = spark.read.format("binaryFile").option("pathGlobFilter", glob).load(src_dir)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    mime = (
+        F.when(ext == "png", "image/png")
+        .when(ext.isin("jpg", "jpeg"), "image/jpeg")
+        .when(ext == "wav", "audio/wav")
+        .when(ext == "mp4", "video/mp4")
+        .when(ext == "txt", "text/plain")
+        .otherwise("application/octet-stream")
+    )
+    return raw.select(
+        F.col("path").alias("uri"),
+        F.col("modificationTime").alias("modified_at"),
+        F.col("content").alias("payload"),
+        F.struct(
+            mime.alias("mime"),
+            F.col("length").cast("int").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        ).alias("meta"),
+    )
+
+
+def binary_dir_metadata(spark: SparkSession, src_dir: str, glob: str = "*") -> DataFrame:
+    """Metadata-only listing over a binary directory: projects file-status
+    columns exclusively (no digest — that would force a content read), so
+    the binaryFile scan prunes ``content`` and the query costs a directory
+    listing plus file stats, not terabytes of payload IO."""
+    raw = spark.read.format("binaryFile").option("pathGlobFilter", glob).load(src_dir)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    mime = (
+        F.when(ext == "png", "image/png")
+        .when(ext.isin("jpg", "jpeg"), "image/jpeg")
+        .when(ext == "wav", "audio/wav")
+        .when(ext == "mp4", "video/mp4")
+        .when(ext == "txt", "text/plain")
+        .otherwise("application/octet-stream")
+    )
+    return raw.select(
+        F.col("path").alias("uri"),
+        mime.alias("mime"),
+        F.col("length").cast("int").alias("n_bytes"),
+        F.col("modificationTime").alias("modified_at"),
+    ).orderBy("uri")
+
+
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata projection over the binary table: filter/prune on metadata
     only — the plan must never materialize the payload column (column

@@ -139,6 +139,115 @@ def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_CELLS = 8           # k-means cells
+KMEANS_ITERS = 2      # Lloyd iterations (deterministic, unrolled in SQL too)
+
+
+def _l2_dec(a, b):
+    """Exact squared-L2 distance: per-dim squared differences (IEEE,
+    engine-identical) accumulated in DECIMAL(30,10). Stays decimal — the
+    argmin compares exactly, no double rounding in the ordering key."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast(DEC)),
+        F.lit(0).cast(DEC),
+        lambda acc, v: (acc + v).cast(DEC),
+    )
+
+
+def _assign_cells(cand: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: K centroid rows broadcast against the
+    candidate scan (map-side — the candidates never shuffle for distance),
+    argmin by exact decimal d² with cell-id tie-break."""
+    wmin = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    return (
+        cand.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "emb", "cell", _l2_dec(F.col("emb"), F.col("cemb")).alias("d2")
+        )
+        .withColumn("rk", F.row_number().over(wmin))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "emb", "cell")
+    )
+
+
+def _recompute_centroids(assigned: DataFrame) -> DataFrame:
+    """Per-cell mean vectors (exact decimal sums / counts), re-collected to
+    array form: posexplode → (cell, dim) mean — one shuffle keyed by
+    (cell, dim), K×dims groups, skew-free — → dim-sorted array_sort fold."""
+    return (
+        assigned.select("cell", F.posexplode("emb").alias("dim", "val"))
+        .groupBy("cell", "dim")
+        .agg(
+            (F.sum(F.col("val").cast(DEC)).cast("double") / F.count("val")).alias("cval")
+        )
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                lambda s: s.cval,
+            ).alias("cemb")
+        )
+    )
+
+
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a REAL learned coarse quantizer: seeded deterministic
+    k-means (Lloyd), then one-cell probe + exact re-rank.
+
+    (1) init: the K lowest-id candidate vectors are the starting centroids
+        (deterministic and SQL-expressible — no RNG to reconcile across
+        engines); (2) KMEANS_ITERS Lloyd rounds, each an O(N·K·dims)
+        map-side assignment (K centroids broadcast; candidates never
+        shuffle) + a (cell, dim)-keyed mean; (3) queries route to their
+        nearest learned centroid; (4) exact decimal-cosine top-3 within
+        that single cell.
+
+    At 100 TB the learned cells become the table's physical partitioning,
+    step 4 reads one partition, and the Lloyd rounds run on a sample — the
+    shape is identical. Every arithmetic step (d², means, cosines) runs
+    through exact DECIMAL accumulation, so cell assignment and ranking are
+    bit-reproducible and the DuckDB oracle replays the whole training loop.
+    Replaces the label-cell stand-in (ann_ivf_label) as the canonical IVF;
+    recall vs brute force for both is measured in test_extensions."""
+    vecs = _emb_double(spark, sf_dir).select(
+        "vec_id", "emb", F.sqrt(_dot_dec(F.col("emb"), F.col("emb"))).alias("nrm")
+    )
+    cand = vecs.filter(F.col("vec_id") >= N_QUERIES).select("vec_id", "emb")
+
+    cents = (
+        cand.orderBy("vec_id")
+        .limit(K_CELLS)
+        .select(
+            (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cell"),
+            F.col("emb").alias("cemb"),
+        )
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _recompute_centroids(_assign_cells(cand, cents))
+
+    assigned = _assign_cells(cand, cents).select("vec_id", "cell")
+
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "emb")
+    qbest = _assign_cells(q, cents).select(
+        F.col("vec_id").alias("query_id"), F.col("cell").alias("best_cell")
+    )
+
+    qv, cv = vecs.alias("qv"), vecs.alias("cv")
+    cos = _dot_dec(F.col("qv.emb"), F.col("cv.emb")) / (F.col("qv.nrm") * F.col("cv.nrm"))
+    wk = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        qbest.join(assigned.alias("m"), qbest.best_cell == F.col("m.cell"))
+        .select("query_id", "best_cell", F.col("m.vec_id").alias("neighbor_id"))
+        .join(qv, F.col("query_id") == F.col("qv.vec_id"))
+        .join(cv, F.col("neighbor_id") == F.col("cv.vec_id"))
+        .select("query_id", "best_cell", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "best_cell", "rank", "neighbor_id", _fr(F.col("cos"), 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def ann_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized brute-force scoring via mapInPandas: queries are collected
     once (tiny, bounded by N_QUERIES), broadcast into each Arrow batch, and
@@ -419,8 +528,102 @@ def _sql_near_dup_lsh() -> str:
     """
 
 
+def _sql_ann_ivf_kmeans() -> str:
+    """DuckDB replay of the ENTIRE k-means training loop, long-form, with
+    the Lloyd rounds unrolled as CTE pairs (dist_i/assign_i → cent_{i+1})."""
+    iters = []
+    for i in range(KMEANS_ITERS):
+        iters.append(f"""
+        dist{i} AS (
+            SELECT v.vec_id, c.cell,
+                   sum(CAST((v.val - c.cval) * (v.val - c.cval) AS DECIMAL(30,10))) AS d2
+            FROM cand v JOIN cent{i} c ON v.dim = c.dim
+            GROUP BY 1, 2
+        ),
+        assign{i} AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+                FROM dist{i}
+            ) WHERE rk = 1
+        ),
+        cent{i + 1} AS (
+            SELECT a.cell, v.dim,
+                   CAST(sum(CAST(v.val AS DECIMAL(30,10))) AS DOUBLE) / count(v.val) AS cval
+            FROM assign{i} a JOIN cand v ON a.vec_id = v.vec_id
+            GROUP BY 1, 2
+        )""")
+    last = KMEANS_ITERS
+    return f"""
+        WITH long AS ({_SQL_LONG}),
+        cand AS (SELECT * FROM long WHERE vec_id >= {N_QUERIES}),
+        q AS (SELECT * FROM long WHERE vec_id < {N_QUERIES}),
+        init AS (
+            SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+            FROM (SELECT DISTINCT vec_id FROM cand ORDER BY vec_id LIMIT {K_CELLS})
+        ),
+        cent0 AS (
+            SELECT i.cell, v.dim, v.val AS cval
+            FROM init i JOIN cand v ON i.vec_id = v.vec_id
+        ),{",".join(iters)},
+        fdist AS (
+            SELECT v.vec_id, c.cell,
+                   sum(CAST((v.val - c.cval) * (v.val - c.cval) AS DECIMAL(30,10))) AS d2
+            FROM cand v JOIN cent{last} c ON v.dim = c.dim
+            GROUP BY 1, 2
+        ),
+        fassign AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+                FROM fdist
+            ) WHERE rk = 1
+        ),
+        qdist AS (
+            SELECT v.vec_id, c.cell,
+                   sum(CAST((v.val - c.cval) * (v.val - c.cval) AS DECIMAL(30,10))) AS d2
+            FROM q v JOIN cent{last} c ON v.dim = c.dim
+            GROUP BY 1, 2
+        ),
+        qbest AS (
+            SELECT vec_id AS query_id, cell AS best_cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+                FROM qdist
+            ) WHERE rk = 1
+        ),
+        norms AS (
+            SELECT vec_id, sqrt(CAST(sum(CAST(val*val AS DECIMAL(30,10))) AS DOUBLE)) AS nrm
+            FROM long GROUP BY 1
+        ),
+        pdots AS (
+            SELECT b.query_id, b.best_cell, m.vec_id AS neighbor_id,
+                   CAST(sum(CAST(x.val * y.val AS DECIMAL(30,10))) AS DOUBLE) AS dot
+            FROM qbest b
+            JOIN fassign m ON m.cell = b.best_cell
+            JOIN q x ON x.vec_id = b.query_id
+            JOIN cand y ON y.vec_id = m.vec_id AND x.dim = y.dim
+            GROUP BY 1, 2, 3
+        ),
+        ranked AS (
+            SELECT query_id, best_cell, neighbor_id,
+                   dot / (nq.nrm * nc.nrm) AS cos,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS INT) AS rank
+            FROM pdots
+            JOIN norms nq ON query_id = nq.vec_id
+            JOIN norms nc ON neighbor_id = nc.vec_id
+        )
+        SELECT query_id, best_cell, rank, neighbor_id,
+               floor(cos * 1000000 + 0.5) / 1000000 AS cosine
+        FROM ranked WHERE rank <= 3
+        ORDER BY query_id, rank
+    """
+
+
 ORACLE: dict[str, str] = {
     "ann_lsh_hyperplane": _sql_ann_lsh(),
+    "ann_ivf_kmeans": _sql_ann_ivf_kmeans(),
     "embedding_near_dup_lsh": _sql_near_dup_lsh(),
     "ann_brute_force": f"""
         WITH long AS ({_SQL_LONG}),
@@ -522,6 +725,7 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "ann_brute_force": ann_brute_force,
     "ann_ivf_label": ann_ivf_label,
+    "ann_ivf_kmeans": ann_ivf_kmeans,
     "ann_bruteforce_pandas": ann_bruteforce_pandas,
     "ann_lsh_hyperplane": ann_lsh_hyperplane,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
