@@ -226,6 +226,35 @@ def test_ngram_hot_shingle_cap_keeps_planted_dups(spark):
     assert found >= 0.9 * len(strong), f"tight cap recall {found}/{len(strong)}"
 
 
+def test_dedup_clusters_group_planted_dups_under_min_survivor(spark):
+    """Cluster assignment: every LSH candidate pair must land in one
+    cluster, the canonical label must be the cluster's min doc_id, and
+    singletons must keep themselves."""
+    from weather_database_system_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_minhash_lsh,
+    )
+
+    clusters = {r.doc_id: r for r in dedup_clusters(spark, SF_SMOKE).collect()}
+    pairs = [(r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, SF_SMOKE).collect()]
+    assert pairs
+    for a, b in pairs:
+        assert clusters[a].cluster_id == clusters[b].cluster_id, (a, b)
+
+    by_cluster: dict[int, list[int]] = {}
+    for doc_id, r in clusters.items():
+        by_cluster.setdefault(r.cluster_id, []).append(doc_id)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+        for m in members:
+            assert clusters[m].cluster_size == len(members)
+            assert clusters[m].is_canonical == (1 if m == cid else 0)
+    # planted dups exist ⇒ at least one multi-doc cluster; most docs singleton
+    sizes = sorted(len(m) for m in by_cluster.values())
+    assert sizes[-1] >= 2
+    assert sizes[0] == 1
+
+
 def test_persist_lifecycle_leaves_no_cached_blocks(spark):
     """session.track_persisted contract: after a consuming caller invokes
     release_persisted(), no operator-persisted RDD survives in the session's

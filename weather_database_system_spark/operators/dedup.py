@@ -453,6 +453,52 @@ def embedding_near_dup(
     )
 
 
+CLUSTER_ROUNDS = 3  # min-label propagation rounds (covers radius-3 chains)
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment (survivorship): connected components over
+    the MinHash-LSH candidate-pair graph via CLUSTER_ROUNDS of min-label
+    propagation — every doc ends up labeled with the smallest doc_id
+    reachable within that radius; the canonical survivor of a cluster is
+    the doc whose id IS the label.
+
+    Each round is one edge⋈label equi-join + a min-agg + a left join —
+    all key-partitioned shuffles, no driver iteation state; at 100 TB this
+    is the standard Pregel-free components shape (production iterates to a
+    fixpoint or uses large-star/small-star; the fixed unroll here keeps the
+    computation SQL-replayable, and LSH near-dup chains are short by
+    construction). Singletons keep themselves as cluster_id."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(CLUSTER_ROUNDS):
+        nbr = (
+            edges.alias("e")
+            .join(labels.alias("l"), F.col("e.dst") == F.col("l.doc_id"))
+            .groupBy(F.col("e.src").alias("doc_id"))
+            .agg(F.min("l.cluster_id").alias("nbr_min"))
+        )
+        labels = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+    w = W.partitionBy("cluster_id")
+    return (
+        labels.withColumn("cluster_size", F.count("*").over(w).cast("int"))
+        .withColumn(
+            "is_canonical", (F.col("doc_id") == F.col("cluster_id")).cast("int")
+        )
+        .orderBy("doc_id")
+    )
+
+
 _SQL_DOCS_TOKS = "SELECT doc_id, string_split(text, ' ') AS toks FROM documents"
 
 _SQL_LONG_EMB = """
@@ -462,7 +508,51 @@ _SQL_LONG_EMB = """
           FROM embeddings)
 """
 
+def _sql_dedup_clusters() -> str:
+    rounds = []
+    for i in range(CLUSTER_ROUNDS):
+        rounds.append(f"""
+        nbr{i} AS (
+            SELECT e.src AS doc_id, min(l.cluster_id) AS nbr_min
+            FROM edges e JOIN lab{i} l ON e.dst = l.doc_id
+            GROUP BY 1
+        ),
+        lab{i + 1} AS (
+            SELECT l.doc_id,
+                   least(l.cluster_id, coalesce(n.nbr_min, l.cluster_id)) AS cluster_id
+            FROM lab{i} l LEFT JOIN nbr{i} n ON l.doc_id = n.doc_id
+        )""")
+    return f"""
+        WITH docs AS ({_SQL_DOCS_TOKS}),
+        sigs AS (
+            SELECT doc_id, {_sql_minhash_sig(_SQL_SHINGLES)} AS sig FROM docs
+        ),
+        bands AS (
+            SELECT doc_id, b AS band, sig[2*b + 1] || sig[2*b + 2] AS bsig
+            FROM sigs, range(0, {N_BANDS}) AS t(b)
+        ),
+        cpairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+                        AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM cpairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM cpairs
+        ),
+        lab0 AS (SELECT doc_id, doc_id AS cluster_id FROM documents),{",".join(rounds)}
+        SELECT doc_id, cluster_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS INT) AS cluster_size,
+               CAST(doc_id = cluster_id AS INT) AS is_canonical
+        FROM lab{CLUSTER_ROUNDS}
+        ORDER BY doc_id
+    """
+
+
 ORACLE: dict[str, str] = {
+    "dedup_clusters": _sql_dedup_clusters(),
     "dedup_exact": """
         SELECT md5(text) AS text_md5,
                min(doc_id) AS canonical_doc_id,
@@ -569,6 +659,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_fast": dedup_minhash_lsh_fast,  # rows-only: xxhash64
+    "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "embedding_near_dup": embedding_near_dup,

@@ -703,6 +703,52 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the generalization under rollup/cube: revenue
+    at (returnflag, linestatus), (returnflag) and grand-total grains in ONE
+    pass. Spark expands the sets map-side (Expand node) so the fact table is
+    still scanned once and the shuffle carries |sets|×|groups| rows — the
+    same single-scan contract ClickHouse-style engines promise for
+    WITH TOTALS. grouping_id disambiguates the null-as-subtotal rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            _sum2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_rows"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .orderBy(
+            F.col("gid"),
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over events.value: width-25 buckets clamped at
+    10 — the one-shuffle shape of every monitoring histogram at 100 TB
+    (bucket cardinality is constant, so the aggregate never skews, and the
+    bucketing expression stays in codegen)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 25), F.lit(10)).cast("int")
+    return (
+        ev.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            _sum2(F.col("value")).alias("sum_value"),
+        )
+        .select("bucket", (F.col("bucket") * 25).alias("bucket_lo"), "n", "sum_value")
+        .orderBy("bucket")
+    )
+
+
 ORACLE: dict[str, str] = {
     "shipping_priority": f"""
         SELECT l_orderkey,
@@ -1047,6 +1093,25 @@ ORACLE: dict[str, str] = {
         FROM part
         ORDER BY p_partkey
     """,
+    "grouping_sets_revenue": f"""
+        SELECT l_returnflag, l_linestatus,
+               {_sql_sum2('l_extendedprice * (1 - l_discount)')} AS revenue,
+               count(*) AS n_rows,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "histogram_value_buckets": f"""
+        SELECT bucket,
+               bucket * 25 AS bucket_lo,
+               count(*) AS n,
+               {_sql_sum2('value')} AS sum_value
+        FROM (SELECT CAST(least(floor(value / 25), 10) AS INT) AS bucket, value
+              FROM events)
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
 }
 
 
@@ -1088,4 +1153,6 @@ QUERIES = {
     "shipping_priority": shipping_priority,
     "late_orders_by_priority": late_orders_by_priority,
     "agg_collect_sorted": agg_collect_sorted,
+    "grouping_sets_revenue": grouping_sets_revenue,
+    "histogram_value_buckets": histogram_value_buckets,
 }

@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from weather_database_system_spark.operators.relational import _avg4, _sql_avg4
+from weather_database_system_spark.operators.relational import (
+    DEC,
+    _avg4,
+    _fr,
+    _sql_avg4,
+    _sql_fr,
+)
 from weather_database_system_spark.sources.star import load_table
 
 _TS_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -102,7 +108,55 @@ def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (the TimescaleDB `time_weight` shape): each
+    observation's value weighted by how long it held — the duration until
+    the next observation of the same series (lead over (event_type; ts)).
+    Irregular sampling makes the plain AVG wrong for gauge metrics; this is
+    the right aggregate, and at 100 TB it is still ONE window shuffle on
+    the series key plus a bounded-cardinality agg.
+
+    Determinism: durations are exact integer microseconds (unix_micros),
+    weighted products accumulate in DECIMAL(30,10), ties in the ordering
+    are broken by event_id — bit-identical to the oracle's replay."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    dur = (F.lead(us).over(w) - us).alias("w_us")
+    weighted = ev.select("event_type", "value", dur).filter(F.col("w_us").isNotNull())
+    return (
+        weighted.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("w_us").alias("total_us"),
+            _fr(
+                F.sum((F.col("w_us") * F.col("value")).cast(DEC)).cast("double")
+                / F.sum("w_us").cast("double"),
+                6,
+            ).alias("time_weighted_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "time_weighted_avg": f"""
+        WITH durs AS (
+            SELECT event_type, value,
+                   lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                            ORDER BY ts, event_id)
+                   - epoch_us(ts) AS w_us
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n_intervals,
+               CAST(sum(w_us) AS BIGINT) AS total_us,  -- HUGEINT otherwise
+               {_sql_fr("CAST(sum(CAST(w_us * value AS DECIMAL(30,10))) AS DOUBLE) / CAST(sum(w_us) AS DOUBLE)", 6)}
+                   AS time_weighted_value
+        FROM durs WHERE w_us IS NOT NULL
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "asof_attribution": """
         SELECT c.event_id AS click_event_id,
                c.user_id,
@@ -131,4 +185,5 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "asof_attribution": asof_attribution,
     "range_band_join": range_band_join,
+    "time_weighted_avg": time_weighted_avg,
 }

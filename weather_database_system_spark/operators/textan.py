@@ -117,6 +117,45 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document by
+    tf·ln((N+1)/(df+1)).
+
+    Shape at 100 TB: explode → (doc, term) count with map-side combine →
+    term-keyed document-frequency agg (bounded by vocabulary, not corpus) →
+    a term-keyed join AQE broadcasts when the vocabulary is small — then a
+    per-doc window top-k, ONE shuffle on doc_id. No Python anywhere.
+
+    Determinism: idf is floor-rounded to 6 decimals FIRST, so the ranking
+    key tf·idf6 is a product of bit-identical doubles in both engines; ties
+    break by term. N is the corpus size (a parquet-footer count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf6 = _fr(F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6)
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.col("df").cast("int").alias("df"),
+        (F.col("tf") * idf6).alias("score"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "term", "tf", "df", _fr(F.col("score"), 6).alias("tfidf"))
+        .orderBy("doc_id", "rank")
+    )
+
+
 def _sql_hits(words: tuple[str, ...]) -> str:
     inlist = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter(toks, t -> t IN ({inlist})))"
@@ -125,6 +164,32 @@ def _sql_hits(words: tuple[str, ...]) -> str:
 _SQL_TOKS = "SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents"
 
 ORACLE: dict[str, str] = {
+    "tfidf_top_terms": f"""
+        WITH terms AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+        ),
+        df AS (
+            SELECT term, CAST(count(*) AS INT) AS df FROM tf GROUP BY 1
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   tf.tf * ({_sql_fr("ln(((SELECT count(*) FROM documents) + 1.0) / (df.df + 1.0))", 6)}) AS score
+            FROM tf JOIN df ON tf.term = df.term
+        ),
+        ranked AS (
+            SELECT doc_id, term, tf, df, score,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, term) AS INT) AS rank
+            FROM scored
+        )
+        SELECT doc_id, rank, term, tf, df,
+               {_sql_fr('score', 6)} AS tfidf
+        FROM ranked WHERE rank <= {TFIDF_TOP_K}
+        ORDER BY doc_id, rank
+    """,
     "text_token_stats": f"""
         WITH d AS ({_SQL_TOKS})
         SELECT doc_id,
@@ -191,6 +256,7 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "tfidf_top_terms": tfidf_top_terms,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "lang_id_stopword": lang_id_stopword,
