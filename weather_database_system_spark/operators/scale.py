@@ -72,6 +72,60 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic hash-based sampling: Knuth multiplicative hash → bucket.
+# Spark's sample()/sampleBy() use engine-private RNG streams, which makes a
+# sampled 100 TB corpus irreproducible across engines/runs — hash-mod
+# sampling is the production pattern (stable under reruns, joinable, and
+# auditable), and it's exactly replayable in SQL.
+_KNUTH = 2654435761
+STRATUM_PCT = {"click": 10, "view": 5, "purchase": 100, "error": 100, "signup": 50}
+SPLIT_PCT = (("train", 80), ("valid", 10), ("test", 10))
+
+
+def _bucket(col):
+    # event_id < 2^31 ⇒ the product fits int64; identical BIGINT arithmetic
+    # in Spark and DuckDB, so bucket assignment is engine-exact.
+    return F.pmod(col * F.lit(_KNUTH), F.lit(100))
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: keep an event iff its hash
+    bucket falls under the stratum's configured rate (downsample dominant
+    classes, keep rare ones whole — the class-rebalancing pass of a
+    training pipeline). Map-only at any scale: no shuffle until the audit
+    aggregation, membership reproducible run-to-run and engine-to-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    rate = F.lit(None).cast("int")
+    for k, v in STRATUM_PCT.items():
+        rate = F.when(F.col("event_type") == k, v).otherwise(rate)
+    sampled = ev.select("event_id", "event_type", _bucket(F.col("event_id")).alias("b"), rate.alias("rate"))
+    return (
+        sampled.filter(F.col("b") < F.col("rate"))
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split over documents by hash bucket — the
+    leakage-safe split (membership is a pure function of the id: adding
+    data or re-running never moves a doc across splits). Returns the
+    per-split × per-language audit counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    lo = 0
+    split = F.lit(None).cast("string")
+    for name, pct in SPLIT_PCT:
+        split = F.when((b >= lo) & (b < lo + pct), name).otherwise(split)
+        lo += pct
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
 def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery through the SQL surface: orders above half the max
     price. The threshold uses max (exact cross-engine; an avg-of-doubles
@@ -122,7 +176,34 @@ def sql_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_stratum_case() -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in STRATUM_PCT.items()
+    )
+    return f"CASE event_type {whens} END"
+
+
+def _sql_split_case() -> str:
+    parts, lo = [], 0
+    for name, pct in SPLIT_PCT:
+        parts.append(f"WHEN b >= {lo} AND b < {lo + pct} THEN '{name}'")
+        lo += pct
+    return "CASE " + " ".join(parts) + " END"
+
+
 ORACLE: dict[str, str] = {
+    "stratified_sample": f"""
+        SELECT event_id, event_type
+        FROM events
+        WHERE (event_id * {_KNUTH}) % 100 < {_sql_stratum_case()}
+        ORDER BY event_id
+    """,
+    "train_test_split": f"""
+        SELECT {_sql_split_case()} AS split, lang, count(*) AS n_docs
+        FROM (SELECT (doc_id * {_KNUTH}) % 100 AS b, lang FROM documents)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "skew_salted_agg": """
         SELECT event_type,
                count(*) AS n_events,
@@ -159,6 +240,8 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "stratified_sample": stratified_sample,
+    "train_test_split": train_test_split,
     "skew_salted_agg": skew_salted_agg,
     "approx_distinct_users": approx_distinct_users,
     "sql_scalar_subquery": sql_scalar_subquery,

@@ -156,6 +156,59 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated-corpus funnel, composed from this module's gates in ONE
+    pass: raw → quality (score ≥ 0.4) → language agreement (drop only on
+    POSITIVE disagreement: the stopword lang-ID names a different language;
+    zero stopword evidence abstains rather than rejects) → exact dedup
+    (doc is its content-digest group's canonical). Emits per-language
+    survivor counts at each stage — the acceptance report every
+    training-data curation job ships.
+
+    One scan + one md5-partitioned window (the dedup gate) + one bounded
+    agg; all three gates are column predicates over the same projection, so
+    composing them costs nothing extra at 100 TB — that's the point of
+    engine-native curation vs chained jobs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    stop_ratio = _hits(toks, EN_STOPWORDS) / n
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    score = (
+        F.least(F.lit(1.0), n / F.lit(200.0)) * 0.5
+        + (F.lit(1.0) - stop_ratio) * 0.3
+        + F.least(F.lit(1.0), distinct_ratio * 2) * 0.2
+    )
+    scores = {lang: _hits(toks, words) for lang, words in LANG_STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    for lang in reversed(list(LANG_STOPWORDS)):
+        pred = F.when(scores[lang] >= best, lang).otherwise(pred)
+
+    from pyspark.sql import Window as W
+
+    canonical_id = F.min("doc_id").over(W.partitionBy(F.md5(F.col("text"))))
+    staged = docs.select(
+        "lang",
+        (score >= 0.4).alias("pass_quality"),
+        ((best == 0) | (pred == F.col("lang"))).alias("pass_lang"),
+        (F.col("doc_id") == canonical_id).alias("pass_dedup"),
+    )
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("int")  # noqa: E731
+    return (
+        staged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_raw"),
+            one_if(F.col("pass_quality")).alias("n_quality"),
+            one_if(F.col("pass_quality") & F.col("pass_lang")).alias("n_quality_lang"),
+            one_if(
+                F.col("pass_quality") & F.col("pass_lang") & F.col("pass_dedup")
+            ).alias("n_final"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _sql_hits(words: tuple[str, ...]) -> str:
     inlist = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter(toks, t -> t IN ({inlist})))"
@@ -164,6 +217,36 @@ def _sql_hits(words: tuple[str, ...]) -> str:
 _SQL_TOKS = "SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents"
 
 ORACLE: dict[str, str] = {
+    "corpus_curation": f"""
+        WITH d AS ({_SQL_TOKS}),
+        m AS (
+            SELECT doc_id, lang, text,
+                   len(toks) AS n,
+                   {_sql_hits(EN_STOPWORDS)} * 1.0 / len(toks) AS stop_ratio,
+                   len(list_distinct(toks)) * 1.0 / len(toks)  AS distinct_ratio,
+                   {", ".join(f"CAST({_sql_hits(words)} AS INT) AS score_{lang}" for lang, words in LANG_STOPWORDS.items())}
+            FROM d
+        ),
+        staged AS (
+            SELECT lang,
+                   (least(1.0, n / 200.0) * 0.5
+                      + (1.0 - stop_ratio) * 0.3
+                      + least(1.0, distinct_ratio * 2) * 0.2) >= 0.4 AS pass_quality,
+                   (greatest({", ".join('score_' + l for l in LANG_STOPWORDS)}) = 0
+                    OR (CASE {" ".join(f"WHEN score_{lang} >= greatest({', '.join('score_' + l for l in LANG_STOPWORDS)}) THEN '{lang}'" for lang in LANG_STOPWORDS)}
+                        END) = lang) AS pass_lang,
+                   doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS pass_dedup
+            FROM m
+        )
+        SELECT lang,
+               count(*) AS n_raw,
+               CAST(sum(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS INT) AS n_quality,
+               CAST(sum(CASE WHEN pass_quality AND pass_lang THEN 1 ELSE 0 END) AS INT) AS n_quality_lang,
+               CAST(sum(CASE WHEN pass_quality AND pass_lang AND pass_dedup THEN 1 ELSE 0 END) AS INT) AS n_final
+        FROM staged
+        GROUP BY lang
+        ORDER BY lang
+    """,
     "tfidf_top_terms": f"""
         WITH terms AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -256,6 +339,7 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "corpus_curation": corpus_curation,
     "tfidf_top_terms": tfidf_top_terms,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
