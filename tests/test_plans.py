@@ -156,6 +156,63 @@ def test_asof_join_single_shuffle(spark):
     assert shuffle_count(asof_attribution(spark, SF_SMOKE)) <= 2
 
 
+def test_grouping_sets_single_scan_with_expand(spark):
+    """GROUPING SETS must be one scan + one Expand + one agg shuffle — not
+    a union of per-grain scans."""
+    from weather_database_system_spark.operators.relational import (
+        grouping_sets_revenue,
+    )
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = grouping_sets_revenue(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Expand" in plan
+    # one scan = one file-index Location entry in the formatted detail
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert shuffle_count(df) <= 2  # agg exchange + presentation sort
+
+
+def test_histogram_partial_aggregates(spark):
+    """Constant-cardinality histogram: map-side combine before the single
+    agg shuffle."""
+    from weather_database_system_spark.operators.relational import (
+        histogram_value_buckets,
+    )
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = histogram_value_buckets(spark, SF_SMOKE)
+    assert formatted_plan(df).count("HashAggregate") >= 2
+    assert shuffle_count(df) <= 2
+
+
+def test_time_weighted_avg_single_window_shuffle(spark):
+    """lead() + agg over the same series key: one hash shuffle for the
+    window, the agg reuses or follows it — never a second full-data sort."""
+    from weather_database_system_spark.operators.temporal import time_weighted_avg
+    from weather_database_system_spark.plans import shuffle_count
+
+    assert shuffle_count(time_weighted_avg(spark, SF_SMOKE)) <= 3
+
+
+def test_stratified_sample_is_map_only(spark):
+    """Hash-mod sampling must be a map-only scan (the one exchange is the
+    presentation sort)."""
+    from weather_database_system_spark.operators.scale import stratified_sample
+    from weather_database_system_spark.plans import shuffle_count
+
+    assert shuffle_count(stratified_sample(spark, SF_SMOKE)) <= 1
+
+
+def test_corpus_curation_one_scan(spark):
+    """The three curation gates compose over ONE documents scan (window +
+    agg), not one scan per gate."""
+    from weather_database_system_spark.operators.textan import corpus_curation
+    from weather_database_system_spark.plans import formatted_plan
+
+    plan = formatted_plan(corpus_curation(spark, SF_SMOKE))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
 def test_whole_stage_codegen_covers_hot_path(spark):
     """The scan→filter→project→partial-agg pipeline of the flagship query
     runs inside WholeStageCodegen (no interpreted operators in the hot
