@@ -44,7 +44,9 @@ HEADLINE = (
     "text_quality",           # per-doc text metrics
     "asof_attribution",       # as-of join via union+window
     "stream_session_window",  # session windows (batch mode)
-    "ann_lsh_hyperplane",     # banded LSH bucket join + exact re-rank
+    "ann_lsh_fixedpoint",     # banded LSH (int64 fixed-point signatures)
+                              # + exact decimal re-rank; the decimal-
+                              # signature twin stays registry-canonical
     "rollup_cascade_day",     # partials-first continuous-aggregate cascade
     "shipping_priority",      # Q3-shaped join+agg+top-k
 )

@@ -167,6 +167,31 @@ def test_lsh_ann_scores_exactly_and_recalls_strong_neighbors(spark):
     assert hits >= 0.3 * len(bf_rank1), f"rank-1 recall {hits}/{len(bf_rank1)}"
 
 
+def test_fixedpoint_lsh_matches_decimal_twin_scores(spark):
+    """The int64 fixed-point LSH variant re-ranks with the SAME exact
+    decimal cosine, so any (query, neighbor) it shares with the decimal-
+    signature twin or brute force must carry a bit-identical score; recall
+    of brute-force rank-1 neighbors has the same deterministic floor."""
+    from weather_database_system_spark.operators.similarity import (
+        ann_brute_force,
+        ann_lsh_fixedpoint,
+    )
+
+    bf_rows = ann_brute_force(spark, SF_SMOKE).collect()
+    bf = {(r.query_id, r.neighbor_id): r.cosine for r in bf_rows}
+    bf_rank1 = {r.query_id: r.neighbor_id for r in bf_rows if r.rank == 1}
+    fp_rows = ann_lsh_fixedpoint(spark, SF_SMOKE).collect()
+    assert fp_rows
+    by_q: dict[int, list[int]] = {}
+    for r in fp_rows:
+        assert 1 <= r.rank <= 3
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+        if (r.query_id, r.neighbor_id) in bf:
+            assert bf[(r.query_id, r.neighbor_id)] == r.cosine
+    hits = sum(1 for q, n in bf_rank1.items() if n in by_q.get(q, []))
+    assert hits >= 0.3 * len(bf_rank1), f"rank-1 recall {hits}/{len(bf_rank1)}"
+
+
 def test_lsh_near_dup_is_precise_subset_of_exact(spark):
     """LSH-blocked near-dup: perfect precision (every returned pair is an
     exact-baseline pair with the identical cosine — the re-check is exact),

@@ -421,6 +421,94 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FP_SCALE = 1_000_000  # fixed-point quantization: 6 decimal digits
+
+
+def _lsh_tables_fixedpoint(spark: SparkSession, sf_dir: str):
+    """Sign-random-projection signatures over FIXED-POINT int64 dots — the
+    production LSH shape: quantize each component to 6-decimal micro-units
+    (floor(x·1e6 + 0.5), engine-identical IEEE ops), then every plane dot
+    is a pure int64 multiply-accumulate — exact, order-independent, and an
+    order of magnitude cheaper than the DECIMAL(30,10) fold (no BigDecimal
+    in the loop, plain long arithmetic inside codegen). Bucket membership
+    is therefore still bit-reproducible and SQL-replayable; only the
+    re-rank cosine needs decimals. Products are ≤ ~4e12 and 64-dim sums
+    ≤ ~3e14 — comfortably inside int64."""
+    planes = _hyperplanes()
+    per_table = N_PLANES // N_TABLES
+    q6 = F.transform(F.col("emb"), lambda x: F.floor(x * FP_SCALE + 0.5).cast("long"))
+    base = _emb_double(spark, sf_dir).select(
+        "vec_id",
+        "emb",
+        F.sqrt(_dot_dec(F.col("emb"), F.col("emb"))).alias("nrm"),
+        q6.alias("q6"),
+    )
+    def idot(p: list[float]):
+        pint = F.array(*[F.lit(int(round(x * FP_SCALE))) for x in p])
+        return F.aggregate(
+            F.zip_with(F.col("q6"), pint, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+    bits = [F.when(idot(p) >= 0, "1").otherwise("0") for p in planes]
+    vecs = track_persisted(
+        base.select(
+            "vec_id",
+            "emb",
+            "nrm",
+            *[
+                F.concat(*bits[t * per_table : (t + 1) * per_table]).alias(f"sig{t}")
+                for t in range(N_TABLES)
+            ],
+        ).persist()
+    )
+    tables = vecs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), F.col(f"sig{t}").alias("sig"))
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "b.tbl", "b.sig")
+    return vecs, tables
+
+
+def ann_lsh_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN with fixed-point int64 signatures (see
+    _lsh_tables_fixedpoint) — same banding/candidate/re-rank structure as
+    ann_lsh_hyperplane, but the signature stage runs in plain long
+    arithmetic. Fully oracle-checked: the quantization is part of the
+    operator's definition, so DuckDB replays it exactly. This is the
+    headline-bench variant; the decimal twin stays as the reference
+    formulation."""
+    vecs, tables = _lsh_tables_fixedpoint(spark, sf_dir)
+    qt = tables.filter(F.col("vec_id") < N_QUERIES).alias("qt")
+    ct = tables.filter(F.col("vec_id") >= N_QUERIES).alias("ct")
+    pairs = (
+        qt.join(ct, (F.col("qt.tbl") == F.col("ct.tbl")) & (F.col("qt.sig") == F.col("ct.sig")))
+        .select(
+            F.col("qt.vec_id").alias("query_id"),
+            F.col("ct.vec_id").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    q, c = vecs.alias("q"), vecs.alias("c")
+    cos = _dot_dec(F.col("q.emb"), F.col("c.emb")) / (F.col("q.nrm") * F.col("c.nrm"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.join(q, pairs.query_id == F.col("q.vec_id"))
+        .join(c, pairs.neighbor_id == F.col("c.vec_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "neighbor_id", _fr(F.col("cos"), 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def _sql_planes_values() -> str:
     rows = []
     for pid, plane in enumerate(_hyperplanes()):
@@ -450,6 +538,66 @@ def _sql_ann_lsh() -> str:
             SELECT vec_id, pid // {N_PLANES // N_TABLES} AS tbl,
                    string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY pid) AS sig
             FROM dots GROUP BY 1, 2
+        ),
+        norms AS (
+            SELECT vec_id, sqrt(CAST(sum(CAST(val*val AS DECIMAL(30,10))) AS DOUBLE)) AS nrm
+            FROM long GROUP BY 1
+        ),
+        pairs AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.sig = c.sig
+            WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+        ),
+        pdots AS (
+            SELECT p.query_id, p.neighbor_id,
+                   CAST(sum(CAST(a.val * b.val AS DECIMAL(30,10))) AS DOUBLE) AS dot
+            FROM pairs p
+            JOIN long a ON a.vec_id = p.query_id
+            JOIN long b ON b.vec_id = p.neighbor_id AND a.dim = b.dim
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   dot / (nq.nrm * nc.nrm) AS cos,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS INT) AS rank
+            FROM pdots
+            JOIN norms nq ON query_id = nq.vec_id
+            JOIN norms nc ON neighbor_id = nc.vec_id
+        )
+        SELECT query_id, rank, neighbor_id,
+               floor(cos * 1000000 + 0.5) / 1000000 AS cosine
+        FROM ranked WHERE rank <= 3
+        ORDER BY query_id, rank
+    """
+
+
+def _sql_iplanes_values() -> str:
+    rows = []
+    for pid, plane in enumerate(_hyperplanes()):
+        for dim, val in enumerate(plane, start=1):
+            rows.append(f"({pid},{dim},{int(round(val * FP_SCALE))})")
+    return ",".join(rows)
+
+
+def _sql_ann_lsh_fixedpoint() -> str:
+    return f"""
+        WITH long AS ({_SQL_LONG}),
+        q6 AS (
+            SELECT vec_id, dim,
+                   CAST(floor(val * {FP_SCALE} + 0.5) AS BIGINT) AS v6
+            FROM long
+        ),
+        iplanes(pid, dim, p6) AS (VALUES {_sql_iplanes_values()}),
+        idots AS (
+            SELECT l.vec_id, p.pid, sum(l.v6 * p.p6) AS dot
+            FROM q6 l JOIN iplanes p ON l.dim = p.dim
+            GROUP BY 1, 2
+        ),
+        sigs AS (
+            SELECT vec_id, pid // {N_PLANES // N_TABLES} AS tbl,
+                   string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY pid) AS sig
+            FROM idots GROUP BY 1, 2
         ),
         norms AS (
             SELECT vec_id, sqrt(CAST(sum(CAST(val*val AS DECIMAL(30,10))) AS DOUBLE)) AS nrm
@@ -623,6 +771,7 @@ def _sql_ann_ivf_kmeans() -> str:
 
 ORACLE: dict[str, str] = {
     "ann_lsh_hyperplane": _sql_ann_lsh(),
+    "ann_lsh_fixedpoint": _sql_ann_lsh_fixedpoint(),
     "ann_ivf_kmeans": _sql_ann_ivf_kmeans(),
     "embedding_near_dup_lsh": _sql_near_dup_lsh(),
     "ann_brute_force": f"""
@@ -728,5 +877,6 @@ QUERIES = {
     "ann_ivf_kmeans": ann_ivf_kmeans,
     "ann_bruteforce_pandas": ann_bruteforce_pandas,
     "ann_lsh_hyperplane": ann_lsh_hyperplane,
+    "ann_lsh_fixedpoint": ann_lsh_fixedpoint,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
 }
