@@ -139,7 +139,94 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling with last-observation-carried-forward (the TimescaleDB
+    time_bucket_gapfill + locf() shape): per series, densify to an hourly
+    grid over the series' own observed range, then carry the latest value
+    across empty hours.
+
+    Spark-first: the grid comes from sequence()+explode on each series'
+    (min, max) aggregate — one row per series exploded to its hours, NO
+    cross join anywhere; the hourly last-observation is a windowed
+    row_number (deterministic tie-break on (ts, event_id)); LOCF is
+    last(ignorenulls) over an unbounded-preceding frame. Two key-partition
+    shuffles total (hourly window + locf window share the series key). At
+    100 TB the grid is tiny next to the data and the locf window state is
+    one value per series — the same shape streaming watermarked state uses."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    rk = F.row_number().over(
+        W.partitionBy("event_type", "hour").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    hourly = (
+        ev.select("event_type", hour.alias("hour"), "value", "ts", "event_id")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("event_type", "hour", "value")
+    )
+    grid = (
+        ev.groupBy("event_type")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("mn"),
+            F.date_trunc("hour", F.max("ts")).alias("mx"),
+        )
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("mn"), F.col("mx"), F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    locf = F.last("value", ignorenulls=True).over(
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            locf.alias("value_locf"),
+            F.col("value").isNull().cast("int").alias("is_gap"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "gap_fill_locf": """
+        WITH hourly AS (
+            SELECT event_type, hour, value FROM (
+                SELECT event_type, date_trunc('hour', ts) AS hour, value,
+                       row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                          ORDER BY ts DESC, event_id DESC) AS rk
+                FROM events
+            ) WHERE rk = 1
+        ),
+        bounds AS (
+            SELECT event_type,
+                   date_trunc('hour', min(ts)) AS mn,
+                   date_trunc('hour', max(ts)) AS mx
+            FROM events GROUP BY 1
+        ),
+        grid AS (
+            SELECT event_type,
+                   unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        )
+        SELECT g.event_type,
+               strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+               last_value(h.value IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+               CAST(h.value IS NULL AS INT) AS is_gap
+        FROM grid g
+        LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hour = h.hour
+        ORDER BY 1, 2
+    """,
     "time_weighted_avg": f"""
         WITH durs AS (
             SELECT event_type, value,
@@ -186,4 +273,5 @@ QUERIES = {
     "asof_attribution": asof_attribution,
     "range_band_join": range_band_join,
     "time_weighted_avg": time_weighted_avg,
+    "gap_fill_locf": gap_fill_locf,
 }
