@@ -26,7 +26,15 @@ def _registries():
     from weather_database_system_spark.operators import relational
 
     modules = [relational]
-    for name in ("dedup", "similarity", "textan", "multimodal", "temporal", "scale"):
+    for name in (
+        "dedup",
+        "similarity",
+        "textan",
+        "multimodal",
+        "temporal",
+        "scale",
+        "behavioral",
+    ):
         try:
             mod = __import__(
                 f"weather_database_system_spark.operators.{name}", fromlist=[name]

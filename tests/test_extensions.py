@@ -422,3 +422,43 @@ def test_ivf_matches_brute_force_when_cell_is_right(spark):
         assert 1 <= r.rank <= 3
         if (r.query_id, r.neighbor_id) in bf:
             assert abs(bf[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def test_cohort_retention_invariants(spark):
+    """Week-0 retention is exactly 1.0, every cell's active_users is bounded
+    by its cohort_size, and offsets are non-negative."""
+    from weather_database_system_spark.operators.behavioral import (
+        cohort_retention,
+    )
+
+    rows = cohort_retention(spark, SF_SMOKE).collect()
+    assert rows, "empty retention matrix"
+    for r in rows:
+        assert r.week_offset >= 0
+        assert 0 < r.active_users <= r.cohort_size
+        if r.week_offset == 0:
+            assert r.retention_pct == 1.0
+
+
+def test_funnel_is_monotone_and_deadline_bounded(spark):
+    """An ordered, deadlined funnel can only shrink step to step; step 1
+    equals the distinct signup-user count."""
+    from weather_database_system_spark.operators.behavioral import (
+        funnel_conversion,
+    )
+    from weather_database_system_spark.sources.star import load_table
+    from pyspark.sql import functions as F
+
+    rows = sorted(funnel_conversion(spark, SF_SMOKE).collect(), key=lambda r: r.step)
+    assert [r.step for r in rows] == [1, 2, 3, 4]
+    users = [r.users for r in rows]
+    assert users == sorted(users, reverse=True), "funnel widened mid-way"
+    signups = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert users[0] == signups
+    assert rows[0].conv_pct == 1.0
