@@ -462,3 +462,30 @@ def test_funnel_is_monotone_and_deadline_bounded(spark):
     )
     assert users[0] == signups
     assert rows[0].conv_pct == 1.0
+
+
+def test_gap_fill_interpolation_is_linear_between_brackets(spark):
+    """Every gap hour's value lies exactly on the line between the nearest
+    observed hours (recomputed independently in Python)."""
+    from weather_database_system_spark.operators.temporal import (
+        gap_fill_interpolate,
+    )
+
+    rows = gap_fill_interpolate(spark, SF_SMOKE).collect()
+    by_series: dict[str, list] = {}
+    for r in rows:
+        by_series.setdefault(r.event_type, []).append(r)
+    checked = 0
+    for series in by_series.values():
+        series.sort(key=lambda r: r.hour)
+        obs = [(i, r.value_interp) for i, r in enumerate(series) if r.is_gap == 0]
+        assert obs[0][0] == 0 and obs[-1][0] == len(series) - 1, (
+            "grid must start/end on observed hours"
+        )
+        for (i0, v0), (i1, v1) in zip(obs, obs[1:]):
+            for j in range(i0 + 1, i1):
+                expect = v0 + (v1 - v0) * ((j - i0) / (i1 - i0))
+                got = series[j].value_interp
+                assert got is not None and abs(got - expect) < 1e-5
+                checked += 1
+    assert checked > 100, f"too few gaps exercised ({checked})"

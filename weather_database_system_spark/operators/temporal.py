@@ -139,21 +139,15 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-filling with last-observation-carried-forward (the TimescaleDB
-    time_bucket_gapfill + locf() shape): per series, densify to an hourly
-    grid over the series' own observed range, then carry the latest value
-    across empty hours.
+def _hourly_grid(ev: DataFrame) -> DataFrame:
+    """Shared gap-fill scaffold: (event_type, hour, value) where `hour`
+    densifies each series to its own observed [min, max] hourly range and
+    `value` is the hour's last observation (null on empty hours).
 
-    Spark-first: the grid comes from sequence()+explode on each series'
-    (min, max) aggregate — one row per series exploded to its hours, NO
-    cross join anywhere; the hourly last-observation is a windowed
-    row_number (deterministic tie-break on (ts, event_id)); LOCF is
-    last(ignorenulls) over an unbounded-preceding frame. Two key-partition
-    shuffles total (hourly window + locf window share the series key). At
-    100 TB the grid is tiny next to the data and the locf window state is
-    one value per series — the same shape streaming watermarked state uses."""
-    ev = load_table(spark, sf_dir, "events")
+    The grid comes from sequence()+explode on each series' (min, max)
+    aggregate — one row per series exploded to its hours, NO cross join
+    anywhere; the hourly last-observation is a windowed row_number
+    (deterministic tie-break on (ts, event_id))."""
     hour = F.date_trunc("hour", F.col("ts"))
     rk = F.row_number().over(
         W.partitionBy("event_type", "hour").orderBy(
@@ -179,13 +173,28 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hour"),
         )
     )
+    return grid.join(hourly, ["event_type", "hour"], "left")
+
+
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling with last-observation-carried-forward (the TimescaleDB
+    time_bucket_gapfill + locf() shape): per series, densify to an hourly
+    grid over the series' own observed range, then carry the latest value
+    across empty hours.
+
+    LOCF is last(ignorenulls) over an unbounded-preceding frame. Two
+    key-partition shuffles total (hourly window + locf window share the
+    series key). At 100 TB the grid is tiny next to the data and the locf
+    window state is one value per series — the same shape streaming
+    watermarked state uses."""
+    ev = load_table(spark, sf_dir, "events")
     locf = F.last("value", ignorenulls=True).over(
         W.partitionBy("event_type")
         .orderBy("hour")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
-        grid.join(hourly, ["event_type", "hour"], "left")
+        _hourly_grid(ev)
         .select(
             "event_type",
             F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
@@ -196,7 +205,114 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling with linear interpolation (the TimescaleDB
+    time_bucket_gapfill + interpolate() shape): empty hours get the value
+    linearly interpolated between the surrounding observations, weighted by
+    time distance.
+
+    The bracketing observations come from two ignorenulls window passes over
+    the SAME (series, hour) partitioning — last() over the preceding frame
+    and first() over the following frame — so Catalyst plans one exchange
+    with forward+reverse in-partition sorts, never a self-join. The
+    interpolation arithmetic is pure IEEE double ops in the same order on
+    both engines (epoch-second deltas are exact integers), so results are
+    bit-reproducible; every grid interior gap has both brackets because the
+    grid spans exactly the observed range."""
+    ev = load_table(spark, sf_dir, "events")
+    wprec = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wfoll = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("value").isNotNull(), F.col("hour"))
+    df = (
+        _hourly_grid(ev)
+        .withColumn("pv", F.last("value", ignorenulls=True).over(wprec))
+        .withColumn("ph", F.last(obs_hour, ignorenulls=True).over(wprec))
+        .withColumn("nv", F.first("value", ignorenulls=True).over(wfoll))
+        .withColumn("nh", F.first(obs_hour, ignorenulls=True).over(wfoll))
+    )
+    frac = (
+        (F.unix_timestamp("hour") - F.unix_timestamp("ph")).cast("double")
+        / (F.unix_timestamp("nh") - F.unix_timestamp("ph")).cast("double")
+    )
+    interp = (
+        F.when(F.col("value").isNotNull(), F.col("value"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return df.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        _fr(interp, 6).alias("value_interp"),
+        F.col("value").isNull().cast("int").alias("is_gap"),
+    ).orderBy("event_type", "hour")
+
+
 ORACLE: dict[str, str] = {
+    "gap_fill_interpolate": """
+        WITH hourly AS (
+            SELECT event_type, hour, value FROM (
+                SELECT event_type, date_trunc('hour', ts) AS hour, value,
+                       row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                          ORDER BY ts DESC, event_id DESC) AS rk
+                FROM events
+            ) WHERE rk = 1
+        ),
+        bounds AS (
+            SELECT event_type,
+                   date_trunc('hour', min(ts)) AS mn,
+                   date_trunc('hour', max(ts)) AS mx
+            FROM events GROUP BY 1
+        ),
+        grid AS (
+            SELECT event_type,
+                   unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        ),
+        joined AS (
+            SELECT g.event_type, g.hour, h.value
+            FROM grid g
+            LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hour = h.hour
+        ),
+        br AS (
+            SELECT *,
+                last_value(value IGNORE NULLS) OVER (
+                    PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                last_value(CASE WHEN value IS NOT NULL THEN hour END IGNORE NULLS)
+                    OVER (PARTITION BY event_type ORDER BY hour
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+                first_value(value IGNORE NULLS) OVER (
+                    PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                first_value(CASE WHEN value IS NOT NULL THEN hour END IGNORE NULLS)
+                    OVER (PARTITION BY event_type ORDER BY hour
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+            FROM joined
+        )
+        SELECT event_type,
+               strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+               floor((CASE
+                   WHEN value IS NOT NULL THEN value
+                   WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                       pv + (nv - pv) *
+                       (CAST(date_diff('second', ph, hour) AS DOUBLE) /
+                        CAST(date_diff('second', ph, nh) AS DOUBLE))
+               END) * 1000000 + 0.5) / 1000000 AS value_interp,
+               CAST(value IS NULL AS INT) AS is_gap
+        FROM br
+        ORDER BY 1, 2
+    """,
     "gap_fill_locf": """
         WITH hourly AS (
             SELECT event_type, hour, value FROM (
@@ -274,4 +390,5 @@ QUERIES = {
     "range_band_join": range_band_join,
     "time_weighted_avg": time_weighted_avg,
     "gap_fill_locf": gap_fill_locf,
+    "gap_fill_interpolate": gap_fill_interpolate,
 }
