@@ -34,6 +34,7 @@ def _registries():
         "temporal",
         "scale",
         "behavioral",
+        "featurize",
     ):
         try:
             mod = __import__(

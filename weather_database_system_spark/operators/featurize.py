@@ -1,0 +1,171 @@
+"""Feature-preparation operators for training-data pipelines: per-group
+z-score / min-max scaling and exact quantile bucketing (SURVEY §2B
+training-pipeline extensions; the reference computes only min/max/avg per
+month [/root/reference/etlToClickHouse.js:88-116] — scaling and bucketing
+are the next step any feature pipeline takes with those same statistics).
+
+Scale design: both operators are the agg-then-BROADCAST-join shape, NOT a
+window over the group key. A window `partitionBy(l_returnflag)` would hash
+60 billion rows into 3 partitions — the canonical skew disaster; a 3-row
+statistics aggregate broadcast back to the fact table keeps every executor
+busy and adds zero extra shuffles beyond the map-side-combined agg itself.
+
+Cross-engine determinism (shared with the DuckDB oracle):
+
+- sums and sums-of-squares accumulate in DECIMAL(18,2) → products
+  DECIMAL(37,4) — exact in BOTH engines (38-digit cap respected, no
+  precision-loss rounding), so mean/variance start from identical bits.
+- variance/σ/z-score then evaluate in IEEE doubles with the SAME expression
+  tree on both engines (see relational.py module docstring for why that
+  makes floor-rounded results bit-identical).
+- decile thresholds come from exact percentile (Spark `percentile` ≙ DuckDB
+  `quantile_cont`): both interpolate at p·(n-1) over the sorted values.
+  Bucket assignment compares whole-number quantities against thresholds
+  that are either exact or strictly interior to an integer gap, so a final
+  ULP wobble in interpolation cannot flip any comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_database_system_spark.operators.relational import _fr, _sql_fr
+from weather_database_system_spark.sources.star import load_table
+
+D2 = "decimal(18,2)"
+DECILES = [i / 10 for i in range(1, 10)]
+
+
+def _stats_cols(col: str, tag: str) -> list:
+    c = F.col(col).cast(D2)
+    return [
+        F.sum(c).alias(f"{tag}_s"),
+        F.sum(c * c).alias(f"{tag}_ssq"),
+        F.count(col).alias(f"{tag}_n"),
+        F.min(col).alias(f"{tag}_mn"),
+        F.max(col).alias(f"{tag}_mx"),
+    ]
+
+
+def _scaled(col: str, tag: str) -> list:
+    x = F.col(col)
+    n = F.col(f"{tag}_n").cast("double")
+    mean = F.col(f"{tag}_s").cast("double") / n
+    var = (
+        F.col(f"{tag}_ssq").cast("double")
+        - (F.col(f"{tag}_s").cast("double") * F.col(f"{tag}_s").cast("double")) / n
+    ) / (n - F.lit(1.0))
+    z = (x - mean) / F.sqrt(var)
+    minmax = (x - F.col(f"{tag}_mn")) / (F.col(f"{tag}_mx") - F.col(f"{tag}_mn"))
+    return [_fr(z, 6).alias(f"{tag}_z"), _fr(minmax, 6).alias(f"{tag}_minmax")]
+
+
+def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag z-score and min-max scaling of quantity and extended
+    price, attached to every lineitem row via a broadcast of the 3-row
+    statistics aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        *_stats_cols("l_quantity", "qty"), *_stats_cols("l_extendedprice", "price")
+    )
+    return (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            *_scaled("l_quantity", "qty"),
+            *_scaled("l_extendedprice", "price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def quantile_bucket_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile bucketing of l_quantity within each returnflag: learn 9
+    thresholds per group with exact percentile, broadcast the 3×9 threshold
+    table, assign bucket = 1 + |{t : t < x}|.
+
+    ntile() would need a total order per group (3 giant window partitions);
+    learned thresholds + a broadcast join bucket the same rows with zero
+    extra shuffles — and unlike ntile, the bucketing function is a stable
+    artifact that can score NEW data (that's what makes it a feature-prep
+    operator, not just a query)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ths = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"percentile(l_quantity, array({', '.join(map(str, DECILES))}))"
+        ).alias("ths")
+    )
+    decile = F.lit(1) + F.size(
+        F.filter("ths", lambda t: t < F.col("l_quantity"))
+    )
+    return (
+        li.join(F.broadcast(ths), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.col("l_quantity").alias("quantity"),
+            decile.cast("int").alias("decile"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+_STATS_SQL = """
+    SELECT l_returnflag,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_s,
+           sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS qty_ssq,
+           count(l_quantity) AS qty_n,
+           min(l_quantity) AS qty_mn,
+           max(l_quantity) AS qty_mx,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS price_s,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS price_ssq,
+           count(l_extendedprice) AS price_n,
+           min(l_extendedprice) AS price_mn,
+           max(l_extendedprice) AS price_mx
+    FROM lineitem GROUP BY 1
+"""
+
+
+def _sql_scaled(col: str, tag: str) -> str:
+    n = f"CAST({tag}_n AS DOUBLE)"
+    mean = f"(CAST({tag}_s AS DOUBLE) / {n})"
+    var = (
+        f"((CAST({tag}_ssq AS DOUBLE) - "
+        f"(CAST({tag}_s AS DOUBLE) * CAST({tag}_s AS DOUBLE)) / {n}) / ({n} - 1.0))"
+    )
+    z = _sql_fr(f"(({col}) - {mean}) / sqrt({var})", 6)
+    mm = _sql_fr(f"(({col}) - {tag}_mn) / ({tag}_mx - {tag}_mn)", 6)
+    return f"{z} AS {tag}_z, {mm} AS {tag}_minmax"
+
+
+ORACLE: dict[str, str] = {
+    "feature_scaling": f"""
+        WITH stats AS ({_STATS_SQL})
+        SELECT l_orderkey, l_linenumber, li.l_returnflag,
+               {_sql_scaled('l_quantity', 'qty')},
+               {_sql_scaled('l_extendedprice', 'price')}
+        FROM lineitem li JOIN stats USING (l_returnflag)
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    "quantile_bucket_decile": f"""
+        WITH ths AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_quantity, [{', '.join(map(str, DECILES))}]) AS ths
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_orderkey, l_linenumber, li.l_returnflag,
+               l_quantity AS quantity,
+               CAST(1 + len(list_filter(ths, t -> t < l_quantity)) AS INT) AS decile
+        FROM lineitem li JOIN ths USING (l_returnflag)
+        ORDER BY l_orderkey, l_linenumber
+    """,
+}
+
+QUERIES = {
+    "feature_scaling": feature_scaling,
+    "quantile_bucket_decile": quantile_bucket_decile,
+}
