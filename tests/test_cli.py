@@ -92,3 +92,20 @@ def test_cli_serve_miss_then_warehouse_fallback(spark, tmp_path, capsys):
     assert out["cache_status"] == "miss"
     assert out["sync_status"] == "out-of-sync"
     assert out["count"] == 1
+
+
+def test_cli_ingest_live_fetch_requires_full_coordinates(tmp_path):
+    """--latitude without --longitude/--start-date/--end-date must be a usage
+    error (argparse exit 2), not None values reaching the HTTP fetcher."""
+    import pytest
+
+    from weather_database_system_spark.__main__ import main
+
+    with pytest.raises(SystemExit) as exc:
+        main(
+            [
+                "ingest", "--latitude", "37.95", "--city", "Stockton",
+                "--state", "CA", "--silver", str(tmp_path / "silver"),
+            ]
+        )
+    assert exc.value.code == 2

@@ -337,6 +337,54 @@ def test_sketch_aggregates_within_error_bounds(spark):
         assert abs(r.approx_p50 - r.exact_p50) <= 0.05 * max(1.0, abs(r.exact_p50))
 
 
+def test_approx_decile_twin_agrees_with_exact(spark):
+    """quantile_bucket_decile_approx (the production, sketch-threshold
+    variant) must assign the same decile as the exact twin for ≥99% of rows
+    at test sf — the documented accuracy of approx_percentile at
+    APPROX_ACC over integer quantities."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.featurize import (
+        quantile_bucket_decile,
+        quantile_bucket_decile_approx,
+    )
+
+    # decile is a pure function of (returnflag, quantity) — compare the two
+    # learned bucketing functions on their whole domain, not per physical
+    # row (synthetic lineitem's (orderkey, linenumber) is not unique).
+    keys = ["l_returnflag", "quantity"]
+    exact = quantile_bucket_decile(spark, SF_SMOKE).select(*keys, "decile").distinct()
+    approx = (
+        quantile_bucket_decile_approx(spark, SF_SMOKE)
+        .select(*keys, F.col("decile").alias("decile_approx"))
+        .distinct()
+    )
+    joined = exact.join(approx, keys)
+    total, agree = joined.select(
+        F.count("*"), F.sum((F.col("decile") == F.col("decile_approx")).cast("long"))
+    ).first()
+    assert total > 0
+    assert agree / total >= 0.99, f"approx deciles agree on {agree}/{total}"
+
+
+def test_sketch_only_scale_variant_within_error_bounds(spark):
+    """approx_distinct_users_scale carries no exact columns (that is the
+    point); its sketch values must still land within the documented error
+    of the exact twin's yardstick columns."""
+    from weather_database_system_spark.operators.scale import (
+        approx_distinct_users,
+        approx_distinct_users_scale,
+    )
+
+    exact = {r.event_type: r for r in approx_distinct_users(spark, SF_SMOKE).collect()}
+    rows = approx_distinct_users_scale(spark, SF_SMOKE).collect()
+    assert rows and set(exact) == {r.event_type for r in rows}
+    for r in rows:
+        e = exact[r.event_type]
+        assert abs(r.approx_users - e.exact_users) <= max(3, 0.05 * e.exact_users)
+        assert abs(r.approx_p50 - e.exact_p50) <= 0.05 * max(1.0, abs(e.exact_p50))
+
+
 def test_sampling_bucket_mixes_strided_ids(spark, duck):
     """The sampling bucket must take the multiplicative hash's HIGH bits:
     under the old (id*K) % 100 formulation, ids striding by 100 (a sharded
@@ -507,6 +555,30 @@ def test_funnel_is_monotone_and_deadline_bounded(spark):
     )
     assert users[0] == signups
     assert rows[0].conv_pct == 1.0
+
+
+def test_funnel_bounds_whole_chain_by_first_event(spark, tmp_path):
+    """windowFunnel contract (ADVICE r2): every step must land within 24h of
+    the chain's FIRST event, not of the previous step. User B's click is 10h
+    after the view (per-step-deadline would accept it) but 30h after signup —
+    windowFunnel stops B at step 2."""
+    from datetime import datetime, timedelta
+
+    from weather_database_system_spark.operators.behavioral import funnel_conversion
+
+    t0 = datetime(2024, 1, 1)
+    h = timedelta(hours=1)
+    rows = [
+        ("A", "signup", t0), ("A", "view", t0 + h),
+        ("A", "click", t0 + 23 * h), ("A", "purchase", t0 + 23.5 * h),
+        ("B", "signup", t0), ("B", "view", t0 + 20 * h),
+        ("B", "click", t0 + 30 * h), ("B", "purchase", t0 + 31 * h),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {r.step: r.users for r in funnel_conversion(spark, str(tmp_path)).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
 
 
 def test_gap_fill_interpolation_is_linear_between_brackets(spark):

@@ -151,8 +151,28 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _validate(parser: argparse.ArgumentParser, args: argparse.Namespace) -> None:
+    """Conditional requirements argparse groups can't express: the live-fetch
+    ingest path (--latitude) needs the full coordinate/date set — otherwise
+    None values would reach fetch_hourly_history as a malformed API request
+    instead of a usage error."""
+    if args.command == "ingest" and args.payload_json is None:
+        missing = [
+            f"--{name.replace('_', '-')}"
+            for name in ("longitude", "start_date", "end_date")
+            if getattr(args, name) is None
+        ]
+        if missing:
+            parser.error(
+                "ingest with --latitude (live fetch) also requires "
+                + ", ".join(missing)
+            )
+
+
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    _validate(parser, args)
     return args.func(args)
 
 

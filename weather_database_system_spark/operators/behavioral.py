@@ -88,8 +88,10 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-ordered, time-bounded funnel (the ClickHouse windowFunnel
     shape): step k counts users whose first qualifying event of step k's
-    type happened AFTER their step k-1 timestamp and WITHIN 24 hours of it —
-    ordered conversion with a deadline, not mere set membership.
+    type happened AFTER their step k-1 timestamp and within 24 hours OF THE
+    CHAIN'S FIRST EVENT (s1) — the whole conversion is bounded by one window
+    from the funnel entry, exactly windowFunnel's contract (a per-step
+    deadline would let a "24h funnel" span 72h; ADVICE r2).
 
     The chained conditional-min windows all partition by user_id → one
     shuffle; the final aggregate is a single row unpivoted with stack()."""
@@ -103,7 +105,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             cond = (
                 cond
                 & (F.col("ts") > F.col(prev))
-                & (F.col("ts") <= F.col(prev) + F.expr("INTERVAL 24 HOURS"))
+                & (F.col("ts") <= F.col("s1") + F.expr("INTERVAL 24 HOURS"))
             )
         df = df.withColumn(f"s{i}", F.min(F.when(cond, F.col("ts"))).over(w))
         prev = f"s{i}"
@@ -174,13 +176,13 @@ ORACLE: dict[str, str] = {
         ),
         e3 AS (
             SELECT *, min(CASE WHEN event_type = 'click' AND ts > s2
-                               AND ts <= s2 + INTERVAL 24 HOURS THEN ts END)
+                               AND ts <= s1 + INTERVAL 24 HOURS THEN ts END)
                           OVER (PARTITION BY user_id) AS s3
             FROM e2
         ),
         e4 AS (
             SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3
-                               AND ts <= s3 + INTERVAL 24 HOURS THEN ts END)
+                               AND ts <= s1 + INTERVAL 24 HOURS THEN ts END)
                           OVER (PARTITION BY user_id) AS s4
             FROM e3
         ),

@@ -91,11 +91,54 @@ def quantile_bucket_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned thresholds + a broadcast join bucket the same rows with zero
     extra shuffles — and unlike ntile, the bucketing function is a stable
     artifact that can score NEW data (that's what makes it a feature-prep
-    operator, not just a query)."""
+    operator, not just a query).
+
+    This is the ORACLE-CANONICAL twin (exact percentile ≙ DuckDB
+    quantile_cont, byte-exact driver hash at small sf); the
+    production-designated variant is ``quantile_bucket_decile_approx`` —
+    exact percentile's per-group value buffer does not survive unbounded
+    groups at 100 TB."""
     li = load_table(spark, sf_dir, "lineitem")
     ths = li.groupBy("l_returnflag").agg(
         F.expr(
             f"percentile(l_quantity, array({', '.join(map(str, DECILES))}))"
+        ).alias("ths")
+    )
+    decile = F.lit(1) + F.size(
+        F.filter("ths", lambda t: t < F.col("l_quantity"))
+    )
+    return (
+        li.join(F.broadcast(ths), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.col("l_quantity").alias("quantity"),
+            decile.cast("int").alias("decile"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+APPROX_ACC = 10000  # approx_percentile accuracy (KLL-style sketch buffer)
+
+
+def quantile_bucket_decile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of ``quantile_bucket_decile``: thresholds learned with
+    ``approx_percentile`` instead of exact ``percentile``. Exact percentile
+    buffers EVERY value of a group in the aggregation buffer — with 3
+    returnflag groups over 100 TB that is billions of values per reducer →
+    OOM (VERDICT r2 'What's wrong' #1); the approx sketch is a mergeable
+    fixed-size summary, so the threshold agg stays map-side-combined with an
+    O(accuracy) shuffle payload per group. Bucketing is the same broadcast
+    threshold join. Sketch interpolation is engine-specific → rows-only for
+    the driver; the pytest pins per-row decile agreement against the exact
+    twin (which stays registry-canonical for the oracle hash)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ths = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"approx_percentile(l_quantity, "
+            f"array({', '.join(map(str, DECILES))}), {APPROX_ACC})"
         ).alias("ths")
     )
     decile = F.lit(1) + F.size(
@@ -168,4 +211,5 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "feature_scaling": feature_scaling,
     "quantile_bucket_decile": quantile_bucket_decile,
+    "quantile_bucket_decile_approx": quantile_bucket_decile_approx,
 }

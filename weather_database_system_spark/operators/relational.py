@@ -373,7 +373,10 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (continuous definition shared with the
     oracle). The approx_percentile / approx_count_distinct sketch variants are
     exercised in tests with tolerance — sketches are engine-specific so they
-    cannot hash-match a different engine."""
+    cannot hash-match a different engine. Oracle-canonical only: exact
+    percentile buffers every group value, so the production quantile path is
+    the sketch shape (``approx_distinct_users_scale``,
+    ``quantile_bucket_decile_approx``)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_linestatus")
