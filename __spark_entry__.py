@@ -84,6 +84,7 @@ def _registries():
         "weather_database_system_spark.functions.scalar",
         "weather_database_system_spark.functions.udfs",
         "weather_database_system_spark.pipeline.rollup",
+        "weather_database_system_spark.pipeline.cachemath",
     ):
         try:
             modules.append(__import__(path, fromlist=["_"]))

@@ -49,6 +49,13 @@ HEADLINE = (
                               # signature twin stays registry-canonical
     "rollup_cascade_day",     # partials-first continuous-aggregate cascade
     "shipping_priority",      # Q3-shaped join+agg+top-k
+    "grouping_sets_revenue",  # Expand-based multi-grain agg
+    "gap_fill_interpolate",   # sequence-explode grid + bracket interpolation
+    "cohort_retention",       # single-window cohort matrix
+    "funnel_conversion",      # windowFunnel chain over user partitions
+    "time_weighted_avg",      # interval-weighted temporal mean
+    "corpus_curation",        # quality→lang→dedup gates in one pass
+    "stratified_sample",      # map-only hash-bucket sampling
 )
 
 

@@ -191,6 +191,33 @@ def test_freshness_ladder(ratio, expected):
     assert classify_freshness(ratio * 3600, 3600) == expected
 
 
+def test_freshness_column_twin_matches_scalar_ladder(spark):
+    """freshness_status_col (the registry-query twin in pipeline/cachemath)
+    must agree with classify_freshness on a dense sweep including every
+    boundary and the zero-interval guard — one implementation, two
+    evaluation engines."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.pipeline.cache import (
+        classify_freshness,
+        freshness_status_col,
+    )
+
+    cases = [(ttl, 3600) for ttl in range(-3600, 3601, 180)]
+    cases += [(2159, 3600), (2160, 3600), (719, 3600), (720, 3600), (100, 0), (0, 0)]
+    df = spark.createDataFrame(cases, "ttl long, interval long")
+    got = {
+        (r.ttl, r.interval): r.status
+        for r in df.select(
+            "ttl",
+            "interval",
+            freshness_status_col(F.col("ttl"), F.col("interval")).alias("status"),
+        ).collect()
+    }
+    for ttl, interval in cases:
+        assert got[(ttl, interval)] == classify_freshness(ttl, interval), (ttl, interval)
+
+
 def test_cache_hit_stale_miss_and_status(spark, zones, tmp_path):
     """ops #16-17, #22-23: fresh hit serves from cache with the right
     envelope; expired TTL falls back to the warehouse; cache_status reports

@@ -221,3 +221,45 @@ def test_whole_stage_codegen_covers_hot_path(spark):
     from weather_database_system_spark.plans import wholestage_codegen_count
 
     assert wholestage_codegen_count(pricing_summary(spark, SF_SMOKE)) >= 2
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The 100× risk for the star-schema surface is a skewed JOIN key (one
+    hot customer in an orders⋈lineitem-shaped join): a single reducer gets
+    the hot key's partition and the stage runs at straggler speed. The
+    session enables AQE skew-join handling; this pins that a deliberately
+    hot key actually triggers the runtime split (SortMergeJoin(skew=true) in
+    the final adaptive plan) — thresholds are lowered to make local-mode
+    data look skewed, the mechanism is identical at cluster scale."""
+    from pyspark.sql import functions as F
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    )
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "131072"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        left = spark.range(0, 250_000).select(
+            F.when(F.col("id") < 150_000, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("x" * 32), F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(0, 5_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+        )
+        joined = left.join(right, "k")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"no skew split in final plan:\n{plan[:1500]}"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -49,8 +49,9 @@ def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast against the candidate scan; each pair's dot runs as a
     zip_with/aggregate decimal fold inside codegen. One map-side pass over
     the candidates + a window top-k — no shuffle of candidate data and no
-    64× long-form explosion (measured ~4× faster than the dim-equi-join
-    formulation at sf0.1). The decimal fold keeps every score bit-identical
+    64× long-form explosion (n=5 medians at sf0.1: 1.68s vs 2.67s for the
+    dim-equi-join formulation — the r02 bench's 2.33s reading was n=2
+    noise). The decimal fold keeps every score bit-identical
     to the oracle's long-form SQL. This is the scale shape whenever the
     query set is bounded; for huge query sets, tile both sides (blocked
     matmul via mapInPandas, see ann_bruteforce_pandas) or move to the

@@ -52,7 +52,10 @@ def snapshot_path(cache_root: str, city: str) -> str:
 
 def classify_freshness(ttl_remaining_sec: float, refresh_interval_sec: float) -> str:
     """op #20: the 3-state ladder, one implementation (the reference
-    duplicates it server- and client-side)."""
+    duplicates it server- and client-side). Column / SQL twins below
+    (``freshness_status_col`` / ``freshness_status_sql``) share these
+    constants so the serving math is also driver-hash-verifiable as a
+    registry query (pipeline/cachemath.py)."""
     if refresh_interval_sec <= 0:
         return "out-of-sync"
     ratio = ttl_remaining_sec / refresh_interval_sec
@@ -61,6 +64,30 @@ def classify_freshness(ttl_remaining_sec: float, refresh_interval_sec: float) ->
     if ratio < FULL_MIN_RATIO:
         return "partial"
     return "full"
+
+
+def freshness_status_col(ttl_col, interval_col):
+    """The ladder as a Spark Column — identical thresholds, vectorized."""
+    from pyspark.sql import functions as F
+
+    ratio = ttl_col.cast("double") / interval_col
+    return (
+        F.when(interval_col <= 0, "out-of-sync")
+        .when(ratio < PARTIAL_MIN_RATIO, "out-of-sync")
+        .when(ratio < FULL_MIN_RATIO, "partial")
+        .otherwise("full")
+    )
+
+
+def freshness_status_sql(ttl: str, interval: str) -> str:
+    """The ladder as ANSI SQL (DuckDB oracle twin of freshness_status_col)."""
+    ratio = f"CAST({ttl} AS DOUBLE) / ({interval})"
+    return (
+        f"CASE WHEN ({interval}) <= 0 THEN 'out-of-sync' "
+        f"WHEN {ratio} < {PARTIAL_MIN_RATIO} THEN 'out-of-sync' "
+        f"WHEN {ratio} < {FULL_MIN_RATIO} THEN 'partial' "
+        f"ELSE 'full' END"
+    )
 
 
 def write_snapshot(
