@@ -71,6 +71,7 @@ def _registries():
         "scale",
         "behavioral",
         "featurize",
+        "trainprep",
     ):
         try:
             mod = __import__(

@@ -1,0 +1,145 @@
+"""Invariant tests for the training-prep operators (operators/trainprep.py):
+chunk coverage/overlap arithmetic, packing conservation, repetition bounds on
+a planted degenerate doc, PII plant/redact agreement, and contamination
+ground truth recomputed in Python at smoke scale."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def test_chunks_cover_and_overlap(spark):
+    from weather_database_system_spark.operators.trainprep import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        doc_chunk_windows,
+    )
+    from weather_database_system_spark.sources.star import load_table
+    from pyspark.sql import functions as F
+
+    n_tokens = {
+        r.doc_id: r.n
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in doc_chunk_windows(spark, SF_SMOKE).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_tokens)
+    for doc_id, chunks in by_doc.items():
+        n = n_tokens[doc_id]
+        chunks.sort(key=lambda r: r.chunk_no)
+        assert [c.chunk_no for c in chunks] == list(range(len(chunks)))
+        # every token is covered: last chunk's window reaches the end
+        last_start = (len(chunks) - 1) * CHUNK_STRIDE + 1
+        assert last_start + CHUNK_TOKENS - 1 >= n
+        # no spurious trailing chunk: the last one holds >0 fresh tokens
+        assert chunks[-1].n_chunk_tokens == n - last_start + 1 or len(chunks) == 1
+        for c in chunks[:-1]:
+            assert c.n_chunk_tokens == CHUNK_TOKENS
+
+
+def test_packing_conserves_tokens_and_orders_bins(spark):
+    from weather_database_system_spark.operators.trainprep import (
+        PACK_BUDGET,
+        sequence_pack_bins,
+    )
+    from weather_database_system_spark.sources.star import load_table
+    from pyspark.sql import functions as F
+
+    totals = {
+        r.lang: r.total
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("total"))
+        .collect()
+    }
+    by_lang: dict[str, list] = {}
+    for r in sequence_pack_bins(spark, SF_SMOKE).collect():
+        by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) == set(totals)
+    for lang, bins in by_lang.items():
+        bins.sort(key=lambda r: r.bin_id)
+        # bins are contiguous from 0 and conserve every token exactly
+        assert [b.bin_id for b in bins] == list(range(len(bins)))
+        assert sum(b.n_tokens for b in bins) == totals[lang]
+        # every bin a doc STARTED in was below budget at its start: a bin
+        # can only overflow by its last doc's tail, so any bin except the
+        # last must have begun under budget
+        for b in bins[:-1]:
+            assert b.n_tokens > 0
+
+
+def test_repetition_flags_planted_degenerate_doc(spark, tmp_path):
+    from weather_database_system_spark.operators.trainprep import (
+        repetition_ngram_stats,
+    )
+
+    rows = [
+        (1, "en", "src", 20, "spam " * 19 + "spam"),  # one token repeated 20x
+        (2, "en", "src", 20, " ".join(f"w{i}" for i in range(20))),  # all unique
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars int, text string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in repetition_ngram_stats(spark, str(tmp_path)).collect()}
+    assert got[1].top_2gram_frac == 1.0 and got[1].dup_3gram_frac == 1.0
+    assert got[2].top_2gram_frac < 0.1 and got[2].dup_3gram_frac == 0.0
+
+
+def test_pii_redaction_counts_and_digest_stability(spark):
+    from weather_database_system_spark.operators.trainprep import pii_redaction
+
+    rows = pii_redaction(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r.doc_id % 3 == 0:
+            # the planted contact line carries one of each PII kind
+            assert r.n_emails >= 1 and r.n_phones >= 1 and r.n_ips >= 1
+        else:
+            assert (r.n_emails, r.n_phones, r.n_ips) == (0, 0, 0)
+        assert len(r.redacted_digest) == 32
+
+
+def test_contamination_matches_python_ground_truth(spark):
+    from weather_database_system_spark.operators.trainprep import (
+        CONTAM_NGRAM,
+        EVAL_SET_MAX_DOC,
+        contamination_eval_overlap,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+
+    def grams(toks):
+        return {
+            " ".join(toks[i : i + CONTAM_NGRAM])
+            for i in range(len(toks) - CONTAM_NGRAM + 1)
+        }
+
+    eval_grams: dict[int, set] = {
+        d: grams(t) for d, t in docs.items() if d < EVAL_SET_MAX_DOC
+    }
+    expected = {}
+    for d, t in docs.items():
+        if d < EVAL_SET_MAX_DOC:
+            continue
+        shared = set()
+        hit_docs = set()
+        for ed, eg in eval_grams.items():
+            inter = grams(t) & eg
+            if inter:
+                shared |= inter
+                hit_docs.add(ed)
+        if shared:
+            expected[d] = (len(shared), len(hit_docs), min(hit_docs))
+    got = {
+        r.doc_id: (r.n_shared_ngrams, r.n_eval_docs_hit, r.first_eval_doc)
+        for r in contamination_eval_overlap(spark, SF_SMOKE).collect()
+    }
+    assert got == expected and got, "contamination result != python ground truth"

@@ -1,0 +1,409 @@
+"""Training-data preparation operators over the ``documents`` table: the
+transforms an LLM pre-training pipeline runs between curation (textan.py /
+dedup.py) and the tokenizer — repetition filtering, context-window chunking,
+sequence packing, PII redaction, and eval-set decontamination.
+
+The reference stores numeric weather observations only; these extend the
+§2B training-pipeline surface the same way textan.py does, and follow the
+same rules: built-in column functions end-to-end (explode / window / regexp
+— zero Python in the hot path), every result a pure deterministic function
+of the input, every query DuckDB-oracle-checked.
+
+Scale shapes (the part that must survive 100 TB):
+
+- repetition: explode → (doc, gram) count with map-side combine → per-doc
+  re-agg. Two doc_id-keyed shuffles, both combiner-friendly; no arrays of
+  per-doc counters on the driver.
+- chunking: pure per-row array math (sequence + slice) — map-only, the
+  chunk explosion multiplies rows by ~n_tokens/stride, exactly the output
+  size a chunker must produce.
+- packing: running token total within a partition key (lang here; a shard
+  key in production) → bin id by integer division. ONE window shuffle per
+  key — never a global sort: packing is defined per output shard, which is
+  what makes it embarrassingly parallel at 100 TB.
+- PII: regexp_replace / regexp_extract_all — codegen'd scans, map-only.
+- contamination: the eval set is bounded (benchmarks are small), so its
+  distinct n-grams broadcast; the training side streams past in one
+  map-side hash join. Never an all-pairs comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from weather_database_system_spark.operators.dedup import _tokens
+from weather_database_system_spark.operators.relational import _fr, _sql_fr
+from weather_database_system_spark.sources.star import load_table
+
+
+def _grams(toks, n: int):
+    """All order-preserving n-gram strings (with repeats — repetition
+    statistics need the multiset, unlike _shingles' distinct set)."""
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
+    return F.when(F.size(toks) >= n, gram).otherwise(empty)
+
+
+def _sql_grams(n: int) -> str:
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(toks) >= {n} "
+        f"THEN list_transform(range(1, len(toks) - {n - 2}), i -> {parts}) "
+        f"ELSE [] END"
+    )
+
+
+def repetition_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition metrics (the Gopher/MassiveText repetition
+    rules, arXiv:2112.11446 §A1.1): fraction of 2-gram occurrences taken by
+    the single most frequent 2-gram, and fraction of 3-gram occurrences
+    whose 3-gram occurs more than once. Boilerplate-heavy and
+    degenerate-loop documents score high and get filtered before training.
+
+    Shape: explode each gram order → (doc, gram) counts (map-side combine)
+    → per-doc ratios → join the two orders back on doc_id. Documents too
+    short for an order (< n tokens) report 0.0."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def per_doc(n: int, top_alias: str, dup_alias: str) -> DataFrame:
+        grams = docs.select(
+            "doc_id", F.explode(_grams(_tokens(F.col("text")), n)).alias("gram")
+        )
+        counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+        return counts.groupBy("doc_id").agg(
+            _fr(F.max("c") / F.sum("c"), 4).alias(top_alias),
+            _fr(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c"),
+                4,
+            ).alias(dup_alias),
+        )
+
+    two = per_doc(2, "top_2gram_frac", "dup_2gram_frac")
+    three = per_doc(3, "top_3gram_frac", "dup_3gram_frac")
+    zero = F.lit(0.0)
+    return (
+        docs.select("doc_id")
+        .join(two, "doc_id", "left")
+        .join(three, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top_2gram_frac", zero).alias("top_2gram_frac"),
+            F.coalesce("dup_2gram_frac", zero).alias("dup_2gram_frac"),
+            F.coalesce("top_3gram_frac", zero).alias("top_3gram_frac"),
+            F.coalesce("dup_3gram_frac", zero).alias("dup_3gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CHUNK_TOKENS = 32  # context-window size, in whitespace tokens
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into CHUNK_TOKENS-token
+    windows advancing by CHUNK_STRIDE (overlap = window − stride, so no
+    training example loses the context that spans a cut). Emits per chunk
+    its token count and content digest — the downstream join key for
+    chunk-level dedup.
+
+    Map-only: chunk starts come from a per-row sequence, the text from
+    slice(); n_chunks = 1 + ceil(max(n−W, 0)/S) computed in exact integer
+    arithmetic shared with the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    n_chunks = F.lit(1) + F.expr(
+        f"greatest(0, size(split(text, ' ')) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) "
+        f"div {CHUNK_STRIDE}"
+    )
+    with_chunks = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_no"),
+    )
+    chunk_toks = F.slice(
+        F.col("toks"), F.col("chunk_no") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+    )
+    return (
+        with_chunks.select(
+            "doc_id",
+            F.col("chunk_no").cast("int").alias("chunk_no"),
+            F.size(chunk_toks).alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk_toks)).alias("chunk_digest"),
+        )
+        .orderBy("doc_id", "chunk_no")
+    )
+
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+def sequence_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (in deterministic doc_id order) to
+    fixed-token-budget training bins by running token total, packed WITHIN
+    each lang partition — the shard key in production, which is what keeps
+    packing embarrassingly parallel (a global greedy pack would serialize
+    the corpus through one sort). A document starts in the bin its
+    exclusive running total falls into; the audit reports per-bin document
+    count, token total and fill ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(_tokens(F.col("text")))
+    w = W.partitionBy("lang").orderBy("doc_id")
+    # `div`, not `/` + cast: double division then long-cast truncates in
+    # Spark but rounds in DuckDB — integer division is exact in both.
+    binned = docs.select(
+        "lang",
+        "doc_id",
+        n.alias("n_tokens"),
+        (F.sum(n).over(w) - n).alias("cum_before"),
+    ).select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        F.expr(f"cum_before div {PACK_BUDGET}").alias("bin_id"),
+    )
+    return (
+        binned.groupBy("lang", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            _fr(F.sum("n_tokens") / F.lit(float(PACK_BUDGET)), 4).alias("fill_ratio"),
+        )
+        .orderBy("lang", "bin_id")
+    )
+
+
+# Deterministic PII planting: the synthetic corpus contains no PII, so every
+# 3rd document gets a contact line derived from its doc_id appended IN THE
+# QUERY — the redaction machinery (the actual operator under test) then has
+# real matches to find, and both engines plant byte-identical text.
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact email / phone / IPv4 literals with
+    anchored-class regexes (codegen'd scans — redaction at 100 TB is a
+    map-only pass). Emits per-doc match counts and the digest of the
+    redacted text; the digest proves the replacement text, order and
+    global-ness of the substitution match the oracle exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(1000)).cast("string"), 3, "0"),
+            F.lit("-4242 from 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".1"),
+        ),
+    ).otherwise(F.col("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(planted, _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    return (
+        docs.select("doc_id", planted.alias("t"))
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.col("t"), F.lit(_EMAIL_RE), F.lit(0))).alias(
+                "n_emails"
+            ),
+            F.size(F.regexp_extract_all(F.col("t"), F.lit(_PHONE_RE), F.lit(0))).alias(
+                "n_phones"
+            ),
+            F.size(F.regexp_extract_all(F.col("t"), F.lit(_IP_RE), F.lit(0))).alias(
+                "n_ips"
+            ),
+        )
+        .join(
+            docs.select("doc_id", F.md5(redacted).alias("redacted_digest")),
+            "doc_id",
+        )
+        .orderBy("doc_id")
+    )
+
+
+EVAL_SET_MAX_DOC = 20  # doc_id < this = stand-in benchmark/eval split
+CONTAM_NGRAM = 5
+
+
+def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (the GPT-3 §C / PaLM n-gram collision
+    check): count distinct CONTAM_NGRAM-gram collisions between each
+    training document and the eval set (doc_id < EVAL_SET_MAX_DOC standing
+    in for a benchmark). Training docs sharing ≥1 n-gram with an eval doc
+    are flagged with the match count — the removal list a decontamination
+    pass feeds back into curation.
+
+    The eval side is DISTINCT n-grams of a bounded set → broadcast; the
+    training side streams through one hash join keyed on the gram. At
+    100 TB this is a map-side join plus one doc_id-keyed count — no
+    all-pairs stage, no skew (eval grams are near-unique)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.explode(
+            F.array_distinct(_grams(_tokens(F.col("text")), CONTAM_NGRAM))
+        ).alias("gram"),
+    )
+    eval_grams = grams(docs.filter(F.col("doc_id") < EVAL_SET_MAX_DOC)).select(
+        F.col("doc_id").alias("eval_doc_id"), "gram"
+    )
+    train_grams = grams(docs.filter(F.col("doc_id") >= EVAL_SET_MAX_DOC))
+    hits = train_grams.join(F.broadcast(eval_grams), "gram")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_ngrams"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs_hit"),
+            F.min("eval_doc_id").alias("first_eval_doc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_TOKS = "SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents"
+
+
+def _sql_rep_per_doc(n: int, top_alias: str, dup_alias: str) -> str:
+    return f"""
+        SELECT doc_id,
+               {_sql_fr('max(c) * 1.0 / sum(c)', 4)} AS {top_alias},
+               {_sql_fr('sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c)', 4)}
+                   AS {dup_alias}
+        FROM (
+            SELECT doc_id, gram, count(*) AS c
+            FROM (SELECT doc_id, unnest({_sql_grams(n)}) AS gram
+                  FROM ({_SQL_TOKS}))
+            GROUP BY 1, 2
+        )
+        GROUP BY doc_id
+    """
+
+
+ORACLE: dict[str, str] = {
+    "repetition_ngram_stats": f"""
+        WITH two AS ({_sql_rep_per_doc(2, 'top_2gram_frac', 'dup_2gram_frac')}),
+        three AS ({_sql_rep_per_doc(3, 'top_3gram_frac', 'dup_3gram_frac')})
+        SELECT d.doc_id,
+               coalesce(two.top_2gram_frac, 0.0) AS top_2gram_frac,
+               coalesce(two.dup_2gram_frac, 0.0) AS dup_2gram_frac,
+               coalesce(three.top_3gram_frac, 0.0) AS top_3gram_frac,
+               coalesce(three.dup_3gram_frac, 0.0) AS dup_3gram_frac
+        FROM documents d
+        LEFT JOIN two USING (doc_id)
+        LEFT JOIN three USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    "doc_chunk_windows": f"""
+        WITH d AS ({_SQL_TOKS}),
+        n_chunks AS (
+            SELECT doc_id, toks,
+                   1 + greatest(0, len(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                         // {CHUNK_STRIDE} AS nc
+            FROM d
+        ),
+        chunks AS (
+            SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_no FROM n_chunks
+        )
+        SELECT doc_id,
+               CAST(chunk_no AS INT) AS chunk_no,
+               CAST(len(toks[chunk_no * {CHUNK_STRIDE} + 1 :
+                          chunk_no * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS INT)
+                   AS n_chunk_tokens,
+               md5(array_to_string(toks[chunk_no * {CHUNK_STRIDE} + 1 :
+                                        chunk_no * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+                                   ' ')) AS chunk_digest
+        FROM chunks
+        ORDER BY doc_id, chunk_no
+    """,
+    "sequence_pack_bins": f"""
+        WITH d AS (
+            SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        binned AS (
+            SELECT lang, doc_id, n_tokens,
+                   CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                         - n_tokens) // {PACK_BUDGET} AS BIGINT) AS bin_id
+            FROM d
+        )
+        SELECT lang, bin_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               {_sql_fr(f'sum(n_tokens) * 1.0 / {PACK_BUDGET}', 4)} AS fill_ratio
+        FROM binned
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "pii_redaction": f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com or 555-'
+                             || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                             || '-4242 from 10.0.'
+                             || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                        ELSE text END AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS INT) AS n_phones,
+               CAST(len(regexp_extract_all(t, '{_IP_RE}')) AS INT) AS n_ips,
+               md5(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                           '{_PHONE_RE}', '<PHONE>', 'g'),
+                       '{_IP_RE}', '<IP>', 'g')) AS redacted_digest
+        FROM planted
+        ORDER BY doc_id
+    """,
+    "contamination_eval_overlap": f"""
+        WITH d AS ({_SQL_TOKS}),
+        grams AS (
+            SELECT doc_id, unnest(list_distinct({_sql_grams(CONTAM_NGRAM)})) AS gram
+            FROM d
+        ),
+        eval_grams AS (
+            SELECT doc_id AS eval_doc_id, gram FROM grams
+            WHERE doc_id < {EVAL_SET_MAX_DOC}
+        ),
+        train_grams AS (
+            SELECT doc_id, gram FROM grams WHERE doc_id >= {EVAL_SET_MAX_DOC}
+        )
+        SELECT t.doc_id,
+               count(DISTINCT t.gram) AS n_shared_ngrams,
+               count(DISTINCT e.eval_doc_id) AS n_eval_docs_hit,
+               min(e.eval_doc_id) AS first_eval_doc
+        FROM train_grams t JOIN eval_grams e ON t.gram = e.gram
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+    """,
+}
+
+QUERIES = {
+    "repetition_ngram_stats": repetition_ngram_stats,
+    "doc_chunk_windows": doc_chunk_windows,
+    "sequence_pack_bins": sequence_pack_bins,
+    "pii_redaction": pii_redaction,
+    "contamination_eval_overlap": contamination_eval_overlap,
+}
