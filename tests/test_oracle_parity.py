@@ -34,6 +34,21 @@ def test_oracle_keys_subset_of_queries():
     assert not missing, f"oracle_sql keys without queries(): {missing}"
 
 
+def test_unchecked_queries_fit_driver_sample_window():
+    """The driver verifies the FIRST 50 registry entries per round;
+    _registries() enumerates never-driver-checked queries before the
+    r01/r02-green ones so every unchecked operator gets a CORRECTNESS row
+    (VERDICT r2 #1). Adding queries must not push any unchecked entry past
+    position 50 — that silently re-creates the verification backlog."""
+    names = list(_QUERIES)
+    front = [k for k in names if k not in entrymod._DRIVER_GREEN]
+    over = [k for k in front if names.index(k) >= 50]
+    assert not over, (
+        f"never-driver-checked queries outside the first-50 sample window: "
+        f"{over} (front block {len(front)}/50)"
+    )
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
