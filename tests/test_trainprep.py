@@ -143,3 +143,39 @@ def test_contamination_matches_python_ground_truth(spark):
         for r in contamination_eval_overlap(spark, SF_SMOKE).collect()
     }
     assert got == expected and got, "contamination result != python ground truth"
+
+
+def test_chunking_plan_is_map_only(spark):
+    """Chunk expansion must be generator work over the scan — the only
+    exchange is the presentation sort; a shuffle before the explode would
+    move the full corpus to produce per-row output."""
+    from weather_database_system_spark.operators.trainprep import doc_chunk_windows
+    from weather_database_system_spark.plans import shuffle_count
+
+    assert shuffle_count(doc_chunk_windows(spark, SF_SMOKE)) <= 1
+
+
+def test_contamination_plan_broadcasts_eval_side(spark):
+    """The bounded eval-gram side must broadcast: a shuffled join here would
+    move every training document's n-grams for a benchmark-sized probe."""
+    from weather_database_system_spark.operators.trainprep import (
+        contamination_eval_overlap,
+    )
+    from weather_database_system_spark.plans import broadcast_join_count, formatted_plan
+
+    df = contamination_eval_overlap(spark, SF_SMOKE)
+    assert broadcast_join_count(df) >= 1
+    assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_repetition_plan_has_partial_aggregation(spark):
+    """Both gram-order aggregations must map-side combine (partial_count
+    before the doc_id exchange) — at 100 TB the (doc, gram) stream is the
+    corpus × ~n_tokens and must shrink before shuffling."""
+    from weather_database_system_spark.operators.trainprep import (
+        repetition_ngram_stats,
+    )
+    from weather_database_system_spark.plans import formatted_plan
+
+    plan = formatted_plan(repetition_ngram_stats(spark, SF_SMOKE))
+    assert plan.count("partial_count") >= 2
