@@ -606,3 +606,61 @@ def test_gap_fill_interpolation_is_linear_between_brackets(spark):
                 assert got is not None and abs(got - expect) < 1e-5
                 checked += 1
     assert checked > 100, f"too few gaps exercised ({checked})"
+
+
+def test_sessionization_gap_invariants(spark):
+    """Within a session, consecutive events are ≤ the gap apart; a user's
+    next session starts > the gap after the previous one ended; event
+    counts conserve the user's events."""
+    from weather_database_system_spark.operators.behavioral import (
+        SESSION_GAP_MIN,
+        sessionize_events,
+    )
+    from weather_database_system_spark.sources.star import load_table
+    from pyspark.sql import functions as F
+
+    per_user = {
+        r.user_id: r.n
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    sessions: dict[int, list] = {}
+    for r in sessionize_events(spark, SF_SMOKE).collect():
+        sessions.setdefault(r.user_id, []).append(r)
+    assert set(sessions) == set(per_user)
+    gap = SESSION_GAP_MIN * 60
+    for user, rows in sessions.items():
+        rows.sort(key=lambda r: r.session_no)
+        assert [r.session_no for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(r.n_events for r in rows) == per_user[user]
+        for prev, cur in zip(rows, rows[1:]):
+            between = (cur.started_at - prev.ended_at).total_seconds()
+            assert between > gap, (user, prev.session_no, between)
+            # a session of n events spans at most (n-1) full gaps
+            assert prev.duration_sec <= (prev.n_events - 1) * gap
+
+
+def test_rfm_scores_and_segments_consistent(spark):
+    """Scores are 1-4, roughly quartile-sized, and the segment label is a
+    pure function of the scores."""
+    from weather_database_system_spark.operators.behavioral import rfm_segmentation
+
+    rows = rfm_segmentation(spark, SF_SMOKE).collect()
+    assert rows
+    n = len(rows)
+    for dim in ("r_score", "f_score", "m_score"):
+        vals = [getattr(r, dim) for r in rows]
+        assert set(vals) <= {1, 2, 3, 4}
+        # every quartile bucket is populated (ties can unbalance, not empty)
+        assert len(set(vals)) >= 3, f"{dim} collapsed: {set(vals)}"
+    for r in rows:
+        if r.r_score >= 4 and r.f_score >= 4:
+            assert r.segment == "champion"
+        elif r.r_score >= 3:
+            assert r.segment == "active"
+        elif r.f_score >= 3:
+            assert r.segment == "loyal_lapsing"
+        else:
+            assert r.segment == "hibernating"

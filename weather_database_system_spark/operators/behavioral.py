@@ -134,7 +134,185 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
+SESSION_GAP_MIN = 30  # inactivity that closes a session
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a user's events belong to
+    one session until a gap > SESSION_GAP_MIN minutes; sessions are then
+    numbered per user and summarized (event count, bounds, duration). The
+    batch twin of the streaming session window (streaming/windows.py) —
+    the same grouping a warehouse job computes over historical data.
+
+    ONE user_id exchange: the lag, the cumulative session counter and the
+    per-session collapse all ride the same partitioning, so Catalyst plans
+    a single shuffle + in-partition window passes — no self-joins, no
+    per-session iteration. Ties order deterministically by (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wo)
+    is_start = F.when(
+        gap_sec.isNull() | (gap_sec > SESSION_GAP_MIN * 60), 1
+    ).otherwise(0)
+    sessions = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(is_start).over(
+            wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("session_no"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("started_at"),
+            F.max("ts").alias("ended_at"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+                "duration_sec"
+            ),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+RFM_Q = [0.25, 0.5, 0.75]
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over orders: recency (days since the
+    customer's last order, anchored at the table's max order date),
+    frequency (order count), monetary (decimal-exact revenue), each scored
+    1-4 against the customer-population quartiles, plus a coarse segment
+    label. The quartile thresholds come from one 1-row aggregate broadcast
+    back over the per-customer aggregate — no global ntile sort (ntile(4)
+    over all customers is a single-partition window, the canonical scale
+    smell). Exact percentile keeps the oracle byte-exact; at 100 TB the
+    thresholds would come from approx_percentile (the established
+    sketch-twin pattern, see quantile_bucket_decile_approx)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("money_dec"),
+    )
+    anchor = cust.agg(F.max("last_order").alias("anchor"))
+    enriched = cust.crossJoin(F.broadcast(anchor)).select(
+        "custkey",
+        F.datediff(F.col("anchor"), F.col("last_order")).alias("recency_days"),
+        "frequency",
+        F.col("money_dec").cast("double").alias("monetary"),
+    )
+    qarr = ", ".join(map(str, RFM_Q))
+    ths = enriched.agg(
+        F.expr(f"percentile(recency_days, array({qarr}))").alias("r_th"),
+        F.expr(f"percentile(frequency, array({qarr}))").alias("f_th"),
+        F.expr(f"percentile(monetary, array({qarr}))").alias("m_th"),
+    )
+    above = lambda col, th: F.lit(1) + F.size(  # noqa: E731
+        F.filter(th, lambda t: t < F.col(col))
+    )
+    scored = enriched.crossJoin(F.broadcast(ths)).select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        _fr(F.col("monetary"), 2).alias("monetary"),
+        # low recency = recently active = best score
+        (F.lit(5) - above("recency_days", F.col("r_th"))).alias("r_score"),
+        above("frequency", F.col("f_th")).alias("f_score"),
+        above("monetary", F.col("m_th")).alias("m_score"),
+    )
+    segment = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when(F.col("r_score") >= 3, "active")
+        .when(F.col("f_score") >= 3, "loyal_lapsing")
+        .otherwise("hibernating")
+    )
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+        segment.alias("segment"),
+    ).orderBy("custkey")
+
+
 ORACLE: dict[str, str] = {
+    "sessionize_events": f"""
+        WITH sec AS (
+            -- whole seconds, floored: Spark's timestamp→long cast truncates
+            SELECT user_id, event_id, ts,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, event_id, ts, tsec,
+                   CASE WHEN lag(tsec) OVER w IS NULL
+                             OR tsec - lag(tsec) OVER w > {SESSION_GAP_MIN * 60}
+                        THEN 1 ELSE 0 END AS is_start
+            FROM sec
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT user_id, event_id, ts, tsec,
+                   sum(is_start) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM marked
+        )
+        SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+               count(*) AS n_events,
+               min(ts) AS started_at,
+               max(ts) AS ended_at,
+               CAST(max(tsec) - min(tsec) AS BIGINT) AS duration_sec
+        FROM numbered
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "rfm_segmentation": f"""
+        WITH cust AS (
+            SELECT o_custkey AS custkey,
+                   max(CAST(o_orderdate AS DATE)) AS last_order,
+                   count(*) AS frequency,
+                   sum(CAST(o_totalprice AS DECIMAL(30,10))) AS money_dec
+            FROM orders GROUP BY 1
+        ),
+        enriched AS (
+            SELECT custkey,
+                   date_diff('day', last_order,
+                             (SELECT max(last_order) FROM cust)) AS recency_days,
+                   frequency,
+                   CAST(money_dec AS DOUBLE) AS monetary
+            FROM cust
+        ),
+        ths AS (
+            SELECT quantile_cont(recency_days, [{", ".join(map(str, RFM_Q))}]) AS r_th,
+                   quantile_cont(frequency,    [{", ".join(map(str, RFM_Q))}]) AS f_th,
+                   quantile_cont(monetary,     [{", ".join(map(str, RFM_Q))}]) AS m_th
+            FROM enriched
+        ),
+        scored AS (
+            SELECT custkey, recency_days, frequency, monetary,
+                   5 - (1 + len(list_filter(r_th, t -> t < recency_days))) AS r_score,
+                   1 + len(list_filter(f_th, t -> t < frequency)) AS f_score,
+                   1 + len(list_filter(m_th, t -> t < monetary))  AS m_score
+            FROM enriched, ths
+        )
+        SELECT custkey, recency_days, frequency,
+               {_sql_fr('monetary', 2)} AS monetary,
+               CAST(r_score AS INT) AS r_score,
+               CAST(f_score AS INT) AS f_score,
+               CAST(m_score AS INT) AS m_score,
+               CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                    WHEN r_score >= 3 THEN 'active'
+                    WHEN f_score >= 3 THEN 'loyal_lapsing'
+                    ELSE 'hibernating' END AS segment
+        FROM scored
+        ORDER BY custkey
+    """,
     "cohort_retention": f"""
         WITH activity AS (
             SELECT DISTINCT user_id,
@@ -211,4 +389,6 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "cohort_retention": cohort_retention,
     "funnel_conversion": funnel_conversion,
+    "sessionize_events": sessionize_events,
+    "rfm_segmentation": rfm_segmentation,
 }
