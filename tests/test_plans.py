@@ -138,6 +138,8 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
                                 # canonical scale path
         "range_band_join",      # 3-row interval dimension
         "stream_late_data_policy",  # 1-row watermark scalar crossJoin
+        "rfm_segmentation",     # 1-row anchor + 1-row quartile-threshold
+                                # broadcasts over the customer aggregate
     }
     for name, fn in em.queries().items():
         plan = formatted_plan(fn(spark, SF_SMOKE))
@@ -263,3 +265,15 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_sessionization_shares_one_user_exchange(spark):
+    """The lag window, the cumulative session counter and the per-session
+    groupBy must all ride ONE user_id hash exchange (HashPartitioning on
+    user_id satisfies the (user_id, session_no) clustering) — plus only the
+    presentation sort's range exchange. A second hash shuffle here would
+    move the event stream twice at 100 TB."""
+    from weather_database_system_spark.operators.behavioral import sessionize_events
+    from weather_database_system_spark.plans import shuffle_count
+
+    assert shuffle_count(sessionize_events(spark, SF_SMOKE)) <= 2
