@@ -664,3 +664,66 @@ def test_rfm_scores_and_segments_consistent(spark):
             assert r.segment == "loyal_lapsing"
         else:
             assert r.segment == "hibernating"
+
+
+def test_rfm_approx_twin_agrees_with_exact(spark):
+    """rfm_segmentation_approx (the production, sketch-threshold variant)
+    must assign the same scores as the exact twin for >=99% of individual
+    (customer, dimension) scores at test sf — the documented accuracy of
+    approx_percentile at RFM_APPROX_ACC, same twin contract as
+    quantile_bucket_decile_approx. (At sf0.001's 150 customers the
+    interpolated-vs-nearest-element threshold gap flips ~1 boundary customer
+    per dimension — per-dim 99.3%, and 100% at sf0.01 — so the full-tuple
+    bound is the looser 97%.)"""
+    from weather_database_system_spark.operators.behavioral import (
+        rfm_segmentation,
+        rfm_segmentation_approx,
+    )
+
+    exact = {
+        r.custkey: (r.r_score, r.f_score, r.m_score)
+        for r in rfm_segmentation(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        r.custkey: (r.r_score, r.f_score, r.m_score)
+        for r in rfm_segmentation_approx(spark, SF_SMOKE).collect()
+    }
+    assert set(exact) == set(approx)
+    n = len(exact)
+    tup = sum(1 for k, v in exact.items() if approx[k] == v)
+    dims = sum(sum(a == b for a, b in zip(v, approx[k])) for k, v in exact.items())
+    assert dims / (3 * n) >= 0.99, f"approx RFM per-score agreement {dims}/{3 * n}"
+    assert tup / n >= 0.97, f"approx RFM full-tuple agreement {tup}/{n}"
+
+
+def test_sequence_pack_conserves_tokens_across_shard_counts(spark):
+    """Packing is defined per output shard: any shard fan-out must conserve
+    the corpus token total and doc count exactly (every doc lands in exactly
+    one (lang, shard) stream), and bins within each key must satisfy the
+    fill invariant — every non-final bin closes at or past the budget."""
+    from weather_database_system_spark.operators.trainprep import (
+        PACK_BUDGET,
+        sequence_pack_bins,
+    )
+
+    def totals(df):
+        rows = df.collect()
+        return sum(r.n_tokens for r in rows), sum(r.n_docs for r in rows), rows
+
+    base_tok, base_docs, _ = totals(sequence_pack_bins(spark, SF_SMOKE))
+    for shards in (1, 4, 8):
+        tok, docs, rows = totals(sequence_pack_bins(spark, SF_SMOKE, shards))
+        assert tok == base_tok, f"{shards} shards: token total {tok} != {base_tok}"
+        assert docs == base_docs
+        # per-key invariants: contiguous bin ids from 0; cumulative tokens
+        # through every non-final bin reach that bin's budget boundary
+        per_key: dict = {}
+        for r in rows:
+            per_key.setdefault((r.lang, r.shard), []).append(r)
+        for key, bins in per_key.items():
+            bins.sort(key=lambda r: r.bin_id)
+            assert [b.bin_id for b in bins] == list(range(len(bins))), key
+            cum = 0
+            for b in bins[:-1]:
+                cum += b.n_tokens
+                assert cum >= (b.bin_id + 1) * PACK_BUDGET, (key, b.bin_id, cum)

@@ -477,6 +477,10 @@ def _propagate_min_labels(docs: DataFrame, edges: DataFrame) -> DataFrame:
     labels = track_persisted(
         docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
     )
+    # The persisted block BACKING `labels` — unpersist() must be called on
+    # this exact object; calling it on a derived select() is a no-op, which
+    # would keep every round's label table cached until session teardown.
+    prev_block = labels
     for _ in range(MAX_CLUSTER_ROUNDS):
         nbr = (
             edges.alias("e")
@@ -498,7 +502,8 @@ def _propagate_min_labels(docs: DataFrame, edges: DataFrame) -> DataFrame:
             .persist()
         )
         converged = stepped.filter("moved").limit(1).count() == 0
-        labels.unpersist()
+        prev_block.unpersist()
+        prev_block = stepped
         labels = stepped.select("doc_id", "cluster_id")
         if converged:
             return labels

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from weather_database_system_spark.operators.dedup import _tokens
 from weather_database_system_spark.operators.relational import _fr, _sql_fr
+from weather_database_system_spark.operators.scale import _HI_DIV, _ID_MOD, _KNUTH
 from weather_database_system_spark.sources.star import load_table
 
 
@@ -117,15 +118,17 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice(); n_chunks = 1 + ceil(max(n−W, 0)/S) computed in exact integer
     arithmetic shared with the oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    n = F.size(toks)
+    # toks is materialized ONCE and n_chunks reads size(toks) from that same
+    # column — one tokenizer definition, so a future change to _tokens()
+    # cannot desynchronize the chunk count from the chunk slicing.
+    with_toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
     n_chunks = F.lit(1) + F.expr(
-        f"greatest(0, size(split(text, ' ')) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) "
+        f"greatest(0, size(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) "
         f"div {CHUNK_STRIDE}"
     )
-    with_chunks = docs.select(
+    with_chunks = with_toks.select(
         "doc_id",
-        toks.alias("toks"),
+        "toks",
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_no"),
     )
     chunk_toks = F.slice(
@@ -143,50 +146,90 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_BUDGET = 512  # tokens per packed training sequence
+PACK_SHARDS = 4  # shard fan-out exercised by the sharded registry twin
 
 
-def sequence_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sequence_pack_bins(
+    spark: SparkSession, sf_dir: str, n_shards: int = 0
+) -> DataFrame:
     """Sequence packing: assign documents (in deterministic doc_id order) to
     fixed-token-budget training bins by running token total, packed WITHIN
-    each lang partition — the shard key in production, which is what keeps
-    packing embarrassingly parallel (a global greedy pack would serialize
-    the corpus through one sort). A document starts in the bin its
-    exclusive running total falls into; the audit reports per-bin document
-    count, token total and fill ratio."""
+    each partition key. A document starts in the bin its exclusive running
+    total falls into; the audit reports per-bin document count, token total
+    and fill ratio.
+
+    ``n_shards=0`` packs per ``lang`` (the compact audit shape — few output
+    rows, but each lang serializes through one window reducer).
+    ``n_shards>0`` packs per ``(lang, shard)`` where shard is a
+    deterministic high-bits multiplicative hash of doc_id (the exact
+    ``stratified_sample`` recipe, scale.py) — the production key: the
+    running-total window partition is bounded by corpus_size/(langs×shards),
+    so packing stays embarrassingly parallel at 100 TB by turning the shard
+    dial, and bin membership is still a pure engine-exact function of
+    (lang, doc_id). Packing is defined per output shard, so sharding does
+    not change the contract — token totals are conserved across any shard
+    count (pinned by pytest) because every doc lands in exactly one
+    (lang, shard) stream."""
     docs = load_table(spark, sf_dir, "documents")
     n = F.size(_tokens(F.col("text")))
-    w = W.partitionBy("lang").orderBy("doc_id")
+    keys = ["lang"]
+    cols = [F.col("lang")]
+    if n_shards:
+        shard = F.expr(
+            f"pmod((pmod(doc_id, {_ID_MOD}) * {_KNUTH}) div {_HI_DIV}, {n_shards})"
+        )
+        cols.append(shard.cast("int").alias("shard"))
+        keys.append("shard")
+    w = W.partitionBy(*keys).orderBy("doc_id")
     # `div`, not `/` + cast: double division then long-cast truncates in
     # Spark but rounds in DuckDB — integer division is exact in both.
     binned = docs.select(
-        "lang",
-        "doc_id",
+        *cols,
+        F.col("doc_id"),
         n.alias("n_tokens"),
-        (F.sum(n).over(w) - n).alias("cum_before"),
     ).select(
-        "lang",
+        *keys,
+        "doc_id",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("cum_before"),
+    ).select(
+        *keys,
         "doc_id",
         "n_tokens",
         F.expr(f"cum_before div {PACK_BUDGET}").alias("bin_id"),
     )
     return (
-        binned.groupBy("lang", "bin_id")
+        binned.groupBy(*keys, "bin_id")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
             _fr(F.sum("n_tokens") / F.lit(float(PACK_BUDGET)), 4).alias("fill_ratio"),
         )
-        .orderBy("lang", "bin_id")
+        .orderBy(*keys, "bin_id")
     )
+
+
+def sequence_pack_bins_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry twin running ``sequence_pack_bins`` at ``PACK_SHARDS`` —
+    the executable form of the 100 TB claim: the window partition key is
+    (lang, shard), shard a pure hash of doc_id, so the oracle replays the
+    exact same sharding and the driver hash-checks it end-to-end."""
+    return sequence_pack_bins(spark, sf_dir, n_shards=PACK_SHARDS)
 
 
 # Deterministic PII planting: the synthetic corpus contains no PII, so every
 # 3rd document gets a contact line derived from its doc_id appended IN THE
 # QUERY — the redaction machinery (the actual operator under test) then has
 # real matches to find, and both engines plant byte-identical text.
-_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
-_IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+# Case-insensitive email class, word-bounded phone, and octet-bounded
+# word-bounded IPv4 (0-255 only) — so UPPER@EXAMPLE.COM is caught and
+# 999.999.999.999 / trailing-digit runs are NOT misredacted as IPs. Both
+# patterns use only syntax Java regex and RE2 (DuckDB) agree on: character
+# classes, bounded repetition, alternation, \b ASCII word boundaries.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+_OCTET = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+_IP_RE = f"\\b{_OCTET}(\\.{_OCTET}){{3}}\\b"
 
 
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -353,6 +396,29 @@ ORACLE: dict[str, str] = {
         GROUP BY 1, 2
         ORDER BY 1, 2
     """,
+    "sequence_pack_bins_sharded": f"""
+        WITH d AS (
+            SELECT lang,
+                   CAST((((doc_id % {_ID_MOD}) * {_KNUTH}) // {_HI_DIV})
+                        % {PACK_SHARDS} AS INT) AS shard,
+                   doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        binned AS (
+            SELECT lang, shard, doc_id, n_tokens,
+                   CAST((sum(n_tokens) OVER (PARTITION BY lang, shard
+                                             ORDER BY doc_id)
+                         - n_tokens) // {PACK_BUDGET} AS BIGINT) AS bin_id
+            FROM d
+        )
+        SELECT lang, shard, bin_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               {_sql_fr(f'sum(n_tokens) * 1.0 / {PACK_BUDGET}', 4)} AS fill_ratio
+        FROM binned
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
     "pii_redaction": f"""
         WITH planted AS (
             SELECT doc_id,
@@ -404,6 +470,7 @@ QUERIES = {
     "repetition_ngram_stats": repetition_ngram_stats,
     "doc_chunk_windows": doc_chunk_windows,
     "sequence_pack_bins": sequence_pack_bins,
+    "sequence_pack_bins_sharded": sequence_pack_bins_sharded,
     "pii_redaction": pii_redaction,
     "contamination_eval_overlap": contamination_eval_overlap,
 }
