@@ -34,7 +34,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #   r3 rewrites: dedup_minhash_lsh, dedup_minhash_lsh_fast, dedup_clusters,
 #                ngram_jaccard_pairs
 #   r4 rewrites: pii_redaction, rfm_segmentation, doc_chunk_windows,
-#                sequence_pack_bins
+#                sequence_pack_bins, and the _shingles/_grams array_join
+#                rewrite (byte-identical strings, re-checked anyway):
+#                doc_fingerprint, repetition_ngram_stats,
+#                contamination_eval_overlap
 _DRIVER_GREEN = frozenset({
     # --- green in r01/r02, unchanged since ---
     "agg_collect_sorted", "agg_quantiles", "agg_statistics",
@@ -60,13 +63,13 @@ _DRIVER_GREEN = frozenset({
     "approx_distinct_users_scale", "array_functions", "asof_attribution",
     "cache_envelope_projection", "cache_freshness_ladder",
     "cache_ttl_introspection", "cohort_retention", "conditional_functions",
-    "contamination_eval_overlap", "corpus_curation", "datetime_functions",
-    "doc_fingerprint", "feature_scaling", "funnel_conversion",
+    "corpus_curation", "datetime_functions",
+    "feature_scaling", "funnel_conversion",
     "gap_fill_interpolate", "gap_fill_locf", "map_functions",
     "math_functions", "multimodal_features", "multimodal_frame_sample",
     "multimodal_metadata", "quantile_bucket_decile",
     "quantile_bucket_decile_approx", "range_band_join",
-    "repetition_ngram_stats", "rollup_cascade_day", "sessionize_events",
+    "rollup_cascade_day", "sessionize_events",
     "skew_salted_agg", "sql_correlated_exists", "sql_groupby_having",
     "sql_scalar_subquery", "stratified_sample", "stream_late_data_policy",
     "stream_session_window", "stream_sliding_window",

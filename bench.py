@@ -56,7 +56,17 @@ HEADLINE = (
     "time_weighted_avg",      # interval-weighted temporal mean
     "corpus_curation",        # quality→lang→dedup gates in one pass
     "stratified_sample",      # map-only hash-bucket sampling
+    "dedup_clusters",         # minhash pair graph → fixpoint components
+    "contamination_eval_overlap",  # broadcast eval-gram decontamination
 )
+
+# N runs per query; report the per-query MEDIAN. Default 1 preserves the
+# driver's n=3-invocations contract (three separate processes, single-run
+# timings each); set SPARK_GRAFT_BENCH_RUNS=5 locally to get medians that
+# are interpretable without the ±15 % single-run noise caveat (three r3
+# queries moved ≥13 % with no code change — same pattern as r2's phantom
+# ann_brute_force regression).
+RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -86,13 +96,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # Release per-operator persisted intermediates (minhash signatures,
-        # LSH tables) so later queries see an empty storage pool — the
-        # lifecycle contract documented in session.track_persisted.
-        release_persisted()
+        runs = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+            # Release per-operator persisted intermediates (minhash
+            # signatures, LSH tables) so later queries — and later runs of
+            # this one — see an empty storage pool: the lifecycle contract
+            # documented in session.track_persisted.
+            release_persisted()
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -140,6 +140,8 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
         "stream_late_data_policy",  # 1-row watermark scalar crossJoin
         "rfm_segmentation",     # 1-row anchor + 1-row quartile-threshold
                                 # broadcasts over the customer aggregate
+        "rfm_segmentation_approx",  # same 1-row broadcasts; thresholds via
+                                    # approx_percentile sketch
     }
     for name, fn in em.queries().items():
         plan = formatted_plan(fn(spark, SF_SMOKE))

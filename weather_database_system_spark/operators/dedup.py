@@ -58,15 +58,14 @@ def _shingles(toks: Column) -> Column:
     """Distinct 3-gram token shingles; [] when the doc has <3 tokens.
 
     The size guard matters: F.sequence(0, n-3) with n<3 would generate a
-    DESCENDING sequence, not an empty one."""
+    DESCENDING sequence, not an empty one. The lambda is
+    array_join(slice(...)) — 2 interpreted nodes per shingle instead of 3
+    element_ats + concat_ws (HOF lambdas don't codegen; measured 3.2× on
+    the identical trainprep._grams shape, r4 audit). split() never yields
+    NULL tokens, so array_join and concat_ws agree byte-for-byte."""
     gram = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-            F.element_at(toks, i + 3),
-        ),
+        lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
     )
     empty = F.expr("CAST(array() AS ARRAY<STRING>)")
     return F.when(F.size(toks) >= 3, F.array_distinct(gram)).otherwise(empty)
@@ -394,7 +393,16 @@ def _dot_dec(a: Column, b: Column) -> Column:
     """Exact dot product of two double arrays: elementwise products (IEEE,
     engine-identical) accumulated in DECIMAL(30,10). Adding scale-10
     decimals never rounds (only widens), so the fold is exact and therefore
-    order-independent — bit-identical to the oracle's decimal SUM."""
+    order-independent — bit-identical to the oracle's decimal SUM.
+
+    The interpreted HOF fold IS the fastest bit-exact formulation measured
+    (sf0.1, n=5 medians): statically unrolling 64 Add/Cast nodes into the
+    projection is 3× SLOWER (the nested decimal chain blows the 64 KB
+    codegen method limit → whole-expression interpreted fallback), and the
+    explode → decimal-sum long form trades a map-only pass for a 64×-row
+    shuffle — the wrong shape at 100 TB. Unlike the minhash xxhash64 case
+    (where explode → hash-agg won 3×), a decimal accumulator never
+    codegens to primitives, so there is nothing to win back."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x * y).cast(DEC)),
         F.lit(0).cast(DEC),

