@@ -95,6 +95,16 @@ def _cmd_serve(args: argparse.Namespace) -> int:
     return 0 if "error" not in response else 1
 
 
+def _cmd_serve_http(args: argparse.Namespace) -> int:
+    from weather_database_system_spark.pipeline.httpserver import serve_http
+
+    spark = _spark(args.cpus)
+    serve_http(
+        spark, args.warehouse, args.cache, host=args.host, port=args.port
+    )  # blocks until Ctrl-C, like the reference's app.listen (server.js:60)
+    return 0
+
+
 def _cmd_diagnostics(args: argparse.Namespace) -> int:
     from weather_database_system_spark.pipeline.diagnostics import run_diagnostics
 
@@ -143,6 +153,15 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--cache", required=True)
     sv.add_argument("--city", default="Stockton")
     sv.set_defaults(func=_cmd_serve)
+
+    sh = sub.add_parser(
+        "serve-http", help="HTTP API with reference route parity (blocking)"
+    )
+    sh.add_argument("--warehouse", required=True)
+    sh.add_argument("--cache", required=True)
+    sh.add_argument("--host", default="127.0.0.1")
+    sh.add_argument("--port", type=int, default=3000)
+    sh.set_defaults(func=_cmd_serve_http)
 
     dg = sub.add_parser("diagnostics", help="5-step staged self-probe")
     dg.add_argument("--warehouse", required=True)
