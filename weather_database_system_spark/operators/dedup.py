@@ -125,15 +125,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-duplicate pairs.
-
-    shingle(3-gram) → 8 minhashes → 4 bands × 2 rows → candidate pairs are
-    docs sharing any (band, band-signature) — an equi-join on the banded
-    signature, which at 100 TB is a plain shuffled hash join on uniformly
-    distributed keys (no crossJoin anywhere). Output includes the estimated
-    Jaccard (fraction of matching minhashes) for each candidate pair.
-    """
+def _banded_md5_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared MinHash-LSH candidate stage: banded md5 signatures joined
+    on (band, band-signature), one row per shared band per pair, columns
+    (a.doc_id, a.sig, b.doc_id, b.sig). dedup_minhash_lsh aggregates this
+    into scored pairs; dedup_clusters takes just the distinct pairs —
+    skipping the matched-hash aggregates and the presentation sort it
+    would otherwise pay for and discard."""
     docs = load_table(spark, sf_dir, "documents")
     # A small corpus arrives as one parquet split → one task; the signature
     # stage is CPU-bound (K md5s per shingle), so spread it across cores.
@@ -168,6 +166,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
 
     a, b = bands.alias("a"), bands.alias("b")
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bsig") == F.col("b.bsig"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    shingle(3-gram) → 8 minhashes → 4 bands × 2 rows → candidate pairs are
+    docs sharing any (band, band-signature) — an equi-join on the banded
+    signature, which at 100 TB is a plain shuffled hash join on uniformly
+    distributed keys (no crossJoin anywhere). Output includes the estimated
+    Jaccard (fraction of matching minhashes) for each candidate pair.
+    """
     matched = F.aggregate(
         F.zip_with(
             F.col("a.sig"), F.col("b.sig"), lambda x, y: F.when(x == y, 1).otherwise(0)
@@ -176,12 +191,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: acc + v,
     )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        _banded_md5_candidates(spark, sf_dir)
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(
             F.countDistinct("a.band").alias("n_shared_bands"),
@@ -475,46 +485,69 @@ def _propagate_min_labels(docs: DataFrame, edges: DataFrame) -> DataFrame:
     depth, silently breaking the survivorship invariant that every
     cluster_id is a member min; VERDICT r2 'What's wrong' #2).
 
-    Each round is a pair of key-partitioned joins + a min-agg; the
-    convergence probe is `limit(1)` over the moved rows — an any-exists
-    check, not a full count — so the per-round driver cost is O(1). Labels
-    persist per round (the next round reads them twice) and the previous
-    round's block is released eagerly; the cap bounds runaway graphs (a
-    100 TB corpus whose near-dup graph has diameter > 20 is a data bug, and
+    The loop runs on the INDUCED SUBGRAPH only: a node with no candidate
+    edge can never change label, so the per-round joins touch just the
+    edge-touched nodes — at corpus scale that is |candidates| rows per
+    round, not |corpus| (the dominant cost of iterating the full label
+    table). Untouched docs rejoin once at the end as their own singleton
+    clusters via a single anti-join — one corpus-sized pass total instead
+    of one per round.
+
+    Each round references the previous labels exactly ONCE: self-loops are
+    added to the edge set so `min over in-neighbors' labels` alone is the
+    step function (no separate least/coalesce pass re-reading the old
+    labels). That single-reference shape is load-bearing — a round that
+    reads `labels` twice doubles the LOGICAL plan tree per iteration
+    (persist caches physical results, not the analyzed plan), and Catalyst
+    re-analysis of the exponentially growing tree dominated the whole
+    operator by round 3 in profiling; referenced once, plan depth grows
+    linearly and per-round cost stays flat. The join reads the SRC label
+    and groups by DST (identical by edge symmetry), so the join lines up
+    on the persisted tables' existing hash partitioning.
+
+    Convergence probe: labels are elementwise non-increasing, so the
+    DECIMAL(38,0) label sum (exact, overflow-free at any corpus size) is
+    strictly decreasing until the fixpoint — one scalar action per round,
+    the same job that materializes the round's cache. The previous round's
+    block is released eagerly; the cap bounds runaway graphs (a 100 TB
+    corpus whose near-dup graph has diameter > 20 is a data bug, and
     raising beats emitting clusters with no canonical row)."""
+    dec_sum = F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+    touched = edges.select(F.col("src").alias("doc_id")).distinct()
+    eprime = track_persisted(
+        edges.union(
+            touched.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
+        ).persist()
+    )
     labels = track_persisted(
-        docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+        touched.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
     )
     # The persisted block BACKING `labels` — unpersist() must be called on
     # this exact object; calling it on a derived select() is a no-op, which
     # would keep every round's label table cached until session teardown.
     prev_block = labels
+    prev_sum = labels.agg(dec_sum.alias("s")).collect()[0]["s"]
     for _ in range(MAX_CLUSTER_ROUNDS):
-        nbr = (
-            edges.alias("e")
-            .join(labels.alias("l"), F.col("e.dst") == F.col("l.doc_id"))
-            .groupBy(F.col("e.src").alias("doc_id"))
-            .agg(F.min("l.cluster_id").alias("nbr_min"))
-        )
         stepped = track_persisted(
-            labels.join(nbr, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
-                F.coalesce(
-                    F.col("nbr_min") < F.col("cluster_id"), F.lit(False)
-                ).alias("moved"),
-            )
+            eprime.alias("e")
+            .join(labels.alias("l"), F.col("e.src") == F.col("l.doc_id"))
+            .groupBy(F.col("e.dst").alias("doc_id"))
+            .agg(F.min("l.cluster_id").alias("cluster_id"))
             .persist()
         )
-        converged = stepped.filter("moved").limit(1).count() == 0
+        cur_sum = stepped.agg(dec_sum.alias("s")).collect()[0]["s"]
+        converged = cur_sum == prev_sum
+        prev_sum = cur_sum
         prev_block.unpersist()
         prev_block = stepped
-        labels = stepped.select("doc_id", "cluster_id")
+        labels = stepped
         if converged:
-            return labels
+            # Anti-join against the final labels (≡ touched, but persisted
+            # with a shallower lineage) to re-attach singleton docs.
+            singles = docs.join(labels, "doc_id", "left_anti").select(
+                "doc_id", F.col("doc_id").alias("cluster_id")
+            )
+            return labels.union(singles)
     raise RuntimeError(
         f"dedup_clusters: min-label propagation still moving after "
         f"{MAX_CLUSTER_ROUNDS} rounds — near-dup graph diameter exceeds the "
@@ -534,8 +567,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the O(1) convergence probe — the standard Pregel-free components shape.
     The DuckDB oracle computes the same fixpoint as a recursive-CTE
     transitive closure, so the equality check holds for ANY chain radius,
-    not just radii the old 3-round unroll happened to cover."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    not just radii the old 3-round unroll happened to cover.
+
+    Pairs come straight from the banded candidate join (distinct) — the
+    matched-hash scoring and presentation sort dedup_minhash_lsh layers on
+    top are irrelevant to connectivity and skipped."""
+    pairs = (
+        _banded_md5_candidates(spark, sf_dir)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = track_persisted(
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
