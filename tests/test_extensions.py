@@ -280,6 +280,69 @@ def test_dedup_clusters_group_planted_dups_under_min_survivor(spark):
     assert sizes[0] == 1
 
 
+def test_semdedup_prune_invariants(spark):
+    """SemDeDup contract: every cell's min-id vector is kept (a lower-id
+    mate cannot exist for it), pruned vectors name a lower-id mate in the
+    SAME cell as their exemplar, and exemplars are themselves kept docs —
+    i.e. the survivorship convention matches dedup_clusters'."""
+    from weather_database_system_spark.operators.similarity import semdedup_prune
+
+    rows = {r.vec_id: r for r in semdedup_prune(spark, SF_SMOKE).collect()}
+    assert len(rows) == 500  # every vector classified, none dropped
+    by_cell: dict[int, list[int]] = {}
+    for vid, r in rows.items():
+        by_cell.setdefault(r.cell, []).append(vid)
+    for members in by_cell.values():
+        assert rows[min(members)].is_kept == 1
+    pruned = [r for r in rows.values() if r.is_kept == 0]
+    assert pruned  # synthetic near-dups exist at smoke sf
+    for r in pruned:
+        assert r.pruned_by is not None and r.pruned_by < r.vec_id
+        assert rows[r.pruned_by].cell == r.cell
+    for r in rows.values():
+        if r.is_kept:
+            assert r.pruned_by is None
+
+
+def test_quality_weighted_sample_is_unbiased_and_deterministic(spark):
+    """The Horvitz-Thompson weights must re-estimate the corpus size
+    (Σ 1/p over kept docs ≈ N — hash buckets are uniform, so generous ±20 %
+    at n=500), membership must be reproducible run-to-run, and every kept
+    row's weight must equal the exact integer-bucket inclusion probability
+    inverse."""
+    import math
+
+    from weather_database_system_spark.operators.trainprep import (
+        quality_weighted_sample,
+    )
+
+    a = quality_weighted_sample(spark, SF_SMOKE).collect()
+    b = quality_weighted_sample(spark, SF_SMOKE).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]  # no RNG anywhere
+    assert 0 < len(a) < 500
+    est = sum(r.ht_weight for r in a)
+    assert 0.8 * 500 <= est <= 1.2 * 500, est
+    for r in a[:50]:
+        n_buckets = math.ceil(r.keep_p * 100)
+        assert abs(r.ht_weight - round(100.0 / n_buckets, 6)) < 2e-6
+
+
+def test_domain_mixture_weights_rebalance_identity(spark):
+    """Mixture algebra: shares sum to 1 and natural_share × sample_weight
+    recovers target_share for every domain (the defining property of the
+    reweighting table)."""
+    from weather_database_system_spark.operators.trainprep import (
+        domain_mixture_weights,
+    )
+
+    rows = domain_mixture_weights(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    assert abs(sum(r.natural_share for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.target_share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert abs(r.natural_share * r.sample_weight - r.target_share) < 1e-3
+
+
 def test_min_label_propagation_resolves_radius5_chain(spark):
     """Fixpoint contract (VERDICT r2 'What's wrong' #2): a pair-graph chain
     of radius 5 — longer than the old 3-round unroll covered — must resolve

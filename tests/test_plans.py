@@ -133,6 +133,7 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
         "ann_brute_force",      # N_QUERIES whole vectors broadcast
         "ann_ivf_kmeans",       # K_CELLS=8 centroid rows broadcast (map-side
                                 # assignment — candidates never shuffle)
+        "semdedup_prune",       # same broadcast-K Lloyd assignment passes
         "embedding_near_dup",   # exact baseline; REFUSES >MAX_EXACT_VECTORS
                                 # (test_extensions guard test) — LSH is the
                                 # canonical scale path

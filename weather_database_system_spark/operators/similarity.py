@@ -520,6 +520,81 @@ def ann_lsh_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_TAU = 0.45  # intra-cluster prune bar — same near-dup cosine as
+                     # embedding_near_dup, so the two surfaces agree on
+                     # what "semantic duplicate" means
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
+    space with the deterministic Lloyd quantizer (same lowest-id init +
+    KMEANS_ITERS rounds as ann_ivf_kmeans, but over ALL vectors — dedup has
+    no query/candidate split), then within each cluster prune every vector
+    whose cosine to a LOWER-ID cluster-mate is >= SEMDEDUP_TAU. The paper
+    keeps one exemplar per intra-cluster duplicate group; min-id is the
+    deterministic exemplar choice (same survivorship convention as
+    dedup_clusters).
+
+    Scale shape: the ONLY pair stage is an equi-join on cell, so total work
+    is Σ_cell |cell|² — the paper's own complexity, bounded by construction
+    when K grows with the corpus (K = corpus/target-cell-size; here the
+    test-sf K_CELLS). Assignment is the broadcast-K map-side pass shared
+    with ann_ivf_kmeans; no all-pairs stage anywhere. Pair cosines use the
+    int64 fixed-point quantization (see _lsh_tables_fixedpoint): exact
+    integer dots (≤ ~6.4e13, inside both int64 and double-exact range) +
+    IEEE sqrt/divide — engine-identical, so the DuckDB oracle replays the
+    whole pipeline: training, assignment, AND pruning."""
+    vecs = _emb_double(spark, sf_dir).select("vec_id", "emb")
+
+    cents = (
+        vecs.orderBy("vec_id")
+        .limit(K_CELLS)
+        .select(
+            (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cell"),
+            F.col("emb").alias("cemb"),
+        )
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _recompute_centroids(_assign_cells(vecs, cents))
+    assigned = _assign_cells(vecs, cents).select("vec_id", "cell")
+
+    q6 = F.transform(F.col("emb"), lambda x: F.floor(x * FP_SCALE + 0.5).cast("long"))
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    fp = vecs.select(
+        "vec_id",
+        q6.alias("q6"),
+    ).select(
+        "vec_id", "q6", F.sqrt(idot(F.col("q6"), F.col("q6")).cast("double")).alias("fnrm")
+    )
+    side = assigned.join(fp, "vec_id")
+    a, b = side.alias("a"), side.alias("b")
+    cos = idot(F.col("a.q6"), F.col("b.q6")) / (F.col("a.fnrm") * F.col("b.fnrm"))
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= SEMDEDUP_TAU)
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("a.vec_id")).alias("pruned_by"))
+    )
+    return (
+        assigned.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("pruned_by").isNull().cast("int").alias("is_kept"),
+            "pruned_by",
+        )
+        .orderBy("vec_id")
+    )
+
+
 def _sql_planes_values() -> str:
     rows = []
     for pid, plane in enumerate(_hyperplanes()):
@@ -780,8 +855,96 @@ def _sql_ann_ivf_kmeans() -> str:
     """
 
 
+def _sql_semdedup() -> str:
+    """DuckDB replay of semdedup_prune end-to-end: the unrolled Lloyd loop
+    (over ALL vectors — no query/candidate split), final assignment, int64
+    fixed-point pair cosines, and the min-lower-id prune rule."""
+    iters = []
+    for i in range(KMEANS_ITERS):
+        iters.append(f"""
+        dist{i} AS (
+            SELECT v.vec_id, c.cell,
+                   sum(CAST((v.val - c.cval) * (v.val - c.cval) AS DECIMAL(30,10))) AS d2
+            FROM long v JOIN cent{i} c ON v.dim = c.dim
+            GROUP BY 1, 2
+        ),
+        assign{i} AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+                FROM dist{i}
+            ) WHERE rk = 1
+        ),
+        cent{i + 1} AS (
+            SELECT a.cell, v.dim,
+                   CAST(sum(CAST(v.val AS DECIMAL(30,10))) AS DOUBLE) / count(v.val) AS cval
+            FROM assign{i} a JOIN long v ON a.vec_id = v.vec_id
+            GROUP BY 1, 2
+        )""")
+    last = KMEANS_ITERS
+    return f"""
+        WITH long AS ({_SQL_LONG}),
+        init AS (
+            SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+            FROM (SELECT DISTINCT vec_id FROM long ORDER BY vec_id LIMIT {K_CELLS})
+        ),
+        cent0 AS (
+            SELECT i.cell, v.dim, v.val AS cval
+            FROM init i JOIN long v ON i.vec_id = v.vec_id
+        ),{",".join(iters)},
+        fdist AS (
+            SELECT v.vec_id, c.cell,
+                   sum(CAST((v.val - c.cval) * (v.val - c.cval) AS DECIMAL(30,10))) AS d2
+            FROM long v JOIN cent{last} c ON v.dim = c.dim
+            GROUP BY 1, 2
+        ),
+        fassign AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+                FROM fdist
+            ) WHERE rk = 1
+        ),
+        q6 AS (
+            SELECT vec_id, dim,
+                   CAST(floor(val * {FP_SCALE} + 0.5) AS BIGINT) AS qv
+            FROM long
+        ),
+        fnrm AS (
+            SELECT vec_id, sqrt(CAST(sum(qv * qv) AS DOUBLE)) AS fnrm
+            FROM q6 GROUP BY 1
+        ),
+        cpairs AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb
+            FROM fassign a JOIN fassign b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+        ),
+        pdots AS (
+            SELECT p.va, p.vb, CAST(sum(x.qv * y.qv) AS DOUBLE) AS idot
+            FROM cpairs p
+            JOIN q6 x ON x.vec_id = p.va
+            JOIN q6 y ON y.vec_id = p.vb AND x.dim = y.dim
+            GROUP BY 1, 2
+        ),
+        dups AS (
+            SELECT d.vb AS vec_id, min(d.va) AS pruned_by
+            FROM pdots d
+            JOIN fnrm na ON d.va = na.vec_id
+            JOIN fnrm nb ON d.vb = nb.vec_id
+            WHERE d.idot / (na.fnrm * nb.fnrm) >= {SEMDEDUP_TAU}
+            GROUP BY 1
+        )
+        SELECT f.vec_id, f.cell,
+               CAST(d.pruned_by IS NULL AS INT) AS is_kept,
+               d.pruned_by
+        FROM fassign f LEFT JOIN dups d ON f.vec_id = d.vec_id
+        ORDER BY f.vec_id
+    """
+
+
 ORACLE: dict[str, str] = {
     "ann_lsh_hyperplane": _sql_ann_lsh(),
+    "semdedup_prune": _sql_semdedup(),
     "ann_lsh_fixedpoint": _sql_ann_lsh_fixedpoint(),
     "ann_ivf_kmeans": _sql_ann_ivf_kmeans(),
     "embedding_near_dup_lsh": _sql_near_dup_lsh(),
@@ -886,6 +1049,7 @@ QUERIES = {
     "ann_brute_force": ann_brute_force,
     "ann_ivf_label": ann_ivf_label,
     "ann_ivf_kmeans": ann_ivf_kmeans,
+    "semdedup_prune": semdedup_prune,
     "ann_bruteforce_pandas": ann_bruteforce_pandas,
     "ann_lsh_hyperplane": ann_lsh_hyperplane,
     "ann_lsh_fixedpoint": ann_lsh_fixedpoint,

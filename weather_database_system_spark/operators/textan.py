@@ -37,6 +37,23 @@ def _hits(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
+def _quality_score(toks: Column) -> Column:
+    """The length/stopword/diversity quality score — ONE definition shared
+    by text_quality, corpus_curation, and trainprep.quality_weighted_sample
+    (same tokenizer-desync rationale as trainprep's single `_tokens`:
+    duplicated formulas drift). Pure double arithmetic over exact integer
+    ratios, so the value is engine-identical without rounding — the
+    corpus_curation oracle compares it unrounded."""
+    n = F.size(toks)
+    stop_ratio = _hits(toks, EN_STOPWORDS) / n
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    return (
+        F.least(F.lit(1.0), n / F.lit(200.0)) * 0.5
+        + (F.lit(1.0) - stop_ratio) * 0.3
+        + F.least(F.lit(1.0), distinct_ratio * 2) * 0.2
+    )
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, regex word tokens
     (BPE-ish pre-tokenizer pass), and mean token length."""
@@ -65,11 +82,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(toks)
     stop_ratio = _hits(toks, EN_STOPWORDS) / n
     distinct_ratio = F.size(F.array_distinct(toks)) / n
-    score = (
-        F.least(F.lit(1.0), n / F.lit(200.0)) * 0.5
-        + (F.lit(1.0) - stop_ratio) * 0.3
-        + F.least(F.lit(1.0), distinct_ratio * 2) * 0.2
-    )
+    score = _quality_score(toks)
     return docs.select(
         "doc_id",
         n.alias("n_tokens"),
@@ -171,14 +184,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-native curation vs chained jobs."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
-    n = F.size(toks)
-    stop_ratio = _hits(toks, EN_STOPWORDS) / n
-    distinct_ratio = F.size(F.array_distinct(toks)) / n
-    score = (
-        F.least(F.lit(1.0), n / F.lit(200.0)) * 0.5
-        + (F.lit(1.0) - stop_ratio) * 0.3
-        + F.least(F.lit(1.0), distinct_ratio * 2) * 0.2
-    )
+    score = _quality_score(toks)
     scores = {lang: _hits(toks, words) for lang, words in LANG_STOPWORDS.items()}
     best = F.greatest(*scores.values())
     pred = F.lit(None).cast("string")

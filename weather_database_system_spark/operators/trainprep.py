@@ -34,7 +34,17 @@ from pyspark.sql import functions as F
 
 from weather_database_system_spark.operators.dedup import _tokens
 from weather_database_system_spark.operators.relational import _fr, _sql_fr
-from weather_database_system_spark.operators.scale import _HI_DIV, _ID_MOD, _KNUTH
+from weather_database_system_spark.operators.scale import (
+    _HI_DIV,
+    _ID_MOD,
+    _KNUTH,
+    _sql_bucket,
+)
+from weather_database_system_spark.operators.textan import (
+    EN_STOPWORDS,
+    _quality_score,
+    _sql_hits,
+)
 from weather_database_system_spark.sources.star import load_table
 
 
@@ -329,6 +339,77 @@ def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture audit + reweighting (The Pile's per-set epochs /
+    DoReMi's domain weights, as a table): per source domain, doc and token
+    counts, the natural mixture share, and the resampling weight that
+    rebalances the corpus to a UNIFORM target mixture (weight > 1 ⇒
+    upsample, < 1 ⇒ downsample).
+
+    100 TB shape: ONE combiner-friendly groupBy over |domains| keys (token
+    counts partially aggregate map-side); the share/weight arithmetic runs
+    as a window over the |domains|-row AGGREGATE — the unpartitioned window
+    is bounded by domain cardinality, never corpus-sized. All shares divide
+    exact BIGINT token counts, so the doubles are engine-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_tokens(F.col("text")))).alias("n_tokens"),
+    )
+    wall = W.partitionBy()
+    natural = F.col("n_tokens") / F.sum("n_tokens").over(wall)
+    target = F.lit(1.0) / F.count("*").over(wall)
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        _fr(natural, 6).alias("natural_share"),
+        _fr(target, 6).alias("target_share"),
+        _fr(target / natural, 4).alias("sample_weight"),
+    ).orderBy("source")
+
+
+QUALITY_P_FLOOR = 0.05  # minimum keep probability: every doc stays sampleable
+
+
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling: keep each document with
+    probability equal to its quality score (textan's shared
+    ``_quality_score``, clamped to [QUALITY_P_FLOOR, 1] and rounded to the
+    4-decimal keep_p BEFORE the membership test, so the boundary is
+    engine-exact by construction), decided by the deterministic Knuth hash
+    bucket — the same reproducible, engine-exact membership scheme as
+    stratified_sample (no RNG: membership is a pure function of doc_id,
+    stable under reruns and joinable). Kept rows carry the
+    Horvitz-Thompson inverse-probability weight — 100/ceil(keep_p·100),
+    the EXACT inclusion probability of the integer-bucket test (the number
+    of buckets in [0, x) is ceil(x)) — so downstream token / loss
+    statistics over the sample stay unbiased estimates of the corpus.
+
+    Map-only at any scale: score, clamp, bucket, and filter are all column
+    expressions in one codegen'd scan — the quality-pruning pass of a
+    100 TB curation pipeline is exactly this shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    score = _quality_score(_tokens(F.col("text")))
+    p = F.least(F.lit(1.0), F.greatest(F.lit(QUALITY_P_FLOOR), score))
+    keep_p = _fr(p, 4)
+    b = F.expr(f"pmod((pmod(doc_id, {_ID_MOD}) * {_KNUTH}) div {_HI_DIV}, 100)")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            _fr(score, 4).alias("quality_score"),
+            keep_p.alias("keep_p"),
+            _fr(F.lit(100.0) / F.ceil(keep_p * 100), 6).alias("ht_weight"),
+            b.alias("b"),
+        )
+        .filter(F.col("b") < F.col("keep_p") * 100)
+        .drop("b")
+        .orderBy("doc_id")
+    )
+
+
 _SQL_TOKS = "SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents"
 
 
@@ -348,7 +429,53 @@ def _sql_rep_per_doc(n: int, top_alias: str, dup_alias: str) -> str:
     """
 
 
+# The shared quality score in DuckDB form — operand-for-operand the same
+# IEEE double sequence as textan._quality_score (exact integer ratios in,
+# so the unrounded value is engine-identical; corpus_curation's oracle
+# already relies on this).
+_SQL_SCORE = (
+    "(least(1.0, len(toks) / 200.0) * 0.5"
+    f" + (1.0 - {_sql_hits(EN_STOPWORDS)} * 1.0 / len(toks)) * 0.3"
+    " + least(1.0, (len(list_distinct(toks)) * 1.0 / len(toks)) * 2) * 0.2)"
+)
+
+
 ORACLE: dict[str, str] = {
+    "domain_mixture_weights": f"""
+        WITH per AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        )
+        SELECT source, n_docs, n_tokens,
+               {_sql_fr('n_tokens * 1.0 / (sum(n_tokens) OVER ())', 6)} AS natural_share,
+               {_sql_fr('1.0 / (count(*) OVER ())', 6)} AS target_share,
+               {_sql_fr('(1.0 / (count(*) OVER ())) / (n_tokens * 1.0 / (sum(n_tokens) OVER ()))', 4)}
+                   AS sample_weight
+        FROM per ORDER BY source
+    """,
+    "quality_weighted_sample": f"""
+        WITH d AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+                   FROM documents),
+        scored AS (
+            SELECT doc_id, lang, source,
+                   {_SQL_SCORE} AS score,
+                   {_sql_bucket('doc_id')} AS b
+            FROM d
+        ),
+        sel AS (
+            SELECT doc_id, lang, source, b,
+                   {_sql_fr('score', 4)} AS quality_score,
+                   {_sql_fr(f'least(1.0, greatest({QUALITY_P_FLOOR}, score))', 4)} AS keep_p
+            FROM scored
+        )
+        SELECT doc_id, lang, source, quality_score, keep_p,
+               {_sql_fr('100.0 / ceil(keep_p * 100)', 6)} AS ht_weight
+        FROM sel
+        WHERE b < keep_p * 100
+        ORDER BY doc_id
+    """,
     "repetition_ngram_stats": f"""
         WITH two AS ({_sql_rep_per_doc(2, 'top_2gram_frac', 'dup_2gram_frac')}),
         three AS ({_sql_rep_per_doc(3, 'top_3gram_frac', 'dup_3gram_frac')})
@@ -474,6 +601,8 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "domain_mixture_weights": domain_mixture_weights,
+    "quality_weighted_sample": quality_weighted_sample,
     "repetition_ngram_stats": repetition_ngram_stats,
     "doc_chunk_windows": doc_chunk_windows,
     "sequence_pack_bins": sequence_pack_bins,
