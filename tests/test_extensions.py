@@ -280,6 +280,32 @@ def test_dedup_clusters_group_planted_dups_under_min_survivor(spark):
     assert sizes[0] == 1
 
 
+def test_bm25_ranking_is_monotone_and_grounded(spark):
+    """BM25 contract: dense 1..k ranks in strictly non-increasing score
+    order, and every ranked document actually contains at least one query
+    term (scores come only from matching postings)."""
+    from weather_database_system_spark.operators.textan import (
+        BM25_QUERY,
+        BM25_TOP_K,
+        bm25_search,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    top = bm25_search(spark, SF_SMOKE).collect()
+    assert [r.rank for r in top] == list(range(1, BM25_TOP_K + 1))
+    scores = [r.bm25 for r in top]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("doc_id").isin([r.doc_id for r in top]))
+        .collect()
+    }
+    for r in top:
+        assert any(t in texts[r.doc_id].split() for t in BM25_QUERY), r.doc_id
+
+
 def test_semdedup_prune_invariants(spark):
     """SemDeDup contract: every cell's min-id vector is kept (a lower-id
     mate cannot exist for it), pruned vectors name a lower-id mate in the

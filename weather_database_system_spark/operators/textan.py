@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from weather_database_system_spark.operators.relational import _fr, _sql_fr
+from weather_database_system_spark.operators.relational import DEC, _fr, _sql_fr
 from weather_database_system_spark.operators.dedup import _shingles, _tokens
 from weather_database_system_spark.sources.star import load_table
 
@@ -169,6 +169,65 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("hash", "join", "stream")
+BM25_TOP_K = 20
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Lucene form) for a fixed query —
+    the full-text-search scoring surface next to tfidf_top_terms'
+    keyword extraction: score(d) = Σ_t idf(t) · tf·(k1+1) /
+    (tf + k1·(1 − b + b·dl/avgdl)), idf = ln(1 + (N − df + ½)/(df + ½)).
+
+    Shape at 100 TB: the term filter lands right after the explode, so the
+    posting stream is |query|-sparse from the first stage; tf is a
+    map-side-combining (doc, term) count; df is a |query|-row aggregate
+    joined back by broadcast; the corpus stats (N, avgdl) are one bounded
+    1-row aggregate (the same parquet-footer-class action tfidf's
+    docs.count() uses); the final top-k is TakeOrdered, never a global
+    sort, and rank is a window over the already-bounded k rows.
+
+    Determinism: idf and each term score floor-round to 6 decimals, and the
+    per-doc sum accumulates in DECIMAL — float addition order never touches
+    the ranking key (ties break by doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).select(
+        "doc_id", F.size("toks").alias("dl"), "toks"
+    )
+    stats = base.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = stats["n"], stats["avgdl"]
+
+    terms = base.select("doc_id", "dl", F.explode("toks").alias("term")).filter(
+        F.col("term").isin(*BM25_QUERY)
+    )
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf6 = _fr(
+        F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)), 6
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl)
+    )
+    tscore6 = _fr(idf6 * (F.col("tf") * (BM25_K1 + 1.0)) / denom, 6)
+    per_doc = (
+        tf.join(F.broadcast(df_), "term")
+        .select("doc_id", tscore6.cast(DEC).alias("ts"))
+        .groupBy("doc_id")
+        .agg(_fr(F.sum("ts").cast("double"), 6).alias("bm25"))
+    )
+    from pyspark.sql import Window as W
+
+    top = per_doc.orderBy(F.col("bm25").desc(), "doc_id").limit(BM25_TOP_K)
+    w = W.orderBy(F.col("bm25").desc(), "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "doc_id", "bm25"
+    ).orderBy("rank")
+
+
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curated-corpus funnel, composed from this module's gates in ONE
     pass: raw → quality (score ≥ 0.4) → language agreement (drop only on
@@ -279,6 +338,39 @@ ORACLE: dict[str, str] = {
         FROM ranked WHERE rank <= {TFIDF_TOP_K}
         ORDER BY doc_id, rank
     """,
+    "bm25_search": f"""
+        WITH d AS ({_SQL_TOKS}),
+        stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM d),
+        terms AS (
+            SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+            FROM terms
+            WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+            GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scored AS (
+            SELECT t.doc_id,
+                   CAST({_sql_fr(
+                       _sql_fr(f"ln(1.0 + (s.n - df + 0.5) / (df + 0.5))", 6)
+                       + f" * (t.tf * ({BM25_K1} + 1.0))"
+                       + f" / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * t.dl / s.avgdl))",
+                       6,
+                   )} AS DECIMAL(30,10)) AS ts
+            FROM tf t JOIN df USING (term), stats s
+        ),
+        agg AS (
+            SELECT doc_id, {_sql_fr('CAST(sum(ts) AS DOUBLE)', 6)} AS bm25
+            FROM scored GROUP BY doc_id
+        )
+        SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank,
+               doc_id, bm25
+        FROM agg
+        ORDER BY bm25 DESC, doc_id
+        LIMIT {BM25_TOP_K}
+    """,
     "text_token_stats": f"""
         WITH d AS ({_SQL_TOKS})
         SELECT doc_id,
@@ -347,6 +439,7 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "corpus_curation": corpus_curation,
     "tfidf_top_terms": tfidf_top_terms,
+    "bm25_search": bm25_search,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "lang_id_stopword": lang_id_stopword,
