@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # Queries with a green CORRECTNESS row whose implementation is UNCHANGED
-# since that row (union of CORRECTNESS_r01/r02/r03 keys, minus rewrites).
+# since that row (union of CORRECTNESS_r01/r02/r03/r04 keys, minus rewrites).
 # The driver samples the first 50 registry entries per round, so
 # _registries() enumerates everything NOT in this set first — new queries
 # and post-green rewrites get (re-)checked in the next round's sample; the
@@ -30,14 +30,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (tests/test_oracle_parity.py) in the meantime.
 #
 # Deliberately NOT in this set despite an earlier green row, so the driver
-# re-verifies the current implementation (per r3 ADVICE):
-#   r3 rewrites: dedup_minhash_lsh, dedup_minhash_lsh_fast, dedup_clusters,
-#                ngram_jaccard_pairs
-#   r4 rewrites: pii_redaction, rfm_segmentation, doc_chunk_windows,
-#                sequence_pack_bins, and the _shingles/_grams array_join
-#                rewrite (byte-identical strings, re-checked anyway):
-#                doc_fingerprint, repetition_ngram_stats,
-#                contamination_eval_overlap
+# re-verifies the current implementation (per r4 VERDICT/ADVICE):
+#   r5 rewrites: semdedup_prune (Lloyd-training cost cut, r4 verdict #3).
+# The four r4-ADVICE items (pii regex hardening, rfm threshold rounding,
+# doc_chunk_windows single tokenizer, dedup_clusters eager unpersist) were
+# already fixed in late-r4 commits e15382f/1103520 and the r04 CORRECTNESS
+# rows verified that final code — so those queries stay green here.
 _DRIVER_GREEN = frozenset({
     # --- green in r01/r02, unchanged since ---
     "agg_collect_sorted", "agg_quantiles", "agg_statistics",
@@ -77,6 +75,13 @@ _DRIVER_GREEN = frozenset({
     "string_functions_extended", "tfidf_top_terms", "time_weighted_avg",
     "train_test_split", "udf_normalize_text", "udf_tokenize_table",
     "udf_weighted_mean_price",
+    # --- green in r04, unchanged since ---
+    "bm25_search", "contamination_eval_overlap", "dedup_clusters",
+    "dedup_minhash_lsh", "dedup_minhash_lsh_fast", "doc_chunk_windows",
+    "doc_fingerprint", "domain_mixture_weights", "ngram_jaccard_pairs",
+    "pii_redaction", "quality_weighted_sample", "repetition_ngram_stats",
+    "rfm_segmentation", "rfm_segmentation_approx", "sequence_pack_bins",
+    "sequence_pack_bins_sharded",
 })
 
 

@@ -284,6 +284,8 @@ def test_bm25_ranking_is_monotone_and_grounded(spark):
     """BM25 contract: dense 1..k ranks in strictly non-increasing score
     order, and every ranked document actually contains at least one query
     term (scores come only from matching postings)."""
+    from pyspark.sql import functions as F
+
     from weather_database_system_spark.operators.textan import (
         BM25_QUERY,
         BM25_TOP_K,

@@ -46,6 +46,9 @@ def get_spark(app_name: str = "weather_database_system_spark",
         # it, so the engine reads raw nanos and converts (sources/star.py).
         # Set at build time so ensure_engine_confs never mutates mid-flight.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ts written as TIMESTAMP(MICROS, isAdjustedToUTC=false) must read as
+        # session-tz TIMESTAMP, not TIMESTAMP_NTZ (watermarks need LTZ).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

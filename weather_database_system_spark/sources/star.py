@@ -41,7 +41,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_confs(spark)
     if name == "events":
         return _load_events(spark, path)
-    return spark.read.parquet(path)
+    return _normalize_ts(spark.read.parquet(path))
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-tz TIMESTAMP (UTC per
+    ensure_engine_confs). The engine's temporal surface — watermarks, epoch
+    casts, window() — is defined over TIMESTAMP; under a UTC session the
+    cast preserves the wall-clock value, i.e. exactly the naive-as-UTC
+    reading the DuckDB oracle applies to the same parquet."""
+    from pyspark.sql import functions as F
+
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if not ntz:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
 
 
 def ensure_engine_confs(spark: SparkSession) -> None:
@@ -51,9 +65,18 @@ def ensure_engine_confs(spark: SparkSession) -> None:
 
     - session.timeZone=UTC — date_trunc/date_format must agree with the
       timezone-naive DuckDB oracle even if the host JVM default isn't UTC.
-    - legacy.parquet.nanosAsLong — events.ts is TIMESTAMP(NANOS), which the
-      vectorized reader rejects; read raw nanos and convert (see
-      _load_events). Must be set before the first events scan is PLANNED.
+    - legacy.parquet.nanosAsLong — events.ts is TIMESTAMP(NANOS) in some
+      testdata generations, which the vectorized reader rejects; read raw
+      nanos and convert (see _load_events). Must be set before the first
+      events scan is PLANNED.
+    - parquet.inferTimestampNTZ.enabled=false — other generations write
+      ts as TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark 4
+      infers as TIMESTAMP_NTZ: a type that breaks event-time watermarks
+      (LTZ required) and epoch casts. Disabling the inference reads it as
+      session-tz TIMESTAMP — under UTC, the exact naive-as-UTC semantics
+      the DuckDB oracle uses. _normalize_ts additionally casts any NTZ
+      column that slipped through (a session whose first events scan was
+      planned before this bootstrap).
 
     This is a documented global override, not a per-call side effect: the
     set() only fires when the value differs, so a session already
@@ -62,6 +85,7 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     wanted = {
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     }
     for k, v in wanted.items():
         try:
@@ -84,7 +108,7 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+    return _normalize_ts(df)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
