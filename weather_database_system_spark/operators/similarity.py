@@ -528,45 +528,72 @@ SEMDEDUP_TAU = 0.45  # intra-cluster prune bar — same near-dup cosine as
                      # what "semantic duplicate" means
 
 
+def _semdedup_cell_expr(cents: dict[int, list[int]]):
+    """Nearest-centroid cell id as ONE map-side expression over the ``qarr``
+    int64 array and its precomputed self-dot ``qq``: per cell,
+    d² = Σq² − 2·Σq·c + Σc² (algebraically identical to Σ(q−c)², exact in
+    int64 — Σq² is the shared ``qq`` column and Σc² folds to a literal),
+    argmin via array_min over (d², cell) structs (lexicographic = d² asc
+    then cell asc — the same tie-break as the oracle's row_number ORDER BY
+    d2, cell). No crossJoin, no per-vector window shuffle: assignment is a
+    pure projection the scan pipeline absorbs.
+
+    The per-cell dot is a zip_with/aggregate fold, NOT an unrolled
+    multiply-add chain: K cells × EMB_DIMS terms unrolled (~1000 expression
+    nodes) exceeds janino's 64 KB method limit, and the failed compile +
+    whole-stage fallback costs seconds PER STAGE (new literals each round =
+    no codegen cache hit) — measured 12.5 s warm vs ~3 s with the compact
+    fold, whose interpreted per-element cost (K×dims ops/row) is noise."""
+    arms = []
+    for cell in sorted(cents):
+        c = cents[cell]
+        dot = F.aggregate(
+            F.zip_with(F.col("qarr"), F.array(*[F.lit(v) for v in c]), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        d2 = F.col("qq") - F.lit(2) * dot + F.lit(sum(v * v for v in c))
+        arms.append(F.struct(d2.alias("d2"), F.lit(cell).alias("cell")))
+    return F.array_min(F.array(*arms))["cell"]
+
+
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
-    space with the deterministic Lloyd quantizer (same lowest-id init +
-    KMEANS_ITERS rounds as ann_ivf_kmeans, but over ALL vectors — dedup has
-    no query/candidate split), then within each cluster prune every vector
-    whose cosine to a LOWER-ID cluster-mate is >= SEMDEDUP_TAU. The paper
-    keeps one exemplar per intra-cluster duplicate group; min-id is the
-    deterministic exemplar choice (same survivorship convention as
-    dedup_clusters).
+    space with a deterministic QUANTIZED Lloyd quantizer (lowest-id init,
+    KMEANS_ITERS rounds, over ALL vectors — dedup has no query/candidate
+    split), then within each cluster prune every vector whose cosine to a
+    LOWER-ID cluster-mate is >= SEMDEDUP_TAU. The paper keeps one exemplar
+    per intra-cluster duplicate group; min-id is the deterministic exemplar
+    choice (same survivorship convention as dedup_clusters).
+
+    The WHOLE pipeline — training included — runs on the int64 fixed-point
+    grid (floor(x·1e6 + 0.5), see _lsh_tables_fixedpoint): distances are
+    exact integer Σ(q−c)², centroid updates re-quantize to the grid via
+    floor(Σq/n + 0.5) (Σq an exact long sum, one IEEE divide — both well
+    inside double-exact range), so every training step is engine-identical
+    and the DuckDB oracle replays training, assignment AND pruning
+    bit-for-bit. (r4 verdict #3: training previously re-ran a DECIMAL
+    distance fold per vector × K per iteration inside one giant nested
+    plan, re-computed per downstream reference — 11.4 s at sf0.1; the
+    int64 definition with per-round materialization is the production
+    arithmetic.)
+
+    Driver state: only the K centroid rows cross the driver per round —
+    bounded by K (= corpus/target-cell-size), the same centroids-as-driver-
+    state shape as Spark MLlib's own KMeans; vectors never leave executors.
+    Each Lloyd round is ONE map-side-combined K-group aggregation over the
+    persisted flat table (assignment is a projection — see
+    _semdedup_cell_expr), so training costs 2 linear passes, not nested
+    crossJoin+window replans.
 
     Scale shape: the ONLY pair stage is an equi-join on cell, so total work
     is Σ_cell |cell|² — the paper's own complexity, bounded by construction
-    when K grows with the corpus (K = corpus/target-cell-size; here the
-    test-sf K_CELLS). Assignment is the broadcast-K map-side pass shared
-    with ann_ivf_kmeans; no all-pairs stage anywhere. Pair cosines use the
-    int64 fixed-point quantization (see _lsh_tables_fixedpoint): exact
-    integer dots (≤ ~6.4e13, inside both int64 and double-exact range) +
-    IEEE sqrt/divide — engine-identical, so the DuckDB oracle replays the
-    whole pipeline: training, assignment, AND pruning.
-
-    The pair dot is an UNROLLED 64-term flat-column long expression, not an
-    array fold: HOF lambdas run interpreted per element, and on the 250 k
-    intra-cell pairs at sf0.1 the flat-column form measured 2.4× faster
-    (bit-identical counts). Unlike the decimal-dot case (where the nested
-    Cast chain blew the codegen method limit — see _dot_dec), a plain long
-    multiply-add chain stays inside whole-stage codegen."""
-    vecs = _emb_double(spark, sf_dir).select("vec_id", "emb")
-
-    cents = (
-        vecs.orderBy("vec_id")
-        .limit(K_CELLS)
-        .select(
-            (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cell"),
-            F.col("emb").alias("cemb"),
-        )
-    )
-    for _ in range(KMEANS_ITERS):
-        cents = _recompute_centroids(_assign_cells(vecs, cents))
-    assigned = _assign_cells(vecs, cents).select("vec_id", "cell")
+    when K grows with the corpus. Pair dots are UNROLLED 64-term
+    flat-column long expressions, not array folds: HOF lambdas run
+    interpreted per element, and on the intra-cell pairs at sf0.1 the
+    flat-column form measured 2.4× faster (bit-identical counts); a plain
+    long multiply-add chain stays inside whole-stage codegen."""
+    import math
 
     q6 = F.transform(F.col("emb"), lambda x: F.floor(x * FP_SCALE + 0.5).cast("long"))
     idot = lambda a, b: F.aggregate(  # noqa: E731 — norm only: once per vector
@@ -574,12 +601,48 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    fp = vecs.select("vec_id", q6.alias("q6")).select(
-        "vec_id",
-        F.sqrt(idot(F.col("q6"), F.col("q6")).cast("double")).alias("fnrm"),
-        *[F.element_at("q6", i + 1).alias(f"q{i}") for i in range(EMB_DIMS)],
+    fp = track_persisted(
+        _emb_double(spark, sf_dir)
+        .select("vec_id", q6.alias("q6"))
+        .select(
+            "vec_id",
+            F.col("q6").alias("qarr"),
+            idot(F.col("q6"), F.col("q6")).alias("qq"),
+            *[F.element_at("q6", i + 1).alias(f"q{i}") for i in range(EMB_DIMS)],
+        )
+        .withColumn("fnrm", F.sqrt(F.col("qq").cast("double")))
+        .persist()
     )
-    side = assigned.join(fp, "vec_id")
+    init = sorted(fp.orderBy("vec_id").limit(K_CELLS).collect(), key=lambda r: r.vec_id)
+    cents = {
+        cell: [row[f"q{i}"] for i in range(EMB_DIMS)]
+        for cell, row in enumerate(init)
+    }
+    for _ in range(KMEANS_ITERS):
+        rows = (
+            fp.groupBy(_semdedup_cell_expr(cents).alias("cell"))
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(f"q{i}").alias(f"s{i}") for i in range(EMB_DIMS)],
+            )
+            .collect()
+        )
+        # floor(Σq/n + 0.5): Σq exact in int64 and < 2^53, so the Python
+        # divide is the same IEEE double the oracle's CAST(... AS DOUBLE)/n
+        # produces — centroids re-quantize identically on both engines.
+        cents = {
+            r["cell"]: [
+                math.floor(r[f"s{i}"] / r["n"] + 0.5) for i in range(EMB_DIMS)
+            ]
+            for r in rows
+        }
+    side = fp.select(
+        "vec_id",
+        "fnrm",
+        *[f"q{i}" for i in range(EMB_DIMS)],
+        _semdedup_cell_expr(cents).alias("cell"),
+    )
+    assigned = side.select("vec_id", "cell")
     a, b = side.alias("a"), side.alias("b")
     dot = None
     for i in range(EMB_DIMS):
@@ -869,16 +932,19 @@ def _sql_ann_ivf_kmeans() -> str:
 
 
 def _sql_semdedup() -> str:
-    """DuckDB replay of semdedup_prune end-to-end: the unrolled Lloyd loop
-    (over ALL vectors — no query/candidate split), final assignment, int64
-    fixed-point pair cosines, and the min-lower-id prune rule."""
+    """DuckDB replay of semdedup_prune end-to-end: the unrolled QUANTIZED
+    Lloyd loop (int64 grid distances, floor(Σq/n + 0.5) centroid
+    re-quantization — over ALL vectors, no query/candidate split), final
+    assignment, int64 fixed-point pair cosines, and the min-lower-id prune
+    rule. Every training step is exact integer or one IEEE divide, so the
+    replay is bit-for-bit."""
     iters = []
     for i in range(KMEANS_ITERS):
         iters.append(f"""
         dist{i} AS (
             SELECT v.vec_id, c.cell,
-                   sum(CAST((v.val - c.cval) * (v.val - c.cval) AS DECIMAL(30,10))) AS d2
-            FROM long v JOIN cent{i} c ON v.dim = c.dim
+                   sum((v.qv - c.cq) * (v.qv - c.cq)) AS d2
+            FROM q6 v JOIN cent{i} c ON v.dim = c.dim
             GROUP BY 1, 2
         ),
         assign{i} AS (
@@ -890,25 +956,30 @@ def _sql_semdedup() -> str:
         ),
         cent{i + 1} AS (
             SELECT a.cell, v.dim,
-                   CAST(sum(CAST(v.val AS DECIMAL(30,10))) AS DOUBLE) / count(v.val) AS cval
-            FROM assign{i} a JOIN long v ON a.vec_id = v.vec_id
+                   CAST(floor(CAST(sum(v.qv) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cq
+            FROM assign{i} a JOIN q6 v ON a.vec_id = v.vec_id
             GROUP BY 1, 2
         )""")
     last = KMEANS_ITERS
     return f"""
         WITH long AS ({_SQL_LONG}),
+        q6 AS (
+            SELECT vec_id, dim,
+                   CAST(floor(val * {FP_SCALE} + 0.5) AS BIGINT) AS qv
+            FROM long
+        ),
         init AS (
             SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
-            FROM (SELECT DISTINCT vec_id FROM long ORDER BY vec_id LIMIT {K_CELLS})
+            FROM (SELECT DISTINCT vec_id FROM q6 ORDER BY vec_id LIMIT {K_CELLS})
         ),
         cent0 AS (
-            SELECT i.cell, v.dim, v.val AS cval
-            FROM init i JOIN long v ON i.vec_id = v.vec_id
+            SELECT i.cell, v.dim, v.qv AS cq
+            FROM init i JOIN q6 v ON i.vec_id = v.vec_id
         ),{",".join(iters)},
         fdist AS (
             SELECT v.vec_id, c.cell,
-                   sum(CAST((v.val - c.cval) * (v.val - c.cval) AS DECIMAL(30,10))) AS d2
-            FROM long v JOIN cent{last} c ON v.dim = c.dim
+                   sum((v.qv - c.cq) * (v.qv - c.cq)) AS d2
+            FROM q6 v JOIN cent{last} c ON v.dim = c.dim
             GROUP BY 1, 2
         ),
         fassign AS (
@@ -917,11 +988,6 @@ def _sql_semdedup() -> str:
                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
                 FROM fdist
             ) WHERE rk = 1
-        ),
-        q6 AS (
-            SELECT vec_id, dim,
-                   CAST(floor(val * {FP_SCALE} + 0.5) AS BIGINT) AS qv
-            FROM long
         ),
         fnrm AS (
             SELECT vec_id, sqrt(CAST(sum(qv * qv) AS DOUBLE)) AS fnrm
