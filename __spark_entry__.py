@@ -31,7 +31,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #
 # Deliberately NOT in this set despite an earlier green row, so the driver
 # re-verifies the current implementation (per r4 VERDICT/ADVICE):
-#   r5 rewrites: semdedup_prune (Lloyd-training cost cut, r4 verdict #3).
+#   r5 rewrites: semdedup_prune (int64 quantized-Lloyd training, r4 verdict
+#                #3); dedup_clusters + dedup_minhash_lsh_fast (byte-identical
+#                refactor through the shared _banded_*_candidates /
+#                _clusters_from_candidates helpers, re-checked anyway).
+#   r5 additions (never checked): dedup_clusters_fast.
 # The four r4-ADVICE items (pii regex hardening, rfm threshold rounding,
 # doc_chunk_windows single tokenizer, dedup_clusters eager unpersist) were
 # already fixed in late-r4 commits e15382f/1103520 and the r04 CORRECTNESS
@@ -76,8 +80,8 @@ _DRIVER_GREEN = frozenset({
     "train_test_split", "udf_normalize_text", "udf_tokenize_table",
     "udf_weighted_mean_price",
     # --- green in r04, unchanged since ---
-    "bm25_search", "contamination_eval_overlap", "dedup_clusters",
-    "dedup_minhash_lsh", "dedup_minhash_lsh_fast", "doc_chunk_windows",
+    "bm25_search", "contamination_eval_overlap",
+    "dedup_minhash_lsh", "doc_chunk_windows",
     "doc_fingerprint", "domain_mixture_weights", "ngram_jaccard_pairs",
     "pii_redaction", "quality_weighted_sample", "repetition_ngram_stats",
     "rfm_segmentation", "rfm_segmentation_approx", "sequence_pack_bins",

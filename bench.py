@@ -56,11 +56,15 @@ HEADLINE = (
     "time_weighted_avg",      # interval-weighted temporal mean
     "corpus_curation",        # quality→lang→dedup gates in one pass
     "stratified_sample",      # map-only hash-bucket sampling
-    "dedup_clusters",         # minhash pair graph → fixpoint components
+    "dedup_clusters_fast",    # xxhash64 pair graph → fixpoint components
+                              # (production hash; the md5 twin stays in the
+                              # registry for byte-exact oracle parity)
     "contamination_eval_overlap",  # broadcast eval-gram decontamination
     "semdedup_prune",         # Lloyd-clustered semantic prune (cell-scoped)
     "domain_mixture_weights", # per-source token shares + resample weights
     "quality_weighted_sample",  # hash-bucket importance sampling
+    "unigram_logprob_quality",  # corpus-trained unigram-LM surprisal gate
+    "tfidf_cosine_pairs",     # rare-term tf-idf cosine near-dup pairs
 )
 
 # N runs per query; report the per-query MEDIAN. Default 1 preserves the
@@ -120,6 +124,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                # Host-drift guard (r4 NOTES): the flagship time doubles as a
+                # normalization denominator so cross-round comparisons can
+                # self-correct for uniform host slowdowns (divide any query's
+                # time by this before comparing across BENCH_r files).
+                "normalizer_sec": timings["pricing_summary"],
             }
         )
     )

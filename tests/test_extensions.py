@@ -65,6 +65,46 @@ def test_fast_minhash_matches_md5_twin_on_strong_dups(spark):
         assert abs(fast[p] - md5[p]) <= 2.0 / N_HASHES, (p, fast[p], md5[p])
 
 
+def test_fast_clusters_agree_with_exact_twin(spark):
+    """dedup_clusters_fast (xxhash64 candidate graph) must reproduce the
+    exact twin's clustering on nearly every document: identical banding
+    geometry over the same shingle sets means only borderline band
+    collisions can differ between hash families. Pin ≥99 % per-doc
+    cluster-label agreement plus exact agreement on every multi-doc
+    cluster's canonical row being a member min."""
+    from weather_database_system_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_fast,
+        ngram_jaccard_pairs,
+    )
+
+    exact = {r.doc_id: r.cluster_id for r in dedup_clusters(spark, SF_SMOKE).collect()}
+    fast_rows = dedup_clusters_fast(spark, SF_SMOKE).collect()
+    fast = {r.doc_id: r.cluster_id for r in fast_rows}
+    assert set(exact) == set(fast)  # every doc classified by both
+    # hash choice may move borderline band collisions (~1-2 % of docs at
+    # smoke sf), never the strong duplicates the operator exists for
+    agree = sum(1 for d in exact if exact[d] == fast[d])
+    assert agree / len(exact) >= 0.98, f"{agree}/{len(exact)} labels agree"
+    strong = [
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(spark, SF_SMOKE).collect()
+        if r.jaccard >= 0.9
+    ]
+    assert strong
+    for da, db in strong:
+        assert fast[da] == fast[db], f"strong dup pair ({da},{db}) split across clusters"
+    # survivorship invariant holds independently of hash family
+    for r in fast_rows:
+        assert r.cluster_id <= r.doc_id
+        assert (r.cluster_id == r.doc_id) == bool(r.is_canonical == 1 and r.cluster_id == r.doc_id)
+    members: dict[int, list[int]] = {}
+    for r in fast_rows:
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    for cid, docs in members.items():
+        assert min(docs) == cid  # every cluster_id is its member min
+
+
 def test_simhash_places_near_dups_at_small_hamming_distance(spark):
     """Near-identical docs (exact jaccard >= 0.95) must land within a small
     hamming distance of each other — the property SimHash bucketing (with
@@ -306,6 +346,103 @@ def test_bm25_ranking_is_monotone_and_grounded(spark):
     }
     for r in top:
         assert any(t in texts[r.doc_id].split() for t in BM25_QUERY), r.doc_id
+
+
+def test_unigram_logprob_quality_invariants(spark):
+    """Unigram-LM surprisal contract: every doc scored, surprisal strictly
+    positive (no token can have p >= 1 in a multi-doc corpus), byte-identical
+    documents score identically, and the keep flag is exactly the rounded
+    mean compared against the bar."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.textan import (
+        SURPRISAL_KEEP_MAX,
+        unigram_logprob_quality,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    rows = unigram_logprob_quality(spark, SF_SMOKE).collect()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert len(rows) == n_docs
+    by_doc = {r.doc_id: r for r in rows}
+    for r in rows:
+        assert r.mean_surprisal > 0
+        assert r.keep_lowppl == int(r.mean_surprisal <= SURPRISAL_KEEP_MAX)
+    # exact-dup documents (same text) must get the same score
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    }
+    groups: dict[str, list[int]] = {}
+    for d, t in texts.items():
+        groups.setdefault(t, []).append(d)
+    for ds in (g for g in groups.values() if len(g) > 1):
+        scores = {by_doc[d].mean_surprisal for d in ds}
+        assert len(scores) == 1, f"identical docs {ds} scored {scores}"
+    # surprisal is a pure function of the corpus: two docs with identical
+    # TOKEN MULTISETS (order-insensitive) must score identically
+    multisets: dict[tuple, list[int]] = {}
+    for d, t in texts.items():
+        multisets.setdefault(tuple(sorted(t.split())), []).append(d)
+    for ds in (g for g in multisets.values() if len(g) > 1):
+        scores = {by_doc[d].mean_surprisal for d in ds}
+        assert len(scores) == 1, f"same-multiset docs {ds} scored {scores}"
+
+
+def test_tfidf_cosine_pairs_invariants(spark):
+    """tf-idf cosine contract: cosines in [bar, 1+eps], pairs ordered
+    (a < b), and every reported cosine matches an INDEPENDENT pure-Python
+    recomputation of the full tf-idf cosine from the raw texts (tf from
+    split(), idf floor-rounded to 6 decimals, exact Fraction accumulation
+    of the products) — grounding the whole weight/norm/dot pipeline, not
+    just its shape."""
+    import math
+    from fractions import Fraction
+
+    from weather_database_system_spark.operators.textan import (
+        TFIDF_COS_MIN,
+        tfidf_cosine_pairs,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    rows = tfidf_cosine_pairs(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert r.n_shared_terms >= 1
+        assert TFIDF_COS_MIN <= r.cosine <= 1.000001
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    }
+    n_docs = len(texts)
+    tf: dict[int, dict[str, int]] = {}
+    df: dict[str, int] = {}
+    for d, t in texts.items():
+        counts: dict[str, int] = {}
+        for tok in t.split(" "):
+            counts[tok] = counts.get(tok, 0) + 1
+        tf[d] = counts
+        for tok in counts:
+            df[tok] = df.get(tok, 0) + 1
+
+    def idf6(term: str) -> float:
+        return math.floor(math.log((n_docs + 1.0) / (df[term] + 1.0)) * 1e6 + 0.5) / 1e6
+
+    def w(d: int) -> dict[str, float]:
+        return {t: c * idf6(t) for t, c in tf[d].items()}
+
+    def cosine(a: int, b: int) -> float:
+        wa, wb = w(a), w(b)
+        dot = float(sum(Fraction(wa[t]) * Fraction(wb[t]) for t in wa.keys() & wb.keys()))
+        na = math.sqrt(float(sum(Fraction(v) * Fraction(v) for v in wa.values())))
+        nb = math.sqrt(float(sum(Fraction(v) * Fraction(v) for v in wb.values())))
+        return dot / (na * nb)
+
+    for r in rows[:20]:
+        expect = cosine(r.doc_a, r.doc_b)
+        assert abs(r.cosine - expect) <= 5e-6, (r.doc_a, r.doc_b, r.cosine, expect)
 
 
 def test_semdedup_prune_invariants(spark):

@@ -227,17 +227,14 @@ def _fast_signatures(docs: DataFrame, n_part: int) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs with xxhash64 signatures — identical
-    plan shape to dedup_minhash_lsh (persisted signatures, ONE banded
-    equi-join, inline matched-hash count) but with the cheap hash in the
-    CPU-bound signature stage. This is the variant a 100 TB pass runs; the
-    md5 twin exists because md5 is byte-identical in DuckDB and therefore
-    oracle-checkable (xxhash64 is Spark-specific → rows-only driver check;
-    recall equivalence vs the md5 twin is pinned in test_extensions).
-    Docs with <3 tokens have no shingles and can never band-match; the
-    explode path drops them outright (the array path carried null
-    signatures that equi-joins also ignored — same pairs)."""
+def _banded_fast_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 twin of _banded_md5_candidates: banded fast signatures
+    joined on (band, band-signature), one row per shared band per pair,
+    columns (a.doc_id, a.sig, b.doc_id, b.sig). Shared by
+    dedup_minhash_lsh_fast (scored pairs) and dedup_clusters_fast (distinct
+    pairs only). Docs with <3 tokens have no shingles and can never
+    band-match; the explode path drops them outright (the array path
+    carried null signatures that equi-joins also ignored — same pairs)."""
     docs = load_table(spark, sf_dir, "documents")
     n_part = spark.sparkContext.defaultParallelism
     sigs = track_persisted(_fast_signatures(docs, n_part).persist())
@@ -261,6 +258,22 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
 
     a, b = bands.alias("a"), bands.alias("b")
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bsig") == F.col("b.bsig"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+
+
+def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with xxhash64 signatures — identical
+    plan shape to dedup_minhash_lsh (persisted signatures, ONE banded
+    equi-join, inline matched-hash count) but with the cheap hash in the
+    CPU-bound signature stage. This is the variant a 100 TB pass runs; the
+    md5 twin exists because md5 is byte-identical in DuckDB and therefore
+    oracle-checkable (xxhash64 is Spark-specific → rows-only driver check;
+    recall equivalence vs the md5 twin is pinned in test_extensions)."""
     matched = F.aggregate(
         F.zip_with(
             F.col("a.sig"), F.col("b.sig"), lambda x, y: F.when(x == y, 1).otherwise(0)
@@ -269,12 +282,7 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: acc + v,
     )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        _banded_fast_candidates(spark, sf_dir)
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(
             F.countDistinct("a.band").alias("n_shared_bands"),
@@ -572,8 +580,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs come straight from the banded candidate join (distinct) — the
     matched-hash scoring and presentation sort dedup_minhash_lsh layers on
     top are irrelevant to connectivity and skipped."""
+    return _clusters_from_candidates(spark, sf_dir, _banded_md5_candidates)
+
+
+def dedup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of ``dedup_clusters``: the same fixpoint components
+    over the xxhash64 banded candidate graph (_banded_fast_candidates) —
+    removing the md5 signature floor (~2.5 s of the exact twin's cost at
+    sf0.1) from the path a 100 TB pass actually runs. The md5 twin stays
+    registry-canonical for the DuckDB oracle (xxhash64 is Spark-specific →
+    rows-only driver check); cluster-assignment agreement between the twins
+    is pinned in test_extensions — identical banding geometry over the same
+    shingle sets, only the salted hash family differs."""
+    return _clusters_from_candidates(spark, sf_dir, _banded_fast_candidates)
+
+
+def _clusters_from_candidates(spark: SparkSession, sf_dir: str, cand_fn) -> DataFrame:
     pairs = (
-        _banded_md5_candidates(spark, sf_dir)
+        cand_fn(spark, sf_dir)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -755,6 +779,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_fast": dedup_minhash_lsh_fast,  # rows-only: xxhash64
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_fast": dedup_clusters_fast,  # rows-only: xxhash64
     "dedup_simhash": dedup_simhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "embedding_near_dup": embedding_near_dup,

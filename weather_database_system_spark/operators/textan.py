@@ -16,7 +16,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from weather_database_system_spark.operators.relational import DEC, _fr, _sql_fr
-from weather_database_system_spark.operators.dedup import _shingles, _tokens
+from weather_database_system_spark.operators.dedup import (
+    MAX_POSTING_LEN,
+    _SQL_SHINGLES,
+    _shingles,
+    _tokens,
+)
 from weather_database_system_spark.sources.star import load_table
 
 # Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
@@ -228,6 +233,133 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+SURPRISAL_KEEP_MAX = 8.0  # mean-surprisal bar for the keep flag (nats)
+
+
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filtering with a corpus-trained unigram LM —
+    the self-contained analog of CCNet's KenLM perplexity gate
+    (arXiv:1911.00359 §4.3): score each document by the mean surprisal
+    −ln p(token) of its tokens under the corpus's own unigram distribution,
+    and flag low-surprisal (natural, in-distribution) documents as keepers.
+    Degenerate/rare-token documents score high and get filtered; the LM is
+    the corpus itself, so no external model file is needed.
+
+    Shape at 100 TB: explode → (doc, term) tf with map-side combine → a
+    vocabulary-keyed term-count aggregate (bounded by |vocab|, not corpus)
+    → one term-keyed join back (AQE broadcasts small vocabularies, skew-
+    splits hot tokens) → one doc-keyed agg. Corpus total-token count is a
+    1-row aggregate (the bm25 corpus-stats class of driver value).
+
+    Determinism: per-term surprisal floor-rounds to 6 decimals FIRST (the
+    tfidf_top_terms idf6 recipe), the per-doc sum accumulates tf·surprisal6
+    in DECIMAL (order-independent), and the keep flag compares the ROUNDED
+    mean to the bar — so both engines decide every flag identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tc = terms.groupBy("term").agg(F.count("*").alias("c"))
+    total = terms.count()
+    surp6 = _fr(-F.log(F.col("c").cast("double") / F.lit(float(total))), 6)
+    scored = tf.join(tc, "term").select(
+        "doc_id",
+        "tf",
+        (F.col("tf") * surp6).cast(DEC).alias("s"),
+    )
+    mean4 = _fr(F.sum("s").cast("double") / F.sum("tf"), 4)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("int").alias("n_tokens"),
+            mean4.alias("mean_surprisal"),
+        )
+        .withColumn(
+            "keep_lowppl",
+            (F.col("mean_surprisal") <= SURPRISAL_KEEP_MAX).cast("int"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TFIDF_COS_MIN = 0.9    # near-dup cosine bar over full-vocabulary tf-idf vectors
+                       # (candidate-cosine p50 at smoke sf is ~0.69 — the small
+                       # synthetic vocabulary compresses cosines upward, so the
+                       # near-dup bar sits in the top percentile, not at 0.5)
+TFIDF_MIN_SHARED_SHINGLES = 2  # blocking: candidates share >= 2 capped shingles
+
+
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf-idf cosine near-dup pairs — the lexical twin of
+    embedding_near_dup_lsh: documents are tf·idf vectors over the FULL
+    vocabulary, but candidate pairs come only from the shared-3-gram
+    inverted index with ngram_jaccard_pairs' posting-length cap, requiring
+    ≥ TFIDF_MIN_SHARED_SHINGLES co-occurrences — the standard blocking
+    shape: a shingle names a candidate pair only if its posting list is
+    within the cap, so per-shingle pair work is bounded at cap²/2 and there
+    is no all-pairs stage; the exact full-vocabulary cosine then re-ranks
+    only the candidates. (Blocking on raw terms fails on small-vocabulary
+    corpora — the synthetic corpus has ~31 distinct tokens, so every term
+    posting is corpus-sized; 3-gram shingle space grows combinatorially and
+    is the same unit the minhash family blocks on.) Precision is exact;
+    recall is bounded by blocking — a pair sharing fewer capped shingles is
+    unseen, the same contract as LSH bucketing.
+
+    Determinism: idf floor-rounds to 6 decimals first; every pairwise
+    product and squared norm accumulates in DECIMAL (order-independent);
+    the threshold compares the unrounded engine-identical cosine."""
+    from weather_database_system_spark.session import track_persisted
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf6 = _fr(F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6)
+    w = track_persisted(
+        tf.join(df_, "term")
+        .select("doc_id", "term", (F.col("tf") * idf6).alias("w"))
+        .persist()
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum((F.col("w") * F.col("w")).cast(DEC)).cast("double")).alias("nrm")
+    )
+    sh = docs.select("doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("s"))
+    postings = sh.groupBy("s").agg(F.collect_list("doc_id").alias("ds"))
+    cand = (
+        postings.filter((F.size("ds") > 1) & (F.size("ds") <= MAX_POSTING_LEN))
+        .select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("nsh"))
+        .filter(F.col("nsh") >= TFIDF_MIN_SHARED_SHINGLES)
+        .select("doc_a", "doc_b")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b.doc_id"))
+            & (F.col("a.term") == F.col("b.term")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("a.w") * F.col("b.w")).cast(DEC)).cast("double").alias("dot"),
+            F.count("*").cast("int").alias("n_shared_terms"),
+        )
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    cos = F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm"))
+    return (
+        dots.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .filter(cos >= TFIDF_COS_MIN)
+        .select("doc_a", "doc_b", "n_shared_terms", _fr(cos, 6).alias("cosine"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curated-corpus funnel, composed from this module's gates in ONE
     pass: raw → quality (score ≥ 0.4) → language agreement (drop only on
@@ -434,10 +566,78 @@ ORACLE: dict[str, str] = {
         FROM d
         ORDER BY doc_id
     """,
+    "unigram_logprob_quality": f"""
+        WITH d AS ({_SQL_TOKS}),
+        terms AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        tc AS (SELECT term, count(*) AS c FROM terms GROUP BY 1),
+        tot AS (SELECT count(*) AS total FROM terms),
+        scored AS (
+            SELECT t.doc_id, t.tf,
+                   CAST(t.tf * ({_sql_fr("-ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))", 6)}) AS DECIMAL(30,10)) AS s
+            FROM tf t JOIN tc USING (term), tot
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(sum(tf) AS INT) AS n_tokens,
+                   {_sql_fr("CAST(sum(s) AS DOUBLE) / sum(tf)", 4)} AS mean_surprisal
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, mean_surprisal,
+               CAST(mean_surprisal <= {SURPRISAL_KEEP_MAX} AS INT) AS keep_lowppl
+        FROM agg
+        ORDER BY doc_id
+    """,
+    "tfidf_cosine_pairs": f"""
+        WITH d AS ({_SQL_TOKS}),
+        terms AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        w AS (
+            SELECT tf.doc_id, tf.term,
+                   tf.tf * ({_sql_fr("ln(((SELECT count(*) FROM documents) + 1.0) / (df.df + 1.0))", 6)}) AS w
+            FROM tf JOIN df ON tf.term = df.term
+        ),
+        norms AS (
+            SELECT doc_id,
+                   sqrt(CAST(sum(CAST(w * w AS DECIMAL(30,10))) AS DOUBLE)) AS nrm
+            FROM w GROUP BY 1
+        ),
+        sh AS (
+            SELECT doc_id, unnest({_SQL_SHINGLES}) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        ),
+        scount AS (SELECT s, count(*) AS c FROM sh GROUP BY 1),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            JOIN scount sc ON a.s = sc.s AND sc.c <= {MAX_POSTING_LEN}
+            GROUP BY 1, 2
+            HAVING count(*) >= {TFIDF_MIN_SHARED_SHINGLES}
+        ),
+        dots AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(sum(CAST(a.w * b.w AS DECIMAL(30,10))) AS DOUBLE) AS dot,
+                   CAST(count(*) AS INT) AS n_shared_terms
+            FROM cand c
+            JOIN w a ON a.doc_id = c.doc_a
+            JOIN w b ON b.doc_id = c.doc_b AND a.term = b.term
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_shared_terms,
+               {_sql_fr("dot / (na.nrm * nb.nrm)", 6)} AS cosine
+        FROM dots
+        JOIN norms na ON doc_a = na.doc_id
+        JOIN norms nb ON doc_b = nb.doc_id
+        WHERE dot / (na.nrm * nb.nrm) >= {TFIDF_COS_MIN}
+        ORDER BY doc_a, doc_b
+    """,
 }
 
 QUERIES = {
     "corpus_curation": corpus_curation,
+    "unigram_logprob_quality": unigram_logprob_quality,
+    "tfidf_cosine_pairs": tfidf_cosine_pairs,
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_search": bm25_search,
     "text_token_stats": text_token_stats,
