@@ -175,6 +175,75 @@ def test_multimodal_features_deterministic_and_correct(spark):
     assert feats == again
 
 
+def test_image_decode_features_match_closed_form(spark):
+    """REAL PPM decode grounded against math: the synthesis pattern's
+    channel means are computable analytically (r = (5x + d) mod 256 over a
+    48-wide grid, etc.), so the decoder's output is checked against numbers
+    the decoder never saw. The 2× pooled thumbnail must itself be a valid
+    PPM whose re-decode has halved dimensions."""
+    import numpy as np
+
+    from weather_database_system_spark.operators.multimodal import (
+        IMG_H,
+        IMG_W,
+        _decode_ppm,
+        _synth_ppm,
+        image_decode_features,
+    )
+
+    rows = {r.doc_id: r for r in image_decode_features(spark, SF_SMOKE).collect()}
+    assert rows
+    x = np.arange(IMG_W, dtype=np.int64)
+    y = np.arange(IMG_H, dtype=np.int64)
+    xx, yy = np.meshgrid(x, y)
+    for doc_id in list(rows)[:10]:
+        r = rows[doc_id]
+        assert (r.width, r.height) == (IMG_W, IMG_H)
+        assert abs(r.mean_r - ((xx * 5 + doc_id) % 256).mean()) <= 1e-3
+        assert abs(r.mean_g - ((yy * 7 + 3 * doc_id) % 256).mean()) <= 1e-3
+        assert abs(r.mean_b - ((xx + yy + doc_id) % 256).mean()) <= 1e-3
+        assert r.luma_std > 0
+    # thumbnail digest corresponds to a REAL decodable half-size PPM
+    w, h, px = _decode_ppm(_synth_ppm(0))
+    pooled = px.astype(np.float64).reshape(h // 2, 2, w // 2, 2, 3).mean(axis=(1, 3))
+    thumb = f"P6\n{w // 2} {h // 2}\n255\n".encode() + pooled.astype(np.uint8).tobytes()
+    tw, th, tpx = _decode_ppm(thumb)
+    assert (tw, th, tpx.shape) == (IMG_W // 2, IMG_H // 2, (IMG_H // 2, IMG_W // 2, 3))
+    import hashlib
+
+    assert rows[0].thumb_md5 == hashlib.md5(thumb).hexdigest()
+
+
+def test_audio_decode_features_match_signal_physics(spark):
+    """REAL WAV decode grounded against signal theory: a pure sine at
+    frequency f sampled for d seconds crosses zero ~2·f·d times and has
+    RMS amp/√2 — the decoder's numbers must satisfy physics it never
+    computed directly."""
+    from weather_database_system_spark.operators.multimodal import (
+        AUDIO_AMP,
+        AUDIO_N,
+        AUDIO_SR,
+        audio_decode_features,
+    )
+
+    rows = {r.doc_id: r for r in audio_decode_features(spark, SF_SMOKE).collect()}
+    assert rows
+    dur = AUDIO_N / AUDIO_SR
+    for doc_id in list(rows)[:25]:
+        r = rows[doc_id]
+        freq = 200 + (doc_id % 20) * 50
+        assert r.sample_rate == AUDIO_SR
+        assert r.n_samples == AUDIO_N
+        assert abs(r.duration_ms - 1000.0 * dur) < 1e-6
+        expected_zc = 2 * freq * dur
+        assert abs(r.zero_crossings - expected_zc) <= 2, (doc_id, freq)
+        assert abs(r.rms - AUDIO_AMP / 2**0.5) / (AUDIO_AMP / 2**0.5) < 0.01
+        # a sampled sine need not land on the analytic peak: with n
+        # samples/period the worst-case max sample is amp·cos(pi/n); the
+        # highest synthesized freq (1150 Hz at 8 kHz) gives n ≈ 6.96
+        assert AUDIO_AMP * 0.85 <= r.peak <= AUDIO_AMP
+
+
 def test_lsh_ann_scores_exactly_and_recalls_strong_neighbors(spark):
     """Banded hyperplane LSH: (1) every returned cosine must equal the
     brute-force cosine for that pair bit-for-bit (the re-rank is exact);

@@ -2,10 +2,21 @@
 
 BASELINE.json extension: treat image/audio/video payloads as opaque BINARY
 columns with typed metadata structs, and run decode / feature-extraction as
-Arrow-batched Python over mapInPandas. The container has no image/audio
-codecs, so the decode step is a clearly-marked deterministic stub
-(_fake_decode) — the Spark-side plumbing (binary schema, metadata struct,
-batch iteration, output schema) is real and is what the operator tests.
+Arrow-batched Python over mapInPandas.
+
+Decode coverage is format-tiered, honestly:
+
+- REAL decoders, no external codecs needed: PPM/P6 images (netpbm — header
+  parse + numpy pixel grid) and WAV/PCM audio (stdlib ``wave`` RIFF parse +
+  numpy sample frames). ``image_decode_features`` / ``audio_decode_features``
+  run genuine pixel and signal math (channel means, luma deviation,
+  block-mean resize, RMS energy, zero-crossing rate) on payloads
+  synthesized as real files of those formats.
+- Compressed formats (JPEG/PNG/MP3/MP4) need PIL/cv2/ffmpeg, which this
+  container does not ship; ``_fake_decode`` remains the clearly-marked
+  deterministic stand-in on the text-payload pipeline so the Arrow plumbing
+  (binary schema, metadata struct, batch iteration, output schema) stays
+  exercised end-to-end.
 
 Scale design: payload bytes ride the same columnar files as the metadata
 (parquet BINARY), so pruning/filtering on metadata never reads pixels; the
@@ -229,6 +240,237 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(mm.select("doc_id", "payload")).orderBy("doc_id", "sample_no")
 
 
+# ---------------------------------------------------------------------------
+# REAL decoders: PPM/P6 images (numpy) and WAV/PCM audio (stdlib wave).
+# ---------------------------------------------------------------------------
+
+IMG_W, IMG_H = 48, 32          # synthesized PPM dimensions
+AUDIO_SR = 8000                # synthesized WAV sample rate
+AUDIO_N = 2000                 # samples per clip (250 ms)
+AUDIO_AMP = 16000              # peak amplitude (int16 domain)
+
+
+def _synth_ppm(doc_id: int) -> bytes:
+    """A real PPM (P6) file: binary netpbm header + RGB24 pixel grid whose
+    channels are closed-form functions of (x, y, doc_id) — so tests can
+    predict decoded statistics analytically."""
+    import numpy as np
+
+    x = np.arange(IMG_W, dtype=np.int64)
+    y = np.arange(IMG_H, dtype=np.int64)
+    xx, yy = np.meshgrid(x, y)
+    r = (xx * 5 + doc_id) % 256
+    g = (yy * 7 + 3 * doc_id) % 256
+    b = (xx + yy + doc_id) % 256
+    img = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    return f"P6\n{IMG_W} {IMG_H}\n255\n".encode() + img.tobytes()
+
+
+def _decode_ppm(payload: bytes):
+    """REAL P6 decode: parse the netpbm header tokens (magic, width, height,
+    maxval), then view the remaining bytes as an (h, w, 3) uint8 grid."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment line
+            i = payload.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return w, h, px.reshape(h, w, 3)
+
+
+def _synth_wav(doc_id: int) -> bytes:
+    """A real RIFF/WAVE file written by the stdlib ``wave`` encoder: 16-bit
+    mono PCM sine at a doc-dependent frequency — decoders see a genuine WAV
+    container, tests can assert signal physics (RMS, zero crossings)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    freq = 200 + (doc_id % 20) * 50
+    t = np.arange(AUDIO_N, dtype=np.float64) / AUDIO_SR
+    samples = (AUDIO_AMP * np.sin(2 * np.pi * freq * t)).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(AUDIO_SR)
+        wv.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes):
+    """REAL WAV decode via the stdlib RIFF parser: container params from
+    ``wave``, samples via numpy frombuffer."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as wv:
+        sr = wv.getframerate()
+        n = wv.getnframes()
+        ch = wv.getnchannels()
+        raw = wv.readframes(n)
+    samples = np.frombuffer(raw, dtype="<i2")
+    if ch > 1:
+        samples = samples.reshape(-1, ch).mean(axis=1)
+    return sr, samples
+
+
+def with_image_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → a REAL image table: one synthesized PPM/P6 file per doc
+    (payload is an actual decodable image, not a stand-in blob), metadata
+    stamped the way an ingest job would."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda d: _synth_ppm(int(d))),
+                }
+            )
+
+    mm = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return mm.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.md5(F.col("payload")).alias("content_md5"),
+        ).alias("meta"),
+    )
+
+
+def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode + feature extraction over mapInPandas: parse each
+    PPM payload into its pixel grid and compute genuine pixel statistics —
+    per-channel means, ITU-R 601 luma standard deviation — plus a 2×
+    block-mean-pooled thumbnail digest (the resize path, numpy reshape-mean,
+    re-encoded as a real PPM). Rows-only for the driver (Python-side by
+    nature); the pytest pins the channel means against the closed-form
+    expectation of the synthesis pattern, so the decoder is verified against
+    math, not against itself."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import numpy as np
+
+        rows = []
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = _decode_ppm(bytes(payload))
+                fl = px.astype(np.float64)
+                luma = 0.299 * fl[..., 0] + 0.587 * fl[..., 1] + 0.114 * fl[..., 2]
+                pooled = (
+                    fl.reshape(h // 2, 2, w // 2, 2, 3).mean(axis=(1, 3)).astype(np.uint8)
+                )
+                thumb = (
+                    f"P6\n{w // 2} {h // 2}\n255\n".encode() + pooled.tobytes()
+                )
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": w,
+                        "height": h,
+                        "mean_r": round(float(fl[..., 0].mean()), 4),
+                        "mean_g": round(float(fl[..., 1].mean()), 4),
+                        "mean_b": round(float(fl[..., 2].mean()), 4),
+                        "luma_std": round(float(luma.std()), 4),
+                        "thumb_md5": hashlib.md5(thumb).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+            rows = []
+
+    mm = with_image_payload(spark, sf_dir)
+    return mm.select("doc_id", "payload").mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width int, height int, mean_r double, mean_g double, "
+            "mean_b double, luma_std double, thumb_md5 string"
+        ),
+    ).orderBy("doc_id")
+
+
+def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode + feature extraction over mapInPandas: parse each
+    WAV payload with the stdlib RIFF decoder and compute genuine signal
+    features — duration, RMS energy, peak, zero-crossing count. Rows-only
+    for the driver; the pytest asserts the physics (a sine at frequency f
+    crosses zero ≈ 2·f·duration times and has RMS ≈ amp/√2), grounding the
+    decoder against signal theory rather than a replay of itself."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        rows = []
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sr, s = _decode_wav(bytes(payload))
+                fs = s.astype(np.float64)
+                zc = int(np.count_nonzero(np.signbit(fs[1:]) != np.signbit(fs[:-1])))
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "sample_rate": int(sr),
+                        "n_samples": int(len(s)),
+                        "duration_ms": round(1000.0 * len(s) / sr, 3),
+                        "rms": round(float(np.sqrt((fs * fs).mean())), 3),
+                        "peak": int(np.abs(s).max()),
+                        "zero_crossings": zc,
+                    }
+                )
+            yield pd.DataFrame(rows)
+            rows = []
+
+    import pandas as pd  # noqa: F811 — schema-only reimport guard
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda d: _synth_wav(int(d))),
+                }
+            )
+
+    wavs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return wavs.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, sample_rate int, n_samples int, duration_ms double, "
+            "rms double, peak int, zero_crossings int"
+        ),
+    ).orderBy("doc_id")
+
+
 ORACLE: dict[str, str] = {
     # NB: DuckDB's md5/substring only take VARCHAR; the corpus is pure ASCII
     # (asserted in tests), so char-slicing the text here equals the engine's
@@ -265,4 +507,6 @@ QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "image_decode_features": image_decode_features,    # rows-only: Python decode
+    "audio_decode_features": audio_decode_features,    # rows-only: Python decode
 }
