@@ -64,7 +64,8 @@ HEADLINE = (
     "domain_mixture_weights", # per-source token shares + resample weights
     "quality_weighted_sample",  # hash-bucket importance sampling
     "unigram_logprob_quality",  # corpus-trained unigram-LM surprisal gate
-    "tfidf_cosine_pairs",     # rare-term tf-idf cosine near-dup pairs
+    "tfidf_cosine_pairs",     # shingle-blocked tf-idf cosine near-dup pairs
+    "embedding_gram_matrix",  # distributed Gram/covariance (PCA precursor)
 )
 
 # N runs per query; report the per-query MEDIAN. Default 1 preserves the

@@ -244,6 +244,40 @@ def test_audio_decode_features_match_signal_physics(spark):
         assert AUDIO_AMP * 0.85 <= r.peak <= AUDIO_AMP
 
 
+def test_embedding_gram_matrix_matches_numpy(spark):
+    """Distributed Gram/covariance grounded against numpy: the full upper
+    triangle must equal X^T X computed locally (and the covariance its
+    centered form) within rounding — the distributed aggregation is checked
+    against dense linear algebra it never ran."""
+    import numpy as np
+
+    from weather_database_system_spark.operators.featurize import embedding_gram_matrix
+    from weather_database_system_spark.sources.star import load_table
+
+    emb = np.array(
+        [
+            r.e
+            for r in load_table(spark, SF_SMOKE, "embeddings")
+            .selectExpr("CAST(embedding AS ARRAY<DOUBLE>) AS e")
+            .orderBy("vec_id")
+            .collect()
+        ]
+    )
+    n, dims = emb.shape
+    gram_np = emb.T @ emb
+    mu = emb.mean(axis=0)
+    cov_np = gram_np / n - np.outer(mu, mu)
+    rows = embedding_gram_matrix(spark, SF_SMOKE).collect()
+    assert len(rows) == dims * (dims + 1) // 2
+    for r in rows:
+        i, j = r.dim_i - 1, r.dim_j - 1
+        assert r.dim_i <= r.dim_j
+        assert abs(r.gram - gram_np[i, j]) <= 5e-6, (i, j)
+        assert abs(r.cov - cov_np[i, j]) <= 5e-6, (i, j)
+        if i == j:
+            assert r.cov >= -1e-9  # variance diagonal
+
+
 def test_lsh_ann_scores_exactly_and_recalls_strong_neighbors(spark):
     """Banded hyperplane LSH: (1) every returned cosine must equal the
     brute-force cosine for that pair bit-for-bit (the re-rank is exact);

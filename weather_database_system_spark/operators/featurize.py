@@ -173,6 +173,56 @@ _STATS_SQL = """
 """
 
 
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram + covariance matrix over the embedding table — the
+    precursor primitive for PCA / ZCA whitening of embedding spaces (the
+    RowMatrix.computeGramianMatrix shape in Spark MLlib): G[i,j] = Σ_v
+    x_vi·x_vj and C[i,j] = G[i,j]/n − μ_i·μ_j, emitted as the upper
+    triangle (dims × (dims+1)/2 rows). The eigensolve that follows runs
+    driver-side on this dims×dims result — exactly how MLlib's PCA does it;
+    the distributed part IS this aggregation.
+
+    Shape at 100 TB: long-form values self-joined on vec_id fan out to
+    n·dims² product rows, aggregated to dims² groups keyed by (i,j) —
+    map-side combine does the heavy reduction, the shuffle carries one
+    partial sum per (task, cell), and no stage depends on n beyond the
+    linear scan. Products and sums accumulate in DECIMAL, so every cell is
+    engine-exact and the oracle replays the whole matrix bit-for-bit."""
+    from weather_database_system_spark.operators.dedup import _long_embeddings
+    from weather_database_system_spark.operators.relational import DEC
+
+    long = _long_embeddings(spark, sf_dir)
+    n = load_table(spark, sf_dir, "embeddings").count()
+    a, b = long.alias("a"), long.alias("b")
+    gram = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.dim") <= F.col("b.dim")),
+        )
+        .groupBy(
+            F.col("a.dim").alias("dim_i"), F.col("b.dim").alias("dim_j")
+        )
+        .agg(F.sum((F.col("a.val") * F.col("b.val")).cast(DEC)).cast("double").alias("gram"))
+    )
+    means = long.groupBy("dim").agg(
+        (F.sum(F.col("val").cast(DEC)).cast("double") / F.count("*")).alias("mu")
+    )
+    mi, mj = means.alias("mi"), means.alias("mj")
+    cov = F.col("gram") / F.lit(float(n)) - F.col("mi.mu") * F.col("mj.mu")
+    return (
+        gram.join(mi, F.col("dim_i") == F.col("mi.dim"))
+        .join(mj, F.col("dim_j") == F.col("mj.dim"))
+        .select(
+            F.col("dim_i").cast("int").alias("dim_i"),
+            F.col("dim_j").cast("int").alias("dim_j"),
+            _fr(F.col("gram"), 6).alias("gram"),
+            _fr(cov, 6).alias("cov"),
+        )
+        .orderBy("dim_i", "dim_j")
+    )
+
+
 def _sql_scaled(col: str, tag: str) -> str:
     n = f"CAST({tag}_n AS DOUBLE)"
     mean = f"(CAST({tag}_s AS DOUBLE) / {n})"
@@ -206,10 +256,39 @@ ORACLE: dict[str, str] = {
         FROM lineitem li JOIN ths USING (l_returnflag)
         ORDER BY l_orderkey, l_linenumber
     """,
+    "embedding_gram_matrix": f"""
+        WITH long AS (
+            SELECT vec_id, i AS dim, CAST(emb[i] AS DOUBLE) AS val
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                         unnest(range(1, len(embedding) + 1)) AS i
+                  FROM embeddings)
+        ),
+        n AS (SELECT count(*) AS n FROM embeddings),
+        gram AS (
+            SELECT a.dim AS dim_i, b.dim AS dim_j,
+                   CAST(sum(CAST(a.val * b.val AS DECIMAL(30,10))) AS DOUBLE) AS gram
+            FROM long a JOIN long b
+              ON a.vec_id = b.vec_id AND a.dim <= b.dim
+            GROUP BY 1, 2
+        ),
+        means AS (
+            SELECT dim, CAST(sum(CAST(val AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mu
+            FROM long GROUP BY 1
+        )
+        SELECT CAST(dim_i AS INT) AS dim_i,
+               CAST(dim_j AS INT) AS dim_j,
+               {_sql_fr('gram', 6)} AS gram,
+               {_sql_fr('gram / (SELECT CAST(n AS DOUBLE) FROM n) - mi.mu * mj.mu', 6)} AS cov
+        FROM gram
+        JOIN means mi ON dim_i = mi.dim
+        JOIN means mj ON dim_j = mj.dim
+        ORDER BY dim_i, dim_j
+    """,
 }
 
 QUERIES = {
     "feature_scaling": feature_scaling,
     "quantile_bucket_decile": quantile_bucket_decile,
     "quantile_bucket_decile_approx": quantile_bucket_decile_approx,
+    "embedding_gram_matrix": embedding_gram_matrix,
 }

@@ -311,7 +311,11 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
-    terms = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    # One task per split otherwise (small corpus = one parquet split): the
+    # token and shingle explodes are the CPU-bound stages, spread them — the
+    # same no-op-at-100TB repartition ngram_jaccard_pairs uses.
+    base = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    terms = base.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf6 = _fr(F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6)
@@ -323,7 +327,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum((F.col("w") * F.col("w")).cast(DEC)).cast("double")).alias("nrm")
     )
-    sh = docs.select("doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("s"))
+    sh = base.select("doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("s"))
     postings = sh.groupBy("s").agg(F.collect_list("doc_id").alias("ds"))
     cand = (
         postings.filter((F.size("ds") > 1) & (F.size("ds") <= MAX_POSTING_LEN))
