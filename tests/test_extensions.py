@@ -244,6 +244,51 @@ def test_audio_decode_features_match_signal_physics(spark):
         assert AUDIO_AMP * 0.85 <= r.peak <= AUDIO_AMP
 
 
+def test_corpus_dedup_apply_reconciles_with_clusters(spark):
+    """The survivorship audit must reconcile exactly with its inputs:
+    kept+dropped = total per language, kept docs = number of distinct
+    cluster canonicals, and corpus-wide doc/token totals match the raw
+    documents table."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.dedup import (
+        _tokens,
+        corpus_dedup_apply,
+        dedup_clusters,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    rows = corpus_dedup_apply(spark, SF_SMOKE).collect()
+    assert rows
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_docs = docs.count()
+    total_toks = docs.select(F.sum(F.size(_tokens(F.col("text")))).alias("t")).collect()[0]["t"]
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.n_kept + r.n_dropped == r.n_docs
+        assert r.n_kept >= 1  # every language keeps at least one canonical
+    assert sum(r.kept_tokens + r.dropped_tokens for r in rows) == total_toks
+    n_canonical = dedup_clusters(spark, SF_SMOKE).filter(F.col("is_canonical") == 1).count()
+    assert sum(r.n_kept for r in rows) == n_canonical
+
+
+def test_decayed_user_value_bounds_and_recency_dominance(spark):
+    """Decay contract: with the 7-day half-life every weight is in (0, 1],
+    so for users whose events all have positive value the decayed score is
+    strictly less than the raw sum; an event AT the anchor gets weight 1."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.behavioral import decayed_user_value
+    from weather_database_system_spark.sources.star import load_table
+
+    rows = decayed_user_value(spark, SF_SMOKE).collect()
+    assert rows
+    ev = load_table(spark, SF_SMOKE, "events")
+    assert ev.filter(F.col("value") < 0).count() == 0  # corpus precondition
+    for r in rows:
+        assert 0 < r.decayed_value <= r.raw_value + 1e-6
+
+
 def test_embedding_gram_matrix_matches_numpy(spark):
     """Distributed Gram/covariance grounded against numpy: the full upper
     triangle must equal X^T X computed locally (and the covariance its

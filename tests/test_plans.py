@@ -141,6 +141,8 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
         "stream_late_data_policy",  # 1-row watermark scalar crossJoin
         "rfm_segmentation",     # 1-row anchor + 1-row quartile-threshold
                                 # broadcasts over the customer aggregate
+        "decayed_user_value",   # 1-row max-timestamp anchor broadcast over
+                                # the event scan
         "rfm_segmentation_approx",  # same 1-row broadcasts; thresholds via
                                     # approx_percentile sketch
     }

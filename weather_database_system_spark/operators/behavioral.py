@@ -176,6 +176,46 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECAY_HALF_LIFE_DAYS = 7.0  # time-decay half-life for decayed_user_value
+
+
+def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay feature per user — the standard recency-
+    weighted engagement score a ranking/propensity pipeline derives from an
+    event stream: decayed = Σ value · 2^(−Δdays / half-life), Δ measured
+    back from the table's max timestamp. Recent activity dominates, stale
+    activity decays smoothly — unlike a hard recency window, every event
+    still contributes.
+
+    Shape at 100 TB: one 1-row anchor aggregate broadcast over the scan,
+    then ONE user-keyed map-side-combined aggregation. No window, no join
+    against the fact table.
+
+    Determinism: the per-event weight floor-rounds to 6 decimals (exp is
+    IEEE-identical given identical inputs — the tfidf idf6 recipe), the
+    weighted sum accumulates value·w6 in DECIMAL (order-independent), and
+    presentation rounds to 4."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.col("ts").cast("long")).alias("anchor_sec"))
+    ddays = (F.col("anchor_sec") - F.col("ts").cast("long")) / F.lit(86400.0)
+    w6 = _fr(F.exp(-F.lit(0.6931471805599453) * ddays / DECAY_HALF_LIFE_DAYS), 6)
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            (F.col("value") * w6).cast("decimal(30,10)").alias("dv"),
+            F.col("value").cast("decimal(30,10)").alias("v"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("int").alias("n_events"),
+            _fr(F.sum("v").cast("double"), 4).alias("raw_value"),
+            _fr(F.sum("dv").cast("double"), 4).alias("decayed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 RFM_Q = [0.25, 0.5, 0.75]
 RFM_APPROX_ACC = 10000  # approx_percentile accuracy (mergeable sketch buffer)
 
@@ -272,6 +312,29 @@ def rfm_segmentation_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "decayed_user_value": f"""
+        WITH sec AS (
+            SELECT user_id, value,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+            FROM events
+        ),
+        anchor AS (SELECT max(tsec) AS anchor_sec FROM sec),
+        weighted AS (
+            SELECT user_id,
+                   CAST(value AS DECIMAL(30,10)) AS v,
+                   CAST(value * ({_sql_fr(
+                       "exp((-0.6931471805599453 * ((anchor_sec - tsec) / 86400.0)) / "
+                       + str(DECAY_HALF_LIFE_DAYS) + ")", 6)}) AS DECIMAL(30,10)) AS dv
+            FROM sec, anchor
+        )
+        SELECT user_id,
+               CAST(count(*) AS INT) AS n_events,
+               {_sql_fr('CAST(sum(v) AS DOUBLE)', 4)} AS raw_value,
+               {_sql_fr('CAST(sum(dv) AS DOUBLE)', 4)} AS decayed_value
+        FROM weighted
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
     "sessionize_events": f"""
         WITH sec AS (
             -- whole seconds, floored: Spark's timestamp→long cast truncates
@@ -430,4 +493,5 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "rfm_segmentation": rfm_segmentation,
     "rfm_segmentation_approx": rfm_segmentation_approx,
+    "decayed_user_value": decayed_user_value,
 }

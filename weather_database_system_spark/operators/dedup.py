@@ -595,6 +595,36 @@ def dedup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _clusters_from_candidates(spark, sf_dir, _banded_fast_candidates)
 
 
+def corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply near-dup survivorship to MATERIALIZE the cleaned corpus — the
+    step after dedup_clusters that an actual curation job runs: keep each
+    cluster's canonical doc, drop the rest, and report the per-language
+    acceptance audit (docs kept/dropped, token totals kept/dropped). This
+    is the write-side twin of corpus_curation's read-side funnel: its
+    output is what a 100 TB pass would hand to tokenization.
+
+    Shape: the cluster labels (already a doc_id-keyed table) join the
+    corpus once on doc_id, then one small groupBy(lang). Everything heavy
+    is inside dedup_clusters and shared with it."""
+    labels = dedup_clusters(spark, sf_dir).select("doc_id", "is_canonical")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(_tokens(F.col("text"))).alias("n_toks")
+    )
+    kept = F.col("is_canonical") == 1
+    return (
+        docs.join(labels, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum(kept.cast("int")).cast("int").alias("n_kept"),
+            F.sum((~kept).cast("int")).cast("int").alias("n_dropped"),
+            F.sum(F.when(kept, F.col("n_toks")).otherwise(0)).alias("kept_tokens"),
+            F.sum(F.when(~kept, F.col("n_toks")).otherwise(0)).alias("dropped_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _clusters_from_candidates(spark: SparkSession, sf_dir: str, cand_fn) -> DataFrame:
     pairs = (
         cand_fn(spark, sf_dir)
@@ -670,8 +700,28 @@ def _sql_dedup_clusters() -> str:
     """
 
 
+def _sql_corpus_dedup_apply() -> str:
+    return f"""
+        WITH clusters AS ({_sql_dedup_clusters()})
+        SELECT d.lang,
+               CAST(count(*) AS INT) AS n_docs,
+               CAST(sum(c.is_canonical) AS INT) AS n_kept,
+               CAST(sum(1 - c.is_canonical) AS INT) AS n_dropped,
+               CAST(sum(CASE WHEN c.is_canonical = 1
+                             THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT)
+                   AS kept_tokens,
+               CAST(sum(CASE WHEN c.is_canonical = 0
+                             THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT)
+                   AS dropped_tokens
+        FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+        GROUP BY d.lang
+        ORDER BY d.lang
+    """
+
+
 ORACLE: dict[str, str] = {
     "dedup_clusters": _sql_dedup_clusters(),
+    "corpus_dedup_apply": _sql_corpus_dedup_apply(),
     "dedup_exact": """
         SELECT md5(text) AS text_md5,
                min(doc_id) AS canonical_doc_id,
@@ -780,6 +830,7 @@ QUERIES = {
     "dedup_minhash_lsh_fast": dedup_minhash_lsh_fast,  # rows-only: xxhash64
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_fast": dedup_clusters_fast,  # rows-only: xxhash64
+    "corpus_dedup_apply": corpus_dedup_apply,
     "dedup_simhash": dedup_simhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "embedding_near_dup": embedding_near_dup,
