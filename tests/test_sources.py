@@ -45,6 +45,18 @@ def test_json_roundtrip_with_explicit_schema(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))
 
 
+def test_orc_roundtrip_preserves_schema_and_values(spark, tmp_path):
+    """ORC is the other columnar format Spark ships natively (the
+    Hive-ecosystem interchange); schema and values must survive a
+    write/read cycle exactly like parquet."""
+    ev = _events(spark)
+    path = str(tmp_path / "ev_orc")
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == ev.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))
+
+
 def test_json_schema_inference_reads_nested(spark, tmp_path):
     """Inference (the Mongo-style dynamic-schema path, SURVEY §1.3) still
     lands usable nested structs."""

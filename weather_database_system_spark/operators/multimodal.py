@@ -448,8 +448,6 @@ def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
             rows = []
 
-    import pandas as pd  # noqa: F811 — schema-only reimport guard
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
