@@ -109,3 +109,59 @@ def test_fahrenheit_conversion_roundtrips_and_preserves_nulls(spark, rows):
             assert r["temperatureF"] is None and r["c_back"] is None
         else:
             assert abs(r["c_back"] - r["temperatureC"]) < 1e-9
+
+
+# --- multimodal decoder round-trip properties (pure functions, no Spark) ---
+
+PIXELS = st.integers(min_value=0, max_value=255)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=2, max_value=16),
+    h=st.integers(min_value=2, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_ppm_encode_decode_roundtrips_any_image(w, h, seed):
+    """PPM decoder property: for ANY pixel grid, encode→decode is the
+    identity on dimensions and bytes — the decoder is grounded over
+    arbitrary images, not just the synthesis pattern."""
+    import numpy as np
+
+    from weather_database_system_spark.operators.multimodal import _decode_ppm
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+    dw, dh, px = _decode_ppm(payload)
+    assert (dw, dh) == (w, h)
+    assert (px == img).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=512),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    sr=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_encode_decode_roundtrips_any_pcm(n, seed, sr):
+    """WAV decoder property: ANY int16 PCM signal survives the stdlib
+    wave encode→decode cycle bit-for-bit with its sample rate."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from weather_database_system_spark.operators.multimodal import _decode_wav
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, size=n, dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(sr)
+        wv.writeframes(samples.tobytes())
+    dsr, back = _decode_wav(buf.getvalue())
+    assert dsr == sr
+    assert (back == samples).all()
