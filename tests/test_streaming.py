@@ -217,3 +217,70 @@ def test_stateful_running_count_applyInPandasWithState(spark, stream_src, tmp_pa
         .collect()
     }
     assert latest == batch
+
+
+def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
+    """Continuous-ingestion dedup: a document stream drains through
+    foreachBatch, each micro-batch deduping within itself (min doc_id per
+    digest) and anti-joining against the accumulated digest index before
+    appending survivors — the incremental form of dedup_exact a 100 TB
+    ingest pipeline runs. Asserts the streaming-order-independent core
+    guarantees: exactly one survivor per distinct content digest, survivor
+    digests equal the corpus digest set, and a RESTART from the same
+    checkpoint processes nothing twice (exactly-once via availableNow +
+    checkpoint)."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.sources.star import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(5).write.mode("overwrite").parquet(src)
+    index_dir = str(tmp_path / "digest_index")
+    out_dir = str(tmp_path / "kept")
+
+    schema = spark.read.parquet(src).schema
+    def handle(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        b = (
+            batch_df.select("doc_id", F.md5("text").alias("digest"))
+            .groupBy("digest")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        try:
+            idx = sess.read.parquet(index_dir)
+            fresh = b.join(idx, "digest", "left_anti")
+        except Exception:  # first batch: no index yet
+            fresh = b
+        fresh.select("doc_id", "digest").write.mode("append").parquet(out_dir)
+        fresh.select("digest").write.mode("append").parquet(index_dir)
+
+    def run(name):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run("first")
+    kept = spark.read.parquet(out_dir)
+    expected = docs.select(F.md5("text").alias("digest")).distinct()
+    n_expected = expected.count()
+    assert kept.count() == n_expected
+    assert kept.select("digest").distinct().count() == n_expected
+    assert kept.select("digest").subtract(expected).count() == 0
+    # every survivor is a real doc carrying its own digest
+    joined = kept.alias("k").join(
+        docs.select("doc_id", F.md5("text").alias("digest")).alias("d"),
+        ["doc_id", "digest"],
+    )
+    assert joined.count() == n_expected
+    # restart with the same checkpoint: stream is drained, nothing reprocessed
+    run("restart")
+    assert spark.read.parquet(out_dir).count() == n_expected

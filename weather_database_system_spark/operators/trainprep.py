@@ -410,6 +410,52 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction + token-id mapping — the tokenize step between
+    curation and training: build the corpus vocabulary (id = frequency
+    rank, ties by term — the word-level analog of a BPE vocab order), map
+    every token occurrence to its id, and emit per document the id-sequence
+    digest (order-preserving) plus token counts. The digest stands in for
+    shipping the full int-array column through the compare; the sequence
+    itself is what a real pipeline writes.
+
+    Scale shape: (doc, pos, term) explode → a vocabulary-keyed count (
+    bounded by |vocab|, not corpus) → ONE single-partition window to assign
+    ids — bounded by the VOCABULARY (~1M rows at web scale: one in-memory
+    sort, the standard vocab-build step; never a corpus-sized global sort)
+    — → a term-keyed map join back (AQE broadcasts small vocabularies) →
+    one doc-keyed agg. Order inside the digest comes from array_sort over
+    (pos, id) structs — no assumption about collect_list order."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    pos = base.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "term")
+    )
+    counts = pos.groupBy("term").agg(F.count("*").alias("c"))
+    wv = W.orderBy(F.col("c").desc(), F.col("term"))
+    vocab = counts.select("term", (F.row_number().over(wv) - 1).alias("tid"))
+    ids = pos.join(vocab, "term")
+    digest = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"].cast("string"),
+            ),
+        )
+    )
+    return (
+        ids.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.countDistinct("tid").cast("int").alias("n_distinct_ids"),
+            F.min("tid").cast("int").alias("min_id"),
+            digest.alias("ids_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _SQL_TOKS = "SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents"
 
 
@@ -441,6 +487,28 @@ _SQL_SCORE = (
 
 
 ORACLE: dict[str, str] = {
+    "tokenize_to_ids": f"""
+        WITH d AS ({_SQL_TOKS}),
+        posd AS (
+            SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM d
+        ),
+        pos AS (SELECT doc_id, i - 1 AS pos, toks[i] AS term FROM posd),
+        counts AS (SELECT term, count(*) AS c FROM pos GROUP BY 1),
+        vocab AS (
+            SELECT term,
+                   row_number() OVER (ORDER BY c DESC, term) - 1 AS tid
+            FROM counts
+        ),
+        ids AS (SELECT p.doc_id, p.pos, v.tid FROM pos p JOIN vocab v USING (term))
+        SELECT doc_id,
+               CAST(count(*) AS INT) AS n_tokens,
+               CAST(count(DISTINCT tid) AS INT) AS n_distinct_ids,
+               CAST(min(tid) AS INT) AS min_id,
+               md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+        FROM ids
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
     "domain_mixture_weights": f"""
         WITH per AS (
             SELECT source,
@@ -601,6 +669,7 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "tokenize_to_ids": tokenize_to_ids,
     "domain_mixture_weights": domain_mixture_weights,
     "quality_weighted_sample": quality_weighted_sample,
     "repetition_ngram_stats": repetition_ngram_stats,
