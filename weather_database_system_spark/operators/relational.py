@@ -499,6 +499,33 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_brand", "price_rank", "p_partkey")
 
 
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / lead / first+last over an explicit
+    whole-partition ROWS frame — the remaining window-function surface
+    (rank/dense_rank/ntile live in window_rank_dense, lag in
+    window_lag_delta, RANGE frames in window_rolling_1h). The ordering key
+    (c_acctbal, c_custkey) is total, so the distribution functions are
+    deterministic under ties; last_value carries the explicit
+    unbounded-following frame because the default frame stops at CURRENT
+    ROW — the classic silently-wrong default both engines share."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").asc(), F.col("c_custkey"))
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        cust.select(
+            F.col("c_nationkey").cast("int").alias("nation"),
+            "c_custkey",
+            _fr(F.col("c_acctbal"), 2).alias("acctbal"),
+            _fr(F.percent_rank().over(w), 6).alias("pct_rank"),
+            _fr(F.cume_dist().over(w), 6).alias("cume_dist"),
+            F.lead("c_custkey", 1).over(w).alias("next_custkey"),
+            F.first("c_custkey").over(wf).alias("poorest_custkey"),
+            F.last("c_custkey").over(wf).alias("richest_custkey"),
+        )
+        .orderBy("nation", "c_custkey")
+    )
+
+
 def window_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window: per-user rolling 1-hour event sum/count, frame
     bounded by event-TIME (epoch seconds), not row position — the
@@ -1027,6 +1054,21 @@ ORACLE: dict[str, str] = {
         ) ranked
         ORDER BY p_brand, price_rank, p_partkey
     """,
+    "window_distribution_funcs": f"""
+        SELECT CAST(c_nationkey AS INT) AS nation,
+               c_custkey,
+               {_sql_fr('c_acctbal', 2)} AS acctbal,
+               {_sql_fr('percent_rank() OVER w', 6)} AS pct_rank,
+               {_sql_fr('cume_dist() OVER w', 6)} AS cume_dist,
+               lead(c_custkey, 1) OVER w AS next_custkey,
+               first_value(c_custkey) OVER wf AS poorest_custkey,
+               last_value(c_custkey) OVER wf AS richest_custkey
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+               wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY nation, c_custkey
+    """,
     "topk_global": f"""
         SELECT o_orderkey, o_custkey, {_sql_fr('o_totalprice', 2)} AS o_totalprice
         FROM (
@@ -1144,6 +1186,7 @@ QUERIES = {
     "window_lag_delta": window_lag_delta,
     "window_running_sum": window_running_sum,
     "window_rank_dense": window_rank_dense,
+    "window_distribution_funcs": window_distribution_funcs,
     "window_rolling_1h": window_rolling_1h,
     "topk_global": topk_global,
     "set_union_nations": set_union_nations,
