@@ -66,6 +66,7 @@ HEADLINE = (
     "unigram_logprob_quality",  # corpus-trained unigram-LM surprisal gate
     "tfidf_cosine_pairs",     # shingle-blocked tf-idf cosine near-dup pairs
     "embedding_gram_matrix",  # distributed Gram/covariance (PCA precursor)
+    "tokenize_to_ids",        # vocab induction + id mapping + seq digests
 )
 
 # N runs per query; report the per-query MEDIAN. Default 1 preserves the
