@@ -289,6 +289,31 @@ def test_decayed_user_value_bounds_and_recency_dominance(spark):
         assert 0 < r.decayed_value <= r.raw_value + 1e-6
 
 
+def test_pagerank_near_dup_conserves_mass(spark):
+    """PageRank contract: with no dangling nodes (induced subgraph, every
+    node degree ≥ 1) total rank mass is conserved at 1.0 (up to the 1e-10
+    per-iteration rounding), every rank is at least the teleport floor
+    (1−d)/N, and the operator is deterministic run-to-run."""
+    from weather_database_system_spark.operators.dedup import (
+        PAGERANK_D,
+        pagerank_near_dup,
+    )
+
+    rows = pagerank_near_dup(spark, SF_SMOKE).collect()
+    assert rows
+    n = len(rows)
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < 1e-6, total
+    floor_ = (1.0 - PAGERANK_D) / n
+    for r in rows:
+        assert r.n_neighbors >= 1
+        assert r.pagerank >= floor_ - 1e-12
+    again = pagerank_near_dup(spark, SF_SMOKE).collect()
+    assert [(r.doc_id, r.pagerank) for r in rows] == [
+        (r.doc_id, r.pagerank) for r in again
+    ]
+
+
 def test_embedding_gram_matrix_matches_numpy(spark):
     """Distributed Gram/covariance grounded against numpy: the full upper
     triangle must equal X^T X computed locally (and the covariance its

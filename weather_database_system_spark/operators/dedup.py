@@ -625,6 +625,78 @@ def corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGERANK_D = 0.85       # damping factor
+PAGERANK_ITERS = 3      # fixed, unrolled in the oracle
+
+
+def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup candidate graph — the link-analysis
+    quality prior a curation pipeline derives from document similarity
+    structure (highly-connected documents are boilerplate/template hubs;
+    low-rank leaves are unique content): PAGERANK_ITERS damped power
+    iterations on the symmetrized banded-candidate edge set, restricted to
+    the induced subgraph (every node has degree ≥ 1, so there are no
+    dangling nodes and the teleport term is the only mass source besides
+    neighbors).
+
+    Determinism across engines: each iteration's rank is floor-rounded to
+    10 decimals and neighbor contributions accumulate pr/deg in DECIMAL —
+    both engines iterate over bit-identical vectors, so the DuckDB oracle
+    replays all PAGERANK_ITERS rounds exactly (unrolled CTEs).
+
+    Scale shape: per iteration ONE src-keyed join (ranks are doc_id-keyed,
+    edges pre-partitioned the same way) + one dst-keyed combiner-friendly
+    aggregation — the standard Pregel-free PageRank; plan depth grows
+    linearly in iterations (ranks referenced once per round). |induced| is
+    a 1-row scalar (the bm25 corpus-stats class of driver value)."""
+    pairs = (
+        _banded_md5_candidates(spark, sf_dir)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    edges = track_persisted(
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    deg = track_persisted(
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.count("*").alias("outdeg"))
+        .persist()
+    )
+    n = deg.count()
+    base = (1.0 - PAGERANK_D) / n  # python float == engine double literal
+    pr = deg.select("doc_id", F.lit(_round10(1.0 / n)).alias("pr"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.alias("e")
+            .join(pr.alias("p"), F.col("e.src") == F.col("p.doc_id"))
+            .join(deg.alias("d"), F.col("e.src") == F.col("d.doc_id"))
+            .select(
+                F.col("e.dst").alias("doc_id"),
+                (F.col("p.pr") / F.col("d.outdeg")).cast("decimal(30,15)").alias("c"),
+            )
+        )
+        pr = contrib.groupBy("doc_id").agg(
+            _fr(F.lit(base) + PAGERANK_D * F.sum("c").cast("double"), 10).alias("pr")
+        )
+    return (
+        pr.join(deg, "doc_id")
+        .select(
+            "doc_id",
+            F.col("outdeg").cast("int").alias("n_neighbors"),
+            F.col("pr").alias("pagerank"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _round10(x: float) -> float:
+    import math
+
+    return math.floor(x * 1e10 + 0.5) / 1e10
+
+
 def _clusters_from_candidates(spark: SparkSession, sf_dir: str, cand_fn) -> DataFrame:
     pairs = (
         cand_fn(spark, sf_dir)
@@ -700,6 +772,59 @@ def _sql_dedup_clusters() -> str:
     """
 
 
+def _sql_pagerank() -> str:
+    """Unrolled PAGERANK_ITERS power iterations; each round's rank is
+    _fr-rounded to 10 decimals and contributions accumulate in DECIMAL, so
+    the replay is bit-for-bit (see pagerank_near_dup)."""
+    iters = []
+    for k in range(PAGERANK_ITERS):
+        iters.append(f"""
+        pr{k + 1} AS (
+            SELECT e.dst AS doc_id,
+                   {_sql_fr(
+                       "((1.0 - " + str(PAGERANK_D) + ") / nn.n) + "
+                       + str(PAGERANK_D)
+                       + " * CAST(sum(CAST(p.pr / d.outdeg AS DECIMAL(30,15))) AS DOUBLE)",
+                       10,
+                   )} AS pr
+            FROM edges e
+            JOIN pr{k} p ON e.src = p.doc_id
+            JOIN deg d ON e.src = d.doc_id, nn
+            GROUP BY e.dst, nn.n
+        )""")
+    return f"""
+        WITH docs AS ({_SQL_DOCS_TOKS}),
+        sigs AS (
+            SELECT doc_id, {_sql_minhash_sig(_SQL_SHINGLES)} AS sig FROM docs
+        ),
+        bands AS (
+            SELECT doc_id, b AS band, sig[2*b + 1] || sig[2*b + 2] AS bsig
+            FROM sigs, range(0, {N_BANDS}) AS t(b)
+        ),
+        cpairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+                        AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM cpairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM cpairs
+        ),
+        deg AS (SELECT src AS doc_id, count(*) AS outdeg FROM edges GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM deg),
+        pr0 AS (
+            SELECT doc_id, {_sql_fr('1.0 / nn.n', 10)} AS pr FROM deg, nn
+        ),{",".join(iters)}
+        SELECT p.doc_id,
+               CAST(d.outdeg AS INT) AS n_neighbors,
+               p.pr AS pagerank
+        FROM pr{PAGERANK_ITERS} p JOIN deg d ON p.doc_id = d.doc_id
+        ORDER BY p.doc_id
+    """
+
+
 def _sql_corpus_dedup_apply() -> str:
     return f"""
         WITH clusters AS ({_sql_dedup_clusters()})
@@ -722,6 +847,7 @@ def _sql_corpus_dedup_apply() -> str:
 ORACLE: dict[str, str] = {
     "dedup_clusters": _sql_dedup_clusters(),
     "corpus_dedup_apply": _sql_corpus_dedup_apply(),
+    "pagerank_near_dup": _sql_pagerank(),
     "dedup_exact": """
         SELECT md5(text) AS text_md5,
                min(doc_id) AS canonical_doc_id,
@@ -831,6 +957,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_fast": dedup_clusters_fast,  # rows-only: xxhash64
     "corpus_dedup_apply": corpus_dedup_apply,
+    "pagerank_near_dup": pagerank_near_dup,
     "dedup_simhash": dedup_simhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "embedding_near_dup": embedding_near_dup,
