@@ -289,6 +289,35 @@ def test_decayed_user_value_bounds_and_recency_dominance(spark):
         assert 0 < r.decayed_value <= r.raw_value + 1e-6
 
 
+def test_split_by_cluster_keeps_near_dups_together(spark):
+    """Contamination-safe split contract: every document is assigned,
+    splits are the configured three, and — the whole point — every near-dup
+    CLUSTER lives entirely inside one split (a doc-keyed split provably
+    violates this whenever a multi-doc cluster straddles a bucket
+    boundary)."""
+    from weather_database_system_spark.operators.dedup import (
+        dedup_clusters,
+        split_by_cluster,
+    )
+
+    rows = split_by_cluster(spark, SF_SMOKE).collect()
+    assert rows
+    assert {r.split for r in rows} <= {"train", "valid", "test"}
+    assert all(r.split is not None for r in rows)
+    by_cluster: dict[int, set] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert any(
+        len(m) > 1
+        for m in (
+            {r.doc_id for r in dedup_clusters(spark, SF_SMOKE).collect()
+             if r.cluster_size > 1},
+        )
+    )  # multi-doc clusters exist at smoke sf — the invariant is non-vacuous
+    for cid, splits in by_cluster.items():
+        assert len(splits) == 1, f"cluster {cid} straddles splits {splits}"
+
+
 def test_pagerank_near_dup_conserves_mass(spark):
     """PageRank contract: with no dangling nodes (induced subgraph, every
     node degree ≥ 1) total rank mass is conserved at 1.0 (up to the 1e-10

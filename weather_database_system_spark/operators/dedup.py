@@ -625,6 +625,55 @@ def corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe train/valid/test split: the 80/10/10 hash split
+    keyed on the near-dup CLUSTER id, not the document id — near-duplicates
+    always land in the same split, so no eval example leaks into training
+    through a paraphrase/boilerplate twin (the leakage a doc-keyed split
+    like scale.train_test_split cannot prevent; Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" §5 measure
+    exactly this effect). Split membership is the same engine-exact Knuth
+    high-bits bucket as every sampling operator here, applied to
+    cluster_id — a pure function of content structure, stable under reruns
+    and data appends that don't change the cluster's min id.
+
+    Emits the per-doc assignment (doc_id, cluster_id, split) plus the
+    cluster-integrity invariant is pytest-pinned (one split per cluster).
+    One join against the cluster labels + a map-only bucket — everything
+    heavy is inside (and shared with) dedup_clusters."""
+    from weather_database_system_spark.operators.scale import SPLIT_PCT, _bucket
+
+    labels = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    b = _bucket("cluster_id")
+    lo = 0
+    split = F.lit(None).cast("string")
+    for name, pct in SPLIT_PCT:
+        split = F.when((b >= lo) & (b < lo + pct), name).otherwise(split)
+        lo += pct
+    return labels.select("doc_id", "cluster_id", split.alias("split")).orderBy(
+        "doc_id"
+    )
+
+
+def _sql_split_by_cluster() -> str:
+    from weather_database_system_spark.operators.scale import SPLIT_PCT, _sql_bucket
+
+    cases, lo = [], 0
+    for name, pct in SPLIT_PCT:
+        cases.append(
+            f"WHEN {_sql_bucket('cluster_id')} >= {lo} "
+            f"AND {_sql_bucket('cluster_id')} < {lo + pct} THEN '{name}'"
+        )
+        lo += pct
+    return f"""
+        WITH clusters AS ({_sql_dedup_clusters()})
+        SELECT doc_id, cluster_id,
+               CASE {' '.join(cases)} END AS split
+        FROM clusters
+        ORDER BY doc_id
+    """
+
+
 PAGERANK_D = 0.85       # damping factor
 PAGERANK_ITERS = 3      # fixed, unrolled in the oracle
 
@@ -848,6 +897,7 @@ ORACLE: dict[str, str] = {
     "dedup_clusters": _sql_dedup_clusters(),
     "corpus_dedup_apply": _sql_corpus_dedup_apply(),
     "pagerank_near_dup": _sql_pagerank(),
+    "split_by_cluster": _sql_split_by_cluster(),
     "dedup_exact": """
         SELECT md5(text) AS text_md5,
                min(doc_id) AS canonical_doc_id,
@@ -958,6 +1008,7 @@ QUERIES = {
     "dedup_clusters_fast": dedup_clusters_fast,  # rows-only: xxhash64
     "corpus_dedup_apply": corpus_dedup_apply,
     "pagerank_near_dup": pagerank_near_dup,
+    "split_by_cluster": split_by_cluster,
     "dedup_simhash": dedup_simhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "embedding_near_dup": embedding_near_dup,
