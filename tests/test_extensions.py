@@ -289,6 +289,59 @@ def test_decayed_user_value_bounds_and_recency_dominance(spark):
         assert 0 < r.decayed_value <= r.raw_value + 1e-6
 
 
+def test_bigram_surprisal_counts_and_determinism(spark):
+    """Structural contract: a doc with n ≥ 2 tokens contributes exactly
+    n − 1 bigrams; surprisal is strictly positive (add-one smoothing keeps
+    every probability < 1 in a multi-bigram corpus); identical texts score
+    identically."""
+    from weather_database_system_spark.operators.textan import bigram_surprisal_quality
+    from weather_database_system_spark.sources.star import load_table
+
+    rows = {r.doc_id: r for r in bigram_surprisal_quality(spark, SF_SMOKE).collect()}
+    assert rows
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    }
+    for d, t in texts.items():
+        n = len(t.split(" "))
+        if n >= 2:
+            assert rows[d].n_bigrams == n - 1, d
+            assert rows[d].mean_bigram_surprisal > 0
+        else:
+            assert d not in rows
+    by_text: dict[str, set] = {}
+    for d, t in texts.items():
+        if d in rows:
+            by_text.setdefault(t, set()).add(rows[d].mean_bigram_surprisal)
+    assert all(len(v) == 1 for v in by_text.values())
+
+
+def test_source_overlap_jaccard_matches_python_sets(spark):
+    """Source-overlap grounded against pure-Python set arithmetic: every
+    reported (n_common, n_union, jaccard) must equal the Jaccard of the
+    independently recomputed distinct-shingle sets."""
+    from weather_database_system_spark.operators.trainprep import source_overlap_jaccard
+    from weather_database_system_spark.sources.star import load_table
+
+    rows = source_overlap_jaccard(spark, SF_SMOKE).collect()
+    assert rows
+    shingles: dict[str, set] = {}
+    for r in load_table(spark, SF_SMOKE, "documents").select("source", "text").collect():
+        toks = r.text.split(" ")
+        s = shingles.setdefault(r.source, set())
+        for i in range(len(toks) - 2):
+            s.add(" ".join(toks[i : i + 3]))
+    import math
+
+    for r in rows:
+        assert r.source_a < r.source_b
+        a, b = shingles[r.source_a], shingles[r.source_b]
+        inter, union = len(a & b), len(a | b)
+        assert (r.n_common, r.n_union) == (inter, union), (r.source_a, r.source_b)
+        assert abs(r.jaccard - math.floor(inter / union * 1e6 + 0.5) / 1e6) < 1e-12
+
+
 def test_split_by_cluster_keeps_near_dups_together(spark):
     """Contamination-safe split contract: every document is assigned,
     splits are the configured three, and — the whole point — every near-dup

@@ -281,6 +281,61 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-LM quality gate — the sharper sibling of
+    unigram_logprob_quality: score each document by the mean conditional
+    surprisal −ln P(w_i | w_{i−1}) under the corpus's own add-one-smoothed
+    bigram model, P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V). Word-salad documents
+    whose unigrams look normal but whose transitions are improbable score
+    high — the signal a unigram gate cannot see.
+
+    Shape at 100 TB: one bigram explode → (w1,w2)-keyed counts (bounded by
+    the bigram vocabulary) → a bigram-keyed join back + one doc agg; the
+    unigram context counts ride the same join keyed by w1. V and nothing
+    else crosses the driver (1-row scalar).
+
+    Determinism: per-bigram surprisal floor-rounds to 6 decimals, per-doc
+    sums accumulate in DECIMAL, the mean rounds to 4 — the
+    unigram_logprob_quality recipe exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    bigram = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+    )
+    has2 = F.size(toks) >= 2
+    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
+    bg = docs.select(
+        "doc_id", F.explode(F.when(has2, bigram).otherwise(empty)).alias("bg")
+    )
+    bgc = bg.groupBy("bg").agg(F.count("*").alias("c2"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    # context count c(w1·) = occurrences of w1 as a bigram PREFIX; V from
+    # the same prefix vocabulary — both pure functions of the bigram table
+    ctx = bgc.select(w1.alias("w1"), "c2").groupBy("w1").agg(
+        F.sum("c2").alias("c1")
+    )
+    v = ctx.count()
+    tf2 = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("n"))
+    stats = bgc.select("bg", "c2").withColumn("w1", F.split(F.col("bg"), " ").getItem(0)).join(ctx, "w1")
+    surp6 = _fr(
+        -F.log((F.col("c2") + 1.0) / (F.col("c1") + F.lit(float(v)))), 6
+    )
+    scored = tf2.join(stats, "bg").select(
+        "doc_id", "n", (F.col("n") * surp6).cast(DEC).alias("s")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("int").alias("n_bigrams"),
+            _fr(F.sum("s").cast("double") / F.sum("n"), 4).alias(
+                "mean_bigram_surprisal"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 TFIDF_COS_MIN = 0.9    # near-dup cosine bar over full-vocabulary tf-idf vectors
                        # (candidate-cosine p50 at smoke sf is ~0.69 — the small
                        # synthetic vocabulary compresses cosines upward, so the
@@ -570,6 +625,39 @@ ORACLE: dict[str, str] = {
         FROM d
         ORDER BY doc_id
     """,
+    "bigram_surprisal_quality": f"""
+        WITH d AS ({_SQL_TOKS}),
+        bg AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(toks) >= 2
+                          THEN list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])
+                          ELSE [] END) AS bg
+            FROM d
+        ),
+        bgc AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+        ctx AS (
+            SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1
+            FROM bgc GROUP BY 1
+        ),
+        v AS (SELECT count(*) AS v FROM ctx),
+        tf2 AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2),
+        stats AS (
+            SELECT bgc.bg, bgc.c2, ctx.c1
+            FROM bgc JOIN ctx ON string_split(bgc.bg, ' ')[1] = ctx.w1
+        ),
+        scored AS (
+            SELECT t.doc_id, t.n,
+                   CAST(t.n * ({_sql_fr("-ln((c2 + 1.0) / (c1 + CAST(v AS DOUBLE)))", 6)}) AS DECIMAL(30,10)) AS s
+            FROM tf2 t JOIN stats USING (bg), v
+        )
+        SELECT doc_id,
+               CAST(sum(n) AS INT) AS n_bigrams,
+               {_sql_fr("CAST(sum(s) AS DOUBLE) / sum(n)", 4)} AS mean_bigram_surprisal
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
     "unigram_logprob_quality": f"""
         WITH d AS ({_SQL_TOKS}),
         terms AS (SELECT doc_id, unnest(toks) AS term FROM d),
@@ -641,6 +729,7 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "corpus_curation": corpus_curation,
     "unigram_logprob_quality": unigram_logprob_quality,
+    "bigram_surprisal_quality": bigram_surprisal_quality,
     "tfidf_cosine_pairs": tfidf_cosine_pairs,
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_search": bm25_search,

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from weather_database_system_spark.operators.dedup import _tokens
+from weather_database_system_spark.operators.dedup import _SQL_SHINGLES, _shingles, _tokens
 from weather_database_system_spark.operators.relational import _fr, _sql_fr
 from weather_database_system_spark.operators.scale import (
     _HI_DIV,
@@ -410,6 +410,55 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level content-overlap matrix: pairwise Jaccard similarity of
+    the distinct-3-gram-shingle SETS of each data source — the
+    which-domains-mirror-each-other diagnostic that decides source-level
+    dedup priorities before any per-document pass (two sources with high
+    shingle overlap are mirrors/scrapes of each other; dedup one against
+    the other first).
+
+    Shape at 100 TB: one (source, shingle) distinct (corpus-scan + one
+    shuffle keyed by shingle), then the pair stage is an equi-join on the
+    shingle whose per-key fan-out is bounded by |sources|² — sources number
+    in the hundreds, so the inverted-index join is skew-free by
+    construction (unlike doc-level postings, no cap needed). Exact
+    integer counts end-to-end; Jaccard rounds at presentation."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    sh = base.select(
+        "source", F.explode(_shingles(_tokens(F.col("text")))).alias("s")
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        inter.join(sa, F.col("source_a") == F.col("sa.source"))
+        .join(sb, F.col("source_b") == F.col("sb.source"))
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_common").cast("int").alias("n_common"),
+            (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+            .cast("int")
+            .alias("n_union"),
+            _fr(jac, 6).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary induction + token-id mapping — the tokenize step between
     curation and training: build the corpus vocabulary (id = frequency
@@ -487,6 +536,28 @@ _SQL_SCORE = (
 
 
 ORACLE: dict[str, str] = {
+    "source_overlap_jaccard": f"""
+        WITH d AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+        sh AS (
+            SELECT DISTINCT source, s
+            FROM (SELECT source, unnest({_SQL_SHINGLES}) AS s FROM d)
+        ),
+        sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT source_a, source_b,
+               CAST(n_common AS INT) AS n_common,
+               CAST(sa.n + sb.n - n_common AS INT) AS n_union,
+               {_sql_fr('n_common * 1.0 / (sa.n + sb.n - n_common)', 6)} AS jaccard
+        FROM inter
+        JOIN sizes sa ON source_a = sa.source
+        JOIN sizes sb ON source_b = sb.source
+        ORDER BY source_a, source_b
+    """,
     "tokenize_to_ids": f"""
         WITH d AS ({_SQL_TOKS}),
         posd AS (
@@ -670,6 +741,7 @@ ORACLE: dict[str, str] = {
 
 QUERIES = {
     "tokenize_to_ids": tokenize_to_ids,
+    "source_overlap_jaccard": source_overlap_jaccard,
     "domain_mixture_weights": domain_mixture_weights,
     "quality_weighted_sample": quality_weighted_sample,
     "repetition_ngram_stats": repetition_ngram_stats,
