@@ -289,6 +289,27 @@ def test_decayed_user_value_bounds_and_recency_dominance(spark):
         assert 0 < r.decayed_value <= r.raw_value + 1e-6
 
 
+def test_chunk_dedup_stats_consistent_with_chunks(spark):
+    """Every reported repeated chunk must be reconstructible from the chunk
+    stream: n_docs ≥ 2 by contract, occurrences ≥ docs, and the canonical
+    id is the min doc carrying that digest."""
+    from weather_database_system_spark.operators.trainprep import (
+        chunk_dedup_stats,
+        doc_chunk_windows,
+    )
+
+    rep = chunk_dedup_stats(spark, SF_SMOKE).collect()
+    assert rep
+    carriers: dict[str, list[int]] = {}
+    for r in doc_chunk_windows(spark, SF_SMOKE).collect():
+        carriers.setdefault(r.chunk_digest, []).append(r.doc_id)
+    for r in rep:
+        docs = carriers[r.chunk_digest]
+        assert r.n_docs == len(set(docs)) >= 2
+        assert r.n_occurrences == len(docs) >= r.n_docs
+        assert r.canonical_doc_id == min(docs)
+
+
 def test_bigram_surprisal_counts_and_determinism(spark):
     """Structural contract: a doc with n ≥ 2 tokens contributes exactly
     n − 1 bigrams; surprisal is strictly positive (add-one smoothing keeps

@@ -162,6 +162,31 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (paragraph-grade) cross-document dedup report: group the
+    doc_chunk_windows digests by content and keep every chunk that appears
+    in MORE THAN ONE document — repeated headers/footers/boilerplate
+    passages that whole-document dedup can never see (the ExactSubstr
+    motivation of Lee et al. 2022, at chunk granularity instead of suffix
+    arrays). Downstream, these digests are the removal list a
+    boilerplate-stripping pass anti-joins against.
+
+    One digest-keyed aggregation over the chunk stream (uniform md5 keys —
+    no skew), map-side combined; canonical_doc_id gives the deterministic
+    exemplar, same convention as dedup_exact."""
+    chunks = doc_chunk_windows(spark, sf_dir)
+    return (
+        chunks.groupBy("chunk_digest")
+        .agg(
+            F.countDistinct("doc_id").cast("int").alias("n_docs"),
+            F.count("*").cast("int").alias("n_occurrences"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "chunk_digest")
+    )
+
+
 PACK_BUDGET = 512  # tokens per packed training sequence
 PACK_SHARDS = 4  # shard fan-out exercised by the sharded registry twin
 
@@ -628,6 +653,33 @@ ORACLE: dict[str, str] = {
         LEFT JOIN three USING (doc_id)
         ORDER BY d.doc_id
     """,
+    "chunk_dedup_stats": f"""
+        WITH d AS ({_SQL_TOKS}),
+        n_chunks AS (
+            SELECT doc_id, toks,
+                   1 + greatest(0, len(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                         // {CHUNK_STRIDE} AS nc
+            FROM d
+        ),
+        chunks AS (
+            SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_no FROM n_chunks
+        ),
+        digests AS (
+            SELECT doc_id,
+                   md5(array_to_string(toks[chunk_no * {CHUNK_STRIDE} + 1 :
+                                            chunk_no * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+                                       ' ')) AS chunk_digest
+            FROM chunks
+        )
+        SELECT chunk_digest,
+               CAST(count(DISTINCT doc_id) AS INT) AS n_docs,
+               CAST(count(*) AS INT) AS n_occurrences,
+               min(doc_id) AS canonical_doc_id
+        FROM digests
+        GROUP BY chunk_digest
+        HAVING count(DISTINCT doc_id) >= 2
+        ORDER BY n_docs DESC, chunk_digest
+    """,
     "doc_chunk_windows": f"""
         WITH d AS ({_SQL_TOKS}),
         n_chunks AS (
@@ -746,6 +798,7 @@ QUERIES = {
     "quality_weighted_sample": quality_weighted_sample,
     "repetition_ngram_stats": repetition_ngram_stats,
     "doc_chunk_windows": doc_chunk_windows,
+    "chunk_dedup_stats": chunk_dedup_stats,
     "sequence_pack_bins": sequence_pack_bins,
     "sequence_pack_bins_sharded": sequence_pack_bins_sharded,
     "pii_redaction": pii_redaction,
