@@ -135,6 +135,57 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+WINNOW_K = 4  # k-gram length (tokens) for winnowing fingerprints
+WINNOW_W = 4  # winnowing window (hashes); guarantees any match of
+              # length >= WINNOW_K + WINNOW_W - 1 shares a fingerprint
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS local fingerprinting scheme): hash every WINNOW_K-token gram,
+    slide a WINNOW_W-hash window over the hash sequence and select each
+    window's minimum — the guarantee is that any shared substring of at
+    least K+W−1 tokens contributes at least one shared fingerprint, so the
+    distinct selected set supports PARTIAL-overlap detection (plagiarism,
+    quoting, template reuse) that whole-document digests miss. Documents
+    shorter than one window select the minimum of what they have; documents
+    with fewer than K tokens have no fingerprints.
+
+    Emits the per-doc summary (k-gram count, distinct fingerprint count,
+    the minimum fingerprint, and the digest of the sorted fingerprint set —
+    the join key for corpus-level overlap mining). Map-only: per-row array
+    ops, no shuffle until the presentation sort; at 100 TB the explode of
+    (doc, fingerprint) for pairwise mining is the ngram_jaccard inverted-
+    index shape, fed by exactly this column."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    kgram_hashes = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - WINNOW_K),
+        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, WINNOW_K), " ")),
+    )
+    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
+    h = F.when(F.size(toks) >= WINNOW_K, kgram_hashes).otherwise(empty)
+    base = docs.select("doc_id", h.alias("h"))
+    mins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.lit(0), F.size("h") - WINNOW_W)),
+        lambda i: F.array_min(F.slice(F.col("h"), i + 1, WINNOW_W)),
+    )
+    fps = F.when(F.size("h") >= 1, F.array_sort(F.array_distinct(mins))).otherwise(
+        empty
+    )
+    return (
+        base.select("doc_id", F.size("h").alias("n_kgrams"), fps.alias("fps"))
+        .select(
+            "doc_id",
+            "n_kgrams",
+            F.size("fps").alias("n_fingerprints"),
+            F.element_at("fps", 1).alias("fp_min"),
+            F.md5(F.array_join("fps", ",")).alias("fp_set_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 TFIDF_TOP_K = 3
 
 
@@ -625,6 +676,33 @@ ORACLE: dict[str, str] = {
         FROM d
         ORDER BY doc_id
     """,
+    "winnow_fingerprints": f"""
+        WITH d AS ({_SQL_TOKS}),
+        h AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= {WINNOW_K}
+                   THEN list_transform(range(1, len(toks) - {WINNOW_K} + 2),
+                        i -> md5(array_to_string(toks[i:i+{WINNOW_K - 1}], ' ')))
+                   ELSE [] END AS h
+            FROM d
+        ),
+        fp AS (
+            SELECT doc_id, len(h) AS n_kgrams,
+                   CASE WHEN len(h) >= 1
+                   THEN list_sort(list_distinct(
+                        list_transform(range(1, greatest(1, len(h) - {WINNOW_W} + 1) + 1),
+                                       i -> list_min(h[i:i+{WINNOW_W - 1}]))))
+                   ELSE [] END AS fps
+            FROM h
+        )
+        SELECT doc_id,
+               CAST(n_kgrams AS INT) AS n_kgrams,
+               CAST(len(fps) AS INT) AS n_fingerprints,
+               fps[1] AS fp_min,
+               md5(array_to_string(fps, ',')) AS fp_set_md5
+        FROM fp
+        ORDER BY doc_id
+    """,
     "bigram_surprisal_quality": f"""
         WITH d AS ({_SQL_TOKS}),
         bg AS (
@@ -737,4 +815,5 @@ QUERIES = {
     "text_quality": text_quality,
     "lang_id_stopword": lang_id_stopword,
     "doc_fingerprint": doc_fingerprint,
+    "winnow_fingerprints": winnow_fingerprints,
 }
