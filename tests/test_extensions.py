@@ -387,6 +387,49 @@ def test_bigram_surprisal_counts_and_determinism(spark):
     assert all(len(v) == 1 for v in by_text.values())
 
 
+def test_source_kl_divergence_matches_python_and_gibbs(spark):
+    """KL grounded against a pure-Python recompute (identical rounding
+    recipe) and against Gibbs' inequality: KL(source ‖ corpus) ≥ 0, with
+    equality only if the source distribution equals the corpus mixture."""
+    import math
+
+    from weather_database_system_spark.operators.trainprep import source_kl_divergence
+    from weather_database_system_spark.sources.star import load_table
+
+    rows = {r.source: r for r in source_kl_divergence(spark, SF_SMOKE).collect()}
+    assert rows
+    st: dict[str, dict[str, int]] = {}
+    for r in load_table(spark, SF_SMOKE, "documents").select("source", "text").collect():
+        d = st.setdefault(r.source, {})
+        for t in r.text.split(" "):
+            d[t] = d.get(t, 0) + 1
+    t_tot: dict[str, int] = {}
+    for d in st.values():
+        for t, c in d.items():
+            t_tot[t] = t_tot.get(t, 0) + c
+    n_corpus = sum(t_tot.values())
+
+    def fr(x: float, nd: int) -> float:
+        return math.floor(x * 10**nd + 0.5) / 10**nd
+
+    for src, d in st.items():
+        n_s = sum(d.values())
+        # the engines sum the 8-decimal-rounded terms EXACTLY in DECIMAL —
+        # a float accumulation here can land on the other side of the final
+        # rounding boundary, so sum the integer numerators (term = k/1e8)
+        total_k = sum(
+            math.floor((c / n_s) * math.log((c * n_corpus) / (n_s * t_tot[t])) * 1e8 + 0.5)
+            for t, c in d.items()
+        )
+        kl = total_k / 1e8
+        r = rows[src]
+        assert r.n_tokens == n_s
+        assert r.vocab_used == len(d)
+        assert abs(r.kl_nats - fr(kl, 6)) < 1e-9, src
+        # Gibbs: the per-term rounding can only perturb by ~vocab·5e-9
+        assert r.kl_nats >= -1e-4, src
+
+
 def test_source_overlap_jaccard_matches_python_sets(spark):
     """Source-overlap grounded against pure-Python set arithmetic: every
     reported (n_common, n_union, jaccard) must equal the Jaccard of the

@@ -143,6 +143,8 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
                                 # broadcasts over the customer aggregate
         "decayed_user_value",   # 1-row max-timestamp anchor broadcast over
                                 # the event scan
+        "source_kl_divergence", # 1-row corpus-total broadcast over the
+                                # (source, term) counts
         "rfm_segmentation_approx",  # same 1-row broadcasts; thresholds via
                                     # approx_percentile sketch
     }

@@ -435,6 +435,53 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift quantification: KL(source ‖ corpus) over unigram
+    distributions — how far each data source's token distribution sits from
+    the corpus mixture, in nats. The number mixture-tuning reads next to
+    domain_mixture_weights' token shares (a source with high KL dominates
+    its own niche; upweighting it shifts the trained distribution hardest)
+    and the continuous counterpart of source_overlap_jaccard's set view.
+
+    KL_s = Σ_t p_s(t)·ln(p_s(t)/q(t)) with p_s = c_st/n_s, q = c_t/N; the
+    source support is a subset of the corpus support, so q > 0 everywhere
+    p_s > 0 and the sum is finite.
+
+    Shape at 100 TB: (source, term) counts → a term-keyed join against the
+    vocabulary-bounded corpus counts → one |sources|-key agg. Corpus totals
+    ride a 1-row broadcast.
+
+    Determinism: the log argument is the exact-integer ratio
+    (c_st·N)/(n_s·c_t) — all products < 2^53, so both engines form the
+    identical double before ln; each term floor-rounds to 8 decimals and
+    sums accumulate in DECIMAL."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    terms = base.select("source", F.explode(_tokens(F.col("text"))).alias("term"))
+    st = terms.groupBy("source", "term").agg(F.count("*").alias("c_st"))
+    s_tot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    t_tot = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    n_tot = st.agg(F.sum("c_st").alias("n_corpus"))
+    p = F.col("c_st") / F.col("n_s")
+    ratio = (F.col("c_st") * F.col("n_corpus")).cast("double") / (
+        F.col("n_s") * F.col("c_t")
+    )
+    term8 = _fr(p * F.log(ratio), 8)
+    return (
+        st.join(s_tot, "source")
+        .join(t_tot, "term")
+        .crossJoin(F.broadcast(n_tot))
+        .select("source", "n_s", term8.cast("decimal(30,12)").alias("kterm"))
+        .groupBy("source")
+        .agg(
+            F.first("n_s").cast("long").alias("n_tokens"),
+            F.count("*").cast("int").alias("vocab_used"),
+            _fr(F.sum("kterm").cast("double"), 6).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )
+
+
 def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-level content-overlap matrix: pairwise Jaccard similarity of
     the distinct-3-gram-shingle SETS of each data source — the
@@ -561,6 +608,31 @@ _SQL_SCORE = (
 
 
 ORACLE: dict[str, str] = {
+    "source_kl_divergence": f"""
+        WITH terms AS (
+            SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        st AS (SELECT source, term, count(*) AS c_st FROM terms GROUP BY 1, 2),
+        s_tot AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1),
+        t_tot AS (SELECT term, sum(c_st) AS c_t FROM st GROUP BY 1),
+        n_tot AS (SELECT sum(c_st) AS n_corpus FROM st),
+        kterms AS (
+            SELECT st.source, s_tot.n_s,
+                   CAST({_sql_fr(
+                       "(c_st * 1.0 / n_s) * ln(CAST(c_st * n_corpus AS DOUBLE) / (n_s * c_t))",
+                       8)} AS DECIMAL(30,12)) AS kterm
+            FROM st
+            JOIN s_tot USING (source)
+            JOIN t_tot USING (term), n_tot
+        )
+        SELECT source,
+               CAST(min(n_s) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS INT) AS vocab_used,
+               {_sql_fr("CAST(sum(kterm) AS DOUBLE)", 6)} AS kl_nats
+        FROM kterms
+        GROUP BY source
+        ORDER BY source
+    """,
     "source_overlap_jaccard": f"""
         WITH d AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
         sh AS (
@@ -794,6 +866,7 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "tokenize_to_ids": tokenize_to_ids,
     "source_overlap_jaccard": source_overlap_jaccard,
+    "source_kl_divergence": source_kl_divergence,
     "domain_mixture_weights": domain_mixture_weights,
     "quality_weighted_sample": quality_weighted_sample,
     "repetition_ngram_stats": repetition_ngram_stats,
