@@ -35,7 +35,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #                #3); dedup_clusters + dedup_minhash_lsh_fast (byte-identical
 #                refactor through the shared _banded_*_candidates /
 #                _clusters_from_candidates helpers, re-checked anyway).
-#   r5 additions (never checked): dedup_clusters_fast.
+#   r5 additions (never checked): dedup_clusters_fast, corpus_dedup_apply,
+#                pagerank_near_dup, split_by_cluster, unigram_logprob_quality,
+#                bigram_surprisal_quality, tfidf_cosine_pairs,
+#                winnow_fingerprints, image_decode_features,
+#                audio_decode_features, decayed_user_value,
+#                embedding_gram_matrix, tokenize_to_ids,
+#                source_overlap_jaccard, source_kl_divergence,
+#                chunk_dedup_stats, window_distribution_funcs.
 # The four r4-ADVICE items (pii regex hardening, rfm threshold rounding,
 # doc_chunk_windows single tokenizer, dedup_clusters eager unpersist) were
 # already fixed in late-r4 commits e15382f/1103520 and the r04 CORRECTNESS
