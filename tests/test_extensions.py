@@ -289,6 +289,35 @@ def test_decayed_user_value_bounds_and_recency_dominance(spark):
         assert 0 < r.decayed_value <= r.raw_value + 1e-6
 
 
+def test_asof_tolerance_is_base_asof_with_staleness_nulling(spark):
+    """The tolerance variant must equal the unbounded as-of wherever the
+    matched view is fresh (gap ≤ tolerance) and null out exactly the stale
+    or missing matches — and the tolerance must be binding at smoke sf
+    (both attributed and unattributed clicks exist)."""
+    from weather_database_system_spark.operators.temporal import (
+        ASOF_TOLERANCE_MIN,
+        asof_attribution,
+        asof_attribution_tolerance,
+    )
+
+    base = {r.click_event_id: r for r in asof_attribution(spark, SF_SMOKE).collect()}
+    tol = {r.click_event_id: r for r in asof_attribution_tolerance(spark, SF_SMOKE).collect()}
+    assert set(base) == set(tol)
+    limit = ASOF_TOLERANCE_MIN * 60 * 1_000_000
+    n_attr = n_unattr = 0
+    for cid, b in base.items():
+        t = tol[cid]
+        if b.gap_us is not None and b.gap_us <= limit:
+            n_attr += 1
+            assert t.attributed == 1
+            assert (t.view_ts, t.gap_us) == (b.view_ts, b.gap_us), cid
+        else:
+            n_unattr += 1
+            assert t.attributed == 0
+            assert t.view_ts is None and t.gap_us is None, cid
+    assert n_attr and n_unattr  # the tolerance is binding, not vacuous
+
+
 def test_winnow_fingerprints_match_python_reference(spark):
     """Winnowing grounded against an independent pure-Python implementation
     of Schleimer et al.'s scheme (k-gram md5s, window-min selection,

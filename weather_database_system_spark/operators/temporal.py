@@ -75,6 +75,54 @@ def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_TOLERANCE_MIN = 30  # max staleness of an attributed view (minutes)
+
+
+def asof_attribution_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH a staleness tolerance — the production attribution
+    semantics (kdb's ``wj``/TimescaleDB tolerance arg): a click attributes
+    to the most recent prior view only if that view is at most
+    ASOF_TOLERANCE_MIN old; older matches null out exactly like no-match
+    (an unbounded as-of credits a view from last month — never the
+    product-analytics contract). Same single-shuffle union+window shape as
+    asof_attribution; the tolerance is one additional codegen'd predicate
+    over the already-computed gap, so the scale story is unchanged. The
+    DuckDB oracle stays the independent native ASOF JOIN implementation
+    with the same post-predicate."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+
+    tagged = clicks.select(
+        F.lit(1).alias("is_click"), "user_id", "ts", "event_id"
+    ).unionByName(
+        views.select(F.lit(0).alias("is_click"), "user_id", "ts", "event_id")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").asc(), F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_view_ts = F.last(
+        F.when(F.col("is_click") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_view_ts"))
+    fresh = gap_us <= ASOF_TOLERANCE_MIN * 60 * 1_000_000
+    return (
+        tagged.withColumn("last_view_ts", last_view_ts)
+        .filter(F.col("is_click") == 1)
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            "user_id",
+            F.date_format("ts", _TS_US).alias("click_ts"),
+            F.when(fresh, F.date_format("last_view_ts", _TS_US)).alias("view_ts"),
+            F.when(fresh, gap_us).alias("gap_us"),
+            F.coalesce(fresh, F.lit(False)).cast("int").alias("attributed"),
+        )
+        .orderBy("click_event_id")
+    )
+
+
 BANDS = (
     # (band, lo, hi) — price bands; hi exclusive
     ("low", 0.0, 20_000.0),
@@ -360,6 +408,22 @@ ORACLE: dict[str, str] = {
         GROUP BY event_type
         ORDER BY event_type
     """,
+    "asof_attribution_tolerance": f"""
+        SELECT c.event_id AS click_event_id,
+               c.user_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+               CASE WHEN epoch_us(c.ts) - epoch_us(v.ts) <= {ASOF_TOLERANCE_MIN * 60 * 1_000_000}
+                    THEN strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') END AS view_ts,
+               CASE WHEN epoch_us(c.ts) - epoch_us(v.ts) <= {ASOF_TOLERANCE_MIN * 60 * 1_000_000}
+                    THEN epoch_us(c.ts) - epoch_us(v.ts) END AS gap_us,
+               CAST(coalesce(epoch_us(c.ts) - epoch_us(v.ts)
+                             <= {ASOF_TOLERANCE_MIN * 60 * 1_000_000}, false) AS INT)
+                   AS attributed
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+        ORDER BY click_event_id
+    """,
     "asof_attribution": """
         SELECT c.event_id AS click_event_id,
                c.user_id,
@@ -387,6 +451,7 @@ ORACLE: dict[str, str] = {
 
 QUERIES = {
     "asof_attribution": asof_attribution,
+    "asof_attribution_tolerance": asof_attribution_tolerance,
     "range_band_join": range_band_join,
     "time_weighted_avg": time_weighted_avg,
     "gap_fill_locf": gap_fill_locf,
