@@ -289,6 +289,198 @@ def test_decayed_user_value_bounds_and_recency_dominance(spark):
         assert 0 < r.decayed_value <= r.raw_value + 1e-6
 
 
+def test_mad_anomaly_grounded_and_approx_twin_agrees(spark):
+    """Exact-twin flags match a pure-Python median/MAD recompute (per
+    event_type), every emitted |mscore| clears the 3.5 bar, and the
+    approx_percentile production twin agrees on ≥95 % of flagged events."""
+    from weather_database_system_spark.operators.scale import (
+        MAD_K,
+        MAD_THRESH,
+        anomaly_mad_zscore,
+        anomaly_mad_zscore_approx,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    rows = anomaly_mad_zscore(spark, SF_SMOKE).collect()
+    assert rows, "no outliers flagged at smoke sf"
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+
+    def med(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        h = (n - 1) / 2
+        lo, hi = xs[int(h)], xs[int(h + 0.5)]
+        return lo + (hi - lo) * (h - int(h))
+
+    def fr6(x):
+        import math
+
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    flagged = {r.event_id for r in rows}
+    for et, vals in by_type.items():
+        m = fr6(med(vals))
+        mad = fr6(med([abs(v - m) for v in vals]))
+        want = {
+            r.event_id
+            for r in ev
+            if r.event_type == et and abs(MAD_K * (r.value - m) / mad) > MAD_THRESH
+        }
+        got = {r.event_id for r in rows if r.event_type == et}
+        assert got == want, et
+    for r in rows:
+        assert abs(r.mscore) > MAD_THRESH - 1e-3
+
+    approx = {r.event_id for r in anomaly_mad_zscore_approx(spark, SF_SMOKE).collect()}
+    inter = len(flagged & approx)
+    assert inter >= 0.95 * max(len(flagged), len(approx))
+
+
+def test_rollup_merge_is_nonvacuous_and_equals_direct(spark):
+    """Every (event_type, hour) group must receive rows from BOTH the old
+    and the new half (otherwise the merge proves nothing), and the merged
+    states must equal a direct single-pass Spark aggregation."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.scale import (
+        MERGE_CUTOFF,
+        rollup_merge_incremental,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    halves = (
+        ev.select(
+            "event_type",
+            F.hour("ts").alias("hour_of_day"),
+            (F.date_format("ts", "yyyy-MM-dd") < MERGE_CUTOFF).alias("is_old"),
+        )
+        .groupBy("event_type", "hour_of_day")
+        .agg(F.countDistinct("is_old").alias("n_sides"))
+        .collect()
+    )
+    # at smoke sf a thin (type, hour) group can land wholly in one half;
+    # the merge is non-vacuous as long as the vast majority genuinely span
+    # the cutoff (at sf0.1+ every group does).
+    n_both = sum(1 for r in halves if r.n_sides == 2)
+    assert halves and n_both >= 0.9 * len(halves), "vacuous merge"
+
+    merged = {
+        (r.event_type, r.hour_of_day): (r.n_events, r.total_value, r.min_value, r.max_value)
+        for r in rollup_merge_incremental(spark, SF_SMOKE).collect()
+    }
+    direct = {
+        (r.event_type, r.hour_of_day): (r.n, r.tot, r.mn, r.mx)
+        for r in ev.select(
+            "event_type", F.hour("ts").alias("hour_of_day"), "value"
+        )
+        .groupBy("event_type", "hour_of_day")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 2)
+            .cast("double")
+            .alias("tot"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_containment_catches_excerpt_that_jaccard_misses(spark, tmp_path):
+    """The motivating asymmetry: a 15-token excerpt of a 60-token doc has
+    containment 1.0 (every inner shingle appears in the outer doc) but
+    Jaccard 13/58 ≈ 0.22 — below ngram_jaccard_pairs' 0.5 bar. Containment
+    must emit the directed pair; Jaccard must not."""
+    from weather_database_system_spark.operators.dedup import (
+        dedup_containment,
+        ngram_jaccard_pairs,
+    )
+
+    toks = [f"w{i}" for i in range(60)]
+    docs = [
+        (1, " ".join(toks), "en", "web", 0),
+        (2, " ".join(toks[20:35]), "en", "web", 0),
+        (3, " ".join(f"x{i}" for i in range(30)), "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    cont = dedup_containment(spark, str(tmp_path)).collect()
+    assert [(r.doc_inner, r.doc_outer, r.containment) for r in cont] == [(2, 1, 1.0)]
+    assert cont[0].n_common == 13 and cont[0].n_inner == 13 and cont[0].n_outer == 58
+    jac = ngram_jaccard_pairs(spark, str(tmp_path)).collect()
+    assert not jac, "Jaccard 0.22 pair must be below the 0.5 bar"
+
+
+def test_containment_values_match_python_sets(spark):
+    """Every emitted containment at smoke sf equals the pure-Python set
+    computation over the same 3-gram shingles, and respects the threshold."""
+    from weather_database_system_spark.operators.dedup import (
+        CONTAIN_T,
+        dedup_containment,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    rows = dedup_containment(spark, SF_SMOKE).collect()
+    assert rows, "no containment pairs at smoke sf"
+    docs = {r.doc_id: r.text for r in load_table(spark, SF_SMOKE, "documents").collect()}
+
+    def sh(text):
+        t = text.split(" ")
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    for r in rows:
+        a, b = sh(docs[r.doc_inner]), sh(docs[r.doc_outer])
+        assert len(a) <= len(b)
+        want = len(a & b) / len(a)
+        assert want >= CONTAIN_T
+        assert abs(r.containment - want) < 1e-4, (r.doc_inner, r.doc_outer)
+
+
+def test_scd2_history_matches_pure_python_replay(spark):
+    """SCD2 invariants grounded against an independent pure-Python replay of
+    each user's event stream: version chains are contiguous (valid_to(k) ==
+    valid_from(k+1)), exactly one open current version per user, consecutive
+    versions actually change type, and the (type, valid_from) sequence equals
+    the collapse-consecutive-duplicates replay."""
+    from weather_database_system_spark.operators.temporal import scd2_user_history
+    from weather_database_system_spark.sources.star import load_table
+
+    hist = scd2_user_history(spark, SF_SMOKE).collect()
+    by_user: dict[int, list] = {}
+    for r in hist:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+
+    for uid, versions in by_user.items():
+        versions.sort(key=lambda r: r.version_no)
+        assert [v.version_no for v in versions] == list(range(1, len(versions) + 1))
+        for a, b in zip(versions, versions[1:]):
+            assert a.valid_to == b.valid_from, uid  # contiguous intervals
+            assert a.event_type != b.event_type, uid  # a version means change
+            assert a.is_current == 0
+        assert versions[-1].is_current == 1 and versions[-1].valid_to is None
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    streams: dict[int, list] = {}
+    for r in ev:
+        streams.setdefault(r.user_id, []).append(r)
+    for uid, rows in streams.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        replay = []
+        for r in rows:
+            if not replay or replay[-1][0] != r.event_type:
+                replay.append((r.event_type, r.ts.strftime("%Y-%m-%d %H:%M:%S.%f")))
+        got = [(v.event_type, v.valid_from) for v in by_user[uid]]
+        assert got == replay, uid
+
+
 def test_asof_tolerance_is_base_asof_with_staleness_nulling(spark):
     """The tolerance variant must equal the unbounded as-of wherever the
     matched view is fresh (gap ≤ tolerance) and null out exactly the stale

@@ -395,6 +395,69 @@ def ngram_jaccard_pairs(
     )
 
 
+CONTAIN_T = 0.8  # containment threshold: share of the smaller doc's shingles
+
+
+def dedup_containment(
+    spark: SparkSession, sf_dir: str, *, max_posting_len: int = MAX_POSTING_LEN
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT |A∩B| / min(|A|,|B|) (Broder 1997's
+    containment measure, vs the resemblance/Jaccard measure): detects a
+    short document embedded inside a longer one — an excerpt, a quoted
+    article, boilerplate wrapped in new text — which symmetric Jaccard
+    structurally misses (|A∩B|/|A∪B| → 0 as the outer doc grows even when
+    the inner doc is copied verbatim). The training-data use is excerpt
+    dedup: drop the contained doc, keep the superset.
+
+    Same scale shape as ngram_jaccard_pairs — inverted shingle index, ONE
+    shuffle on the shingle, posting-list cap bounding hot-shingle skew —
+    only the final scoring differs: containment normalizes by the SMALLER
+    side's set size. Output is directed: doc_inner is the contained
+    (smaller; ties → lower doc_id, which the doc_a < doc_b pair orientation
+    already yields) side."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    sh = track_persisted(
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("s"))
+        .persist()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    postings = sh.groupBy("s").agg(F.collect_list("doc_id").alias("ds"))
+    inter = (
+        postings.filter((F.size("ds") > 1) & (F.size("ds") <= max_posting_len))
+        .select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    n_inner = F.least(F.col("sa.n"), F.col("sb.n"))
+    # integer/integer division: both engines evaluate the identical IEEE
+    # divide, so the >= threshold compare cannot disagree cross-engine.
+    containment = F.col("n_common") / n_inner
+    a_is_inner = F.col("sa.n") <= F.col("sb.n")
+    return (
+        inter.join(sa, inter.doc_a == F.col("sa.doc_id"))
+        .join(sb, inter.doc_b == F.col("sb.doc_id"))
+        .filter(containment >= CONTAIN_T)
+        .select(
+            F.when(a_is_inner, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+                "doc_inner"
+            ),
+            F.when(a_is_inner, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+                "doc_outer"
+            ),
+            "n_common",
+            n_inner.alias("n_inner"),
+            F.greatest(F.col("sa.n"), F.col("sb.n")).alias("n_outer"),
+            _fr(containment, 4).alias("containment"),
+        )
+        .orderBy("doc_inner", "doc_outer")
+    )
+
+
 def _long_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings in long (vec_id, dim, val) form, val as double.
 
@@ -986,6 +1049,31 @@ ORACLE: dict[str, str] = {
         WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
         ORDER BY doc_a, doc_b
     """,
+    "dedup_containment": f"""
+        WITH docs AS ({_SQL_DOCS_TOKS}),
+        sh AS (
+            SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM docs
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        scount AS (SELECT s, count(*) AS c FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            JOIN scount sc ON a.s = sc.s AND sc.c <= {MAX_POSTING_LEN}
+            GROUP BY 1, 2
+        )
+        SELECT CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END AS doc_inner,
+               CASE WHEN sa.n <= sb.n THEN doc_b ELSE doc_a END AS doc_outer,
+               n_common,
+               least(sa.n, sb.n) AS n_inner,
+               greatest(sa.n, sb.n) AS n_outer,
+               {_sql_fr("n_common * 1.0 / least(sa.n, sb.n)", 4)} AS containment
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_common * 1.0 / least(sa.n, sb.n) >= {CONTAIN_T}
+        ORDER BY doc_inner, doc_outer
+    """,
     "embedding_near_dup": f"""
         WITH long AS ({_SQL_LONG_EMB}),
         norms AS (
@@ -1021,5 +1109,6 @@ QUERIES = {
     "split_by_cluster": split_by_cluster,
     "dedup_simhash": dedup_simhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "dedup_containment": dedup_containment,
     "embedding_near_dup": embedding_near_dup,
 }

@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from weather_database_system_spark.operators.relational import DEC, _sql_avg4
+from weather_database_system_spark.operators.relational import (
+    DEC,
+    _fr,
+    _sql_avg4,
+    _sql_fr,
+)
 from weather_database_system_spark.sources.star import load_table, register_views
 
 N_SALTS = 8
@@ -217,6 +222,127 @@ def sql_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAD_K = 0.6745     # Φ⁻¹(0.75): scales MAD to σ-equivalent units for normal data
+MAD_THRESH = 3.5   # Iglewicz & Hoaglin (1993) recommended modified-z cutoff
+
+
+def _mad_anomaly(spark: SparkSession, sf_dir: str, *, approx: bool) -> DataFrame:
+    """Shared body for the robust-outlier twins; ``approx`` switches the
+    median learner between exact ``percentile`` (oracle-replayable) and the
+    mergeable ``approx_percentile`` sketch (the only shape that survives an
+    unbounded group at 100 TB — same twin pattern as rfm_segmentation)."""
+    ev = load_table(spark, sf_dir, "events")
+    q = (
+        "approx_percentile({c}, 0.5, 10000)" if approx else "percentile({c}, 0.5)"
+    )
+    med = ev.groupBy("event_type").agg(
+        _fr(F.expr(q.format(c="value")), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mads = dev.groupBy("event_type").agg(
+        F.min("med").alias("med"),
+        _fr(F.expr(q.format(c="adev")), 6).alias("mad"),
+    )
+    scored = dev.drop("med").join(F.broadcast(mads), "event_type")
+    mscore = F.lit(MAD_K) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        scored.filter((F.col("mad") > 0) & (F.abs(mscore) > MAD_THRESH))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "med",
+            "mad",
+            _fr(mscore, 4).alias("mscore"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def anomaly_mad_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier report: modified z-score 0.6745·(x−median)/MAD per
+    event_type, flagging |M| > 3.5 (Iglewicz & Hoaglin's resistant
+    alternative to mean/σ z-scores, which outliers themselves corrupt).
+    The anomaly report every metrics pipeline runs over its event feed.
+
+    Scale shape: three map-only scans of the fact table (median pass,
+    MAD pass, scoring pass) with two 5-row broadcast joins — never a
+    window over the low-cardinality event_type key (that would hash 100 TB
+    into 5 partitions). Thresholds are _fr-rounded to 6 decimals before
+    every comparison, so the Spark and DuckDB score boundaries are
+    engine-exact by construction. Exact-percentile variant: the
+    oracle-replayable twin; production uses anomaly_mad_zscore_approx."""
+    return _mad_anomaly(spark, sf_dir, approx=False)
+
+
+def anomaly_mad_zscore_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of anomaly_mad_zscore: medians from the mergeable
+    approx_percentile sketch (map-side partials, tiny shuffle payload) —
+    exact percentile on an unbounded group never ships at 100 TB.
+    Rows-only for the driver; tests/test_extensions.py pins ≥95 %
+    flag agreement with the exact twin."""
+    return _mad_anomaly(spark, sf_dir, approx=True)
+
+
+MERGE_CUTOFF = "2024-01-16"  # snapshot/delta boundary for the merge demo
+
+
+def rollup_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view-maintenance merge: aggregate the OLD half (days
+    before MERGE_CUTOFF) and the NEW half into separate partial algebraic
+    states (count, exact-decimal sum, min, max), then MERGE the states —
+    sum-of-sums, min-of-mins — and finalize. The oracle is the direct
+    single-pass GROUP BY over all events, proving
+    merge(partial(old), partial(new)) == direct(all): the algebraic
+    refresh contract every incremental rollup (Delta MERGE / materialized
+    view refresh) depends on. Group key is (event_type, hour-of-day) so
+    every group genuinely spans both halves — the merge is never vacuous
+    (pytest pins this).
+
+    At 100 TB the two partial aggs are yesterday's stored snapshot and
+    today's delta; only the delta is scanned per refresh. Decimal sums make
+    the merge exact at any split count; min/max/count are trivially
+    reassociable."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").alias("hour_of_day"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("value").cast(DEC).alias("v"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "hour_of_day").agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+
+    old = partial(ev.filter(F.col("day") < MERGE_CUTOFF))
+    new = partial(ev.filter(F.col("day") >= MERGE_CUTOFF))
+    merged = (
+        old.unionByName(new)
+        .groupBy("event_type", "hour_of_day")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "hour_of_day",
+        "n_events",
+        F.round("s", 2).cast("double").alias("total_value"),
+        F.col("mn").cast("double").alias("min_value"),
+        F.col("mx").cast("double").alias("max_value"),
+        _fr(F.col("s").cast("double") / F.col("n_events"), 4).alias("avg_value"),
+    ).orderBy("event_type", "hour_of_day")
+
+
 def _sql_stratum_case() -> str:
     whens = " ".join(
         f"WHEN '{k}' THEN {v}" for k, v in STRATUM_PCT.items()
@@ -233,6 +359,42 @@ def _sql_split_case() -> str:
 
 
 ORACLE: dict[str, str] = {
+    "anomaly_mad_zscore": f"""
+        WITH med AS (
+            SELECT event_type,
+                   {_sql_fr('quantile_cont(value, 0.5)', 6)} AS med
+            FROM events GROUP BY 1
+        ),
+        dev AS (
+            SELECT e.event_id, e.event_type, e.value, m.med,
+                   abs(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mads AS (
+            SELECT event_type, min(med) AS med,
+                   {_sql_fr('quantile_cont(adev, 0.5)', 6)} AS mad
+            FROM dev GROUP BY 1
+        )
+        SELECT d.event_id, d.event_type, d.value, m.med, m.mad,
+               {_sql_fr(f'{MAD_K} * (d.value - m.med) / m.mad', 4)} AS mscore
+        FROM dev d JOIN mads m USING (event_type)
+        WHERE m.mad > 0
+          AND abs({MAD_K} * (d.value - m.med) / m.mad) > {MAD_THRESH}
+        ORDER BY d.event_id
+    """,
+    "rollup_merge_incremental": f"""
+        SELECT event_type,
+               hour(ts) AS hour_of_day,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE)
+                   AS total_value,
+               CAST(min(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS min_value,
+               CAST(max(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS max_value,
+               {_sql_avg4('value', 4)} AS avg_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "stratified_sample": f"""
         SELECT event_id, event_type
         FROM events
@@ -281,6 +443,9 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "anomaly_mad_zscore": anomaly_mad_zscore,
+    "anomaly_mad_zscore_approx": anomaly_mad_zscore_approx,  # rows-only: sketch
+    "rollup_merge_incremental": rollup_merge_incremental,
     "stratified_sample": stratified_sample,
     "train_test_split": train_test_split,
     "skew_salted_agg": skew_salted_agg,

@@ -306,7 +306,69 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "hour")
 
 
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 build (Kimball SCD2): collapse each
+    user's event stream into attribute VERSIONS — a new row only when the
+    tracked attribute (event_type here) actually changes — with
+    valid_from/valid_to interval bounds and an is_current flag. This is the
+    standard warehouse dimension-history operator the reference's
+    append-only document sink cannot express
+    (/root/reference/etlToMongo.js writes raw rows; history requires the
+    change-detection window below).
+
+    Shape for 100 TB: ONE hash exchange on user_id; the lag change-detector
+    and the lead/row_number versioning run over the same (user_id; ts,
+    event_id) sort order, so Spark plans a single sort — two Window nodes,
+    zero extra shuffles. user_id is high-cardinality (no skewed partition),
+    and the change filter shrinks the versioning input before the second
+    window pass. Deterministic: ties broken by event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    valid_to = F.lead("ts").over(w)
+    return (
+        changes.select(
+            "user_id",
+            F.row_number().over(w).alias("version_no"),
+            "event_type",
+            F.date_format("ts", _TS_US).alias("valid_from"),
+            F.date_format(valid_to, _TS_US).alias("valid_to"),
+            valid_to.isNull().cast("int").alias("is_current"),
+        )
+        .orderBy("user_id", "version_no")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "scd2_user_history": """
+        WITH changes AS (
+            SELECT * FROM (
+                SELECT user_id, ts, event_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev_type
+                FROM events
+            ) WHERE prev_type IS NULL OR prev_type <> event_type
+        )
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS version_no,
+               event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+               strftime(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                        '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+               CAST(lead(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL AS INT)
+                   AS is_current
+        FROM changes
+        ORDER BY user_id, version_no
+    """,
     "gap_fill_interpolate": """
         WITH hourly AS (
             SELECT event_type, hour, value FROM (
@@ -450,6 +512,7 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "scd2_user_history": scd2_user_history,
     "asof_attribution": asof_attribution,
     "asof_attribution_tolerance": asof_attribution_tolerance,
     "range_band_join": range_band_join,
