@@ -289,6 +289,151 @@ def test_decayed_user_value_bounds_and_recency_dominance(spark):
         assert 0 < r.decayed_value <= r.raw_value + 1e-6
 
 
+def test_pca_projection_matches_dense_numpy_replay(spark):
+    """The distributed PCA (covariance agg → driver eigensolve → map-only
+    fold projection) must match a dense numpy replay of the same pipeline:
+    identical quantized covariance → identical eigenvectors → projections
+    equal within fold-order noise. Components must be orthonormal and the
+    per-component sample variance must track the eigenvalues in order."""
+    import math
+
+    import numpy as np
+
+    from weather_database_system_spark.operators.featurize import (
+        GRAM_FP,
+        PCA_K,
+        embedding_pca_project,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    got = embedding_pca_project(spark, SF_SMOKE).collect()
+    emb = sorted(
+        load_table(spark, SF_SMOKE, "embeddings").collect(), key=lambda r: r.vec_id
+    )
+    X = np.array([[float(v) for v in r.embedding] for r in emb])
+    n, dims = X.shape
+
+    # replay the operator's quantized covariance exactly
+    q = np.floor(X * GRAM_FP + 0.5)
+    G = (q.T @ q) / (float(GRAM_FP) * float(GRAM_FP))
+    mu_q = q.sum(axis=0) / n / GRAM_FP
+    C = G / n - np.outer(mu_q, mu_q)
+    fr6 = np.vectorize(lambda x: math.floor(x * 1e6 + 0.5) / 1e6)
+    C = fr6(C)
+    C = np.triu(C) + np.triu(C, 1).T  # operator emits the upper triangle
+
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:PCA_K]
+    W, lam = vecs[:, order], vals[order]
+    for k in range(PCA_K):
+        j = int(np.argmax(np.abs(W[:, k])))
+        if W[j, k] < 0:
+            W[:, k] = -W[:, k]
+    assert np.allclose(W.T @ W, np.eye(PCA_K), atol=1e-9)
+
+    mu_raw = X.mean(axis=0)
+    proj = (X - mu_raw) @ W
+    got_mat = np.array([[getattr(r, f"pc{k}") for k in range(PCA_K)] for r in got])
+    assert [r.vec_id for r in got] == [r.vec_id for r in emb]
+    assert np.abs(got_mat - proj).max() < 1e-4
+
+    # projected variance tracks the eigenvalue ladder (population variance,
+    # matching the /n covariance)
+    pv = proj.var(axis=0)
+    assert all(lam[k] >= lam[k + 1] for k in range(PCA_K - 1))
+    assert np.allclose(pv, lam, rtol=0.02)
+
+
+def test_curriculum_prefix_sum_equals_naive_global_window(spark):
+    """The two-level distributed prefix sum must give EXACTLY the values of
+    the naive single-partition global window (which is its semantic spec),
+    and the physical plan must range-partition the fact table rather than
+    funnel it through one reducer."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.dedup import _tokens
+    from weather_database_system_spark.operators.trainprep import (
+        CURRICULUM_BUDGET,
+        curriculum_pack_epochs,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    got = {
+        r.doc_id: (r.n_tokens, r.cum_before, r.epoch)
+        for r in curriculum_pack_epochs(spark, SF_SMOKE).collect()
+    }
+    naive = {
+        r.doc_id: (r.n_tokens, r.cum_before, r.cum_before // CURRICULUM_BUDGET)
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens"))
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    W.orderBy("n_tokens", "doc_id").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .collect()
+    }
+    assert got == naive
+
+    plan = (
+        curriculum_pack_epochs(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange rangepartitioning" in plan
+
+
+def test_zorder_files_prune_on_both_dimensions(spark):
+    """Per-file min/max stats must be tight on BOTH dimensions — the whole
+    point of z-order vs a linear sort: every file spans ≤32 of 256 user
+    buckets and ≤16 of 31 days (the 9 free low bits of a 512-wide z-range
+    split 5/4 between the dims), so a point predicate on either dimension
+    prunes most files. Z-values are re-derived in pure Python."""
+    from weather_database_system_spark.operators.scale import (
+        ZORDER_SHIFT,
+        zorder_layout,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    files = zorder_layout(spark, SF_SMOKE).collect()
+    assert files
+    for f in files:
+        assert f.ub_span <= 32 and f.db_span <= 16, f
+
+    # independent Python replay of the interleave → identical file stats
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    want: dict[int, list] = {}
+    for r in ev:
+        ub, db = r.user_id % 256, r.ts.day - 1
+        z = 0
+        for i in range(8):
+            z |= ((ub >> i) & 1) << (2 * i)
+            z |= ((db >> i) & 1) << (2 * i + 1)
+        want.setdefault(z >> ZORDER_SHIFT, []).append((ub, db))
+    got = {f.file_id: f for f in files}
+    assert set(got) == set(want)
+    for fid, pts in want.items():
+        f = got[fid]
+        assert f.n_rows == len(pts)
+        assert (f.ub_min, f.ub_max) == (min(p[0] for p in pts), max(p[0] for p in pts))
+        assert (f.db_min, f.db_max) == (min(p[1] for p in pts), max(p[1] for p in pts))
+
+    # pruning claim: a point predicate on either dim touches a minority of
+    # files once there are enough files to prune among (sf0.01+ has 10).
+    if len(files) >= 4:
+        for dim_lo, dim_hi, probe in (("ub_min", "ub_max", 137), ("db_min", "db_max", 14)):
+            hit = sum(1 for f in files if getattr(f, dim_lo) <= probe <= getattr(f, dim_hi))
+            assert hit <= len(files) / 2, (dim_lo, hit, len(files))
+
+
 def test_mad_anomaly_grounded_and_approx_twin_agrees(spark):
     """Exact-twin flags match a pure-Python median/MAD recompute (per
     event_type), every emitted |mscore| clears the 3.5 bar, and the

@@ -247,6 +247,76 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCA_K = 8  # principal components kept
+
+
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding table onto its top-PCA_K principal
+    components — the MLlib RowMatrix.computePrincipalComponents split: the
+    DISTRIBUTED part is the dims×dims covariance (embedding_gram_matrix,
+    oracle-exact), the eigensolve runs driver-side on that tiny matrix
+    (dims², bounded by schema width, never by corpus size — the same
+    driver-state class as MLlib's PCA and our Lloyd centroids), and the
+    projection returns to the cluster as a MAP-ONLY pass: per row,
+    pc_k = Σ_d (x_d − μ_d)·w_dk evaluated as K zip_with/aggregate folds —
+    zero shuffles, no UDF, embarrassingly parallel at 100 TB.
+
+    The folds stay COMPACT on purpose: unrolling all K×dims ≈ 512 terms
+    into flat columns trips janino's 64 KB method limit and forfeits
+    whole-stage codegen for the entire stage (the r5 semdedup lesson —
+    measured WORSE than interpreted folds); per-element interpretation of
+    K·dims multiply-adds per row is noise against the scan.
+
+    Eigenvector sign is fixed deterministically (largest-|component| entry
+    made positive), so output is stable run-to-run. Rows-only for the
+    driver (an eigensolve is not SQL-expressible); pytest grounds the
+    distributed projection against a dense numpy replay of the SAME
+    covariance and pins component orthonormality."""
+    import numpy as np
+
+    cov_rows = embedding_gram_matrix(spark, sf_dir).collect()
+    dims = max(r.dim_j for r in cov_rows)  # gram dims are 1-indexed
+    C = np.zeros((dims, dims))
+    for r in cov_rows:
+        C[r.dim_i - 1, r.dim_j - 1] = C[r.dim_j - 1, r.dim_i - 1] = r.cov
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mu_row = (
+        emb.select(
+            F.array(
+                *[
+                    F.avg(F.col("embedding").getItem(d).cast("double"))
+                    for d in range(dims)
+                ]
+            ).alias("mu")
+        )
+        .collect()[0]
+        .mu
+    )
+    mu = np.array(mu_row)
+
+    vals, vecs = np.linalg.eigh(C)  # ascending eigenvalues
+    order = np.argsort(vals)[::-1][:PCA_K]
+    W = vecs[:, order]  # dims × K
+    for k in range(W.shape[1]):  # deterministic sign: dominant entry > 0
+        j = int(np.argmax(np.abs(W[:, k])))
+        if W[j, k] < 0:
+            W[:, k] = -W[:, k]
+    mu_proj = mu @ W  # K offsets, folded into the per-row expression
+
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    pcs = []
+    for k in range(W.shape[1]):
+        wk = F.array(*[F.lit(float(W[d, k])) for d in range(dims)])
+        dot = F.aggregate(
+            F.zip_with(x, wk, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        pcs.append(_fr(dot - F.lit(float(mu_proj[k])), 6).alias(f"pc{k}"))
+    return emb.select("vec_id", "label", *pcs).orderBy("vec_id")
+
+
 def _sql_scaled(col: str, tag: str) -> str:
     n = f"CAST({tag}_n AS DOUBLE)"
     mean = f"(CAST({tag}_s AS DOUBLE) / {n})"
@@ -316,4 +386,5 @@ QUERIES = {
     "quantile_bucket_decile": quantile_bucket_decile,
     "quantile_bucket_decile_approx": quantile_bucket_decile_approx,
     "embedding_gram_matrix": embedding_gram_matrix,
+    "embedding_pca_project": embedding_pca_project,  # rows-only: eigensolve
 }

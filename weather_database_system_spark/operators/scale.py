@@ -343,6 +343,77 @@ def rollup_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "hour_of_day")
 
 
+ZORDER_BITS = 8     # interleaved bits per dimension (16-bit z-values)
+ZORDER_SHIFT = 9    # file id = zval >> 9 → 512 z-values per file
+
+
+def _z_interleave(ub: str, db: str, *, spark_side: bool) -> str:
+    """Bit-interleave expression for z = …d₂u₂d₁u₁d₀u₀ over two ZORDER_BITS
+    ints — same arithmetic rendered for Spark SQL (shiftleft/shiftright
+    functions) or DuckDB (<< >> operators)."""
+    if spark_side:
+        terms = [
+            f"shiftleft(shiftright({ub}, {i}) & 1, {2 * i}) + "
+            f"shiftleft(shiftright({db}, {i}) & 1, {2 * i + 1})"
+            for i in range(ZORDER_BITS)
+        ]
+    else:
+        terms = [
+            f"((({ub} >> {i}) & 1) << {2 * i}) + ((({db} >> {i}) & 1) << {2 * i + 1})"
+            for i in range(ZORDER_BITS)
+        ]
+    return " + ".join(f"({t})" for t in terms)
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout — the multi-dimensional clustering
+    behind Delta Lake OPTIMIZE ZORDER BY and the classic UB-tree: interleave
+    the bits of two filter dimensions (user bucket, day of month) into one
+    z-value and cut files along fixed z-ranges. Because the curve alternates
+    bits, every file's rows span at most 2^⌈9/2⌉ = 32 user buckets AND at
+    most 16 days — so per-file min/max statistics prune file scans for
+    point/range predicates on EITHER dimension. A time-sorted layout prunes
+    only time predicates (a user_id query reads every file); a user-sorted
+    layout only user predicates. The emitted audit is exactly the min/max
+    footer a lakehouse writer would store per file.
+
+    Map-only: z-value and file id are pure per-row bit arithmetic in
+    whole-stage codegen; the audit agg shuffles once on the bounded file-id
+    key. At 100 TB this is the REWRITE plan for one OPTIMIZE pass — the
+    sort into z-order is a repartitionByRange on zval, and the stats here
+    quantify the pruning it buys."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"CAST(pmod(user_id, {1 << ZORDER_BITS}) AS INT)").alias("ub"),
+        (F.dayofmonth("ts") - 1).alias("db"),
+    )
+    z = ev.select(
+        "ub",
+        "db",
+        F.expr(_z_interleave("ub", "db", spark_side=True)).alias("zval"),
+    ).select("ub", "db", F.expr(f"zval div {1 << ZORDER_SHIFT}").alias("file_id"))
+    return (
+        z.groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("ub").alias("ub_min"),
+            F.max("ub").alias("ub_max"),
+            F.min("db").alias("db_min"),
+            F.max("db").alias("db_max"),
+        )
+        .select(
+            "file_id",
+            "n_rows",
+            "ub_min",
+            "ub_max",
+            "db_min",
+            "db_max",
+            (F.col("ub_max") - F.col("ub_min") + 1).alias("ub_span"),
+            (F.col("db_max") - F.col("db_min") + 1).alias("db_span"),
+        )
+        .orderBy("file_id")
+    )
+
+
 def _sql_stratum_case() -> str:
     whens = " ".join(
         f"WHEN '{k}' THEN {v}" for k, v in STRATUM_PCT.items()
@@ -381,6 +452,27 @@ ORACLE: dict[str, str] = {
         WHERE m.mad > 0
           AND abs({MAD_K} * (d.value - m.med) / m.mad) > {MAD_THRESH}
         ORDER BY d.event_id
+    """,
+    "zorder_layout": f"""
+        WITH dims AS (
+            SELECT CAST(user_id % {1 << ZORDER_BITS} AS INT) AS ub,
+                   day(ts) - 1 AS db
+            FROM events
+        ),
+        z AS (
+            SELECT ub, db,
+                   ({_z_interleave('ub', 'db', spark_side=False)})
+                       // {1 << ZORDER_SHIFT} AS file_id
+            FROM dims
+        )
+        SELECT file_id, count(*) AS n_rows,
+               min(ub) AS ub_min, max(ub) AS ub_max,
+               min(db) AS db_min, max(db) AS db_max,
+               max(ub) - min(ub) + 1 AS ub_span,
+               max(db) - min(db) + 1 AS db_span
+        FROM z
+        GROUP BY file_id
+        ORDER BY file_id
     """,
     "rollup_merge_incremental": f"""
         SELECT event_type,
@@ -446,6 +538,7 @@ QUERIES = {
     "anomaly_mad_zscore": anomaly_mad_zscore,
     "anomaly_mad_zscore_approx": anomaly_mad_zscore_approx,  # rows-only: sketch
     "rollup_merge_incremental": rollup_merge_incremental,
+    "zorder_layout": zorder_layout,
     "stratified_sample": stratified_sample,
     "train_test_split": train_test_split,
     "skew_salted_agg": skew_salted_agg,

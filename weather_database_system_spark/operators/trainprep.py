@@ -607,7 +607,104 @@ _SQL_SCORE = (
 )
 
 
+CURRICULUM_BUDGET = 4096  # tokens per curriculum epoch
+
+
+def curriculum_pack_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-ordered curriculum packing (Bengio et al. 2009 curriculum
+    learning, the sequence-length schedule): order the corpus globally by
+    (n_tokens, doc_id) — short, easy sequences first — take the GLOBAL
+    exclusive running token total, and cut epochs every CURRICULUM_BUDGET
+    tokens. The training loader then streams epoch 0, 1, 2… in order.
+
+    The naive plan — ``sum().over(Window.orderBy(...))`` with no partition
+    key — funnels the whole corpus through ONE reducer (Spark even warns).
+    This implements the scale-correct two-level distributed prefix sum
+    instead:
+
+    1. ``repartitionByRange`` on the sort key: partition i holds a
+       contiguous key range wholly before partition i+1's (sampled, roughly
+       equal-sized splits).
+    2. partition-LOCAL running totals via a window keyed on
+       ``spark_partition_id()`` — a uniform key, every reducer busy.
+    3. per-partition totals (n_partitions rows, tiny) → exclusive offsets
+       via one driver-scale window → broadcast back and add.
+
+    The result is invariant to where the range boundaries fall (the prefix
+    over a total order does not depend on its bucketing), so the sampled
+    partitioner never leaks into values and the oracle replays a plain
+    SUM OVER (ORDER BY) — global-window semantics at shuffle-parallel cost.
+    The local stage is persisted so the offsets branch and the join branch
+    read one materialization (also freezing partition ids)."""
+    from weather_database_system_spark.session import track_persisted
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    scored = docs.select(
+        "doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens")
+    )
+    local = track_persisted(
+        scored.repartitionByRange(n_part, F.col("n_tokens"), F.col("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "local_cum",
+            F.sum("n_tokens").over(W.partitionBy("pid").orderBy("n_tokens", "doc_id")),
+        )
+        .persist()
+    )
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("ptotal"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("ptotal").over(
+                    W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("local_cum") - F.col("n_tokens") + F.col("offset")).alias(
+                "cum_before"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "cum_before",
+            F.expr(f"cum_before div {CURRICULUM_BUDGET}").cast("int").alias("epoch"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "curriculum_pack_epochs": f"""
+        WITH t AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY n_tokens, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum_before
+            FROM t
+        )
+        SELECT doc_id, n_tokens,
+               CAST(cum_before AS BIGINT) AS cum_before,  -- HUGEINT otherwise
+               CAST(cum_before // {CURRICULUM_BUDGET} AS INT) AS epoch
+        FROM c
+        ORDER BY doc_id
+    """,
     "source_kl_divergence": f"""
         WITH terms AS (
             SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
@@ -864,6 +961,7 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "curriculum_pack_epochs": curriculum_pack_epochs,
     "tokenize_to_ids": tokenize_to_ids,
     "source_overlap_jaccard": source_overlap_jaccard,
     "source_kl_divergence": source_kl_divergence,
