@@ -45,7 +45,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #                chunk_dedup_stats, window_distribution_funcs,
 #                scd2_user_history, dedup_containment, anomaly_mad_zscore(+_approx),
 #                rollup_merge_incremental, curriculum_pack_epochs, zorder_layout,
-#                embedding_pca_project.
+#                embedding_pca_project, session_path_analysis, hll_partial_rollup,
+#                bloom_prefilter_semi_join, graph_clustering_coeff.
 # The four r4-ADVICE items (pii regex hardening, rfm threshold rounding,
 # doc_chunk_windows single tokenizer, dedup_clusters eager unpersist) were
 # already fixed in late-r4 commits e15382f/1103520 and the r04 CORRECTNESS

@@ -289,6 +289,105 @@ def test_decayed_user_value_bounds_and_recency_dominance(spark):
         assert 0 < r.decayed_value <= r.raw_value + 1e-6
 
 
+def test_session_paths_ground_against_python_sessionization(spark):
+    """Top paths must equal a pure-Python replay of the gaps-and-islands
+    sessionization + first-8-steps truncation + frequency ranking."""
+    from weather_database_system_spark.operators.behavioral import (
+        PATH_MAX_STEPS,
+        PATH_TOP_K,
+        SESSION_GAP_MIN,
+        session_path_analysis,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    got = session_path_analysis(spark, SF_SMOKE).collect()
+    assert got and len(got) <= PATH_TOP_K
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    streams: dict[int, list] = {}
+    for r in ev:
+        streams.setdefault(r.user_id, []).append(r)
+    counts: dict[str, list] = {}
+    for uid, rows in streams.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        sessions, cur, last = [], [], None
+        for r in rows:
+            if last is not None and (r.ts - last).total_seconds() <= SESSION_GAP_MIN * 60:
+                cur.append(r.event_type)
+            else:
+                if cur:
+                    sessions.append(cur)
+                cur = [r.event_type]
+            last = r.ts
+        if cur:
+            sessions.append(cur)
+        for s in sessions:
+            p = ">".join(s[:PATH_MAX_STEPS])
+            counts.setdefault(p, [0, set()])
+            counts[p][0] += 1
+            counts[p][1].add(uid)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1][0], kv[0]))[:PATH_TOP_K]
+    want = [(p, c[0], len(c[1])) for p, c in ranked]
+    assert [(r.path, r.n_sessions, r.n_users) for r in got] == want
+
+
+def test_hll_weekly_rollup_within_sketch_error(spark):
+    """Merged weekly HLL estimates must sit within the sketch's error bound
+    of the exact distinct counts (lgK=14 → σ≈0.81 %; assert 5 %)."""
+    from weather_database_system_spark.operators.scale import hll_partial_rollup
+
+    rows = hll_partial_rollup(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.exact_users > 0
+        assert abs(r.approx_users - r.exact_users) <= 0.05 * r.exact_users, tuple(r)
+
+
+def test_bloom_prefilter_never_drops_matches_and_reduces_probe(spark):
+    """Structural no-false-negatives (prefiltered count ≥ true matches and
+    false positives account exactly for the difference), a real probe-side
+    reduction, and a measured FP rate consistent with (1-e^(-kn/m))^k."""
+    from weather_database_system_spark.operators.scale import (
+        bloom_prefilter_semi_join,
+    )
+
+    r = bloom_prefilter_semi_join(spark, SF_SMOKE).collect()[0]
+    assert r.n_true_match > 0
+    assert r.n_prefiltered == r.n_true_match + r.n_false_pos  # no false negatives
+    assert r.n_prefiltered < r.n_probe, "no reduction — vacuous demo"
+    # measured FP rate within noise of theory (binomial noise at smoke sf)
+    assert r.fp_rate <= max(3 * r.fp_rate_theory, 0.02), tuple(r)
+
+
+def test_clustering_coeff_matches_python_graph_replay(spark):
+    """Degree, triangle counts and C must equal a pure-Python recompute
+    over the SAME edge set (the LSH candidate pairs), and every tight
+    triangle corner must show C consistent with 2Δ/(d(d-1))."""
+    from weather_database_system_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        graph_clustering_coeff,
+    )
+
+    edges = {(r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, SF_SMOKE).collect()}
+    got = {r.doc_id: r for r in graph_clustering_coeff(spark, SF_SMOKE).collect()}
+
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    assert set(got) == set(adj)
+    any_triangle = False
+    for u, nbrs in adj.items():
+        d = len(nbrs)
+        tri = sum(len(adj[n] & nbrs) for n in nbrs) // 2
+        any_triangle = any_triangle or tri > 0
+        r = got[u]
+        assert r.degree == d and r.n_triangles == tri, u
+        want_c = 2 * tri / (d * (d - 1)) if d >= 2 else 0.0
+        assert abs(r.clustering_coeff - want_c) < 1e-4, u
+    assert any_triangle, "graph has no triangles at smoke sf — test is vacuous"
+
+
 def test_pca_projection_matches_dense_numpy_replay(spark):
     """The distributed PCA (covariance agg → driver eigensolve → map-only
     fold projection) must match a dense numpy replay of the same pipeline:

@@ -311,7 +311,98 @@ def rfm_segmentation_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rfm_scored(spark, sf_dir, approx=True)
 
 
+PATH_MAX_STEPS = 8   # truncate a session's path to its first 8 events
+PATH_TOP_K = 20      # report the K most frequent paths
+
+
+def session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the K most frequent event-type SEQUENCES users walk
+    within a session (the product-analytics "user flows" report; Amplitude/
+    GA path exploration). Sessions come from the same gaps-and-islands
+    derivation as sessionize_events; each session's path is its first
+    PATH_MAX_STEPS event types joined in time order — truncation keeps the
+    path column bounded no matter how long a bot session runs.
+
+    Scale shape: the sessionization window and the per-session path
+    collapse share ONE user_id exchange; path strings then aggregate on a
+    bounded-cardinality key (≤ |event_types|^PATH_MAX_STEPS, in practice a
+    few thousand) with map-side combine, and the final top-K is a
+    TakeOrdered. The ordered collapse is array_sort(collect_list(struct))
+    — deterministic, no collect_list ordering assumption."""
+    ev = load_table(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wo)
+    is_start = F.when(
+        gap_sec.isNull() | (gap_sec > SESSION_GAP_MIN * 60), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(is_start)
+        .over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_no"),
+    )
+    ws = W.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    stepped = sess.withColumn("step", F.row_number().over(ws)).filter(
+        F.col("step") <= PATH_MAX_STEPS
+    )
+    paths = stepped.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("step", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATH_TOP_K)
+    )
+
+
 ORACLE: dict[str, str] = {
+    "session_path_analysis": f"""
+        WITH marked AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                             OR epoch(ts) - lag(epoch(ts)) OVER w
+                                > {SESSION_GAP_MIN * 60}
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT *, sum(is_start) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS session_no
+            FROM marked
+        ),
+        stepped AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id, session_no
+                                             ORDER BY ts, event_id) AS step
+                FROM sess
+            ) WHERE step <= {PATH_MAX_STEPS}
+        ),
+        paths AS (
+            SELECT user_id, session_no,
+                   string_agg(event_type, '>' ORDER BY step) AS path
+            FROM stepped GROUP BY 1, 2
+        )
+        SELECT path, count(*) AS n_sessions,
+               count(DISTINCT user_id) AS n_users
+        FROM paths
+        GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT {PATH_TOP_K}
+    """,
     "decayed_user_value": f"""
         WITH sec AS (
             SELECT user_id, value,
@@ -491,6 +582,7 @@ QUERIES = {
     "cohort_retention": cohort_retention,
     "funnel_conversion": funnel_conversion,
     "sessionize_events": sessionize_events,
+    "session_path_analysis": session_path_analysis,
     "rfm_segmentation": rfm_segmentation,
     "rfm_segmentation_approx": rfm_segmentation_approx,
     "decayed_user_value": decayed_user_value,

@@ -395,6 +395,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient (Watts-Strogatz)
+    over the near-dup similarity graph: per document, its degree, the
+    number of triangles through it, and C = 2·Δ/(deg·(deg−1)) — the
+    density diagnostic that separates tight duplicate CLIQUES (C → 1,
+    safe to collapse to one exemplar) from hub-and-spoke chains (C → 0,
+    where transitive merging over-collapses; cf. the chain-radius concern
+    dedup_clusters' fixpoint handles).
+
+    Distributed shape: edges come from the shared banded-LSH candidate
+    stage (equi-join, never all-pairs); triangles close via the standard
+    wedge join — edges(a,b) ⋈ edges(b,c) ⋈ edges(a,c) with the a<b<c
+    orientation counting each triangle exactly once. Wedge fan-out is the
+    Σdeg² term; on an LSH graph degrees are cluster-sized, and at adversarial
+    scale the standard refinement (orient edges low-degree → high-degree)
+    bounds it — noted here, unneeded for near-dup graphs. The oracle
+    replays the full pipeline from the md5 signatures up."""
+    cand = _banded_md5_candidates(spark, sf_dir)
+    edges = track_persisted(
+        cand.select(
+            F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+    und = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("degree"))
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    node_tri = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("u"))
+        .groupBy("u")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.lit(2.0) * F.col("n_triangles") / (F.col("degree") * (F.col("degree") - 1)),
+    ).otherwise(0.0)
+    return (
+        deg.join(node_tri, "u", "left")
+        .fillna(0, ["n_triangles"])
+        .select(
+            F.col("u").alias("doc_id"),
+            "degree",
+            "n_triangles",
+            _fr(coeff, 4).alias("clustering_coeff"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 CONTAIN_T = 0.8  # containment threshold: share of the smaller doc's shingles
 
 
@@ -1049,6 +1113,46 @@ ORACLE: dict[str, str] = {
         WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
         ORDER BY doc_a, doc_b
     """,
+    "graph_clustering_coeff": f"""
+        WITH docs AS ({_SQL_DOCS_TOKS}),
+        sigs AS (
+            SELECT doc_id, {_sql_minhash_sig(_SQL_SHINGLES)} AS sig FROM docs
+        ),
+        bands AS (
+            SELECT doc_id, b AS band, sig[2*b + 1] || sig[2*b + 2] AS bsig
+            FROM sigs, range(0, {N_BANDS}) AS t(b)
+        ),
+        edges AS (
+            SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+                        AND a.doc_id < b.doc_id
+        ),
+        deg AS (
+            SELECT u, count(*) AS degree FROM (
+                SELECT u FROM edges UNION ALL SELECT v AS u FROM edges
+            ) GROUP BY 1
+        ),
+        tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM edges e1
+            JOIN edges e2 ON e1.v = e2.u
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        nt AS (
+            SELECT u, count(*) AS n_triangles FROM (
+                SELECT a AS u FROM tri
+                UNION ALL SELECT b AS u FROM tri
+                UNION ALL SELECT c AS u FROM tri
+            ) GROUP BY 1
+        )
+        SELECT deg.u AS doc_id, degree,
+               COALESCE(n_triangles, 0) AS n_triangles,
+               {_sql_fr("CASE WHEN degree >= 2 THEN 2.0 * COALESCE(n_triangles, 0) / (degree * (degree - 1)) ELSE 0.0 END", 4)}
+                   AS clustering_coeff
+        FROM deg LEFT JOIN nt ON deg.u = nt.u
+        ORDER BY doc_id
+    """,
     "dedup_containment": f"""
         WITH docs AS ({_SQL_DOCS_TOKS}),
         sh AS (
@@ -1110,5 +1214,6 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dedup_containment": dedup_containment,
+    "graph_clustering_coeff": graph_clustering_coeff,
     "embedding_near_dup": embedding_near_dup,
 }

@@ -343,6 +343,134 @@ def rollup_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "hour_of_day")
 
 
+def hll_partial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup: per-DAY HLL sketch partials
+    (``hll_sketch_agg`` — Apache DataSketches, the same family MLlib and
+    BigQuery expose) unioned into per-WEEK distinct-user estimates with
+    ``hll_union_agg``. This is the non-algebraic counterpart of
+    rollup_merge_incremental: COUNT(DISTINCT) has no mergeable exact state,
+    so at 100 TB the ONLY viable refresh is sketch partials — each day's
+    sketch is a few KB regardless of row count, the weekly merge touches 7
+    sketches instead of re-scanning the raw feed, and the same partials
+    roll up to month/quarter for free.
+
+    Emits the estimate alongside the exact weekly distinct (one extra agg,
+    affordable at test scale) so the error is visible in the output and
+    pytest pins it within HLL's guarantees. Rows-only for the driver: the
+    sketch estimate is engine-specific by nature."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.weekofyear("ts").alias("week"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    daily = ev.groupBy("week", "day").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+    )
+    weekly = daily.groupBy("week").agg(
+        F.count("*").alias("n_days"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users"),
+    )
+    exact = ev.groupBy("week").agg(F.countDistinct("user_id").alias("exact_users"))
+    return (
+        weekly.join(exact, "week")
+        .select("week", "n_days", "approx_users", "exact_users")
+        .orderBy("week")
+    )
+
+
+BLOOM_M = 1 << 14   # bloom filter bits (16384 → 256 int64 words)
+BLOOM_K = 5         # hash functions per key
+
+
+def bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction — the join-pushdown pattern behind
+    Spark's own runtime bloom-filter join and every distributed semi-join
+    optimizer: build a Bloom filter over the BUILD side's join keys,
+    broadcast its bit array, and prefilter the PROBE side
+    map-side BEFORE the exact join — rows that cannot match never enter the
+    shuffle. At 100 TB the filter is a few KB standing in for a key set too
+    big to broadcast exactly; shuffle volume drops by the non-matching
+    fraction at an FP-rate cost of (1 − e^(−kn/m))^k.
+
+    The filter build is distributed (explode keys × k hash seeds → distinct
+    bit positions — a bounded ≤ m-row aggregate, the same driver-state
+    class as any broadcast build side); membership tests are pure int64
+    bit arithmetic in whole-stage codegen. The emitted audit quantifies the
+    reduction: probe rows in/out, true matches, false-positive rate vs the
+    theoretical bound. No false negatives is structural (pytest pins it).
+    Rows-only: xxhash64 is engine-specific.
+
+    Build side: URGENT orders (a selective, high-cardinality key set —
+    ~20 % of o_orderkey); probe side: lineitem. The classic selective
+    dimension semi-join where bloom pushdown pays."""
+    build_keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("okey"))
+        .distinct()
+    )
+    pos = (
+        build_keys.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64("okey", F.lit(i)), F.lit(BLOOM_M))
+                        for i in range(BLOOM_K)
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (BLOOM_M // 64)
+    for r in pos:
+        words[r.p // 64] |= 1 << (r.p % 64)
+    # two's-complement into int64 range for the literal array
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    warr = F.array(*[F.lit(w) for w in words])
+
+    probe = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_orderkey").alias("okey")
+    )
+    hashed = probe.withColumn("bw", warr).withColumns(
+        {
+            f"h{i}": F.pmod(F.xxhash64("okey", F.lit(i)), F.lit(BLOOM_M))
+            for i in range(BLOOM_K)
+        }
+    )
+    # SQL-level shiftrightunsigned accepts a column bit count (the Python
+    # wrapper requires a literal int, hence expr here)
+    might = " AND ".join(
+        f"((shiftrightunsigned(element_at(bw, CAST(h{i} div 64 AS INT) + 1), "
+        f"CAST(h{i} % 64 AS INT)) & 1) = 1)"
+        for i in range(BLOOM_K)
+    )
+    prefiltered = hashed.filter(F.expr(might)).select("l_orderkey", "okey")
+    true_match = probe.join(build_keys, "okey", "left_semi")
+    fp = prefiltered.join(build_keys, "okey", "left_anti")
+    n_probe = probe.count()
+    n_pre = prefiltered.count()
+    n_true = true_match.count()
+    n_fp = fp.count()
+    n_keys = build_keys.count()
+    theory = (1.0 - 2.718281828459045 ** (-BLOOM_K * n_keys / BLOOM_M)) ** BLOOM_K
+    return spark.createDataFrame(
+        [
+            (
+                n_probe,
+                n_pre,
+                n_true,
+                n_fp,
+                round(n_fp / max(n_probe - n_true, 1), 6),
+                round(theory, 6),
+            )
+        ],
+        "n_probe long, n_prefiltered long, n_true_match long, n_false_pos long, "
+        "fp_rate double, fp_rate_theory double",
+    )
+
+
 ZORDER_BITS = 8     # interleaved bits per dimension (16-bit z-values)
 ZORDER_SHIFT = 9    # file id = zval >> 9 → 512 z-values per file
 
@@ -539,6 +667,8 @@ QUERIES = {
     "anomaly_mad_zscore_approx": anomaly_mad_zscore_approx,  # rows-only: sketch
     "rollup_merge_incremental": rollup_merge_incremental,
     "zorder_layout": zorder_layout,
+    "hll_partial_rollup": hll_partial_rollup,  # rows-only: sketch estimate
+    "bloom_prefilter_semi_join": bloom_prefilter_semi_join,  # rows-only: xxhash64
     "stratified_sample": stratified_sample,
     "train_test_split": train_test_split,
     "skew_salted_agg": skew_salted_agg,
