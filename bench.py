@@ -67,6 +67,11 @@ HEADLINE = (
     "tfidf_cosine_pairs",     # shingle-blocked tf-idf cosine near-dup pairs
     "embedding_gram_matrix",  # distributed Gram/covariance (PCA precursor)
     "tokenize_to_ids",        # vocab induction + id mapping + seq digests
+    "scd2_user_history",      # SCD Type-2 versioning (single user_id exchange)
+    "dedup_containment",      # asymmetric excerpt dedup (shingle index)
+    "curriculum_pack_epochs", # two-level distributed global prefix sum
+    "session_path_analysis",  # sessionized top event-type paths
+    "ann_product_quantization",  # PQ codebooks + ADC scoring (4 Lloyd loops)
 )
 
 # N runs per query; report the per-query MEDIAN. Default 1 preserves the

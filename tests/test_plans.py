@@ -134,6 +134,8 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
         "ann_ivf_kmeans",       # K_CELLS=8 centroid rows broadcast (map-side
                                 # assignment — candidates never shuffle)
         "semdedup_prune",       # same broadcast-K Lloyd assignment passes
+        "ann_product_quantization",  # PQ_K=16 codeword rows broadcast per
+                                     # subspace (same Lloyd assignment shape)
         "embedding_near_dup",   # exact baseline; REFUSES >MAX_EXACT_VECTORS
                                 # (test_extensions guard test) — LSH is the
                                 # canonical scale path

@@ -471,6 +471,139 @@ def bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC extract: given two keyed snapshots of the same
+    table, classify every key as insert / delete / update by a full outer
+    join on the key plus a value comparison — the change-data-capture
+    primitive behind Delta MERGE reconciliation, warehouse audit diffs, and
+    backfill verification. Unchanged keys (the overwhelming majority at
+    100 TB) are filtered out BEFORE the result materializes, so the output
+    is delta-sized, and the full outer join shuffles both sides once on the
+    (high-cardinality, uniform) key.
+
+    The two snapshots derive deterministically from orders via the shared
+    Knuth hash bucket: 'old' lacks bucket 15-19 (→ inserts), 'new' lacks
+    bucket 10-14 (→ deletes) and bumps prices in bucket 0-9 (→ updates) —
+    both engines reconstruct identical snapshots, so the diff is
+    oracle-exact."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", _bucket("o_orderkey").alias("bkt")
+    )
+    old = orders.filter(~F.col("bkt").between(15, 19)).select(
+        "o_orderkey", F.col("o_totalprice").alias("old_price")
+    )
+    new = orders.filter(~F.col("bkt").between(10, 14)).select(
+        "o_orderkey",
+        F.when(
+            F.col("bkt") <= 9, F.col("o_totalprice") + 100.0
+        ).otherwise(F.col("o_totalprice")).alias("new_price"),
+    )
+    joined = old.join(new, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("old_price").isNull(), "insert")
+        .when(F.col("new_price").isNull(), "delete")
+        .when(F.col("old_price") != F.col("new_price"), "update")
+    )
+    return (
+        joined.select("o_orderkey", change.alias("change_type"), "old_price", "new_price")
+        .filter(F.col("change_type").isNotNull())
+        .orderBy("o_orderkey")
+    )
+
+
+PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of the event feed — null counts and
+    exact distinct cardinalities for every column in ONE pass (the
+    ingestion-gate report every pipeline runs before accepting a batch).
+    Multiple exact COUNT(DISTINCT)s in one aggregate plan through Spark's
+    Expand (rows × |columns| — the standard cost, map-side combined);
+    at 100 TB the same query swaps in approx_count_distinct per column
+    (see approx_distinct_users) with no shape change. The wide 1-row
+    aggregate is unpivoted to one row per column via a literal stack —
+    no second scan."""
+    ev = load_table(spark, sf_dir, "events")
+    ag = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}")
+            for c in PROFILE_COLS
+        ],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in PROFILE_COLS],
+    )
+    stacked = ag.select(
+        "n_rows",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"nn_{c}").alias("n_nulls"),
+                        F.col(f"nd_{c}").alias("n_distinct"),
+                    )
+                    for c in PROFILE_COLS
+                ]
+            )
+        ).alias("s"),
+    )
+    return stacked.select(
+        F.col("s.column").alias("column"),
+        "n_rows",
+        F.col("s.n_nulls").alias("n_nulls"),
+        F.col("s.n_distinct").alias("n_distinct"),
+        _fr(F.col("s.n_distinct") / F.col("n_rows"), 6).alias("distinct_ratio"),
+    ).orderBy("column")
+
+
+def entity_fuzzy_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching (record linkage): Levenshtein-scored
+    candidate pairs generated ONLY within a blocking key — the standard
+    linkage discipline (Fellegi-Sunter pipelines, dedupe.io) that turns an
+    O(n²) all-pairs comparison into Σ|block|² bounded work. Block = the
+    name minus its last two characters; within a block, pairs at edit
+    distance ≤ 1 are fuzzy near-matches (a one-character typo apart). Emits
+    the per-entity near-match degree — the signal an entity-resolution pass
+    clusters on.
+
+    Scale shape: one equi-join shuffle on the block key (never a cross
+    join; the no-cartesian guard covers this like every registry query);
+    block sizes are bounded by the key design, the skew knob every linkage
+    system exposes. Levenshtein is codegen'd JVM-side and identical to
+    DuckDB's, so the operator is oracle-exact."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    blocked = cust.withColumn(
+        "blk", F.expr("substring(c_name, 1, length(c_name) - 2)")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("ka"),
+            F.col("b.c_custkey").alias("kb"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+    )
+    counts = (
+        pairs.select(F.col("ka").alias("c_custkey"))
+        .unionByName(pairs.select(F.col("kb").alias("c_custkey")))
+        .groupBy("c_custkey")
+        .agg(F.count("*").alias("n_fuzzy_matches"))
+    )
+    return (
+        cust.join(counts, "c_custkey", "left")
+        .fillna(0, ["n_fuzzy_matches"])
+        .select("c_custkey", "c_name", "n_fuzzy_matches")
+        .orderBy("c_custkey")
+    )
+
+
 ZORDER_BITS = 8     # interleaved bits per dimension (16-bit z-values)
 ZORDER_SHIFT = 9    # file id = zval >> 9 → 512 z-values per file
 
@@ -581,6 +714,67 @@ ORACLE: dict[str, str] = {
           AND abs({MAD_K} * (d.value - m.med) / m.mad) > {MAD_THRESH}
         ORDER BY d.event_id
     """,
+    "diff_snapshots": f"""
+        WITH base AS (
+            SELECT o_orderkey, o_totalprice,
+                   {_sql_bucket('o_orderkey')} AS bkt
+            FROM orders
+        ),
+        old AS (
+            SELECT o_orderkey, o_totalprice AS old_price
+            FROM base WHERE bkt NOT BETWEEN 15 AND 19
+        ),
+        new AS (
+            SELECT o_orderkey,
+                   CASE WHEN bkt <= 9 THEN o_totalprice + 100.0
+                        ELSE o_totalprice END AS new_price
+            FROM base WHERE bkt NOT BETWEEN 10 AND 14
+        )
+        SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+               CASE WHEN old_price IS NULL THEN 'insert'
+                    WHEN new_price IS NULL THEN 'delete'
+                    WHEN old_price <> new_price THEN 'update' END AS change_type,
+               old_price, new_price
+        FROM old FULL OUTER JOIN new USING (o_orderkey)
+        WHERE CASE WHEN old_price IS NULL THEN 'insert'
+                   WHEN new_price IS NULL THEN 'delete'
+                   WHEN old_price <> new_price THEN 'update' END IS NOT NULL
+        ORDER BY o_orderkey
+    """,
+    "data_quality_profile": f"""
+        WITH ag AS (
+            SELECT count(*) AS n_rows,
+                   {", ".join(f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_{c}, count(DISTINCT {c}) AS nd_{c}" for c in PROFILE_COLS)}
+            FROM events
+        )
+        SELECT s.column, n_rows, s.n_nulls, s.n_distinct,
+               {_sql_fr('s.n_distinct * 1.0 / n_rows', 6)} AS distinct_ratio
+        FROM ag, LATERAL (
+            {" UNION ALL ".join(f"SELECT '{c}' AS column, nn_{c} AS n_nulls, nd_{c} AS n_distinct" for c in PROFILE_COLS)}
+        ) s
+        ORDER BY s.column
+    """,
+    "entity_fuzzy_blocking": """
+        WITH c AS (
+            SELECT c_custkey, c_name,
+                   substring(c_name, 1, length(c_name) - 2) AS blk
+            FROM customer
+        ),
+        pairs AS (
+            SELECT a.c_custkey AS ka, b.c_custkey AS kb
+            FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        ),
+        counts AS (
+            SELECT k AS c_custkey, count(*) AS n_fuzzy_matches FROM (
+                SELECT ka AS k FROM pairs UNION ALL SELECT kb AS k FROM pairs
+            ) GROUP BY 1
+        )
+        SELECT c.c_custkey, c.c_name,
+               COALESCE(n_fuzzy_matches, 0) AS n_fuzzy_matches
+        FROM c LEFT JOIN counts USING (c_custkey)
+        ORDER BY c.c_custkey
+    """,
     "zorder_layout": f"""
         WITH dims AS (
             SELECT CAST(user_id % {1 << ZORDER_BITS} AS INT) AS ub,
@@ -667,6 +861,9 @@ QUERIES = {
     "anomaly_mad_zscore_approx": anomaly_mad_zscore_approx,  # rows-only: sketch
     "rollup_merge_incremental": rollup_merge_incremental,
     "zorder_layout": zorder_layout,
+    "diff_snapshots": diff_snapshots,
+    "data_quality_profile": data_quality_profile,
+    "entity_fuzzy_blocking": entity_fuzzy_blocking,
     "hll_partial_rollup": hll_partial_rollup,  # rows-only: sketch estimate
     "bloom_prefilter_semi_join": bloom_prefilter_semi_join,  # rows-only: xxhash64
     "stratified_sample": stratified_sample,

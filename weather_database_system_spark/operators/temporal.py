@@ -345,7 +345,95 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def changepoint_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline change-point detection — the binary-segmentation step of the
+    CUSUM/BinSeg family: per event_type, the split day d* maximizing
+    |mean(value, days < d) − mean(value, days ≥ d)|, i.e. the single most
+    likely mean-shift point in the series (ties → earliest day). The
+    monitoring primitive behind "when did this metric move" alerts; run
+    recursively on each side it becomes full binary segmentation.
+
+    Scale shape: ONE fact-scan aggregation to (event_type, day) partials
+    (map-side combined, exact decimal sums), then every candidate split is
+    scored from prefix sums over the tiny daily table — two window passes
+    on a series whose length is days, not rows. The 100 TB cost is the
+    first aggregation; the search is free. Exact decimal partials make
+    both engines' prefix sums bit-identical, so the argmax is
+    oracle-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast(DEC)).alias("s"),
+        F.count("*").alias("n"),
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    wb = w.rowsBetween(W.unboundedPreceding, -1)
+    wt = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.sum("s").over(wb).alias("s_bef"),
+        F.sum("n").over(wb).alias("n_bef"),
+        F.sum("s").over(wt).alias("s_tot"),
+        F.sum("n").over(wt).alias("n_tot"),
+    ).filter(F.col("n_bef").isNotNull())
+    before = F.col("s_bef").cast("double") / F.col("n_bef")
+    after = (F.col("s_tot") - F.col("s_bef")).cast("double") / (
+        F.col("n_tot") - F.col("n_bef")
+    )
+    shift = F.abs(after - before)
+    pick = W.partitionBy("event_type").orderBy(shift.desc(), F.col("day"))
+    return (
+        cum.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            _fr(before, 6).alias("mean_before"),
+            _fr(after, 6).alias("mean_after"),
+            _fr(shift, 6).alias("mean_shift"),
+        )
+        .orderBy("event_type")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "changepoint_mean_shift": f"""
+        WITH daily AS (
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   sum(CAST(value AS DECIMAL(30,10))) AS s,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, day,
+                   sum(s) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s_bef,
+                   sum(n) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_bef,
+                   sum(s) OVER (PARTITION BY event_type) AS s_tot,
+                   sum(n) OVER (PARTITION BY event_type) AS n_tot
+            FROM daily
+        ),
+        scored AS (
+            SELECT event_type, day,
+                   CAST(s_bef AS DOUBLE) / n_bef AS mb,
+                   CAST(s_tot - s_bef AS DOUBLE) / (n_tot - n_bef) AS ma
+            FROM cum WHERE n_bef IS NOT NULL
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                       ORDER BY abs(ma - mb) DESC, day) AS rk
+            FROM scored
+        )
+        SELECT event_type, day AS change_day,
+               {_sql_fr('mb', 6)} AS mean_before,
+               {_sql_fr('ma', 6)} AS mean_after,
+               {_sql_fr('abs(ma - mb)', 6)} AS mean_shift
+        FROM ranked WHERE rk = 1
+        ORDER BY event_type
+    """,
     "scd2_user_history": """
         WITH changes AS (
             SELECT * FROM (
@@ -512,6 +600,7 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "changepoint_mean_shift": changepoint_mean_shift,
     "scd2_user_history": scd2_user_history,
     "asof_attribution": asof_attribution,
     "asof_attribution_tolerance": asof_attribution_tolerance,
