@@ -48,7 +48,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #                embedding_pca_project, session_path_analysis, hll_partial_rollup,
 #                bloom_prefilter_semi_join, graph_clustering_coeff,
 #                ann_product_quantization, diff_snapshots, data_quality_profile,
-#                entity_fuzzy_blocking, changepoint_mean_shift.
+#                entity_fuzzy_blocking, changepoint_mean_shift,
+#                span_corruption_masks, pmi_collocations, skyline_pareto,
+#                funnel_time_to_convert.
 # The four r4-ADVICE items (pii regex hardening, rfm threshold rounding,
 # doc_chunk_windows single tokenizer, dedup_clusters eager unpersist) were
 # already fixed in late-r4 commits e15382f/1103520 and the r04 CORRECTNESS

@@ -289,6 +289,141 @@ def test_decayed_user_value_bounds_and_recency_dominance(spark):
         assert 0 < r.decayed_value <= r.raw_value + 1e-6
 
 
+def test_span_corruption_matches_python_hash_replay(spark):
+    """Mask counts, merged-span counts and digests must equal a pure-Python
+    replay of the hash-seeded span plan, and the corpus corruption rate
+    must sit in the T5-ish band the constants target."""
+    import hashlib
+
+    from weather_database_system_spark.operators.scale import (
+        _HI_DIV,
+        _ID_MOD,
+        _KNUTH,
+    )
+    from weather_database_system_spark.operators.trainprep import (
+        SPAN_LEN_MOD,
+        SPAN_MIN_LEN,
+        SPAN_SEED_PCT,
+        span_corruption_masks,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    got = {r.doc_id: r for r in span_corruption_masks(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    tot_masked = tot_tokens = 0
+    for d in docs:
+        n = len(d.text.split(" "))
+        masked, spans, cover = [], 0, -1
+        for p in range(n):
+            k = d.doc_id * 100_000 + p
+            if ((k % _ID_MOD) * _KNUTH // _HI_DIV) % 100 < SPAN_SEED_PCT:
+                ln = SPAN_MIN_LEN + (((k + 13) % _ID_MOD) * _KNUTH // _HI_DIV) % SPAN_LEN_MOD
+                cover = max(cover, p + ln)
+            if cover > p:
+                if not masked or masked[-1] != p - 1:
+                    spans += 1
+                masked.append(p)
+        r = got[d.doc_id]
+        assert (r.n_tokens, r.n_masked, r.n_spans) == (n, len(masked), spans), d.doc_id
+        digest = hashlib.md5(",".join(map(str, masked)).encode()).hexdigest()
+        assert r.mask_digest == digest, d.doc_id
+        tot_masked += len(masked)
+        tot_tokens += n
+    assert 0.10 <= tot_masked / tot_tokens <= 0.20
+
+
+def test_pmi_collocations_formula_and_support_floor(spark):
+    """Every emitted PMI must equal the Church-Hanks formula recomputed
+    from Python Counter statistics; support floor respected; ranking
+    descends on (pmi, bigram)."""
+    import math
+    from collections import Counter
+
+    from weather_database_system_spark.operators.textan import (
+        PMI_MIN_COUNT,
+        pmi_collocations,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    rows = pmi_collocations(spark, SF_SMOKE).collect()
+    assert rows
+    uni, bi = Counter(), Counter()
+    for d in load_table(spark, SF_SMOKE, "documents").collect():
+        t = d.text.split(" ")
+        uni.update(t)
+        bi.update(" ".join(t[i : i + 2]) for i in range(len(t) - 1))
+    nu, nb = sum(uni.values()), sum(bi.values())
+    for r in rows:
+        assert r.c12 >= PMI_MIN_COUNT
+        w1, w2 = r.bigram.split(" ")
+        assert (r.c12, r.c1, r.c2) == (bi[r.bigram], uni[w1], uni[w2])
+        want = math.log((r.c12 / nb) / ((r.c1 / nu) * (r.c2 / nu)))
+        assert abs(r.pmi - want) < 1e-5, r.bigram
+    keys = [(-r.pmi, r.bigram) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_skyline_equals_brute_force_dominance(spark):
+    """The two-phase distributed skyline must equal the O(n²) brute-force
+    non-dominated set computed in Python."""
+    from weather_database_system_spark.operators.relational import skyline_pareto
+    from weather_database_system_spark.sources.star import load_table
+
+    got = {r.o_orderkey for r in skyline_pareto(spark, SF_SMOKE).collect()}
+    orders = [
+        (r.o_orderkey, round(r.o_totalprice * 100), r.o_orderdate)
+        for r in load_table(spark, SF_SMOKE, "orders").collect()
+    ]
+    want = set()
+    for k, p, d in orders:
+        dominated = any(
+            (p2 <= p and d2 <= d and (p2 < p or d2 < d))
+            for _, p2, d2 in orders
+        )
+        if not dominated:
+            want.add(k)
+    assert got == want and got
+
+
+def test_time_to_convert_matches_python_replay(spark):
+    """Conversion count and latency stats must equal a pure-Python replay
+    (first signup, first purchase at-or-after, linear-interpolated
+    percentiles on exact microsecond latencies)."""
+    from weather_database_system_spark.operators.behavioral import (
+        funnel_time_to_convert,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    r = funnel_time_to_convert(spark, SF_SMOKE).collect()[0]
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    first_signup, first_purchase = {}, {}
+    for e in ev:
+        if e.event_type == "signup":
+            if e.user_id not in first_signup or e.ts < first_signup[e.user_id]:
+                first_signup[e.user_id] = e.ts
+    for e in ev:
+        if e.event_type == "purchase" and e.user_id in first_signup:
+            if e.ts >= first_signup[e.user_id] and (
+                e.user_id not in first_purchase or e.ts < first_purchase[e.user_id]
+            ):
+                first_purchase[e.user_id] = e.ts
+    lats = sorted(
+        (first_purchase[u] - first_signup[u]).total_seconds() / 3600.0
+        for u in first_purchase
+    )
+
+    def q(p):
+        h = p * (len(lats) - 1)
+        lo, hi = lats[int(h)], lats[min(int(h) + 1, len(lats) - 1)]
+        return lo + (hi - lo) * (h - int(h))
+
+    assert r.n_signup_users == len(first_signup)
+    assert r.n_converted == len(lats)
+    assert abs(r.avg_hours - sum(lats) / len(lats)) < 1e-3
+    assert abs(r.p50_hours - q(0.5)) < 1e-3
+    assert abs(r.p90_hours - q(0.9)) < 1e-3
+
+
 def test_diff_snapshots_classifies_every_changed_key(spark):
     """The CDC diff must classify exactly the keys the deterministic
     bucket construction changed: bucket 15-19 → insert, 10-14 → delete,

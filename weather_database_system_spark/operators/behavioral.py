@@ -311,6 +311,52 @@ def rfm_segmentation_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rfm_scored(spark, sf_dir, approx=True)
 
 
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: each user's FIRST signup to their
+    first purchase at-or-after it, summarized as conversion rate plus
+    latency mean/median/p90 in hours — the companion to funnel_conversion
+    that answers "how long does the funnel take", not just "how many
+    convert".
+
+    Two user-keyed aggregations (first signup, first qualifying purchase)
+    joined on user_id, then ONE 1-row summary aggregate — per-user
+    latencies never leave the executors except as that single row. The
+    latency base is exact integer seconds; the percentile interpolates on
+    those integers and floor-rounds to 4, the engine-exact recipe
+    rfm_segmentation pinned down (at 100 TB swap percentile →
+    approx_percentile exactly as rfm's approx twin does)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"), F.min("s_ts").alias("s_ts"))
+    )
+    lat = p.select(
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("us"),
+    )
+    n_signup = s.count()
+    hours = F.col("us") / F.lit(3_600_000_000.0)
+    return lat.select(hours.alias("h")).agg(
+        F.lit(n_signup).alias("n_signup_users"),
+        F.count("*").alias("n_converted"),
+        _fr(F.count("*") / F.lit(float(n_signup)), 4).alias("conv_pct"),
+        _fr(F.sum(F.col("h").cast("decimal(30,10)")).cast("double") / F.count("*"), 4).alias(
+            "avg_hours"
+        ),
+        _fr(F.expr("percentile(h, 0.5)"), 4).alias("p50_hours"),
+        _fr(F.expr("percentile(h, 0.9)"), 4).alias("p90_hours"),
+    )
+
+
 PATH_MAX_STEPS = 8   # truncate a session's path to its first 8 events
 PATH_TOP_K = 20      # report the K most frequent paths
 
@@ -369,6 +415,29 @@ def session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "funnel_time_to_convert": f"""
+        WITH s AS (
+            SELECT user_id, min(ts) AS s_ts FROM events
+            WHERE event_type = 'signup' GROUP BY 1
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS p_ts, min(s.s_ts) AS s_ts
+            FROM events e JOIN s ON e.user_id = s.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= s.s_ts
+            GROUP BY 1
+        ),
+        lat AS (
+            SELECT (epoch_us(p_ts) - epoch_us(s_ts)) / 3600000000.0 AS h
+            FROM p
+        )
+        SELECT (SELECT count(*) FROM s) AS n_signup_users,
+               count(*) AS n_converted,
+               {_sql_fr('count(*) * 1.0 / (SELECT count(*) FROM s)', 4)} AS conv_pct,
+               {_sql_fr('CAST(sum(CAST(h AS DECIMAL(30,10))) AS DOUBLE) / count(*)', 4)} AS avg_hours,
+               {_sql_fr('quantile_cont(h, 0.5)', 4)} AS p50_hours,
+               {_sql_fr('quantile_cont(h, 0.9)', 4)} AS p90_hours
+        FROM lat
+    """,
     "session_path_analysis": f"""
         WITH marked AS (
             SELECT user_id, event_id, ts, event_type,
@@ -581,6 +650,7 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "cohort_retention": cohort_retention,
     "funnel_conversion": funnel_conversion,
+    "funnel_time_to_convert": funnel_time_to_convert,
     "sessionize_events": sessionize_events,
     "session_path_analysis": session_path_analysis,
     "rfm_segmentation": rfm_segmentation,

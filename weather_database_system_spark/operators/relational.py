@@ -779,7 +779,87 @@ def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKYLINE_BUCKETS = 32  # phase-1 partitions for the distributed skyline
+
+
+def _skyline_filter(df: DataFrame, part_cols: list) -> DataFrame:
+    """One skyline pass: a row survives iff no strictly-cheaper row has an
+    equal-or-earlier date (RANGE frame on integer cents excludes the equal-
+    price band) and no equal-price row has a strictly earlier date."""
+    w_cheaper = (
+        W.partitionBy(*part_cols)
+        .orderBy("pc")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_equal = W.partitionBy(*part_cols, "pc")
+    return (
+        df.withColumn("m1", F.min("ds").over(w_cheaper))
+        .withColumn("m2", F.min("ds").over(w_equal))
+        .filter(
+            (F.col("m1").isNull() | (F.col("m1") > F.col("ds")))
+            & (F.col("ds") == F.col("m2"))
+        )
+        .drop("m1", "m2")
+    )
+
+
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (Börzsönyi, Kossmann, Stocker 2001,
+    "The Skyline Operator"): orders not dominated on (price, date) — no
+    other order is both cheaper-or-equal AND earlier-or-equal with at
+    least one strict. The multi-criteria shortlist query (cheapest-AND-
+    earliest tradeoff curve) relational engines added SKYLINE OF syntax
+    for; here it composes from two window passes per phase.
+
+    Distributed shape — skylines are distributive, so this avoids the
+    single-partition global window: phase 1 computes a LOCAL skyline
+    inside each of SKYLINE_BUCKETS hash buckets (any bucket-mate dominator
+    is also a global dominator, so no skyline row is lost); phase 2 runs
+    the same filter globally on the tiny survivor union (bounded by the
+    sum of per-bucket skyline sizes — O(buckets·log n) for random data).
+    The strictly-cheaper band uses a RANGE frame over integer price cents,
+    so "price < mine" is exact frame arithmetic, not an epsilon. The
+    oracle is the single-pass formulation — an independent implementation
+    the two-phase plan must equal exactly (the distributivity proof,
+    executed)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+        F.col("o_orderdate").cast("long").alias("ds"),
+        _dstr(F.col("o_orderdate")).alias("order_date"),
+    )
+    local = _skyline_filter(
+        o.withColumn("b", F.pmod("o_orderkey", F.lit(SKYLINE_BUCKETS))), ["b"]
+    )
+    return (
+        _skyline_filter(local, [])
+        .select("o_orderkey", "o_totalprice", "order_date")
+        .orderBy("o_totalprice", "o_orderkey")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "skyline_pareto": """
+        WITH t AS (
+            SELECT o_orderkey, o_totalprice,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+                   epoch(o_orderdate) AS ds,
+                   strftime(o_orderdate, '%Y-%m-%d') AS order_date
+            FROM orders
+        ),
+        sc AS (
+            SELECT *,
+                   min(ds) OVER (ORDER BY pc
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+                   min(ds) OVER (PARTITION BY pc) AS m2
+            FROM t
+        )
+        SELECT o_orderkey, o_totalprice, order_date
+        FROM sc
+        WHERE (m1 IS NULL OR m1 > ds) AND ds = m2
+        ORDER BY o_totalprice, o_orderkey
+    """,
     "shipping_priority": f"""
         SELECT l_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
@@ -1161,6 +1241,7 @@ ORACLE: dict[str, str] = {
 
 
 QUERIES = {
+    "skyline_pareto": skyline_pareto,
     "pricing_summary": pricing_summary,
     "monthly_rollup": monthly_rollup,
     "monthly_filtered": monthly_filtered,

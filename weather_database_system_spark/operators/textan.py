@@ -521,9 +521,90 @@ def _sql_hits(words: tuple[str, ...]) -> str:
     return f"len(list_filter(toks, t -> t IN ({inlist})))"
 
 
+PMI_MIN_COUNT = 5  # collocation support floor (Church & Hanks use 5 too)
+PMI_TOP_K = 50
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information (Church &
+    Hanks 1990): PMI(w₁,w₂) = ln[ P(w₁w₂) / (P(w₁)P(w₂)) ] with bigram
+    probabilities from adjacent-pair counts and unigram probabilities from
+    token counts — the classic association score that surfaces multiword
+    units ("new york") over frequent-but-independent pairs. Support floor
+    c₁₂ ≥ PMI_MIN_COUNT kills the low-count PMI explosion; top-K by
+    (rounded PMI, bigram) is fully deterministic.
+
+    Shape at 100 TB: two explode→count aggregations (both bounded by
+    vocabulary, map-side combined), two vocabulary-keyed joins, TakeOrdered
+    top-K. The corpus totals are 1-row scalars (the bm25 corpus-stats
+    pattern). All-integer count ratios evaluate in identical IEEE doubles
+    cross-engine, so the ln and the ranking replay exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    uni = docs.select(F.explode(toks).alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count("*").alias("cu"))
+    bigram = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+    )
+    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
+    bg = docs.select(
+        F.explode(
+            F.when(F.size(toks) >= 2, bigram).otherwise(empty)
+        ).alias("bigram")
+    )
+    nu = uni.count()
+    nb = bg.count()
+    bgc = (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_COUNT)
+        .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+        .withColumn("w2", F.split(F.col("bigram"), " ").getItem(1))
+    )
+    joined = bgc.join(
+        uc.select(F.col("tok").alias("w1"), F.col("cu").alias("c1")), "w1"
+    ).join(uc.select(F.col("tok").alias("w2"), F.col("cu").alias("c2")), "w2")
+    pmi = F.log(
+        (F.col("c12") / F.lit(float(nb)))
+        / ((F.col("c1") / F.lit(float(nu))) * (F.col("c2") / F.lit(float(nu))))
+    )
+    return (
+        joined.select("bigram", "c12", "c1", "c2", _fr(pmi, 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(PMI_TOP_K)
+    )
+
+
 _SQL_TOKS = "SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents"
 
 ORACLE: dict[str, str] = {
+    "pmi_collocations": f"""
+        WITH d AS ({_SQL_TOKS}),
+        uni AS (SELECT unnest(toks) AS tok FROM d),
+        uc AS (SELECT tok, count(*) AS cu FROM uni GROUP BY 1),
+        bgs AS (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1])) AS bigram
+            FROM d
+        ),
+        bgc AS (
+            SELECT bigram, count(*) AS c12 FROM bgs
+            GROUP BY 1 HAVING count(*) >= {PMI_MIN_COUNT}
+        ),
+        tot AS (
+            SELECT (SELECT count(*) FROM uni) AS nu,
+                   (SELECT count(*) FROM bgs) AS nb
+        )
+        SELECT bigram, c12, u1.cu AS c1, u2.cu AS c2,
+               {_sql_fr("ln((c12 / CAST(nb AS DOUBLE)) / ((u1.cu / CAST(nu AS DOUBLE)) * (u2.cu / CAST(nu AS DOUBLE))))", 6)}
+                   AS pmi
+        FROM bgc, tot
+        JOIN uc u1 ON string_split(bigram, ' ')[1] = u1.tok
+        JOIN uc u2 ON string_split(bigram, ' ')[2] = u2.tok
+        ORDER BY pmi DESC, bigram
+        LIMIT {PMI_TOP_K}
+    """,
     "corpus_curation": f"""
         WITH d AS ({_SQL_TOKS}),
         m AS (
@@ -805,6 +886,7 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "pmi_collocations": pmi_collocations,
     "corpus_curation": corpus_curation,
     "unigram_logprob_quality": unigram_logprob_quality,
     "bigram_surprisal_quality": bigram_surprisal_quality,

@@ -607,6 +607,82 @@ _SQL_SCORE = (
 )
 
 
+SPAN_SEED_PCT = 5   # % of token positions that seed a corruption span
+SPAN_MIN_LEN = 2    # span length ∈ [MIN, MIN + SPAN_LEN_MOD)
+SPAN_LEN_MOD = 3
+
+
+def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption PLANNING (Raffel et al. 2020 §3.1.4): pick
+    ~5 % of token positions as span seeds with deterministic hash buckets
+    (no RNG — the same (doc_id, position) always masks identically, the
+    reproducibility property a distributed data loader needs), give each
+    seed a hash-derived length in [2, 4], and resolve overlapping spans
+    with a running max over seed ends — token p is masked iff any seed at
+    or before p still covers it. Emits the per-doc corruption audit (masked
+    token count, span count after overlap-merge, rate, an order-exact
+    digest of the mask) that the actual sentinel-insertion pass consumes.
+
+    Scale shape: posexplode → ONE doc_id-keyed window (running max + lag
+    ride the same sort) → per-doc re-agg, all map-side combinable. The
+    whole mask is a pure function of (doc_id, p), so the oracle replays it
+    with identical integer arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("p", "tok")
+    )
+    b_seed = F.expr(
+        f"pmod((pmod(doc_id * 100000 + p, {_ID_MOD}) * {_KNUTH}) div {_HI_DIV}, 100)"
+    )
+    b_len = F.expr(
+        f"pmod((pmod(doc_id * 100000 + p + 13, {_ID_MOD}) * {_KNUTH}) div {_HI_DIV}, {SPAN_LEN_MOD})"
+    )
+    seeded = toks.select(
+        "doc_id",
+        "p",
+        F.when(
+            b_seed < SPAN_SEED_PCT, F.col("p") + F.lit(SPAN_MIN_LEN) + b_len
+        ).alias("seed_end"),
+    )
+    w = W.partitionBy("doc_id").orderBy("p").rowsBetween(W.unboundedPreceding, 0)
+    wl = W.partitionBy("doc_id").orderBy("p")
+    marked = seeded.select(
+        "doc_id",
+        "p",
+        (F.coalesce(F.max("seed_end").over(w), F.lit(-1)) > F.col("p")).alias(
+            "masked"
+        ),
+    ).withColumn(
+        "span_start",
+        (F.col("masked") & ~F.coalesce(F.lag("masked").over(wl), F.lit(False))).cast(
+            "int"
+        ),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("masked").cast("int")).alias("n_masked"),
+            F.sum("span_start").alias("n_spans"),
+            _fr(
+                F.sum(F.col("masked").cast("int")) / F.count("*"), 4
+            ).alias("corruption_rate"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.when(F.col("masked"), F.col("p")))
+                        ),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("mask_digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 CURRICULUM_BUDGET = 4096  # tokens per curriculum epoch
 
 
@@ -686,6 +762,51 @@ def curriculum_pack_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "span_corruption_masks": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) - 1 AS p
+            FROM documents
+        ),
+        seeded AS (
+            SELECT doc_id, p,
+                   CASE WHEN (((doc_id * 100000 + p) % {_ID_MOD}) * {_KNUTH}
+                              // {_HI_DIV}) % 100 < {SPAN_SEED_PCT}
+                        THEN p + {SPAN_MIN_LEN}
+                             + (((doc_id * 100000 + p + 13) % {_ID_MOD})
+                                * {_KNUTH} // {_HI_DIV}) % {SPAN_LEN_MOD}
+                   END AS seed_end
+            FROM toks
+        ),
+        marked AS (
+            SELECT doc_id, p,
+                   COALESCE(max(seed_end) OVER (
+                       PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+                       > p AS masked
+            FROM seeded
+        ),
+        spans AS (
+            SELECT doc_id, p, masked,
+                   CAST(masked AND NOT COALESCE(
+                       lag(masked) OVER (PARTITION BY doc_id ORDER BY p),
+                       FALSE) AS INT) AS span_start
+            FROM marked
+        )
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_masked,
+               CAST(sum(span_start) AS BIGINT) AS n_spans,
+               {_sql_fr('sum(CASE WHEN masked THEN 1 ELSE 0 END) * 1.0 / count(*)', 4)}
+                   AS corruption_rate,
+               md5(COALESCE(list_aggr(list_sort(list(p) FILTER (masked)),
+                   'string_agg', ','), '')) AS mask_digest
+        FROM spans
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
     "curriculum_pack_epochs": f"""
         WITH t AS (
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
@@ -961,6 +1082,7 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "span_corruption_masks": span_corruption_masks,
     "curriculum_pack_epochs": curriculum_pack_epochs,
     "tokenize_to_ids": tokenize_to_ids,
     "source_overlap_jaccard": source_overlap_jaccard,
