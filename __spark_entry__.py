@@ -50,7 +50,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #                ann_product_quantization, diff_snapshots, data_quality_profile,
 #                entity_fuzzy_blocking, changepoint_mean_shift,
 #                span_corruption_masks, pmi_collocations, skyline_pareto,
-#                funnel_time_to_convert.
+#                funnel_time_to_convert, item_cooccurrence_similarity,
+#                time_proximity_join, dedup_against_index.
 # The four r4-ADVICE items (pii regex hardening, rfm threshold rounding,
 # doc_chunk_windows single tokenizer, dedup_clusters eager unpersist) were
 # already fixed in late-r4 commits e15382f/1103520 and the r04 CORRECTNESS

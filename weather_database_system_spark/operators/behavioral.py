@@ -311,6 +311,61 @@ def rfm_segmentation_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rfm_scored(spark, sf_dir, approx=True)
 
 
+COOC_MIN = 2      # minimum co-purchase support
+COOC_TOP_K = 100  # strongest pairs reported
+
+
+def item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket item-item similarity — the co-occurrence core of
+    item-based collaborative filtering (Sarwar et al. 2001 / the classic
+    "frequently bought together"): for parts appearing in the same order,
+    cosine similarity over basket membership, cos = c(i,j)/√(n(i)·n(j)),
+    with a support floor and a deterministic top-K.
+
+    Scale shape: pair generation is a SELF-JOIN ON THE BASKET KEY — work is
+    Σ|basket|², bounded by basket size (the lineitem-per-order cap), never
+    |items|²; the pair aggregate and the two per-item totals are map-side
+    combined; totals attach via item-keyed joins the optimizer broadcasts
+    when small. Counts are exact integers, so cosine evaluates in identical
+    IEEE doubles cross-engine."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("item_a"),
+            F.col("b.l_partkey").alias("item_b"),
+        )
+        .agg(F.count("*").alias("cooc"))
+        .filter(F.col("cooc") >= COOC_MIN)
+    )
+    totals = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    ta, tb = totals.alias("ta"), totals.alias("tb")
+    cos = F.col("cooc") / F.sqrt(F.col("ta.n") * F.col("tb.n"))
+    return (
+        pairs.join(ta, pairs.item_a == F.col("ta.l_partkey"))
+        .join(tb, pairs.item_b == F.col("tb.l_partkey"))
+        .select(
+            "item_a",
+            "item_b",
+            "cooc",
+            F.col("ta.n").alias("n_a"),
+            F.col("tb.n").alias("n_b"),
+            _fr(cos, 6).alias("cosine"),
+        )
+        .orderBy(F.col("cooc").desc(), "item_a", "item_b")
+        .limit(COOC_TOP_K)
+    )
+
+
 def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert distribution: each user's FIRST signup to their
     first purchase at-or-after it, summarized as conversion rate plus
@@ -415,6 +470,29 @@ def session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "item_cooccurrence_similarity": f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                   count(*) AS cooc
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= {COOC_MIN}
+        ),
+        totals AS (
+            SELECT l_partkey, count(*) AS n FROM li GROUP BY 1
+        )
+        SELECT item_a, item_b, cooc, ta.n AS n_a, tb.n AS n_b,
+               {_sql_fr('cooc / sqrt(CAST(ta.n * tb.n AS DOUBLE))', 6)} AS cosine
+        FROM pairs
+        JOIN totals ta ON item_a = ta.l_partkey
+        JOIN totals tb ON item_b = tb.l_partkey
+        ORDER BY cooc DESC, item_a, item_b
+        LIMIT {COOC_TOP_K}
+    """,
     "funnel_time_to_convert": f"""
         WITH s AS (
             SELECT user_id, min(ts) AS s_ts FROM events
@@ -651,6 +729,7 @@ QUERIES = {
     "cohort_retention": cohort_retention,
     "funnel_conversion": funnel_conversion,
     "funnel_time_to_convert": funnel_time_to_convert,
+    "item_cooccurrence_similarity": item_cooccurrence_similarity,
     "sessionize_events": sessionize_events,
     "session_path_analysis": session_path_analysis,
     "rfm_segmentation": rfm_segmentation,

@@ -395,6 +395,85 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_against_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of an ARRIVING BATCH against an existing corpus
+    index — the batch form of the streaming foreachBatch incremental dedup
+    (tests/test_streaming.py): new documents (odd doc_ids here) are checked
+    against the already-ingested index (even doc_ids) with the exact-digest
+    ladder first, then the banded-MinHash near-dup check; each batch doc
+    gets a verdict exact_dup / near_dup / unique plus its matched canonical.
+    This is the shape a continuously-ingesting pipeline actually runs:
+    never re-cluster the corpus, only probe the new delta against stored
+    digests and band signatures.
+
+    Scale shape: both probes are equi-joins keyed by digest / (band, bsig)
+    — the delta side is small, the index side is pre-computed state stored
+    exactly as these two keyed tables; no all-pairs stage, no corpus
+    rescan (the signature recompute here stands in for reading the stored
+    index). The md5 pipeline is shared with dedup_minhash_lsh, so the
+    oracle replays every signature bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    is_batch = F.pmod("doc_id", F.lit(2)) == 1
+
+    digests = docs.select("doc_id", F.md5("text").alias("dg"))
+    idx_dg = digests.filter(~is_batch)
+    bat_dg = digests.filter(is_batch)
+    exact = (
+        bat_dg.join(idx_dg.select(F.col("dg"), F.col("doc_id").alias("m")), "dg")
+        .groupBy("doc_id")
+        .agg(F.min("m").alias("exact_match"))
+    )
+
+    sigs = _md5_signatures(docs, n_part)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            F.element_at("sig", 2 * b + 1),
+                            F.element_at("sig", 2 * b + 2),
+                        ).alias("bsig"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bsig")
+    near = (
+        bands.filter(is_batch)
+        .join(
+            bands.filter(~is_batch).select(
+                F.col("band"), F.col("bsig"), F.col("doc_id").alias("m")
+            ),
+            ["band", "bsig"],
+        )
+        .groupBy("doc_id")
+        .agg(F.min("m").alias("near_match"))
+    )
+
+    status = (
+        F.when(F.col("exact_match").isNotNull(), "exact_dup")
+        .when(F.col("near_match").isNotNull(), "near_dup")
+        .otherwise("unique")
+    )
+    return (
+        docs.filter(is_batch)
+        .select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            status.alias("status"),
+            F.coalesce("exact_match", "near_match").alias("matched_doc_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting + local clustering coefficient (Watts-Strogatz)
     over the near-dup similarity graph: per document, its degree, the
@@ -1113,6 +1192,39 @@ ORACLE: dict[str, str] = {
         WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
         ORDER BY doc_a, doc_b
     """,
+    "dedup_against_index": f"""
+        WITH docs AS ({_SQL_DOCS_TOKS}),
+        dg AS (SELECT doc_id, md5(text) AS dg FROM documents),
+        exact AS (
+            SELECT b.doc_id, min(i.doc_id) AS exact_match
+            FROM dg b JOIN dg i ON b.dg = i.dg
+            WHERE b.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+            GROUP BY 1
+        ),
+        sigs AS (
+            SELECT doc_id, {_sql_minhash_sig(_SQL_SHINGLES)} AS sig FROM docs
+        ),
+        bands AS (
+            SELECT doc_id, b AS band, sig[2*b + 1] || sig[2*b + 2] AS bsig
+            FROM sigs, range(0, {N_BANDS}) AS t(b)
+        ),
+        near AS (
+            SELECT b.doc_id, min(i.doc_id) AS near_match
+            FROM bands b JOIN bands i ON b.band = i.band AND b.bsig = i.bsig
+            WHERE b.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CASE WHEN exact_match IS NOT NULL THEN 'exact_dup'
+                    WHEN near_match IS NOT NULL THEN 'near_dup'
+                    ELSE 'unique' END AS status,
+               COALESCE(exact_match, near_match) AS matched_doc_id
+        FROM documents d
+        LEFT JOIN exact ON d.doc_id = exact.doc_id
+        LEFT JOIN near ON d.doc_id = near.doc_id
+        WHERE d.doc_id % 2 = 1
+        ORDER BY d.doc_id
+    """,
     "graph_clustering_coeff": f"""
         WITH docs AS ({_SQL_DOCS_TOKS}),
         sigs AS (
@@ -1214,6 +1326,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dedup_containment": dedup_containment,
+    "dedup_against_index": dedup_against_index,
     "graph_clustering_coeff": graph_clustering_coeff,
     "embedding_near_dup": embedding_near_dup,
 }

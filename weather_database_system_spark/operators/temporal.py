@@ -345,6 +345,72 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROX_WINDOW_US = 300 * 1_000_000  # ±5 minutes
+
+
+def time_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LARGE × LARGE band join — the pattern range_band_join's docstring
+    promises for when NEITHER side broadcasts: find all event pairs within
+    ±5 minutes of each other (co-activity analysis) by bucketing both
+    sides to the band width and equi-joining on (same bucket) ∪ (adjacent
+    bucket), then refining with the exact |Δt| predicate. Candidate volume
+    is Σ per-bucket n·m over ≤2 buckets per row — linear in the true match
+    count for time-uniform data — instead of the n² a cross join or the
+    single-reducer sort a naive interval walk would cost. Each qualifying
+    unordered pair is generated EXACTLY once (same-bucket pairs ordered by
+    event_id; adjacent-bucket pairs ordered by the bucket roles), so no
+    dedup pass is needed. Emits the co-activity matrix per unordered
+    event-type pair with exact-integer mean gaps.
+
+    The oracle is the direct O(n²) inequality join — the independent
+    formulation the bucketing must equal exactly."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.expr(f"unix_micros(ts) div {PROX_WINDOW_US}").alias("bkt"),
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+
+    def project(joined):
+        return joined.select(
+            F.least(F.col("a.event_type"), F.col("b.event_type")).alias("type_x"),
+            F.greatest(F.col("a.event_type"), F.col("b.event_type")).alias(
+                "type_y"
+            ),
+            F.abs(F.col("a.us") - F.col("b.us")).alias("gap_us"),
+        )
+
+    same = project(
+        a.join(
+            b,
+            (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+    )
+    adjacent = project(
+        a.join(
+            b,
+            (F.col("a.bkt") + 1 == F.col("b.bkt"))
+            & (F.abs(F.col("a.us") - F.col("b.us")) <= PROX_WINDOW_US),
+        )
+    )
+    pairs = same.unionByName(adjacent).filter(F.col("gap_us") <= PROX_WINDOW_US)
+    return (
+        pairs.groupBy("type_x", "type_y")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            _fr(
+                F.sum(F.col("gap_us").cast(DEC)).cast("double")
+                / F.count("*")
+                / 1_000_000.0,
+                4,
+            ).alias("avg_gap_sec"),
+        )
+        .orderBy("type_x", "type_y")
+    )
+
+
 def changepoint_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offline change-point detection — the binary-segmentation step of the
     CUSUM/BinSeg family: per event_type, the split day d* maximizing
@@ -399,6 +465,18 @@ def changepoint_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "time_proximity_join": f"""
+        SELECT least(a.event_type, b.event_type) AS type_x,
+               greatest(a.event_type, b.event_type) AS type_y,
+               count(*) AS n_pairs,
+               {_sql_fr("CAST(sum(CAST(abs(epoch_us(a.ts) - epoch_us(b.ts)) AS DECIMAL(30,10))) AS DOUBLE) / count(*) / 1000000.0", 4)}
+                   AS avg_gap_sec
+        FROM events a JOIN events b
+          ON abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {PROX_WINDOW_US}
+         AND a.event_id < b.event_id
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "changepoint_mean_shift": f"""
         WITH daily AS (
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
@@ -601,6 +679,7 @@ ORACLE: dict[str, str] = {
 
 QUERIES = {
     "changepoint_mean_shift": changepoint_mean_shift,
+    "time_proximity_join": time_proximity_join,
     "scd2_user_history": scd2_user_history,
     "asof_attribution": asof_attribution,
     "asof_attribution_tolerance": asof_attribution_tolerance,
