@@ -165,3 +165,140 @@ def test_wav_encode_decode_roundtrips_any_pcm(n, seed, sr):
     dsr, back = _decode_wav(buf.getvalue())
     assert dsr == sr
     assert (back == samples).all()
+
+
+# ---------------------------------------------------------------------------
+# Round-5 continuation operators: distribution-soundness properties on
+# generated data (degenerate ties, bucket boundaries, single-element inputs)
+# ---------------------------------------------------------------------------
+
+_POINT = st.tuples(
+    st.integers(min_value=1, max_value=9999),   # price cents (coarse → ties)
+    st.integers(min_value=0, max_value=60),     # day offset (coarse → ties)
+)
+
+
+@given(points=st.lists(_POINT, min_size=1, max_size=60))
+@SETTINGS
+def test_skyline_two_phase_equals_brute_force_on_any_points(spark, tmp_path_factory, points):
+    """Distributivity property: the bucketed two-phase skyline equals the
+    O(n²) non-dominated set for ANY point cloud — including heavy price and
+    date ties, where the strict-dominance edge cases live."""
+    import datetime as dt
+
+    from weather_database_system_spark.operators.relational import skyline_pareto
+
+    tmp = tmp_path_factory.mktemp("sky")
+    rows = [
+        (
+            i,
+            i,
+            "O",
+            cents / 100.0,
+            dt.datetime(2024, 1, 1) + dt.timedelta(days=off),
+            "1-URGENT",
+        )
+        for i, (cents, off) in enumerate(points)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+
+    got = {r.o_orderkey for r in skyline_pareto(spark, str(tmp)).collect()}
+    want = {
+        k
+        for k, (p, d) in enumerate(points)
+        if not any(
+            p2 <= p and d2 <= d and (p2 < p or d2 < d) for p2, d2 in points
+        )
+    }
+    assert got == want
+
+
+@given(sizes=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=50))
+@SETTINGS
+def test_distributed_prefix_sum_equals_cumsum_on_any_sizes(spark, tmp_path_factory, sizes):
+    """The two-level prefix sum must equal the plain Python cumulative sum
+    over the (n_tokens, doc_id) order for ANY length distribution —
+    including all-equal lengths (every tie crosses range-partition
+    boundaries) and empty docs."""
+    from weather_database_system_spark.operators.trainprep import (
+        curriculum_pack_epochs,
+    )
+    from weather_database_system_spark.session import release_persisted
+
+    tmp = tmp_path_factory.mktemp("cur")
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(n)), "en", "web", 0)
+        for i, n in enumerate(sizes)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    got = {r.doc_id: r.cum_before for r in curriculum_pack_epochs(spark, str(tmp)).collect()}
+    release_persisted()
+    # split('') yields [''] → 1 token for an empty text; mirror that
+    n_of = {i: max(n, 1) for i, n in enumerate(sizes)}
+    order = sorted(n_of, key=lambda i: (n_of[i], i))
+    cum, want = 0, {}
+    for i in order:
+        want[i] = cum
+        cum += n_of[i]
+    assert got == want
+
+
+@given(
+    offsets=st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=1_200_000_000),
+            st.sampled_from([0, 300_000_000, 600_000_000, 900_000_000]),
+        ),
+        min_size=2,
+        max_size=25,
+        unique=True,
+    )
+)
+@SETTINGS
+def test_proximity_bucketing_equals_brute_force_at_boundaries(spark, tmp_path_factory, offsets):
+    """Band-join property: the same∪adjacent bucket plan finds EXACTLY the
+    |Δt| ≤ window pairs for ANY timestamp set — the sampled exact multiples
+    of the window width sit right on the bucket-boundary edge cases."""
+    import datetime as dt
+
+    from weather_database_system_spark.operators.temporal import (
+        PROX_WINDOW_US,
+        time_proximity_join,
+    )
+
+    tmp = tmp_path_factory.mktemp("prox")
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(microseconds=us),
+            i % 3,
+            ["click", "view"][i % 2],
+            1.0,
+            "{}",
+        )
+        for i, us in enumerate(offsets)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+
+    got = {(r.type_x, r.type_y): r.n_pairs for r in time_proximity_join(spark, str(tmp)).collect()}
+    from collections import Counter
+
+    want = Counter()
+    for i in range(len(offsets)):
+        for j in range(i + 1, len(offsets)):
+            if abs(offsets[i] - offsets[j]) <= PROX_WINDOW_US:
+                ta, tb = ["click", "view"][i % 2], ["click", "view"][j % 2]
+                want[tuple(sorted((ta, tb)))] += 1
+    assert got == dict(want)
