@@ -96,10 +96,13 @@ _DRIVER_GREEN = frozenset({
     "train_test_split", "udf_normalize_text", "udf_tokenize_table",
     "udf_weighted_mean_price",
     # --- green in r04, unchanged since ---
-    "bm25_search", "contamination_eval_overlap",
-    "dedup_minhash_lsh", "doc_chunk_windows",
+    # (dedup_minhash_lsh, repetition_ngram_stats and contamination_eval_overlap
+    # were dropped from this set late in r5: the _band_explode/_grams shared-
+    # helper refactor rebuilt their expression lineage — byte-identical
+    # output, re-checked by the driver anyway per the r4 precedent.)
+    "bm25_search", "doc_chunk_windows",
     "doc_fingerprint", "domain_mixture_weights", "ngram_jaccard_pairs",
-    "pii_redaction", "quality_weighted_sample", "repetition_ngram_stats",
+    "pii_redaction", "quality_weighted_sample",
     "rfm_segmentation", "rfm_segmentation_approx", "sequence_pack_bins",
     "sequence_pack_bins_sharded",
 })

@@ -147,6 +147,8 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
                                 # the event scan
         "source_kl_divergence", # 1-row corpus-total broadcast over the
                                 # (source, term) counts
+        "funnel_time_to_convert",  # 1-row signup-total broadcast over the
+                                   # per-user latency aggregate
         "rfm_segmentation_approx",  # same 1-row broadcasts; thresholds via
                                     # approx_percentile sketch
     }

@@ -328,10 +328,15 @@ def item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined; totals attach via item-keyed joins the optimizer broadcasts
     when small. Counts are exact integers, so cosine evaluates in identical
     IEEE doubles cross-engine."""
-    li = (
+    from weather_database_system_spark.session import track_persisted
+
+    # persisted: the distinct-items shuffle feeds the self-join (both
+    # sides) AND the totals — without it the dedup aggregation runs 3×
+    li = track_persisted(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .persist()
     )
     a, b = li.alias("a"), li.alias("b")
     pairs = (
@@ -398,12 +403,14 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("us"),
     )
-    n_signup = s.count()
+    # the signup total rides along as a 1-row crossJoin (the DataFrame form
+    # of the oracle's scalar subquery) — no eager count() job at build time
+    n_signup = s.agg(F.count(F.lit(1)).alias("ns"))
     hours = F.col("us") / F.lit(3_600_000_000.0)
-    return lat.select(hours.alias("h")).agg(
-        F.lit(n_signup).alias("n_signup_users"),
+    return lat.select(hours.alias("h")).crossJoin(F.broadcast(n_signup)).agg(
+        F.min("ns").alias("n_signup_users"),
         F.count("*").alias("n_converted"),
-        _fr(F.count("*") / F.lit(float(n_signup)), 4).alias("conv_pct"),
+        _fr(F.count("*") / F.min("ns").cast("double"), 4).alias("conv_pct"),
         _fr(F.sum(F.col("h").cast("decimal(30,10)")).cast("double") / F.count("*"), 4).alias(
             "avg_hours"
         ),

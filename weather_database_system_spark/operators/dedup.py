@@ -71,6 +71,39 @@ def _shingles(toks: Column) -> Column:
     return F.when(F.size(toks) >= 3, F.array_distinct(gram)).otherwise(empty)
 
 
+def _grams(toks, n: int):
+    """All order-preserving n-gram strings (with repeats — repetition
+    statistics and LM counts need the multiset, unlike _shingles' distinct
+    set). THE n-gram definition for the whole package: trainprep's
+    repetition/contamination stats and textan's bigram LM / PMI scorers all
+    build on this one expression (and _sql_grams mirrors it for the
+    oracles), so a change to the gram shape lands everywhere at once.
+
+    The lambda body is array_join(slice(...)) — one slice + one join per
+    gram instead of n element_at lookups feeding concat_ws. HOF lambdas run
+    interpreted, so the per-gram node count is the unit of cost: this cut
+    contamination_eval_overlap's gram stage 3.2× at sf0.1 (r4 audit; the
+    lead()-window formulation is faster still locally but buys it with a
+    full token-level shuffle — wrong trade at corpus scale). Output strings
+    are identical: split() never yields NULL tokens, so array_join and
+    concat_ws agree byte-for-byte."""
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
+    return F.when(F.size(toks) >= n, gram).otherwise(empty)
+
+
+def _sql_grams(n: int) -> str:
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(toks) >= {n} "
+        f"THEN list_transform(range(1, len(toks) - {n - 2}), i -> {parts}) "
+        f"ELSE [] END"
+    )
+
+
 def _md5_signatures(docs: DataFrame, n_part: int) -> DataFrame:
     """K min-hashes: h_j = min over shingles of md5('{j}|' + shingle).
     Lexicographic min over hex strings — identical in any engine, so the
@@ -125,6 +158,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band_explode(sig_col: str = "sig"):
+    """The canonical md5 band derivation — band b's signature is the concat
+    of signature rows 2b and 2b+1. ONE definition: _banded_md5_candidates,
+    dedup_against_index and the oracle's `sig[2b+1] || sig[2b+2]` must stay
+    in lockstep or the LSH paths silently disagree."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat(
+                        F.element_at(sig_col, 2 * b + 1),
+                        F.element_at(sig_col, 2 * b + 2),
+                    ).alias("bsig"),
+                )
+                for b in range(N_BANDS)
+            ]
+        )
+    ).alias("bb")
+
+
 def _banded_md5_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared MinHash-LSH candidate stage: banded md5 signatures joined
     on (band, band-signature), one row per shared band per pair, columns
@@ -147,23 +201,9 @@ def _banded_md5_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to re-joining the signature table twice after the pair join): the pair
     # stage then computes matched-hash counts inline from the two sig arrays
     # it already has, so the whole operator is ONE band-bucket join + one agg.
-    bands = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat(
-                            F.element_at("sig", 2 * b + 1), F.element_at("sig", 2 * b + 2)
-                        ).alias("bsig"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
+    bands = sigs.select("doc_id", "sig", _band_explode()).select(
+        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
+    )
 
     a, b = bands.alias("a"), bands.alias("b")
     return a.join(
@@ -416,7 +456,13 @@ def dedup_against_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_part = spark.sparkContext.defaultParallelism
     is_batch = F.pmod("doc_id", F.lit(2)) == 1
 
-    digests = docs.select("doc_id", F.md5("text").alias("dg"))
+    # Persist both probe tables: each feeds BOTH sides of its join (batch +
+    # index split), and without a persist the corpus-wide md5 work runs
+    # twice per table — the measured 3.5× hazard _banded_md5_candidates
+    # documents. (In production these ARE the stored index state.)
+    digests = track_persisted(
+        docs.select("doc_id", F.md5("text").alias("dg")).persist()
+    )
     idx_dg = digests.filter(~is_batch)
     bat_dg = digests.filter(is_batch)
     exact = (
@@ -426,23 +472,11 @@ def dedup_against_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sigs = _md5_signatures(docs, n_part)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat(
-                            F.element_at("sig", 2 * b + 1),
-                            F.element_at("sig", 2 * b + 2),
-                        ).alias("bsig"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bsig")
+    bands = track_persisted(
+        sigs.select("doc_id", _band_explode())
+        .select("doc_id", "bb.band", "bb.bsig")
+        .persist()
+    )
     near = (
         bands.filter(is_batch)
         .join(

@@ -358,8 +358,11 @@ def hll_partial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     affordable at test scale) so the error is visible in the output and
     pytest pins it within HLL's guarantees. Rows-only for the driver: the
     sketch estimate is engine-specific by nature."""
+    # week key = the week's START DATE, not weekofyear(): a bare week number
+    # collapses days from different years into one group and ISO-boundary
+    # days (Jan 1 in ISO week 52/53) into the wrong year entirely.
     ev = load_table(spark, sf_dir, "events").select(
-        F.weekofyear("ts").alias("week"),
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias("week"),
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         "user_id",
     )
@@ -446,23 +449,33 @@ def bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(h{i} % 64 AS INT)) & 1) = 1)"
         for i in range(BLOOM_K)
     )
-    prefiltered = hashed.filter(F.expr(might)).select("l_orderkey", "okey")
-    true_match = probe.join(build_keys, "okey", "left_semi")
-    fp = prefiltered.join(build_keys, "okey", "left_anti")
-    n_probe = probe.count()
-    n_pre = prefiltered.count()
-    n_true = true_match.count()
-    n_fp = fp.count()
+    # ONE aggregate pass computes the whole audit: probe scanned once, the
+    # 5 hash probes evaluated once per row, membership via a left join
+    # marker (the previous formulation ran five separate count() jobs and
+    # re-evaluated the bit tests for both the prefilter and FP counts).
+    flags = hashed.withColumn("might", F.expr(might)).join(
+        build_keys.withColumn("hit", F.lit(1)), "okey", "left"
+    )
+    stats = flags.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.col("might").cast("long")).alias("n_prefiltered"),
+        F.sum((F.col("hit") == 1).cast("long")).alias("n_true_match"),
+        F.sum((F.col("might") & F.col("hit").isNull()).cast("long")).alias(
+            "n_false_pos"
+        ),
+    ).collect()[0]
     n_keys = build_keys.count()
     theory = (1.0 - 2.718281828459045 ** (-BLOOM_K * n_keys / BLOOM_M)) ** BLOOM_K
     return spark.createDataFrame(
         [
             (
-                n_probe,
-                n_pre,
-                n_true,
-                n_fp,
-                round(n_fp / max(n_probe - n_true, 1), 6),
+                stats.n_probe,
+                stats.n_prefiltered,
+                stats.n_true_match,
+                stats.n_false_pos,
+                round(
+                    stats.n_false_pos / max(stats.n_probe - stats.n_true_match, 1), 6
+                ),
                 round(theory, 6),
             )
         ],
@@ -804,7 +817,9 @@ ORACLE: dict[str, str] = {
                    AS total_value,
                CAST(min(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS min_value,
                CAST(max(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS max_value,
-               {_sql_avg4('value', 4)} AS avg_value
+               -- divide by count(*) — the merge's count STATE — not
+               -- count(value): must match the Spark side under NULL values
+               {_sql_fr('CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(*)', 4)} AS avg_value
         FROM events
         GROUP BY 1, 2
         ORDER BY 1, 2

@@ -19,6 +19,7 @@ from weather_database_system_spark.operators.relational import DEC, _fr, _sql_fr
 from weather_database_system_spark.operators.dedup import (
     MAX_POSTING_LEN,
     _SQL_SHINGLES,
+    _grams,
     _shingles,
     _tokens,
 )
@@ -350,15 +351,7 @@ def bigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram_logprob_quality recipe exactly."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
-    bigram = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
-    )
-    has2 = F.size(toks) >= 2
-    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
-    bg = docs.select(
-        "doc_id", F.explode(F.when(has2, bigram).otherwise(empty)).alias("bg")
-    )
+    bg = docs.select("doc_id", F.explode(_grams(toks, 2)).alias("bg"))
     bgc = bg.groupBy("bg").agg(F.count("*").alias("c2"))
     w1 = F.split(F.col("bg"), " ").getItem(0)
     # context count c(w1·) = occurrences of w1 as a bigram PREFIX; V from
@@ -543,16 +536,7 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens(F.col("text"))
     uni = docs.select(F.explode(toks).alias("tok"))
     uc = uni.groupBy("tok").agg(F.count("*").alias("cu"))
-    bigram = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
-    )
-    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
-    bg = docs.select(
-        F.explode(
-            F.when(F.size(toks) >= 2, bigram).otherwise(empty)
-        ).alias("bigram")
-    )
+    bg = docs.select(F.explode(_grams(toks, 2)).alias("bigram"))
     nu = uni.count()
     nb = bg.count()
     bgc = (

@@ -32,7 +32,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from weather_database_system_spark.operators.dedup import _SQL_SHINGLES, _shingles, _tokens
+from weather_database_system_spark.operators.dedup import (
+    _SQL_SHINGLES,
+    _grams,
+    _shingles,
+    _sql_grams,
+    _tokens,
+)
 from weather_database_system_spark.operators.relational import _fr, _sql_fr
 from weather_database_system_spark.operators.scale import (
     _HI_DIV,
@@ -48,33 +54,9 @@ from weather_database_system_spark.operators.textan import (
 from weather_database_system_spark.sources.star import load_table
 
 
-def _grams(toks, n: int):
-    """All order-preserving n-gram strings (with repeats — repetition
-    statistics need the multiset, unlike _shingles' distinct set).
-
-    The lambda body is array_join(slice(...)) — one slice + one join per
-    gram instead of n element_at lookups feeding concat_ws. HOF lambdas run
-    interpreted, so the per-gram node count is the unit of cost: this cut
-    contamination_eval_overlap's gram stage 3.2× at sf0.1 (r4 audit; the
-    lead()-window formulation is faster still locally but buys it with a
-    full token-level shuffle — wrong trade at corpus scale). Output strings
-    are identical: split() never yields NULL tokens, so array_join and
-    concat_ws agree byte-for-byte."""
-    gram = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
-    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
-    return F.when(F.size(toks) >= n, gram).otherwise(empty)
-
-
-def _sql_grams(n: int) -> str:
-    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
-    return (
-        f"CASE WHEN len(toks) >= {n} "
-        f"THEN list_transform(range(1, len(toks) - {n - 2}), i -> {parts}) "
-        f"ELSE [] END"
-    )
+# _grams / _sql_grams moved to dedup.py (the package-wide n-gram
+# definition, shared with textan's LM/PMI scorers); re-exported here for
+# the existing import surface.
 
 
 def repetition_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -755,7 +737,10 @@ def curriculum_pack_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "cum_before",
-            F.expr(f"cum_before div {CURRICULUM_BUDGET}").cast("int").alias("epoch"),
+            # stays BIGINT: at the 100 TB design point the prefix sum
+            # overflows int32 epochs (~8.8e12 tokens), where a non-ANSI
+            # int cast would silently wrap
+            F.expr(f"cum_before div {CURRICULUM_BUDGET}").alias("epoch"),
         )
         .orderBy("doc_id")
     )
@@ -822,7 +807,7 @@ ORACLE: dict[str, str] = {
         )
         SELECT doc_id, n_tokens,
                CAST(cum_before AS BIGINT) AS cum_before,  -- HUGEINT otherwise
-               CAST(cum_before // {CURRICULUM_BUDGET} AS INT) AS epoch
+               CAST(cum_before // {CURRICULUM_BUDGET} AS BIGINT) AS epoch
         FROM c
         ORDER BY doc_id
     """,
