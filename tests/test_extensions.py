@@ -289,6 +289,51 @@ def test_decayed_user_value_bounds_and_recency_dominance(spark):
         assert 0 < r.decayed_value <= r.raw_value + 1e-6
 
 
+def test_hll_weeks_do_not_collapse_across_years(spark, tmp_path):
+    """Regression for the weekofyear() pitfall: two days a year apart that
+    share a week NUMBER must land in different week groups, and an
+    ISO-boundary day (2024-12-31 is ISO week 1 of 2025) must group with
+    its own Monday, not a week number from the wrong year."""
+    from datetime import datetime
+
+    from weather_database_system_spark.operators.scale import hll_partial_rollup
+
+    rows = [
+        (1, datetime(2024, 1, 3), 1, "click", 1.0, "{}"),    # week of 2024-01-01
+        (2, datetime(2025, 1, 1), 2, "click", 1.0, "{}"),    # week of 2024-12-30
+        (3, datetime(2024, 12, 31), 3, "click", 1.0, "{}"),  # same Monday as #2
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {r.week: (r.n_days, r.exact_users) for r in hll_partial_rollup(spark, str(tmp_path)).collect()}
+    assert got == {"2024-01-01": (1, 1), "2024-12-30": (2, 2)}
+
+
+def test_mad_anomaly_is_empty_not_broken_on_constant_values(spark, tmp_path):
+    """MAD = 0 (constant values) must produce an EMPTY report, not a
+    division error or inf scores — the mad > 0 guard's contract."""
+    from datetime import datetime, timedelta
+
+    from weather_database_system_spark.operators.scale import anomaly_mad_zscore
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(hours=i), i % 5, "click", 7.5, "{}")
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    assert anomaly_mad_zscore(spark, str(tmp_path)).collect() == []
+
+
 def test_item_cooccurrence_matches_python_counter_replay(spark):
     """Top co-purchase pairs must equal a pure-Python Counter replay
     (distinct items per basket, support floor, cosine, deterministic
