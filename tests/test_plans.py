@@ -149,6 +149,9 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
                                 # (source, term) counts
         "funnel_time_to_convert",  # 1-row signup-total broadcast over the
                                    # per-user latency aggregate
+        "unigram_logprob_quality",  # 1-row corpus-token-total broadcast
+        "bigram_surprisal_quality", # 1-row vocabulary-size broadcast
+        "pmi_collocations",         # 1-row corpus-totals broadcast
         "rfm_segmentation_approx",  # same 1-row broadcasts; thresholds via
                                     # approx_percentile sketch
     }

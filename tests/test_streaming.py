@@ -247,10 +247,13 @@ def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
             .groupBy("digest")
             .agg(F.min("doc_id").alias("doc_id"))
         )
-        try:
+        # existence check, not a bare except: a real mid-stream read error
+        # must surface, only the legitimately-missing first-batch index may
+        # fall through
+        if os.path.isdir(index_dir):
             idx = sess.read.parquet(index_dir)
             fresh = b.join(idx, "digest", "left_anti")
-        except Exception:  # first batch: no index yet
+        else:
             fresh = b
         fresh.select("doc_id", "digest").write.mode("append").parquet(out_dir)
         fresh.select("digest").write.mode("append").parquet(index_dir)

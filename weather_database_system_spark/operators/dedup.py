@@ -964,16 +964,25 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     n = deg.count()
-    base = (1.0 - PAGERANK_D) / n  # python float == engine double literal
+    # the oracle embeds repr(1.0 - PAGERANK_D) so both engines start from
+    # this exact IEEE double (DuckDB's literal subtraction is decimal-exact
+    # and lands 1 ulp away otherwise)
+    base = (1.0 - PAGERANK_D) / n
+    # deg is static — join it into the edge table ONCE instead of re-joining
+    # every power iteration (removes ITERS-1 edge-sized joins)
+    edges_deg = track_persisted(
+        edges.join(deg.withColumnRenamed("doc_id", "src"), "src")
+        .select("src", "dst", "outdeg")
+        .persist()
+    )
     pr = deg.select("doc_id", F.lit(_round10(1.0 / n)).alias("pr"))
     for _ in range(PAGERANK_ITERS):
         contrib = (
-            edges.alias("e")
+            edges_deg.alias("e")
             .join(pr.alias("p"), F.col("e.src") == F.col("p.doc_id"))
-            .join(deg.alias("d"), F.col("e.src") == F.col("d.doc_id"))
             .select(
                 F.col("e.dst").alias("doc_id"),
-                (F.col("p.pr") / F.col("d.outdeg")).cast("decimal(30,15)").alias("c"),
+                (F.col("p.pr") / F.col("e.outdeg")).cast("decimal(30,15)").alias("c"),
             )
         )
         pr = contrib.groupBy("doc_id").agg(
@@ -1075,13 +1084,18 @@ def _sql_pagerank() -> str:
     """Unrolled PAGERANK_ITERS power iterations; each round's rank is
     _fr-rounded to 10 decimals and contributions accumulate in DECIMAL, so
     the replay is bit-for-bit (see pagerank_near_dup)."""
+    # repr() of the PYTHON-computed difference: DuckDB subtracts
+    # "1.0 - 0.85" as exact decimals (1 ulp off the IEEE result Spark's
+    # driver embeds); emitting the evaluated double literal keeps both
+    # engines on the identical teleport base.
+    teleport = repr(1.0 - PAGERANK_D)
     iters = []
     for k in range(PAGERANK_ITERS):
         iters.append(f"""
         pr{k + 1} AS (
             SELECT e.dst AS doc_id,
                    {_sql_fr(
-                       "((1.0 - " + str(PAGERANK_D) + ") / nn.n) + "
+                       "(" + teleport + " / nn.n) + "
                        + str(PAGERANK_D)
                        + " * CAST(sum(CAST(p.pr / d.outdeg AS DECIMAL(30,15))) AS DOUBLE)",
                        10,

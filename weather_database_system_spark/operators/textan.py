@@ -180,7 +180,10 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_kgrams",
             F.size("fps").alias("n_fingerprints"),
-            F.element_at("fps", 1).alias("fp_min"),
+            # try_element_at: a <WINNOW_K-token doc has an EMPTY fps array,
+            # and under ANSI mode plain element_at would throw instead of
+            # yielding the NULL the DuckDB oracle's fps[1] produces
+            F.try_element_at("fps", F.lit(1)).alias("fp_min"),
             F.md5(F.array_join("fps", ",")).alias("fp_set_md5"),
         )
         .orderBy("doc_id")
@@ -311,12 +314,19 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     tc = terms.groupBy("term").agg(F.count("*").alias("c"))
-    total = terms.count()
-    surp6 = _fr(-F.log(F.col("c").cast("double") / F.lit(float(total))), 6)
-    scored = tf.join(tc, "term").select(
-        "doc_id",
-        "tf",
-        (F.col("tf") * surp6).cast(DEC).alias("s"),
+    # corpus total rides along as a 1-row broadcast DERIVED FROM the vocab
+    # counts (Σc == token total) — no separate terms.count() action, which
+    # was a full extra scan of the exploded token stream
+    total = tc.agg(F.sum("c").cast("double").alias("total"))
+    surp6 = _fr(-F.log(F.col("c").cast("double") / F.col("total")), 6)
+    scored = (
+        tf.join(tc, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "tf",
+            (F.col("tf") * surp6).cast(DEC).alias("s"),
+        )
     )
     mean4 = _fr(F.sum("s").cast("double") / F.sum("tf"), 4)
     return (
@@ -359,11 +369,18 @@ def bigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = bgc.select(w1.alias("w1"), "c2").groupBy("w1").agg(
         F.sum("c2").alias("c1")
     )
-    v = ctx.count()
+    # |V| as a lazy 1-row broadcast instead of an eager ctx.count() action
+    # (which re-ran the whole bigram aggregation before the main query)
+    vocab = ctx.agg(F.count(F.lit(1)).cast("double").alias("v"))
     tf2 = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("n"))
-    stats = bgc.select("bg", "c2").withColumn("w1", F.split(F.col("bg"), " ").getItem(0)).join(ctx, "w1")
+    stats = (
+        bgc.select("bg", "c2")
+        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
     surp6 = _fr(
-        -F.log((F.col("c2") + 1.0) / (F.col("c1") + F.lit(float(v)))), 6
+        -F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))), 6
     )
     scored = tf2.join(stats, "bg").select(
         "doc_id", "n", (F.col("n") * surp6).cast(DEC).alias("s")
@@ -537,21 +554,28 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = docs.select(F.explode(toks).alias("tok"))
     uc = uni.groupBy("tok").agg(F.count("*").alias("cu"))
     bg = docs.select(F.explode(_grams(toks, 2)).alias("bigram"))
-    nu = uni.count()
-    nb = bg.count()
+    bgall = bg.groupBy("bigram").agg(F.count("*").alias("c12"))
+    # corpus totals as a lazy 1-row broadcast (Σcu = token total, Σc12 =
+    # bigram total — derived from the count tables, no extra corpus scans
+    # and no eager count() actions)
+    totals = uc.agg(F.sum("cu").cast("double").alias("nu")).crossJoin(
+        bgall.agg(F.sum("c12").cast("double").alias("nb"))
+    )
     bgc = (
-        bg.groupBy("bigram")
-        .agg(F.count("*").alias("c12"))
-        .filter(F.col("c12") >= PMI_MIN_COUNT)
+        bgall.filter(F.col("c12") >= PMI_MIN_COUNT)
         .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
         .withColumn("w2", F.split(F.col("bigram"), " ").getItem(1))
     )
-    joined = bgc.join(
-        uc.select(F.col("tok").alias("w1"), F.col("cu").alias("c1")), "w1"
-    ).join(uc.select(F.col("tok").alias("w2"), F.col("cu").alias("c2")), "w2")
+    joined = (
+        bgc.join(
+            uc.select(F.col("tok").alias("w1"), F.col("cu").alias("c1")), "w1"
+        )
+        .join(uc.select(F.col("tok").alias("w2"), F.col("cu").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
     pmi = F.log(
-        (F.col("c12") / F.lit(float(nb)))
-        / ((F.col("c1") / F.lit(float(nu))) * (F.col("c2") / F.lit(float(nu))))
+        (F.col("c12") / F.col("nb"))
+        / ((F.col("c1") / F.col("nu")) * (F.col("c2") / F.col("nu")))
     )
     return (
         joined.select("bigram", "c12", "c1", "c2", _fr(pmi, 6).alias("pmi"))

@@ -746,6 +746,28 @@ def curriculum_pack_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ONE SQL definition of the chunk derivation, shared by the
+# doc_chunk_windows and chunk_dedup_stats oracles — the CHUNK_TOKENS /
+# CHUNK_STRIDE window math must never fork between the two.
+_SQL_CHUNK_SLICE = (
+    f"toks[chunk_no * {CHUNK_STRIDE} + 1 : "
+    f"chunk_no * {CHUNK_STRIDE} + {CHUNK_TOKENS}]"
+)
+
+
+def _sql_chunk_ctes() -> str:
+    return f"""WITH d AS ({_SQL_TOKS}),
+        n_chunks AS (
+            SELECT doc_id, toks,
+                   1 + greatest(0, len(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                         // {CHUNK_STRIDE} AS nc
+            FROM d
+        ),
+        chunks AS (
+            SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_no FROM n_chunks
+        )"""
+
+
 ORACLE: dict[str, str] = {
     "span_corruption_masks": f"""
         WITH toks AS (
@@ -929,21 +951,10 @@ ORACLE: dict[str, str] = {
         ORDER BY d.doc_id
     """,
     "chunk_dedup_stats": f"""
-        WITH d AS ({_SQL_TOKS}),
-        n_chunks AS (
-            SELECT doc_id, toks,
-                   1 + greatest(0, len(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
-                         // {CHUNK_STRIDE} AS nc
-            FROM d
-        ),
-        chunks AS (
-            SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_no FROM n_chunks
-        ),
+        {_sql_chunk_ctes()},
         digests AS (
             SELECT doc_id,
-                   md5(array_to_string(toks[chunk_no * {CHUNK_STRIDE} + 1 :
-                                            chunk_no * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
-                                       ' ')) AS chunk_digest
+                   md5(array_to_string({_SQL_CHUNK_SLICE}, ' ')) AS chunk_digest
             FROM chunks
         )
         SELECT chunk_digest,
@@ -956,24 +967,11 @@ ORACLE: dict[str, str] = {
         ORDER BY n_docs DESC, chunk_digest
     """,
     "doc_chunk_windows": f"""
-        WITH d AS ({_SQL_TOKS}),
-        n_chunks AS (
-            SELECT doc_id, toks,
-                   1 + greatest(0, len(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
-                         // {CHUNK_STRIDE} AS nc
-            FROM d
-        ),
-        chunks AS (
-            SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_no FROM n_chunks
-        )
+        {_sql_chunk_ctes()}
         SELECT doc_id,
                CAST(chunk_no AS INT) AS chunk_no,
-               CAST(len(toks[chunk_no * {CHUNK_STRIDE} + 1 :
-                          chunk_no * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS INT)
-                   AS n_chunk_tokens,
-               md5(array_to_string(toks[chunk_no * {CHUNK_STRIDE} + 1 :
-                                        chunk_no * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
-                                   ' ')) AS chunk_digest
+               CAST(len({_SQL_CHUNK_SLICE}) AS INT) AS n_chunk_tokens,
+               md5(array_to_string({_SQL_CHUNK_SLICE}, ' ')) AS chunk_digest
         FROM chunks
         ORDER BY doc_id, chunk_no
     """,
