@@ -51,7 +51,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #                entity_fuzzy_blocking, changepoint_mean_shift,
 #                span_corruption_masks, pmi_collocations, skyline_pareto,
 #                funnel_time_to_convert, item_cooccurrence_similarity,
-#                time_proximity_join, dedup_against_index.
+#                time_proximity_join, dedup_against_index,
+#                linear_regression_trend, seasonal_hourly_profile.
+# The re-check queue ends the round at exactly 50 entries — the driver's
+# full per-round sample window; registry additions were frozen there.
 # The four r4-ADVICE items (pii regex hardening, rfm threshold rounding,
 # doc_chunk_windows single tokenizer, dedup_clusters eager unpersist) were
 # already fixed in late-r4 commits e15382f/1103520 and the r04 CORRECTNESS

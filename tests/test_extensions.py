@@ -291,6 +291,89 @@ def test_decayed_user_value_bounds_and_recency_dominance(spark):
         assert 0 < r.decayed_value <= r.raw_value + 1e-6
 
 
+def test_ols_trend_matches_numpy_polyfit(spark):
+    """Slope/intercept/R² per series must match numpy's least-squares fit
+    on the same (hours-since-anchor, value) points, and a planted perfect
+    line must recover its exact coefficients with R² = 1."""
+    from datetime import datetime
+
+    import numpy as np
+
+    from weather_database_system_spark.operators.temporal import (
+        TREND_ANCHOR,
+        linear_regression_trend,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    got = {r.event_type: r for r in linear_regression_trend(spark, SF_SMOKE).collect()}
+    anchor = datetime.strptime(TREND_ANCHOR, "%Y-%m-%d %H:%M:%S")
+    pts: dict[str, list] = {}
+    for r in load_table(spark, SF_SMOKE, "events").collect():
+        pts.setdefault(r.event_type, []).append(
+            ((r.ts - anchor).total_seconds() / 3600.0, r.value)
+        )
+    for et, xy in pts.items():
+        x = np.array([p[0] for p in xy])
+        y = np.array([p[1] for p in xy])
+        slope, intercept = np.polyfit(x, y, 1)
+        r = got[et]
+        assert r.n == len(xy)
+        assert abs(r.slope_per_hour - slope) < 1e-4, et
+        assert abs(r.intercept - intercept) < 1e-2, et
+        ss_res = ((y - (slope * x + intercept)) ** 2).sum()
+        ss_tot = ((y - y.mean()) ** 2).sum()
+        assert abs(r.r2 - (1 - ss_res / ss_tot)) < 1e-4, et
+
+
+def test_ols_recovers_planted_perfect_line(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from weather_database_system_spark.operators.temporal import (
+        linear_regression_trend,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(hours=i), 1, "click", 10.0 + 2.5 * i, "{}")
+        for i in range(48)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = linear_regression_trend(spark, str(tmp_path)).collect()[0]
+    assert (r.slope_per_hour, r.intercept, r.r2) == (2.5, 10.0, 1.0)
+
+
+def test_seasonal_profile_indexes_average_to_one(spark):
+    """Per-series volume shares must sum to 1, the volume-weighted mean of
+    the seasonal indexes must be 1 (the multiplicative-decomposition
+    identity), and hourly means must match a Python replay."""
+    from weather_database_system_spark.operators.temporal import (
+        seasonal_hourly_profile,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    rows = seasonal_hourly_profile(spark, SF_SMOKE).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    ev: dict[tuple, list] = {}
+    for e in load_table(spark, SF_SMOKE, "events").collect():
+        ev.setdefault((e.event_type, e.ts.hour), []).append(e.value)
+    for et, hrs in by_type.items():
+        assert abs(sum(r.volume_share for r in hrs) - 1.0) < 1e-2
+        wmean = sum(r.seasonal_index * r.n_events for r in hrs) / sum(
+            r.n_events for r in hrs
+        )
+        assert abs(wmean - 1.0) < 1e-3, et
+        for r in hrs:
+            vals = ev[(et, r.hour_of_day)]
+            assert r.n_events == len(vals)
+            assert abs(r.mean_value - sum(vals) / len(vals)) < 1e-3
+
+
 def test_winnow_survives_docs_shorter_than_k(spark, tmp_path):
     """Regression: a doc with fewer than WINNOW_K tokens has an EMPTY
     fingerprint set; under ANSI mode the fp_min lookup must yield NULL

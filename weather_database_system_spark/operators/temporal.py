@@ -345,6 +345,92 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TREND_ANCHOR = "2024-01-01 00:00:00"  # x = hours since this fixed epoch
+
+
+def linear_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series ordinary-least-squares trend: slope/intercept/R² of value
+    over time for each event_type — closed-form OLS from the five sufficient
+    moments (n, Σx, Σy, Σxy, Σx², Σy²), the "is this metric drifting"
+    primitive behind every trend alert and the REGR_SLOPE/REGR_R2 family of
+    SQL aggregates.
+
+    Scale shape: ONE map-side-combined aggregation per series — the moments
+    are algebraic, so this also merges incrementally (the
+    rollup_merge_incremental contract applies verbatim to OLS states).
+    Determinism: x is hours since a FIXED literal anchor (each row's
+    division is one IEEE op both engines agree on), per-row products
+    accumulate in DECIMAL (order-independent), and the closed forms
+    evaluate on identical doubles before _fr rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (
+        F.unix_micros("ts") - F.unix_micros(F.lit(TREND_ANCHOR).cast("timestamp"))
+    ).cast("double") / 3_600_000_000.0
+    y = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum(y.cast(DEC)).cast("double").alias("sy"),
+        F.sum((x * y).cast(DEC)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(DEC)).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = (cov_n * cov_n) / (var_x * var_y)
+    return m.select(
+        "event_type",
+        "n",
+        _fr(slope, 6).alias("slope_per_hour"),
+        _fr(intercept, 4).alias("intercept"),
+        _fr(r2, 6).alias("r2"),
+    ).orderBy("event_type")
+
+
+def seasonal_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile — the "seasonal" component of an
+    STL-style decomposition at daily period: per (event_type, hour), the
+    mean value and its RATIO to the series' overall mean (the
+    multiplicative seasonal index a forecaster divides out), plus the hour's
+    share of event volume. A flat series has all indexes ≈ 1; load-shaped
+    metrics show their diurnal curve.
+
+    Two map-side-combined aggregations (hourly and overall, both exact
+    DECIMAL sums) joined on the low-cardinality series key — the overall
+    side is |series| rows, broadcast; never a window over event_type."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hour_of_day"), "value"
+    )
+    hourly = ev.groupBy("event_type", "hour_of_day").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).alias("s"),
+    )
+    overall = ev.groupBy("event_type").agg(
+        F.count("*").alias("tot_n"),
+        F.sum(F.col("value").cast(DEC)).alias("tot_s"),
+    )
+    hmean = F.col("s").cast("double") / F.col("n_events")
+    omean = F.col("tot_s").cast("double") / F.col("tot_n")
+    return (
+        hourly.join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            "hour_of_day",
+            "n_events",
+            _fr(hmean, 4).alias("mean_value"),
+            _fr(hmean / omean, 4).alias("seasonal_index"),
+            _fr(F.col("n_events") / F.col("tot_n").cast("double"), 4).alias(
+                "volume_share"
+            ),
+        )
+        .orderBy("event_type", "hour_of_day")
+    )
+
+
 PROX_WINDOW_US = 300 * 1_000_000  # ±5 minutes
 
 
@@ -465,6 +551,54 @@ def changepoint_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "linear_regression_trend": f"""
+        WITH m AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
+                   CAST(sum(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+                   CAST(sum(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS syy
+            FROM (
+                SELECT event_type,
+                       CAST(epoch_us(ts) - epoch_us(TIMESTAMP '{TREND_ANCHOR}')
+                            AS DOUBLE) / 3600000000.0 AS x,
+                       value AS y
+                FROM events
+            )
+            GROUP BY 1
+        )
+        SELECT event_type, n,
+               {_sql_fr('(n * sxy - sx * sy) / (n * sxx - sx * sx)', 6)}
+                   AS slope_per_hour,
+               {_sql_fr('(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n', 4)}
+                   AS intercept,
+               {_sql_fr('((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy))', 6)}
+                   AS r2
+        FROM m
+        ORDER BY event_type
+    """,
+    "seasonal_hourly_profile": f"""
+        WITH hourly AS (
+            SELECT event_type, hour(ts) AS hour_of_day,
+                   count(*) AS n_events,
+                   sum(CAST(value AS DECIMAL(30,10))) AS s
+            FROM events GROUP BY 1, 2
+        ),
+        overall AS (
+            SELECT event_type, count(*) AS tot_n,
+                   sum(CAST(value AS DECIMAL(30,10))) AS tot_s
+            FROM events GROUP BY 1
+        )
+        SELECT h.event_type, h.hour_of_day, h.n_events,
+               {_sql_fr('CAST(h.s AS DOUBLE) / h.n_events', 4)} AS mean_value,
+               {_sql_fr('(CAST(h.s AS DOUBLE) / h.n_events) / (CAST(o.tot_s AS DOUBLE) / o.tot_n)', 4)}
+                   AS seasonal_index,
+               {_sql_fr('h.n_events * 1.0 / o.tot_n', 4)} AS volume_share
+        FROM hourly h JOIN overall o ON h.event_type = o.event_type
+        ORDER BY h.event_type, h.hour_of_day
+    """,
     "time_proximity_join": f"""
         SELECT least(a.event_type, b.event_type) AS type_x,
                greatest(a.event_type, b.event_type) AS type_y,
@@ -679,6 +813,8 @@ ORACLE: dict[str, str] = {
 
 QUERIES = {
     "changepoint_mean_shift": changepoint_mean_shift,
+    "linear_regression_trend": linear_regression_trend,
+    "seasonal_hourly_profile": seasonal_hourly_profile,
     "time_proximity_join": time_proximity_join,
     "scd2_user_history": scd2_user_history,
     "asof_attribution": asof_attribution,
