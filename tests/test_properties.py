@@ -302,3 +302,63 @@ def test_proximity_bucketing_equals_brute_force_at_boundaries(spark, tmp_path_fa
                 ta, tb = ["click", "view"][i % 2], ["click", "view"][j % 2]
                 want[tuple(sorted((ta, tb)))] += 1
     assert got == dict(want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["click", "view", "purchase"]),
+            st.integers(min_value=0, max_value=29),   # January day offset
+            st.integers(min_value=0, max_value=23),   # hour
+            st.one_of(st.none(), st.floats(0, 100, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_rollup_merge_oracle_parity_survives_nulls(spark, tmp_path_factory, rows):
+    """Cross-engine property pinning the count(*)-vs-count(value) review
+    fix: the merged-states result must match the DuckDB direct-aggregation
+    oracle for ANY event set INCLUDING NULL values (groups whose avg
+    divides a partial sum by the row count, not the non-null count)."""
+    import datetime as dt
+
+    import duckdb
+
+    from tests.oracle import compare
+    from weather_database_system_spark.operators.scale import (
+        rollup_merge_incremental,
+    )
+
+    import __spark_entry__ as em
+
+    tmp = tmp_path_factory.mktemp("merge")
+    data = [
+        (
+            i,
+            dt.datetime(2024, 1, 1 + d, h, 30),
+            i % 7,
+            et,
+            v,
+            "{}",
+        )
+        for i, (et, d, h, v) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp}/events.parquet/*.parquet')"
+    )
+    compare(
+        rollup_merge_incremental(spark, str(tmp)),
+        con,
+        em.oracle_sql()["rollup_merge_incremental"],
+        name="rollup_merge_nulls",
+    )
