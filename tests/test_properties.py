@@ -312,37 +312,36 @@ def test_proximity_bucketing_equals_brute_force_at_boundaries(spark, tmp_path_fa
             st.integers(min_value=0, max_value=23),   # hour
             st.one_of(st.none(), st.floats(0, 100, allow_nan=False)),
         ),
-        min_size=1,
+        min_size=2,
         max_size=40,
     )
 )
 @SETTINGS
-def test_rollup_merge_oracle_parity_survives_nulls(spark, tmp_path_factory, rows):
-    """Cross-engine property pinning the count(*)-vs-count(value) review
-    fix: the merged-states result must match the DuckDB direct-aggregation
-    oracle for ANY event set INCLUDING NULL values (groups whose avg
-    divides a partial sum by the row count, not the non-null count)."""
+def test_null_sensitive_operators_keep_oracle_parity(spark, tmp_path_factory, rows):
+    """Cross-engine property over the operators whose aggregates mix
+    count(*) with null-skipping sums: for ANY event set INCLUDING NULL
+    values, the Spark plan must still match its DuckDB oracle — pinning the
+    count(*)-vs-count(value) merge fix and the drop-nulls-before-moments
+    convention of the OLS/changepoint/seasonal family, which real test
+    data (no NULLs) cannot exercise."""
     import datetime as dt
 
     import duckdb
 
+    import __spark_entry__ as em
     from tests.oracle import compare
     from weather_database_system_spark.operators.scale import (
         rollup_merge_incremental,
     )
+    from weather_database_system_spark.operators.temporal import (
+        changepoint_mean_shift,
+        linear_regression_trend,
+        seasonal_hourly_profile,
+    )
 
-    import __spark_entry__ as em
-
-    tmp = tmp_path_factory.mktemp("merge")
+    tmp = tmp_path_factory.mktemp("nulls")
     data = [
-        (
-            i,
-            dt.datetime(2024, 1, 1 + d, h, 30),
-            i % 7,
-            et,
-            v,
-            "{}",
-        )
+        (i, dt.datetime(2024, 1, 1 + d, h, 30), i % 7, et, v, "{}")
         for i, (et, d, h, v) in enumerate(rows)
     ]
     spark.createDataFrame(
@@ -356,9 +355,11 @@ def test_rollup_merge_oracle_parity_survives_nulls(spark, tmp_path_factory, rows
         "CREATE VIEW events AS SELECT * FROM "
         f"read_parquet('{tmp}/events.parquet/*.parquet')"
     )
-    compare(
-        rollup_merge_incremental(spark, str(tmp)),
-        con,
-        em.oracle_sql()["rollup_merge_incremental"],
-        name="rollup_merge_nulls",
-    )
+    oracles = em.oracle_sql()
+    for name, fn in (
+        ("rollup_merge_incremental", rollup_merge_incremental),
+        ("linear_regression_trend", linear_regression_trend),
+        ("changepoint_mean_shift", changepoint_mean_shift),
+        ("seasonal_hourly_profile", seasonal_hourly_profile),
+    ):
+        compare(fn(spark, str(tmp)), con, oracles[name], name=f"{name}_nulls")

@@ -362,7 +362,10 @@ def linear_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     division is one IEEE op both engines agree on), per-row products
     accumulate in DECIMAL (order-independent), and the closed forms
     evaluate on identical doubles before _fr rounding."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL observations are dropped BEFORE the moments: count(*) would
+    # otherwise include rows whose y the sum-moments skip, silently
+    # corrupting the fit (both engines filter identically)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     x = (
         F.unix_micros("ts") - F.unix_micros(F.lit(TREND_ANCHOR).cast("timestamp"))
     ).cast("double") / 3_600_000_000.0
@@ -382,6 +385,10 @@ def linear_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = cov_n / var_x
     intercept = (F.col("sy") - slope * F.col("sx")) / n
     r2 = (cov_n * cov_n) / (var_x * var_y)
+    # degenerate series — a single observation (var_x = 0) or a constant y
+    # (var_y = 0, r² undefined) — are excluded: the fit does not exist, and
+    # under ANSI the division would error rather than emit DuckDB's inf
+    m = m.filter((var_x != 0) & (var_y != 0))
     return m.select(
         "event_type",
         "n",
@@ -402,8 +409,10 @@ def seasonal_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two map-side-combined aggregations (hourly and overall, both exact
     DECIMAL sums) joined on the low-cardinality series key — the overall
     side is |series| rows, broadcast; never a window over event_type."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.hour("ts").alias("hour_of_day"), "value"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())  # counts must match the sums
+        .select("event_type", F.hour("ts").alias("hour_of_day"), "value")
     )
     hourly = ev.groupBy("event_type", "hour_of_day").agg(
         F.count("*").alias("n_events"),
@@ -422,7 +431,9 @@ def seasonal_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hour_of_day",
             "n_events",
             _fr(hmean, 4).alias("mean_value"),
-            _fr(hmean / omean, 4).alias("seasonal_index"),
+            # a zero-mean series has no multiplicative index — NULL, not a
+            # division error (ANSI) or inf (DuckDB)
+            F.when(omean != 0, _fr(hmean / omean, 4)).alias("seasonal_index"),
             _fr(F.col("n_events") / F.col("tot_n").cast("double"), 4).alias(
                 "volume_share"
             ),
@@ -512,7 +523,8 @@ def changepoint_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     first aggregation; the search is free. Exact decimal partials make
     both engines' prefix sums bit-identical, so the argmax is
     oracle-exact."""
-    ev = load_table(spark, sf_dir, "events")
+    # drop NULL observations so the count partial matches the sum partial
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     daily = ev.groupBy(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(
@@ -566,6 +578,7 @@ ORACLE: dict[str, str] = {
                             AS DOUBLE) / 3600000000.0 AS x,
                        value AS y
                 FROM events
+                WHERE value IS NOT NULL
             )
             GROUP BY 1
         )
@@ -577,6 +590,7 @@ ORACLE: dict[str, str] = {
                {_sql_fr('((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy))', 6)}
                    AS r2
         FROM m
+        WHERE (n * sxx - sx * sx) <> 0 AND (n * syy - sy * sy) <> 0
         ORDER BY event_type
     """,
     "seasonal_hourly_profile": f"""
@@ -584,17 +598,18 @@ ORACLE: dict[str, str] = {
             SELECT event_type, hour(ts) AS hour_of_day,
                    count(*) AS n_events,
                    sum(CAST(value AS DECIMAL(30,10))) AS s
-            FROM events GROUP BY 1, 2
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
         ),
         overall AS (
             SELECT event_type, count(*) AS tot_n,
                    sum(CAST(value AS DECIMAL(30,10))) AS tot_s
-            FROM events GROUP BY 1
+            FROM events WHERE value IS NOT NULL GROUP BY 1
         )
         SELECT h.event_type, h.hour_of_day, h.n_events,
                {_sql_fr('CAST(h.s AS DOUBLE) / h.n_events', 4)} AS mean_value,
-               {_sql_fr('(CAST(h.s AS DOUBLE) / h.n_events) / (CAST(o.tot_s AS DOUBLE) / o.tot_n)', 4)}
-                   AS seasonal_index,
+               CASE WHEN CAST(o.tot_s AS DOUBLE) / o.tot_n <> 0 THEN
+                   {_sql_fr('(CAST(h.s AS DOUBLE) / h.n_events) / (CAST(o.tot_s AS DOUBLE) / o.tot_n)', 4)}
+               END AS seasonal_index,
                {_sql_fr('h.n_events * 1.0 / o.tot_n', 4)} AS volume_share
         FROM hourly h JOIN overall o ON h.event_type = o.event_type
         ORDER BY h.event_type, h.hour_of_day
@@ -616,7 +631,7 @@ ORACLE: dict[str, str] = {
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                    sum(CAST(value AS DECIMAL(30,10))) AS s,
                    count(*) AS n
-            FROM events GROUP BY 1, 2
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
         ),
         cum AS (
             SELECT event_type, day,
