@@ -331,6 +331,7 @@ def test_null_sensitive_operators_keep_oracle_parity(spark, tmp_path_factory, ro
     import __spark_entry__ as em
     from tests.oracle import compare
     from weather_database_system_spark.operators.scale import (
+        anomaly_mad_zscore,
         rollup_merge_incremental,
     )
     from weather_database_system_spark.operators.temporal import (
@@ -361,5 +362,6 @@ def test_null_sensitive_operators_keep_oracle_parity(spark, tmp_path_factory, ro
         ("linear_regression_trend", linear_regression_trend),
         ("changepoint_mean_shift", changepoint_mean_shift),
         ("seasonal_hourly_profile", seasonal_hourly_profile),
+        ("anomaly_mad_zscore", anomaly_mad_zscore),
     ):
         compare(fn(spark, str(tmp)), con, oracles[name], name=f"{name}_nulls")
