@@ -374,6 +374,49 @@ def test_seasonal_profile_indexes_average_to_one(spark):
             assert abs(r.mean_value - sum(vals) / len(vals)) < 1e-3
 
 
+def test_time_to_convert_zero_conversions_keeps_signup_count(spark, tmp_path):
+    """Regression: with signups but NO qualifying purchases, the summary
+    must still report the signup count and a 0.0 conversion rate (matching
+    the oracle's scalar subquery), never NULL it out — the empty latency
+    set previously erased the crossJoined total."""
+    import duckdb
+    from datetime import datetime, timedelta
+
+    import __spark_entry__ as em
+    from tests.oracle import compare
+    from weather_database_system_spark.operators.behavioral import (
+        funnel_time_to_convert,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "signup", 1.0, "{}"),
+        (2, base + timedelta(hours=1), 2, "signup", 1.0, "{}"),
+        (3, base - timedelta(hours=5), 1, "purchase", 1.0, "{}"),  # BEFORE signup
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    r = funnel_time_to_convert(spark, str(tmp_path)).collect()[0]
+    assert (r.n_signup_users, r.n_converted, r.conv_pct) == (2, 0, 0.0)
+    assert r.avg_hours is None and r.p50_hours is None
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    compare(
+        funnel_time_to_convert(spark, str(tmp_path)),
+        con,
+        em.oracle_sql()["funnel_time_to_convert"],
+        name="ttc_zero_conv",
+    )
+
+
 def test_winnow_survives_docs_shorter_than_k(spark, tmp_path):
     """Regression: a doc with fewer than WINNOW_K tokens has an EMPTY
     fingerprint set; under ANSI mode the fp_min lookup must yield NULL
@@ -858,22 +901,26 @@ def test_pq_adc_matches_numpy_replay_and_beats_random_recall(spark):
     books = []
     for m in range(PQ_M):
         sub = {i: X[i][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM] for i in cand_ids}
-        cents = [sub[i].copy() for i in cand_ids[:PQ_K]]
+        # codebook as a dict of SURVIVING cells: _recompute_centroids drops
+        # a cell that loses all members (groupBy emits no row for it), so
+        # the replay must too — keeping a stale centroid would let it
+        # re-acquire points the implementation's codebook no longer can
+        cents = {k: sub[i].copy() for k, i in enumerate(cand_ids[:PQ_K])}
 
         def assign(cents):
             return {
-                i: int(np.argmin([((sub[i] - c) ** 2).sum() for c in cents]))
+                i: min(
+                    ((((sub[i] - c) ** 2).sum(), k) for k, c in cents.items())
+                )[1]
                 for i in cand_ids
             }
 
         for _ in range(KMEANS_ITERS):
             a = assign(cents)
-            cents = [
-                np.mean([sub[i] for i in cand_ids if a[i] == k], axis=0)
-                if any(a[i] == k for i in cand_ids)
-                else cents[k]
-                for k in range(PQ_K)
-            ]
+            cents = {
+                k: np.mean([sub[i] for i in cand_ids if a[i] == k], axis=0)
+                for k in set(a.values())
+            }
         a = assign(cents)
         for i in cand_ids:
             codes[i].append(a[i])

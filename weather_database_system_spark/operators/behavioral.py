@@ -403,19 +403,32 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("us"),
     )
-    # the signup total rides along as a 1-row crossJoin (the DataFrame form
-    # of the oracle's scalar subquery) — no eager count() job at build time
+    # Aggregate the latencies FIRST (an aggregate of an empty input is
+    # still one row), then crossJoin the 1-row signup total — joining the
+    # total onto the latency ROWS would erase it when zero users convert
+    # (min over no rows), diverging from the oracle's scalar subquery.
+    # Both 1-row frames stay lazy; no eager count() at build time.
     n_signup = s.agg(F.count(F.lit(1)).alias("ns"))
     hours = F.col("us") / F.lit(3_600_000_000.0)
-    return lat.select(hours.alias("h")).crossJoin(F.broadcast(n_signup)).agg(
-        F.min("ns").alias("n_signup_users"),
+    lat_stats = lat.select(hours.alias("h")).agg(
         F.count("*").alias("n_converted"),
-        _fr(F.count("*") / F.min("ns").cast("double"), 4).alias("conv_pct"),
-        _fr(F.sum(F.col("h").cast("decimal(30,10)")).cast("double") / F.count("*"), 4).alias(
-            "avg_hours"
-        ),
-        _fr(F.expr("percentile(h, 0.5)"), 4).alias("p50_hours"),
-        _fr(F.expr("percentile(h, 0.9)"), 4).alias("p90_hours"),
+        F.sum(F.col("h").cast("decimal(30,10)")).alias("sh"),
+        F.expr("percentile(h, 0.5)").alias("p50"),
+        F.expr("percentile(h, 0.9)").alias("p90"),
+    )
+    return n_signup.crossJoin(lat_stats).select(
+        F.col("ns").alias("n_signup_users"),
+        "n_converted",
+        F.when(
+            F.col("ns") > 0,
+            _fr(F.col("n_converted") / F.col("ns").cast("double"), 4),
+        ).alias("conv_pct"),
+        F.when(
+            F.col("n_converted") > 0,
+            _fr(F.col("sh").cast("double") / F.col("n_converted"), 4),
+        ).alias("avg_hours"),
+        _fr(F.col("p50"), 4).alias("p50_hours"),
+        _fr(F.col("p90"), 4).alias("p90_hours"),
     )
 
 

@@ -21,6 +21,7 @@ from weather_database_system_spark.operators.dedup import (
     _SQL_SHINGLES,
     _grams,
     _shingles,
+    _sql_grams,
     _tokens,
 )
 from weather_database_system_spark.sources.star import load_table
@@ -592,9 +593,7 @@ ORACLE: dict[str, str] = {
         uni AS (SELECT unnest(toks) AS tok FROM d),
         uc AS (SELECT tok, count(*) AS cu FROM uni GROUP BY 1),
         bgs AS (
-            SELECT unnest(list_transform(range(1, len(toks)),
-                          i -> toks[i] || ' ' || toks[i+1])) AS bigram
-            FROM d
+            SELECT unnest({_sql_grams(2)}) AS bigram FROM d
         ),
         bgc AS (
             SELECT bigram, count(*) AS c12 FROM bgs
@@ -795,12 +794,7 @@ ORACLE: dict[str, str] = {
     "bigram_surprisal_quality": f"""
         WITH d AS ({_SQL_TOKS}),
         bg AS (
-            SELECT doc_id,
-                   unnest(CASE WHEN len(toks) >= 2
-                          THEN list_transform(range(1, len(toks)),
-                               i -> toks[i] || ' ' || toks[i+1])
-                          ELSE [] END) AS bg
-            FROM d
+            SELECT doc_id, unnest({_sql_grams(2)}) AS bg FROM d
         ),
         bgc AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
         ctx AS (
