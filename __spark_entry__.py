@@ -21,102 +21,110 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Queries with a green CORRECTNESS row whose implementation is UNCHANGED
-# since that row (union of CORRECTNESS_r01/r02/r03/r04 keys, minus rewrites).
-# The driver samples the first 50 registry entries per round, so
-# _registries() enumerates everything NOT in this set first — new queries
-# and post-green rewrites get (re-)checked in the next round's sample; the
-# already-verified ones keep their local oracle-parity coverage
-# (tests/test_oracle_parity.py) in the meantime.
+# Verification-freshness bookkeeping (r5 VERDICT task #1).
 #
-# Deliberately NOT in this set despite an earlier green row, so the driver
-# re-verifies the current implementation (per r4 VERDICT/ADVICE):
-#   r5 rewrites: semdedup_prune (int64 quantized-Lloyd training, r4 verdict
-#                #3); dedup_clusters + dedup_minhash_lsh_fast (byte-identical
-#                refactor through the shared _banded_*_candidates /
-#                _clusters_from_candidates helpers, re-checked anyway).
-#   r5 additions (never checked): dedup_clusters_fast, corpus_dedup_apply,
-#                pagerank_near_dup, split_by_cluster, unigram_logprob_quality,
-#                bigram_surprisal_quality, tfidf_cosine_pairs,
-#                winnow_fingerprints, image_decode_features,
-#                audio_decode_features, decayed_user_value,
-#                embedding_gram_matrix, tokenize_to_ids,
-#                source_overlap_jaccard, source_kl_divergence,
-#                chunk_dedup_stats, window_distribution_funcs,
-#                scd2_user_history, dedup_containment, anomaly_mad_zscore(+_approx),
-#                rollup_merge_incremental, curriculum_pack_epochs, zorder_layout,
-#                embedding_pca_project, session_path_analysis, hll_partial_rollup,
-#                bloom_prefilter_semi_join, graph_clustering_coeff,
-#                ann_product_quantization, diff_snapshots, data_quality_profile,
-#                entity_fuzzy_blocking, changepoint_mean_shift,
-#                span_corruption_masks, pmi_collocations, skyline_pareto,
-#                funnel_time_to_convert, item_cooccurrence_similarity,
-#                time_proximity_join, dedup_against_index,
-#                linear_regression_trend, seasonal_hourly_profile.
-# The re-check queue ends the round at exactly 50 entries — the driver's
-# full per-round sample window; registry additions were frozen there.
-# The four r4-ADVICE items (pii regex hardening, rfm threshold rounding,
-# doc_chunk_windows single tokenizer, dedup_clusters eager unpersist) were
-# already fixed in late-r4 commits e15382f/1103520 and the r04 CORRECTNESS
-# rows verified that final code — so those queries stay green here.
-_DRIVER_GREEN = frozenset({
-    # --- green in r01/r02, unchanged since ---
-    "agg_collect_sorted", "agg_quantiles", "agg_statistics",
-    "ann_brute_force", "ann_bruteforce_pandas", "ann_ivf_kmeans",
-    "ann_ivf_label", "ann_lsh_hyperplane", "coercion_fill_policy",
-    "conditional_agg", "count_diagnostic", "cube_totals",
-    "date_normalization", "dedup_exact", "dedup_simhash",
-    "derived_revenue", "embedding_near_dup", "embedding_near_dup_lsh",
-    "filter_limit_sample", "grouping_sets_revenue", "histogram_value_buckets",
-    "join_anti_unordered_parts", "join_full_outer_nation_presence",
-    "join_left_order_counts", "join_semi_active_customers",
-    "join_star_revenue", "json_extract_props", "lang_id_stopword",
-    "late_orders_by_priority", "lineage_projection", "monthly_filtered",
-    "monthly_rollup", "pivot_status_matrix",
-    "presentation_format", "pricing_summary", "projection_sort",
-    "rollup_totals", "set_except_nations", "set_intersect_nations",
-    "set_union_nations", "shipping_priority", "string_functions",
-    "text_quality", "text_token_stats", "topk_global", "unpivot_measures",
-    "window_lag_delta", "window_rank_dense", "window_rolling_1h",
-    "window_running_sum", "window_topk_per_group",
-    # --- green in r03, unchanged since ---
-    "ann_lsh_fixedpoint", "approx_distinct_users",
-    "approx_distinct_users_scale", "array_functions", "asof_attribution",
-    "cache_envelope_projection", "cache_freshness_ladder",
-    "cache_ttl_introspection", "cohort_retention", "conditional_functions",
-    "corpus_curation", "datetime_functions",
-    "feature_scaling", "funnel_conversion",
-    "gap_fill_interpolate", "gap_fill_locf", "map_functions",
-    "math_functions", "multimodal_features", "multimodal_frame_sample",
-    "multimodal_metadata", "quantile_bucket_decile",
-    "quantile_bucket_decile_approx", "range_band_join",
-    "rollup_cascade_day", "sessionize_events",
-    "skew_salted_agg", "sql_correlated_exists", "sql_groupby_having",
-    "sql_scalar_subquery", "stratified_sample", "stream_late_data_policy",
-    "stream_session_window", "stream_sliding_window",
-    "stream_tumbling_window", "stream_windowed_dedup",
-    "string_functions_extended", "tfidf_top_terms", "time_weighted_avg",
-    "train_test_split", "udf_normalize_text", "udf_tokenize_table",
-    "udf_weighted_mean_price",
-    # --- green in r04, unchanged since ---
-    # (dedup_minhash_lsh, repetition_ngram_stats and contamination_eval_overlap
-    # were dropped from this set late in r5: the _band_explode/_grams shared-
-    # helper refactor rebuilt their expression lineage — byte-identical
-    # output, re-checked by the driver anyway per the r4 precedent.)
-    "bm25_search", "doc_chunk_windows",
-    "doc_fingerprint", "domain_mixture_weights", "ngram_jaccard_pairs",
-    "pii_redaction", "quality_weighted_sample",
-    "rfm_segmentation", "rfm_segmentation_approx", "sequence_pack_bins",
-    "sequence_pack_bins_sharded",
-})
+# _LAST_VERIFIED maps each query with a green CORRECTNESS row — whose
+# implementation AND oracle are unchanged since that row — to the round of
+# that row (last key occurrence across CORRECTNESS_r01..r05). The driver
+# samples the first 50 registry entries per round, so _prioritize()
+# enumerates never-checked / rewritten entries first (absent from the map),
+# then ascending by staleness — the r01/r02-era greens re-verify before
+# anything newer. Two rounds of this rotation re-freshen the whole registry.
+#
+# Deliberately REMOVED from the map this round (r6 rewrites → jump the
+# queue): session_path_analysis (ADVICE: oracle gap test now floors
+# epoch(ts) to whole seconds, matching the Spark cast), linear_regression
+# _trend (ADVICE: explicit n >= 2 degenerate guard in both engines),
+# tfidf_cosine_pairs (n_docs folded into the lazy plan, r5 verdict #4),
+# ann_ivf_kmeans + ann_product_quantization + semdedup_prune (map-side
+# argmin port in _assign_cells, r5 verdict #3).
+_LAST_VERIFIED = {
+    # --- last green in r01 ---
+    **dict.fromkeys([
+        "ann_lsh_hyperplane", "embedding_near_dup_lsh", "lang_id_stopword",
+        "text_quality", "text_token_stats",
+    ], 1),
+    # --- last green in r02 ---
+    **dict.fromkeys([
+        "agg_collect_sorted", "ann_brute_force", "ann_bruteforce_pandas",
+        "ann_ivf_label", "dedup_exact", "dedup_simhash",
+        "embedding_near_dup", "grouping_sets_revenue",
+        "histogram_value_buckets", "late_orders_by_priority",
+        "shipping_priority", "string_functions",
+    ], 2),
+    # --- last green in r03 ---
+    **dict.fromkeys([
+        "ann_lsh_fixedpoint", "approx_distinct_users",
+        "approx_distinct_users_scale", "array_functions", "asof_attribution",
+        "cache_envelope_projection", "cache_freshness_ladder",
+        "cache_ttl_introspection", "cohort_retention",
+        "conditional_functions", "corpus_curation", "datetime_functions",
+        "feature_scaling", "funnel_conversion", "gap_fill_interpolate",
+        "gap_fill_locf", "map_functions", "math_functions",
+        "multimodal_features", "multimodal_frame_sample",
+        "multimodal_metadata", "quantile_bucket_decile",
+        "quantile_bucket_decile_approx", "range_band_join",
+        "rollup_cascade_day", "sessionize_events", "skew_salted_agg",
+        "sql_correlated_exists", "sql_groupby_having", "sql_scalar_subquery",
+        "stratified_sample", "stream_late_data_policy",
+        "stream_session_window", "stream_sliding_window",
+        "stream_tumbling_window", "stream_windowed_dedup",
+        "string_functions_extended", "tfidf_top_terms", "time_weighted_avg",
+        "train_test_split", "udf_normalize_text", "udf_tokenize_table",
+        "udf_weighted_mean_price",
+    ], 3),
+    # --- last green in r04 ---
+    **dict.fromkeys([
+        "agg_quantiles", "agg_statistics", "bm25_search",
+        "coercion_fill_policy", "conditional_agg", "count_diagnostic",
+        "cube_totals", "date_normalization", "derived_revenue",
+        "doc_chunk_windows", "doc_fingerprint", "domain_mixture_weights",
+        "filter_limit_sample", "join_anti_unordered_parts",
+        "join_full_outer_nation_presence", "join_left_order_counts",
+        "join_semi_active_customers", "join_star_revenue",
+        "json_extract_props", "lineage_projection", "monthly_filtered",
+        "monthly_rollup", "ngram_jaccard_pairs", "pii_redaction",
+        "pivot_status_matrix", "presentation_format", "pricing_summary",
+        "projection_sort", "quality_weighted_sample", "rfm_segmentation",
+        "rfm_segmentation_approx", "rollup_totals", "sequence_pack_bins",
+        "sequence_pack_bins_sharded", "set_except_nations",
+        "set_intersect_nations", "set_union_nations", "topk_global",
+        "unpivot_measures", "window_lag_delta", "window_rank_dense",
+        "window_rolling_1h", "window_running_sum", "window_topk_per_group",
+    ], 4),
+    # --- last green in r05 (minus the r6 rewrites listed above) ---
+    **dict.fromkeys([
+        "anomaly_mad_zscore", "anomaly_mad_zscore_approx",
+        "asof_attribution_tolerance", "audio_decode_features",
+        "bigram_surprisal_quality", "bloom_prefilter_semi_join",
+        "changepoint_mean_shift", "chunk_dedup_stats",
+        "contamination_eval_overlap", "corpus_dedup_apply",
+        "curriculum_pack_epochs", "data_quality_profile",
+        "decayed_user_value", "dedup_against_index", "dedup_clusters",
+        "dedup_clusters_fast", "dedup_containment", "dedup_minhash_lsh",
+        "dedup_minhash_lsh_fast", "diff_snapshots", "embedding_gram_matrix",
+        "embedding_pca_project", "entity_fuzzy_blocking",
+        "funnel_time_to_convert", "graph_clustering_coeff",
+        "hll_partial_rollup", "image_decode_features",
+        "item_cooccurrence_similarity", "pagerank_near_dup",
+        "pmi_collocations", "repetition_ngram_stats",
+        "rollup_merge_incremental", "scd2_user_history",
+        "seasonal_hourly_profile", "skyline_pareto", "source_kl_divergence",
+        "source_overlap_jaccard", "span_corruption_masks",
+        "split_by_cluster", "time_proximity_join", "tokenize_to_ids",
+        "unigram_logprob_quality", "window_distribution_funcs",
+        "winnow_fingerprints", "zorder_layout",
+    ], 5),
+}
 
 
 def _prioritize(mapping: dict) -> dict:
-    """Never-driver-checked entries first (registry order preserved within
-    each block), round-1/2-green entries last."""
-    unchecked = {k: v for k, v in mapping.items() if k not in _DRIVER_GREEN}
-    checked = {k: v for k, v in mapping.items() if k in _DRIVER_GREEN}
-    return {**unchecked, **checked}
+    """Never-checked / rewritten entries first, then stalest-green first
+    (ascending last-verified round; registry order preserved within ties)."""
+    items = sorted(
+        mapping.items(), key=lambda kv: _LAST_VERIFIED.get(kv[0], 0)
+    )
+    return dict(items)
 
 
 def _registries():

@@ -973,13 +973,17 @@ def test_session_paths_ground_against_python_sessionization(spark):
         rows.sort(key=lambda r: (r.ts, r.event_id))
         sessions, cur, last = [], [], None
         for r in rows:
-            if last is not None and (r.ts - last).total_seconds() <= SESSION_GAP_MIN * 60:
+            # whole-second truncation mirrors the engine's ts.cast('long')
+            # (and the oracle's floor(epoch)): a fractional gap in
+            # (1800s, 1801s) must not flip the session boundary
+            tsec = r.ts.replace(microsecond=0)
+            if last is not None and (tsec - last).total_seconds() <= SESSION_GAP_MIN * 60:
                 cur.append(r.event_type)
             else:
                 if cur:
                     sessions.append(cur)
                 cur = [r.event_type]
-            last = r.ts
+            last = tsec
         if cur:
             sessions.append(cur)
         for s in sessions:

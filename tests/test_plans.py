@@ -291,3 +291,33 @@ def test_sessionization_shares_one_user_exchange(spark):
     from weather_database_system_spark.plans import shuffle_count
 
     assert shuffle_count(sessionize_events(spark, SF_SMOKE)) <= 2
+
+
+def test_kmeans_assignment_is_a_projection_no_exchange(spark):
+    """Nearest-centroid assignment (_assign_cells) must plan as a pure
+    map-side projection — ZERO exchanges between the embeddings scan and
+    the cell id (r5 verdict #3: the old crossJoin+row_number form hashed
+    N×K rows per Lloyd iteration). The fold-into-literal-argmin shape is
+    what lets the IVF/PQ family train on a 100 TB table without moving it."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.dedup import _emb_double
+    from weather_database_system_spark.operators.similarity import (
+        K_CELLS,
+        N_QUERIES,
+        _assign_cells,
+    )
+    from weather_database_system_spark.plans import shuffle_count
+
+    cand = (
+        _emb_double(spark, SF_SMOKE)
+        .filter(F.col("vec_id") >= N_QUERIES)
+        .select("vec_id", "emb")
+    )
+    init = cand.orderBy("vec_id").limit(K_CELLS).collect()
+    cents = [(cell, list(r["emb"])) for cell, r in enumerate(init)]
+    assigned = _assign_cells(cand, cents)
+    assert shuffle_count(assigned) == 0, assigned._jdf.queryExecution().toString()[:2000]
+    # and it assigns every candidate to a real cell
+    cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert cells <= set(range(K_CELLS)) and cells

@@ -365,3 +365,53 @@ def test_null_sensitive_operators_keep_oracle_parity(spark, tmp_path_factory, ro
         ("anomaly_mad_zscore", anomaly_mad_zscore),
     ):
         compare(fn(spark, str(tmp)), con, oracles[name], name=f"{name}_nulls")
+
+
+def test_single_observation_series_excluded_from_ols(spark, tmp_path_factory):
+    """A 1-row series with a real microsecond-grade (non-dyadic x) timestamp
+    must be excluded by the degenerate-series guard. var_x != 0 alone is not
+    enough: exact cancellation of the DECIMAL(30,10)-rounded moments fails
+    for non-dyadic x, leaving sxx - sx² at a ~1e-18 residual that evades the
+    filter and emits an enormous garbage slope (r5 ADVICE). The explicit
+    n >= 2 guard — in both engines — is what this pins; the NULL-property
+    test cannot, because its :30-minute timestamps make x exactly
+    representable."""
+    import datetime as dt
+
+    import duckdb
+
+    import __spark_entry__ as em
+    from tests.oracle import compare
+    from weather_database_system_spark.operators.temporal import (
+        linear_regression_trend,
+    )
+
+    tmp = tmp_path_factory.mktemp("ols1")
+    data = [
+        # the hazard: a singleton series at a microsecond-grade timestamp
+        (0, dt.datetime(2024, 1, 3, 7, 13, 29, 123457), 1, "solo", 42.0, "{}"),
+        # a healthy series so the result set is non-empty
+        (1, dt.datetime(2024, 1, 1, 0, 0, 1, 111111), 2, "trend", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 6, 0, 2, 222222), 2, "trend", 2.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 12, 0, 3, 333333), 2, "trend", 4.0, "{}"),
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+
+    got = linear_regression_trend(spark, str(tmp)).collect()
+    assert [r.event_type for r in got] == ["trend"], got
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp}/events.parquet/*.parquet')"
+    )
+    compare(
+        linear_regression_trend(spark, str(tmp)),
+        con,
+        em.oracle_sql()["linear_regression_trend"],
+        name="linear_regression_trend_singleton",
+    )

@@ -537,13 +537,21 @@ ORACLE: dict[str, str] = {
         FROM lat
     """,
     "session_path_analysis": f"""
-        WITH marked AS (
+        WITH sec AS (
+            -- whole seconds, floored: Spark's timestamp→long cast truncates,
+            -- so a fractional gap in (1800s, 1801s) must not flip the
+            -- session boundary between engines (same fix as sessionize_events)
             SELECT user_id, event_id, ts, event_type,
-                   CASE WHEN lag(epoch(ts)) OVER w IS NULL
-                             OR epoch(ts) - lag(epoch(ts)) OVER w
+                   CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN lag(tsec) OVER w IS NULL
+                             OR tsec - lag(tsec) OVER w
                                 > {SESSION_GAP_MIN * 60}
                         THEN 1 ELSE 0 END AS is_start
-            FROM events
+            FROM sec
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sess AS (

@@ -155,20 +155,42 @@ def _l2_dec(a, b):
     )
 
 
-def _assign_cells(cand: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: K centroid rows broadcast against the
-    candidate scan (map-side — the candidates never shuffle for distance),
-    argmin by exact decimal d² with cell-id tie-break."""
-    wmin = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
-    return (
-        cand.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "emb", "cell", _l2_dec(F.col("emb"), F.col("cemb")).alias("d2")
+def _cell_argmin_expr(cents: list[tuple[int, list[float]]]):
+    """Nearest-centroid cell id as ONE map-side expression over the ``emb``
+    double array: per cell an exact-decimal d² fold against the centroid's
+    literal array, argmin via array_min over (d², cell) structs —
+    lexicographic struct comparison = d² asc then cell asc, the same
+    tie-break the crossJoin+row_number formulation ordered by. The decimal
+    fold keeps the comparison exact (no double rounding in the ordering
+    key), so assignment is bit-identical to the join form and the DuckDB
+    oracle's SQL training replay.
+
+    This is the `_semdedup_cell_expr` shape ported to the double/decimal
+    IVF-PQ family (r5 verdict #3): the previous
+    crossJoin(broadcast(cents)) + row_number over partitionBy(vec_id)
+    forced an N×K-row hash exchange per Lloyd iteration; a projection is
+    absorbed by the scan pipeline — zero exchange, nothing to skew."""
+    arms = [
+        F.struct(
+            _l2_dec(F.col("emb"), F.array(*[F.lit(v) for v in cvals])).alias("d2"),
+            F.lit(cell).alias("cell"),
         )
-        .withColumn("rk", F.row_number().over(wmin))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "emb", "cell")
-    )
+        for cell, cvals in sorted(cents)
+    ]
+    return F.array_min(F.array(*arms))["cell"]
+
+
+def _assign_cells(cand: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Nearest-centroid assignment as a pure projection (see
+    _cell_argmin_expr). ``cents`` is the bounded driver-side centroid list —
+    K rows, the same centroids-as-driver-state shape as MLlib KMeans."""
+    return cand.select("vec_id", "emb", _cell_argmin_expr(cents).alias("cell"))
+
+
+def _collect_centroids(cents_df: DataFrame) -> list[tuple[int, list[float]]]:
+    """Materialize a (cell, cemb) centroid DataFrame to the bounded
+    driver-side list _assign_cells consumes (K rows × dims — KB scale)."""
+    return sorted((r["cell"], list(r["cemb"])) for r in cents_df.collect())
 
 
 def _recompute_centroids(assigned: DataFrame) -> DataFrame:
@@ -198,8 +220,10 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1) init: the K lowest-id candidate vectors are the starting centroids
         (deterministic and SQL-expressible — no RNG to reconcile across
         engines); (2) KMEANS_ITERS Lloyd rounds, each an O(N·K·dims)
-        map-side assignment (K centroids broadcast; candidates never
-        shuffle) + a (cell, dim)-keyed mean; (3) queries route to their
+        map-side assignment (the K centroids fold into a literal argmin
+        projection — zero exchange between scan and assignment, see
+        _cell_argmin_expr; only K centroid rows cross the driver per
+        round) + a (cell, dim)-keyed mean; (3) queries route to their
         nearest learned centroid; (4) exact decimal-cosine top-3 within
         that single cell.
 
@@ -215,16 +239,11 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = vecs.filter(F.col("vec_id") >= N_QUERIES).select("vec_id", "emb")
 
-    cents = (
-        cand.orderBy("vec_id")
-        .limit(K_CELLS)
-        .select(
-            (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cell"),
-            F.col("emb").alias("cemb"),
-        )
-    )
+    init = sorted(cand.orderBy("vec_id").limit(K_CELLS).collect(),
+                  key=lambda r: r["vec_id"])
+    cents = [(cell, list(r["emb"])) for cell, r in enumerate(init)]
     for _ in range(KMEANS_ITERS):
-        cents = _recompute_centroids(_assign_cells(cand, cents))
+        cents = _collect_centroids(_recompute_centroids(_assign_cells(cand, cents)))
 
     assigned = _assign_cells(cand, cents).select("vec_id", "cell")
 
@@ -287,29 +306,38 @@ def ann_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in range(PQ_M):
         sub = F.slice(F.col("emb"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
         subcand = cand.select("vec_id", sub.alias("emb"))
-        cents = (
-            subcand.orderBy("vec_id")
-            .limit(PQ_K)
-            .select(
-                (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cell"),
-                F.col("emb").alias("cemb"),
-            )
-        )
+        init = sorted(subcand.orderBy("vec_id").limit(PQ_K).collect(),
+                      key=lambda r: r["vec_id"])
+        cents = [(cell, list(r["emb"])) for cell, r in enumerate(init)]
         for _ in range(KMEANS_ITERS):
-            cents = _recompute_centroids(_assign_cells(subcand, cents))
+            cents = _collect_centroids(
+                _recompute_centroids(_assign_cells(subcand, cents))
+            )
         codes_m = _assign_cells(subcand, cents).select(
             "vec_id", F.col("cell").alias(f"code{m}")
         )
         encoded = codes_m if encoded is None else encoded.join(codes_m, "vec_id")
+        # per-query ADC distance table: PQ_K codebook entries unfold from
+        # literal arrays — a projection + explode, no centroid DataFrame to
+        # cross-join (the codebook is already bounded driver state)
         qtables.append(
             q.select("query_id", sub.alias("qs"))
-            .crossJoin(F.broadcast(cents))
             .select(
                 "query_id",
                 F.lit(m).alias("m"),
-                F.col("cell").alias("code"),
-                _l2_dec(F.col("qs"), F.col("cemb")).cast("double").alias("d2"),
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(cell).alias("code"),
+                            _l2_dec(
+                                F.col("qs"), F.array(*[F.lit(v) for v in cvals])
+                            ).cast("double").alias("d2"),
+                        )
+                        for cell, cvals in cents
+                    ])
+                ).alias("e"),
             )
+            .select("query_id", "m", F.col("e.code").alias("code"), F.col("e.d2").alias("d2"))
         )
     qtable = qtables[0]
     for t in qtables[1:]:

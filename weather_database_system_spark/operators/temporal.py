@@ -385,10 +385,15 @@ def linear_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = cov_n / var_x
     intercept = (F.col("sy") - slope * F.col("sx")) / n
     r2 = (cov_n * cov_n) / (var_x * var_y)
-    # degenerate series — a single observation (var_x = 0) or a constant y
-    # (var_y = 0, r² undefined) — are excluded: the fit does not exist, and
-    # under ANSI the division would error rather than emit DuckDB's inf
-    m = m.filter((var_x != 0) & (var_y != 0))
+    # degenerate series — fewer than two observations, a single distinct x
+    # (var_x = 0) or a constant y (var_y = 0, r² undefined) — are excluded:
+    # the fit does not exist, and under ANSI the division would error rather
+    # than emit DuckDB's inf. n >= 2 is explicit because var_x = 0 for a
+    # single observation relies on exact cancellation of DECIMAL-rounded
+    # moments: a non-dyadic x (real microsecond timestamps) can leave
+    # sxx - sx² at a ~1e-18 residual that evades the filter and emits a
+    # garbage slope
+    m = m.filter((F.col("n") >= 2) & (var_x != 0) & (var_y != 0))
     return m.select(
         "event_type",
         "n",
@@ -590,7 +595,7 @@ ORACLE: dict[str, str] = {
                {_sql_fr('((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy))', 6)}
                    AS r2
         FROM m
-        WHERE (n * sxx - sx * sx) <> 0 AND (n * syy - sy * sy) <> 0
+        WHERE n >= 2 AND (n * sxx - sx * sx) <> 0 AND (n * syy - sy * sy) <> 0
         ORDER BY event_type
     """,
     "seasonal_hourly_profile": f"""
