@@ -37,7 +37,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # _trend (ADVICE: explicit n >= 2 degenerate guard in both engines),
 # tfidf_cosine_pairs (n_docs folded into the lazy plan, r5 verdict #4),
 # ann_ivf_kmeans + ann_product_quantization + semdedup_prune (map-side
-# argmin port in _assign_cells, r5 verdict #3).
+# argmin port in _assign_cells, r5 verdict #3), udf_tokenize_table
+# (gained a DuckDB oracle — zipped-unnest UDTF replay, r5 verdict #7).
 _LAST_VERIFIED = {
     # --- last green in r01 ---
     **dict.fromkeys([
@@ -70,7 +71,7 @@ _LAST_VERIFIED = {
         "stream_session_window", "stream_sliding_window",
         "stream_tumbling_window", "stream_windowed_dedup",
         "string_functions_extended", "tfidf_top_terms", "time_weighted_avg",
-        "train_test_split", "udf_normalize_text", "udf_tokenize_table",
+        "train_test_split", "udf_normalize_text",
         "udf_weighted_mean_price",
     ], 3),
     # --- last green in r04 ---

@@ -92,7 +92,11 @@ def udf_weighted_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def udf_tokenize_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF over a bounded sample of documents (LATERAL join shape):
-    per-token rows with positions. Rows-only; semantics tested in pytest."""
+    per-token rows with positions. Oracle-checked: the UDTF's split-on-
+    single-space + stopword flag is deterministic and SQL-expressible, so
+    DuckDB replays it with zipped unnest(string_split)/generate_series —
+    proving the UDTF path, like the scalar pandas-UDF path, is semantically
+    transparent."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
     docs.createOrReplaceTempView("udtf_docs")
     spark.udtf.register(
@@ -114,6 +118,23 @@ ORACLE: dict[str, str] = {
                    AS text_normalized
         FROM documents
         ORDER BY doc_id
+    """,
+    # parallel unnests zip positionally in DuckDB, replaying the UDTF's
+    # enumerate(text.split(' ')) exactly (split on a single space keeps
+    # empty tokens, same as Python's str.split(' '))
+    "udf_tokenize_table": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS token,
+                   unnest(generate_series(0, len(string_split(text, ' ')) - 1))
+                       AS pos
+            FROM documents
+            WHERE doc_id < 20 AND text IS NOT NULL
+        )
+        SELECT doc_id, CAST(pos AS INT) AS pos, token,
+               token IN ('the', 'a', 'and', 'of', 'to') AS is_stopword
+        FROM toks
+        ORDER BY doc_id, pos
     """,
 }
 

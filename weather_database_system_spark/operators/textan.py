@@ -427,7 +427,6 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_database_system_spark.session import track_persisted
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
     # One task per split otherwise (small corpus = one parquet split): the
     # token and shingle explodes are the CPU-bound stages, spread them — the
     # same no-op-at-100TB repartition ngram_jaccard_pairs uses.
@@ -435,9 +434,15 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = base.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf6 = _fr(F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6)
+    # corpus size rides along as a 1-row broadcast inside the lazy plan —
+    # no eager docs.count() driver action, which cost a separate full
+    # corpus scan before the main job (the unigram_logprob_quality fix
+    # pattern; a count-star subtree touches only parquet footers)
+    totals = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    idf6 = _fr(F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6)
     w = track_persisted(
         tf.join(df_, "term")
+        .crossJoin(F.broadcast(totals))
         .select("doc_id", "term", (F.col("tf") * idf6).alias("w"))
         .persist()
     )
