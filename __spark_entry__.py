@@ -156,6 +156,7 @@ def _registries():
         "weather_database_system_spark.functions.udfs",
         "weather_database_system_spark.pipeline.rollup",
         "weather_database_system_spark.pipeline.cachemath",
+        "weather_database_system_spark.pipeline.ingest",
     ):
         try:
             modules.append(__import__(path, fromlist=["_"]))

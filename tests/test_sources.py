@@ -182,3 +182,109 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200]
     expected = ev.filter(F.col("event_type") == "click").count()
     assert one.count() == expected
+
+
+# ---------------------------------------------------------------------------
+# observation_feed: the Python DataSource (op #1 scale form)
+# ---------------------------------------------------------------------------
+
+def test_feed_shard_ranges_split_inclusive_windows():
+    from weather_database_system_spark.sources.observation_feed import shard_ranges
+
+    assert shard_ranges("2024-01-01", "2024-01-04", 2) == [
+        ("2024-01-01", "2024-01-02"),
+        ("2024-01-03", "2024-01-04"),
+    ]
+    # uneven tail shard stays inclusive
+    assert shard_ranges("2024-01-01", "2024-01-05", 2)[-1] == (
+        "2024-01-05",
+        "2024-01-05",
+    )
+    assert shard_ranges("2024-01-01", "2024-01-01", 30) == [
+        ("2024-01-01", "2024-01-01")
+    ]
+    import pytest
+
+    with pytest.raises(ValueError):
+        shard_ranges("2024-01-02", "2024-01-01", 2)
+    with pytest.raises(ValueError):
+        shard_ranges("2024-01-01", "2024-01-02", 0)
+
+
+def test_observation_feed_plans_one_partition_per_station_shard(spark, tmp_path):
+    """The DataSource must fan out to exactly (stations × date shards)
+    input partitions, each yielding one bronze row under the bronze
+    schema contract — the scan parallelism op #1 needs at scale."""
+    from weather_database_system_spark.pipeline.ingest import read_observation_feed
+    from weather_database_system_spark.pipeline.schemas import BRONZE_SCHEMA
+    from weather_database_system_spark.sources.observation_feed import (
+        write_feed_fixtures,
+    )
+
+    stations = [
+        {"latitude": 37.0, "longitude": -121.0},
+        {"latitude": 38.5, "longitude": -122.25},
+    ]
+    n = write_feed_fixtures(str(tmp_path), stations, "2024-02-01", "2024-02-06", 2)
+    assert n == 6  # 2 stations × 3 shards
+    bronze = read_observation_feed(
+        spark,
+        stations,
+        "2024-02-01",
+        "2024-02-06",
+        shard_days=2,
+        payload_dir=str(tmp_path),
+        fetched_at="2024-02-07T00:00:00",
+    )
+    assert bronze.schema == BRONZE_SCHEMA
+    assert bronze.rdd.getNumPartitions() == 6
+    rows = bronze.collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert len(r.hourly.time) == 48  # 2 days × 24 h per shard
+        assert all(len(getattr(r.hourly, v)) == 48 for v in (
+            "temperature_2m", "precipitation", "wind_gusts_10m"))
+    assert {r.latitude for r in rows} == {37.0, 38.5}
+
+
+def test_observation_feed_matches_single_payload_path(spark, tmp_path):
+    """The fleet path and the reference-faithful single-payload path must
+    produce identical silver observations from the same payload bytes —
+    the zones are shared, only the scan parallelizes."""
+    import json
+
+    from weather_database_system_spark.pipeline.ingest import (
+        bronze_from_payload,
+        bronze_to_observations,
+        read_observation_feed,
+    )
+    from weather_database_system_spark.sources.observation_feed import (
+        write_feed_fixtures,
+    )
+    import datetime as dt
+
+    stations = [{"latitude": 40.0, "longitude": -120.0}]
+    write_feed_fixtures(str(tmp_path), stations, "2024-03-01", "2024-03-02", 1)
+    feed_obs = bronze_to_observations(
+        read_observation_feed(
+            spark,
+            stations,
+            "2024-03-01",
+            "2024-03-02",
+            shard_days=1,
+            payload_dir=str(tmp_path),
+            fetched_at="2024-03-03T00:00:00",
+        )
+    )
+    single = None
+    for f in sorted(tmp_path.glob("*.json")):
+        payload = json.loads(f.read_text())
+        b = bronze_from_payload(
+            spark, payload, dt.datetime(2024, 3, 3)
+        )
+        piv = bronze_to_observations(b)
+        single = piv if single is None else single.unionByName(piv)
+    key = lambda r: r["timestamp"]  # noqa: E731
+    assert sorted(feed_obs.collect(), key=key) == sorted(
+        single.collect(), key=key
+    )

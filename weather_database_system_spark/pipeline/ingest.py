@@ -100,16 +100,19 @@ def bronze_from_payload(
     return spark.createDataFrame([row], schema=BRONZE_SCHEMA)
 
 
-def bronze_to_observations(bronze: DataFrame) -> DataFrame:
+def bronze_to_observations(bronze: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """ops #2-4: pivot the parallel hourly arrays into per-hour rows.
 
     ``arrays_zip`` aligns the six arrays positionally (replacing the manual
     index loop at fetchStocktonWeather.js:87-104), ``explode`` emits one row
-    per hour; then the fill policy and the null-propagating °F conversion."""
+    per hour; then the fill policy and the null-propagating °F conversion.
+    ``keep`` carries bronze-level columns (e.g. ``latitude`` for a
+    multi-station feed) through the explode."""
     zipped = bronze.select(
-        F.explode(F.arrays_zip("hourly.time", *[f"hourly.{v}" for v in HOURLY_VARS])).alias("h")
+        *keep,
+        F.explode(F.arrays_zip("hourly.time", *[f"hourly.{v}" for v in HOURLY_VARS])).alias("h"),
     )
-    cols = [F.col("h.time").alias("timestamp")]
+    cols = [*[F.col(k) for k in keep], F.col("h.time").alias("timestamp")]
     for v in HOURLY_VARS:
         c = F.col(f"h.{v}")
         if v in ZERO_FILLED:
@@ -169,6 +172,100 @@ def write_zone(df: DataFrame, path: str, mode: str = "append") -> int:
     return n
 
 
+def register_observation_feed(spark: SparkSession) -> None:
+    """Register the partitioned feed source (op #1's scale form —
+    SURVEY.md:116's "DataSource V2-style custom reader", implemented with
+    pyspark 4's Python DataSource API) under the name
+    ``observation_feed``."""
+    from weather_database_system_spark.sources.observation_feed import (
+        ObservationFeedDataSource,
+    )
+
+    spark.dataSource.register(ObservationFeedDataSource)
+
+
+def read_observation_feed(
+    spark: SparkSession,
+    stations: list[dict[str, float]],
+    start_date: str,
+    end_date: str,
+    *,
+    shard_days: int = 30,
+    payload_dir: str | None = None,
+    url: str | None = None,
+    timezone: str = "America/Los_Angeles",
+    fetched_at: str | None = None,
+) -> DataFrame:
+    """Bronze DataFrame from the partitioned feed: one input partition per
+    (station, date-shard), fetched executor-side — the fan-out form of
+    fetch_hourly_history + bronze_from_payload. Offline when ``payload_dir``
+    is given (fixture payloads), live against ``url`` otherwise."""
+    import json as _json
+
+    register_observation_feed(spark)
+    reader = (
+        spark.read.format("observation_feed")
+        .option("stations", _json.dumps(stations))
+        .option("start_date", start_date)
+        .option("end_date", end_date)
+        .option("shard_days", str(shard_days))
+        .option("timezone", timezone)
+    )
+    if payload_dir:
+        reader = reader.option("payload_dir", payload_dir)
+    if url:
+        reader = reader.option("url", url)
+    if fetched_at:
+        reader = reader.option("fetched_at", fetched_at)
+    return reader.load()
+
+
+def ingest_feed(
+    spark: SparkSession,
+    stations: list[dict[str, float]],
+    start_date: str,
+    end_date: str,
+    *,
+    city: str,
+    state: str,
+    shard_days: int = 30,
+    payload_dir: str | None = None,
+    url: str | None = None,
+    bronze_path: str | None = None,
+    silver_path: str | None = None,
+    fetched_at: dt.datetime | None = None,
+    author: str = "weather_database_system_spark",
+) -> DataFrame:
+    """Fleet ingestion: partitioned feed → bronze append → pivot → enrich →
+    silver append. The multi-shard twin of ingest_payload — the zones,
+    schemas and lineage envelope are identical, only the source scan
+    parallelizes."""
+    fetched_at = fetched_at or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    bronze = read_observation_feed(
+        spark,
+        stations,
+        start_date,
+        end_date,
+        shard_days=shard_days,
+        payload_dir=payload_dir,
+        url=url,
+        fetched_at=fetched_at.isoformat(timespec="milliseconds"),
+    )
+    if bronze_path:
+        write_zone(bronze, bronze_path)
+    silver = enrich(
+        bronze_to_observations(bronze),
+        city,
+        state,
+        source_timestamp=fetched_at.isoformat(timespec="milliseconds") + "Z",
+        etl_batch_id=f"etl-{int(fetched_at.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)}",
+        author=author,
+    )
+    if silver_path:
+        write_zone(silver, silver_path)
+    return silver
+
+
 def ingest_payload(
     spark: SparkSession,
     payload: dict[str, Any],
@@ -202,3 +299,112 @@ def ingest_payload(
     if silver_path:
         write_zone(silver, silver_path)
     return silver
+
+
+# ---------------------------------------------------------------------------
+# Registry: the feed source driven end-to-end (op #1 scale form)
+# ---------------------------------------------------------------------------
+
+FEED_STATIONS = [
+    {"latitude": 37.0 + s, "longitude": -121.0 - s} for s in range(3)
+]
+FEED_START, FEED_END = "2024-01-01", "2024-01-04"
+FEED_SHARD_DAYS = 2  # 3 stations × 2 shards = 6 input partitions
+FEED_FETCHED_AT = "2024-01-05T00:00:00"
+
+
+def feed_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(station, day) rollup of the partitioned observation feed: the
+    whole op #1-#4 chain — partitioned DataSource scan (6 (station, shard)
+    input partitions), arrays_zip pivot, fill policy, °F conversion —
+    feeding the reference's daily-grain aggregate shape. Offline fixture
+    payloads are closed-form in (station, hour), so the DuckDB oracle
+    replays the feed from generate_series and the whole path is
+    hash-checked. ``sf_dir`` is unused: the source under test IS the feed."""
+    import tempfile
+
+    from weather_database_system_spark.operators.relational import (
+        _avg4,
+        _fr,
+        _sum2,
+    )
+    from weather_database_system_spark.sources.observation_feed import (
+        write_feed_fixtures,
+    )
+
+    payload_dir = tempfile.mkdtemp(prefix="obsfeed_")
+    write_feed_fixtures(
+        payload_dir, FEED_STATIONS, FEED_START, FEED_END, FEED_SHARD_DAYS
+    )
+    bronze = read_observation_feed(
+        spark,
+        FEED_STATIONS,
+        FEED_START,
+        FEED_END,
+        shard_days=FEED_SHARD_DAYS,
+        payload_dir=payload_dir,
+        fetched_at=FEED_FETCHED_AT,
+    )
+    obs = bronze_to_observations(bronze, keep=("latitude",))
+    return (
+        obs.groupBy(
+            "latitude", F.substring("timestamp", 1, 10).alias("obs_date")
+        )
+        .agg(
+            F.count("*").alias("n_hours"),
+            (F.count("*") - F.count("temperatureC")).cast("int").alias(
+                "n_missing_temp"
+            ),
+            _avg4(F.col("temperatureF")).alias("avg_temp_f"),
+            _sum2(F.col("rainfallMm")).alias("total_rain_mm"),
+            _fr(F.max("windGustMps"), 4).alias("max_gust_mps"),
+        )
+        .orderBy("latitude", "obs_date")
+    )
+
+
+def _feed_oracle() -> str:
+    from weather_database_system_spark.operators.relational import (
+        _sql_avg4,
+        _sql_fr,
+        _sql_sum2,
+    )
+
+    n_hours = (
+        (dt.date.fromisoformat(FEED_END) - dt.date.fromisoformat(FEED_START)).days
+        + 1
+    ) * 24
+    # replays fixture_hourly_values + the op #3/#4 policy from generate_series
+    return f"""
+        WITH s AS (SELECT unnest(generate_series(0, {len(FEED_STATIONS) - 1})) AS s),
+        g AS (SELECT unnest(generate_series(0, {n_hours - 1})) AS g),
+        obs AS (
+            SELECT 37.0 + s AS latitude,
+                   strftime(TIMESTAMP '{FEED_START} 00:00:00' + to_hours(g),
+                            '%Y-%m-%dT%H:%M') AS ts,
+                   CASE WHEN (g + s) % 11 = 0 THEN NULL
+                        ELSE s * 10 + g * 0.25 END AS temp_c,
+                   CASE WHEN (g + s) % 7 = 0 THEN 0.0 ELSE g * 0.1 END AS rain_mm,
+                   CASE WHEN (g + s) % 5 = 0 THEN 0.0 ELSE g * 0.07 END AS gust
+            FROM s, g
+        )
+        SELECT latitude,
+               substr(ts, 1, 10) AS obs_date,
+               count(*) AS n_hours,
+               CAST(count(*) - count(temp_c) AS INT) AS n_missing_temp,
+               {_sql_avg4("temp_c * 9 / 5 + 32")} AS avg_temp_f,
+               {_sql_sum2("rain_mm")} AS total_rain_mm,
+               {_sql_fr("max(gust)", 4)} AS max_gust_mps
+        FROM obs
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+
+
+QUERIES = {
+    "feed_daily_rollup": feed_daily_rollup,
+}
+
+ORACLE: dict[str, str] = {
+    "feed_daily_rollup": _feed_oracle(),
+}
