@@ -38,7 +38,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # tfidf_cosine_pairs (n_docs folded into the lazy plan, r5 verdict #4),
 # ann_ivf_kmeans + ann_product_quantization + semdedup_prune (map-side
 # argmin port in _assign_cells, r5 verdict #3), udf_tokenize_table
-# (gained a DuckDB oracle — zipped-unnest UDTF replay, r5 verdict #7).
+# (gained a DuckDB oracle — zipped-unnest UDTF replay, r5 verdict #7),
+# tfidf_top_terms + bm25_search (eager corpus-stats action folded into the
+# lazy plan as a 1-row broadcast — bm25's cost a separate full tokenize
+# pass per run), ngram_jaccard_pairs + dedup_containment (posting cap now
+# precedes the collect_list — _capped_postings — so hot shingles never
+# materialize unbounded arrays in agg state; identical results).
 _LAST_VERIFIED = {
     # --- last green in r01 ---
     **dict.fromkeys([
@@ -70,13 +75,13 @@ _LAST_VERIFIED = {
         "stratified_sample", "stream_late_data_policy",
         "stream_session_window", "stream_sliding_window",
         "stream_tumbling_window", "stream_windowed_dedup",
-        "string_functions_extended", "tfidf_top_terms", "time_weighted_avg",
+        "string_functions_extended", "time_weighted_avg",
         "train_test_split", "udf_normalize_text",
         "udf_weighted_mean_price",
     ], 3),
     # --- last green in r04 ---
     **dict.fromkeys([
-        "agg_quantiles", "agg_statistics", "bm25_search",
+        "agg_quantiles", "agg_statistics",
         "coercion_fill_policy", "conditional_agg", "count_diagnostic",
         "cube_totals", "date_normalization", "derived_revenue",
         "doc_chunk_windows", "doc_fingerprint", "domain_mixture_weights",
@@ -84,7 +89,7 @@ _LAST_VERIFIED = {
         "join_full_outer_nation_presence", "join_left_order_counts",
         "join_semi_active_customers", "join_star_revenue",
         "json_extract_props", "lineage_projection", "monthly_filtered",
-        "monthly_rollup", "ngram_jaccard_pairs", "pii_redaction",
+        "monthly_rollup", "pii_redaction",
         "pivot_status_matrix", "presentation_format", "pricing_summary",
         "projection_sort", "quality_weighted_sample", "rfm_segmentation",
         "rfm_segmentation_approx", "rollup_totals", "sequence_pack_bins",
@@ -102,7 +107,7 @@ _LAST_VERIFIED = {
         "contamination_eval_overlap", "corpus_dedup_apply",
         "curriculum_pack_epochs", "data_quality_profile",
         "decayed_user_value", "dedup_against_index", "dedup_clusters",
-        "dedup_clusters_fast", "dedup_containment", "dedup_minhash_lsh",
+        "dedup_clusters_fast", "dedup_minhash_lsh",
         "dedup_minhash_lsh_fast", "diff_snapshots", "embedding_gram_matrix",
         "embedding_pca_project", "entity_fuzzy_blocking",
         "funnel_time_to_convert", "graph_clustering_coeff",

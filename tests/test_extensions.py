@@ -901,7 +901,7 @@ def test_pq_adc_matches_numpy_replay_and_beats_random_recall(spark):
     books = []
     for m in range(PQ_M):
         sub = {i: X[i][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM] for i in cand_ids}
-        # codebook as a dict of SURVIVING cells: _recompute_centroids drops
+        # codebook as a dict of SURVIVING cells: _lloyd_round drops
         # a cell that loses all members (groupBy emits no row for it), so
         # the replay must too — keeping a stale centroid would let it
         # re-acquire points the implementation's codebook no longer can

@@ -41,7 +41,7 @@ def test_unchecked_queries_fit_driver_sample_window():
     (VERDICT r2 #1). Adding queries must not push any unchecked entry past
     position 50 — that silently re-creates the verification backlog."""
     names = list(_QUERIES)
-    front = [k for k in names if k not in entrymod._DRIVER_GREEN]
+    front = [k for k in names if k not in entrymod._LAST_VERIFIED]
     over = [k for k in front if names.index(k) >= 50]
     assert not over, (
         f"never-driver-checked queries outside the first-50 sample window: "

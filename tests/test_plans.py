@@ -152,6 +152,10 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
         "unigram_logprob_quality",  # 1-row corpus-token-total broadcast
         "bigram_surprisal_quality", # 1-row vocabulary-size broadcast
         "pmi_collocations",         # 1-row corpus-totals broadcast
+        "tfidf_cosine_pairs",       # 1-row n_docs broadcast (r6: eager
+                                    # count folded into the lazy plan)
+        "tfidf_top_terms",          # same 1-row n_docs broadcast
+        "bm25_search",              # 1-row (N, avgdl) corpus-stats broadcast
         "rfm_segmentation_approx",  # same 1-row broadcasts; thresholds via
                                     # approx_percentile sketch
     }

@@ -1,0 +1,184 @@
+"""Empirical scale-curve rehearsal (r5 verdict task #5).
+
+The 100 TB claims for the heavy operators are structural (bucketed
+equi-joins, posting caps, Σ|cell|² bounds). This makes them MEASURED:
+generate distribution-matched slices of the corpus tables at 1×/2×/4×
+the sf0.1 row counts (same vocabulary, doc-length, near-duplicate and
+cluster structure — generated fresh at every multiple so all points share
+one distribution), time the heaviest registry queries at each point, and
+fit the wall-time scaling exponent b in t ≈ a·m^b by least squares on
+log(t) vs log(m).
+
+Reading the exponents: b ≈ 1 → linear (shuffle/scan bound), b < 1 →
+fixed-cost dominated at this size (job latency, Lloyd floor), b ≈ 2 →
+a pair stage escaping its cap (the failure this rehearsal exists to
+catch). Slices land in /tmp (scratch); nothing under /root/testdata is
+touched.
+
+Usage: python tools/scale_rehearsal.py [--multiples 1,2,4] [--queries ...]
+Prints a markdown table for NOTES.md plus one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_DOCS = 5_000       # sf0.1 documents rows
+BASE_VECS = 2_000       # sf0.1 embeddings rows
+VOCAB = (
+    "spark line column order small sort fast value scan a batch part big "
+    "merge group query agg table hash join filter stream vector key slow "
+    "customer the of and to"
+).split()
+LANGS = ["en"] * 7 + ["fr", "de", "zh"]
+DUP_FRACTION = 0.08     # near-duplicate docs (mutated copies, cluster size 2-4)
+EMB_DIMS = 64
+N_LABELS = 10
+
+HEAVY = [
+    "semdedup_prune",
+    "ann_product_quantization",
+    "dedup_clusters_fast",
+    "tfidf_cosine_pairs",
+    "ngram_jaccard_pairs",
+]
+
+
+def gen_documents(n: int, seed: int, out_dir: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    n_base = n - int(n * DUP_FRACTION)
+    texts: list[str] = []
+    for _ in range(n_base):
+        toks = rng.choice(VOCAB, size=int(rng.integers(15, 95)))
+        texts.append(" ".join(toks))
+    # near-duplicates: mutate ~5 % of a base doc's tokens (MinHash-findable)
+    while len(texts) < n:
+        src = texts[int(rng.integers(0, n_base))].split()
+        for _ in range(max(1, len(src) // 20)):
+            src[int(rng.integers(0, len(src)))] = VOCAB[int(rng.integers(0, len(VOCAB)))]
+        texts.append(" ".join(src))
+    order = rng.permutation(n)
+    texts = [texts[i] for i in order]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array([LANGS[int(rng.integers(0, len(LANGS)))] for _ in range(n)]),
+            "source": pa.array([f"src{int(rng.integers(0, 20))}" for _ in range(n)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{out_dir}/documents.parquet")
+
+
+def gen_embeddings(n: int, seed: int, out_dir: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed + 1)
+    centers = rng.normal(0, 1, size=(N_LABELS, EMB_DIMS))
+    labels = rng.integers(0, N_LABELS, size=n)
+    vecs = centers[labels] + rng.normal(0, 0.35, size=(n, EMB_DIMS))
+    # semantic near-duplicates: ~5 % of vectors are another vector + epsilon
+    n_dup = n // 20
+    src = rng.integers(0, n - n_dup, size=n_dup)
+    vecs[n - n_dup:] = vecs[src] + rng.normal(0, 0.01, size=(n_dup, EMB_DIMS))
+    labels[n - n_dup:] = labels[src]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32).tolist() for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{out_dir}/embeddings.parquet")
+
+
+def fit_exponent(ms: list[float], ts: list[float]) -> float:
+    if len(set(ms)) < 2:
+        return float("nan")
+    xs = [math.log(m) for m in ms]
+    ys = [math.log(t) for t in ts]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    return (n * sxy - sx * sy) / (n * sxx - sx * sx)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--multiples", default="1,2,4")
+    ap.add_argument("--queries", default=",".join(HEAVY))
+    ap.add_argument("--scratch", default="/tmp/scale_rehearsal")
+    ap.add_argument("--runs", type=int, default=1)
+    args = ap.parse_args()
+    multiples = [int(m) for m in args.multiples.split(",")]
+    names = args.queries.split(",")
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as em
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = em.queries()
+
+    for m in multiples:
+        d = f"{args.scratch}/m{m}"
+        os.makedirs(d, exist_ok=True)
+        if not os.path.exists(f"{d}/documents.parquet"):
+            gen_documents(BASE_DOCS * m, seed=42, out_dir=d)
+            gen_embeddings(BASE_VECS * m, seed=42, out_dir=d)
+
+    # warm the JVM/session on the smallest slice so m=1 isn't charged the
+    # first-job startup the later points don't pay
+    for name in names:
+        queries[name](spark, f"{args.scratch}/m{multiples[0]}").count()
+
+    results: dict[str, dict[int, float]] = {}
+    for name in names:
+        results[name] = {}
+        for m in multiples:
+            best = math.inf
+            for _ in range(args.runs):
+                t0 = time.monotonic()
+                queries[name](spark, f"{args.scratch}/m{m}").count()
+                best = min(best, time.monotonic() - t0)
+            results[name][m] = round(best, 2)
+
+    print("| query | " + " | ".join(f"{m}× (s)" for m in multiples) + " | exponent |")
+    print("|---|" + "---|" * (len(multiples) + 1))
+    summary = {}
+    for name in names:
+        ts = [results[name][m] for m in multiples]
+        b = round(fit_exponent([float(m) for m in multiples], ts), 2)
+        summary[name] = {"times": results[name], "exponent": b}
+        print(f"| {name} | " + " | ".join(f"{t}" for t in ts) + f" | {b} |")
+    print(json.dumps({"scale_rehearsal": summary}))
+
+
+if __name__ == "__main__":
+    main()

@@ -71,6 +71,27 @@ def _shingles(toks: Column) -> Column:
     return F.when(F.size(toks) >= 3, F.array_distinct(gram)).otherwise(empty)
 
 
+def _capped_postings(sh: DataFrame, cap: int) -> DataFrame:
+    """Posting lists (``s`` → ``ds`` array of doc_ids) for shingles with
+    2..cap postings, WITHOUT ever materializing an over-cap array: a count
+    pre-pass marks eligible shingles and the exploded stream joins to them
+    BEFORE collect_list. A bare collect_list-then-size-filter builds the
+    full posting array in aggregation state first — a boilerplate shingle
+    shared by millions of docs is an unbounded in-memory array (observed
+    as GC thrash in the 4× scale rehearsal) even though the filter then
+    throws it away. Here agg state is bounded by cap per group. Shuffle
+    census: the count pre-pass carries map-side-combined (s, n) partials;
+    the join's shuffle-by-s clustering is reused by the collect groupBy,
+    so the heavy exchange count is unchanged."""
+    plen = sh.groupBy("s").agg(F.count("*").alias("plen"))
+    eligible = plen.filter((F.col("plen") > 1) & (F.col("plen") <= cap)).select("s")
+    return (
+        sh.join(eligible, "s")
+        .groupBy("s")
+        .agg(F.collect_list("doc_id").alias("ds"))
+    )
+
+
 def _grams(toks, n: int):
     """All order-preserving n-gram strings (with repeats — repetition
     statistics and LM counts need the multiset, unlike _shingles' distinct
@@ -397,17 +418,18 @@ def ngram_jaccard_pairs(
         .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # Pair generation: ONE shuffle on the shingle (groupBy + collect the
-    # posting list), pairs emitted inline per posting — versus a self-join,
+    # Pair generation: ONE heavy shuffle on the shingle (count pre-pass +
+    # capped collect — see _capped_postings for why the cap must precede
+    # the collect), pairs emitted inline per posting — versus a self-join,
     # this halves shuffle volume and skips the join build. The posting-list
-    # length cap below is the 100 TB skew knob (see docstring). Emission is
+    # length cap is the 100 TB skew knob (see docstring). Emission is
     # two codegen'd generator explodes + a filter, not nested
     # transform/filter array lambdas (higher-order functions evaluate
     # interpreted per element — measured 15% slower at sf0.1; per-task work
     # is identically bounded by the cap either way).
-    postings = sh.groupBy("s").agg(F.collect_list("doc_id").alias("ds"))
+    postings = _capped_postings(sh, max_posting_len)
     inter = (
-        postings.filter((F.size("ds") > 1) & (F.size("ds") <= max_posting_len))
+        postings
         .select(F.explode("ds").alias("doc_a"), "ds")
         .select("doc_a", F.explode("ds").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -600,9 +622,10 @@ def dedup_containment(
         .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    postings = sh.groupBy("s").agg(F.collect_list("doc_id").alias("ds"))
+    # cap precedes the collect — see _capped_postings
+    postings = _capped_postings(sh, max_posting_len)
     inter = (
-        postings.filter((F.size("ds") > 1) & (F.size("ds") <= max_posting_len))
+        postings
         .select(F.explode("ds").alias("doc_a"), "ds")
         .select("doc_a", F.explode("ds").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))

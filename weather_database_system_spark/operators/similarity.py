@@ -155,9 +155,10 @@ def _l2_dec(a, b):
     )
 
 
-def _cell_argmin_expr(cents: list[tuple[int, list[float]]]):
+def _cell_argmin_expr(cents: list[tuple[int, list[float]]], col=None):
     """Nearest-centroid cell id as ONE map-side expression over the ``emb``
-    double array: per cell an exact-decimal d² fold against the centroid's
+    double array (or any array column passed as ``col`` — the PQ subspace
+    slices use this): per cell an exact-decimal d² fold against the centroid's
     literal array, argmin via array_min over (d², cell) structs —
     lexicographic struct comparison = d² asc then cell asc, the same
     tie-break the crossJoin+row_number formulation ordered by. The decimal
@@ -170,14 +171,29 @@ def _cell_argmin_expr(cents: list[tuple[int, list[float]]]):
     crossJoin(broadcast(cents)) + row_number over partitionBy(vec_id)
     forced an N×K-row hash exchange per Lloyd iteration; a projection is
     absorbed by the scan pipeline — zero exchange, nothing to skew."""
-    arms = [
-        F.struct(
-            _l2_dec(F.col("emb"), F.array(*[F.lit(v) for v in cvals])).alias("d2"),
-            F.lit(cell).alias("cell"),
-        )
-        for cell, cvals in sorted(cents)
-    ]
-    return F.array_min(F.array(*arms))["cell"]
+    if col is None:
+        col = F.col("emb")
+    cs = sorted(cents)
+    # The centroid data lives in TWO nested-array literals (single Literal
+    # nodes), not K unrolled per-cell expression arms: every Lloyd round
+    # rebuilds this expression with fresh centroids, and a K×dims-arm tree
+    # (~1000s of nodes) costs seconds of driver-side analysis/codegen PER
+    # ROUND with zero cache reuse — measured 5-7 s/round at PQ's M×K=64
+    # codebook vs ~1 s with the constant-size tree. Executor-side work is
+    # identical (the same K×dims fold per row, HOF-interpreted either way).
+    # named_struct, not struct+alias: aliases on struct children are
+    # stripped when this expression nests inside ANOTHER struct (the PQ
+    # encode projection), leaving col1/col2 field names.
+    ids = F.lit([c for c, _ in cs])
+    vals = F.lit([v for _, v in cs])
+    entries = F.transform(
+        ids,
+        lambda cid, i: F.named_struct(
+            F.lit("d2"), _l2_dec(col, F.element_at(vals, i + 1)),
+            F.lit("cell"), cid,
+        ),
+    )
+    return F.array_min(entries)["cell"]
 
 
 def _assign_cells(cand: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
@@ -187,29 +203,41 @@ def _assign_cells(cand: DataFrame, cents: list[tuple[int, list[float]]]) -> Data
     return cand.select("vec_id", "emb", _cell_argmin_expr(cents).alias("cell"))
 
 
-def _collect_centroids(cents_df: DataFrame) -> list[tuple[int, list[float]]]:
-    """Materialize a (cell, cemb) centroid DataFrame to the bounded
-    driver-side list _assign_cells consumes (K rows × dims — KB scale)."""
-    return sorted((r["cell"], list(r["cemb"])) for r in cents_df.collect())
+def _lloyd_round(
+    cand: DataFrame, cents: list[tuple[int, list[float]]], dims: int
+) -> list[tuple[int, list[float]]]:
+    """One Lloyd round = the map-side argmin projection + ONE
+    (cell, dim)-keyed aggregation (map-side combined, K×dims groups,
+    skew-free); the K mean vectors are finished driver-side from the
+    K×dims collected rows. float(decimal_sum) / n is the same
+    correctly-rounded IEEE double as the oracle's
+    CAST(sum(DECIMAL) AS DOUBLE) / count, so training stays bit-identical
+    to the SQL replay.
 
-
-def _recompute_centroids(assigned: DataFrame) -> DataFrame:
-    """Per-cell mean vectors (exact decimal sums / counts), re-collected to
-    array form: posexplode → (cell, dim) mean — one shuffle keyed by
-    (cell, dim), K×dims groups, skew-free — → dim-sorted array_sort fold."""
-    return (
-        assigned.select("cell", F.posexplode("emb").alias("dim", "val"))
+    Why ONE sum column over posexplode instead of dims flat sum columns:
+    the round's plan is new each time (fresh centroid literals), so it
+    recompiles every round — a 64-column DECIMAL aggregate costs seconds
+    of whole-stage codegen PER ROUND (measured 2-6 s at 64 columns vs
+    ~0.1 s for this shape; the same janino-pressure lesson as
+    _semdedup_cell_expr's fold); the exploded shuffle is K×dims partial
+    rows per partition, trivial at any scale."""
+    # assignment in its own select BEFORE the explode: a generator and a
+    # projection in one select evaluate the projection per GENERATED row,
+    # re-running the K×dims argmin fold dims× per vector (and
+    # CollapseProject would inline it through a chained projection — the
+    # Generate node is the barrier that pins one evaluation per vector)
+    rows = (
+        _assign_cells(cand, cents)
+        .select("cell", F.posexplode("emb").alias("dim", "val"))
         .groupBy("cell", "dim")
-        .agg(
-            (F.sum(F.col("val").cast(DEC)).cast("double") / F.count("val")).alias("cval")
-        )
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "cval"))),
-                lambda s: s.cval,
-            ).alias("cemb")
-        )
+        .agg(F.count("*").alias("n"), F.sum(F.col("val").cast(DEC)).alias("s"))
+        .collect()
+    )
+    acc: dict[int, dict[int, float]] = {}
+    for r in rows:
+        acc.setdefault(r["cell"], {})[r["dim"]] = float(r["s"]) / r["n"]
+    return sorted(
+        (cell, [byd[i] for i in range(dims)]) for cell, byd in acc.items()
     )
 
 
@@ -237,13 +265,22 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _emb_double(spark, sf_dir).select(
         "vec_id", "emb", F.sqrt(_dot_dec(F.col("emb"), F.col("emb"))).alias("nrm")
     )
-    cand = vecs.filter(F.col("vec_id") >= N_QUERIES).select("vec_id", "emb")
+    # repartition before persist: the small-SF parquet is one split, and the
+    # argmin projection's K×dims decimal folds are the CPU-bound stage —
+    # spread them (a no-op at 100 TB where the scan is already wide)
+    cand = track_persisted(
+        vecs.filter(F.col("vec_id") >= N_QUERIES)
+        .select("vec_id", "emb")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .persist()
+    )
 
     init = sorted(cand.orderBy("vec_id").limit(K_CELLS).collect(),
                   key=lambda r: r["vec_id"])
     cents = [(cell, list(r["emb"])) for cell, r in enumerate(init)]
+    dims = len(cents[0][1])
     for _ in range(KMEANS_ITERS):
-        cents = _collect_centroids(_recompute_centroids(_assign_cells(cand, cents)))
+        cents = _lloyd_round(cand, cents, dims)
 
     assigned = _assign_cells(cand, cents).select("vec_id", "cell")
 
@@ -289,73 +326,132 @@ def ann_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale broadcasts, and scoring is a map-side broadcast join on (m, code)
     + a (query, vec) sum — candidates never shuffle their raw floats. The
     Lloyd training runs once (on a sample, in production) and is the same
-    driver-state shape as the IVF quantizer.
+    driver-state shape as the IVF quantizer: all M codebooks advance
+    together, one job per global round (map-side argmin projections over
+    the persisted candidates + one (m, cell, dim)-keyed agg — zero
+    exchange between scan and assignment), M×K mean vectors as the only
+    driver state, and encoding is ONE projection emitting all M codes.
 
     Rows-only for the driver (M coupled Lloyd loops per subspace make an
     SQL replay impractical); pytest grounds the ADC output against a full
     numpy replay of training + encoding + table scoring, and measures
     recall vs the exact brute-force ranking."""
     vecs = _emb_double(spark, sf_dir)
-    cand = vecs.filter(F.col("vec_id") >= N_QUERIES).select("vec_id", "emb")
+    # repartition before persist: spread the per-subspace argmin folds (the
+    # CPU-bound stage) across cores — the one-split small-SF scan otherwise
+    # evaluates them serially (no-op at 100 TB, see ann_ivf_kmeans)
+    cand = track_persisted(
+        vecs.filter(F.col("vec_id") >= N_QUERIES)
+        .select("vec_id", "emb")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .persist()
+    )
     q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "emb"
     )
 
-    encoded = None
-    qtables = []
-    for m in range(PQ_M):
-        sub = F.slice(F.col("emb"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
-        subcand = cand.select("vec_id", sub.alias("emb"))
-        init = sorted(subcand.orderBy("vec_id").limit(PQ_K).collect(),
-                      key=lambda r: r["vec_id"])
-        cents = [(cell, list(r["emb"])) for cell, r in enumerate(init)]
-        for _ in range(KMEANS_ITERS):
-            cents = _collect_centroids(
-                _recompute_centroids(_assign_cells(subcand, cents))
-            )
-        codes_m = _assign_cells(subcand, cents).select(
-            "vec_id", F.col("cell").alias(f"code{m}")
-        )
-        encoded = codes_m if encoded is None else encoded.join(codes_m, "vec_id")
-        # per-query ADC distance table: PQ_K codebook entries unfold from
-        # literal arrays — a projection + explode, no centroid DataFrame to
-        # cross-join (the codebook is already bounded driver state)
-        qtables.append(
-            q.select("query_id", sub.alias("qs"))
-            .select(
-                "query_id",
-                F.lit(m).alias("m"),
-                F.explode(
-                    F.array(*[
-                        F.struct(
-                            F.lit(cell).alias("code"),
-                            _l2_dec(
-                                F.col("qs"), F.array(*[F.lit(v) for v in cvals])
-                            ).cast("double").alias("d2"),
-                        )
-                        for cell, cvals in cents
-                    ])
-                ).alias("e"),
-            )
-            .select("query_id", "m", F.col("e.code").alias("code"), F.col("e.d2").alias("d2"))
-        )
-    qtable = qtables[0]
-    for t in qtables[1:]:
-        qtable = qtable.unionByName(t)
+    def sub(m):
+        return F.slice(F.col("emb"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
 
-    codes_long = encoded.select(
+    # Batched training: all M subspace codebooks advance together so each
+    # Lloyd round is ONE job (M unioned argmin+posexplode branches over the
+    # cached candidates → one (m, cell, dim)-keyed agg, M·K·SUBDIM rows
+    # collected). Per-subspace Lloyd loops ran M× the driver round trips
+    # and — the real cost — M×ITERS plan recompiles (fresh centroid
+    # literals defeat the codegen cache; measured seconds per round).
+    init = sorted(cand.orderBy("vec_id").limit(PQ_K).collect(),
+                  key=lambda r: r["vec_id"])
+    books = [
+        [
+            (cell, list(r["emb"][m * PQ_SUBDIM: (m + 1) * PQ_SUBDIM]))
+            for cell, r in enumerate(init)
+        ]
+        for m in range(PQ_M)
+    ]
+    for _ in range(KMEANS_ITERS):
+        # ONE pass over the cached candidates: per row, an M-entry array of
+        # (m, cell, subvector) structs — each argmin evaluated once per
+        # vector inside the array build — exploded to M rows, then the
+        # subvector exploded to dims. (An M-branch union re-scanned the
+        # cache M times and, at local partition counts, quadrupled the
+        # task count; a projection sharing a select with its generator
+        # would instead re-evaluate the argmin per GENERATED row.)
+        entries = F.array(*[
+            F.named_struct(
+                F.lit("m"), F.lit(m),
+                F.lit("cell"), _cell_argmin_expr(books[m], sub(m)),
+                F.lit("svec"), sub(m),
+            )
+            for m in range(PQ_M)
+        ])
+        rows = (
+            cand.select(F.explode(entries).alias("e"))
+            .select(
+                F.col("e.m").alias("m"),
+                F.col("e.cell").alias("cell"),
+                F.posexplode("e.svec").alias("dim", "val"),
+            )
+            .groupBy("m", "cell", "dim")
+            .agg(F.count("*").alias("n"), F.sum(F.col("val").cast(DEC)).alias("s"))
+            .collect()
+        )
+        acc: dict[int, dict[int, dict[int, float]]] = {}
+        for r in rows:
+            acc.setdefault(r["m"], {}).setdefault(r["cell"], {})[r["dim"]] = (
+                float(r["s"]) / r["n"]
+            )
+        books = [
+            sorted(
+                (cell, [byd[i] for i in range(PQ_SUBDIM)])
+                for cell, byd in acc[m].items()
+            )
+            for m in range(PQ_M)
+        ]
+
+    # encode: ONE projection computes all M codes per vector — no M-way
+    # join of per-subspace assignments
+    codes_long = cand.select(
         "vec_id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"), F.col(f"code{m}").alias("code")
-                    )
-                    for m in range(PQ_M)
-                ]
-            )
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    _cell_argmin_expr(books[m], sub(m)).alias("code"),
+                )
+                for m in range(PQ_M)
+            ])
         ).alias("mc"),
     ).select("vec_id", F.col("mc.m").alias("m"), F.col("mc.code").alias("code"))
+
+    # per-query ADC distance tables: M×PQ_K codebook entries unfold from
+    # three flat nested-array literals via one transform+explode — a
+    # projection, no centroid DataFrame to cross-join and no M×K-arm
+    # expression tree (same analysis-cost rationale as _cell_argmin_expr)
+    ms_l = F.lit([m for m in range(PQ_M) for _ in books[m]])
+    codes_l = F.lit([cell for m in range(PQ_M) for cell, _ in books[m]])
+    vals_l = F.lit([cvals for m in range(PQ_M) for _, cvals in books[m]])
+    qtable = q.select(
+        "query_id",
+        F.explode(
+            F.transform(
+                ms_l,
+                lambda mm, i: F.named_struct(
+                    F.lit("m"), mm,
+                    F.lit("code"), F.element_at(codes_l, i + 1),
+                    F.lit("d2"),
+                    _l2_dec(
+                        F.slice(F.col("emb"), mm * PQ_SUBDIM + 1, PQ_SUBDIM),
+                        F.element_at(vals_l, i + 1),
+                    ).cast("double"),
+                ),
+            )
+        ).alias("e"),
+    ).select(
+        "query_id",
+        F.col("e.m").alias("m"),
+        F.col("e.code").alias("code"),
+        F.col("e.d2").alias("d2"),
+    )
 
     adc = (
         codes_long.join(F.broadcast(qtable), ["m", "code"])

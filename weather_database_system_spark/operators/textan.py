@@ -19,6 +19,7 @@ from weather_database_system_spark.operators.relational import DEC, _fr, _sql_fr
 from weather_database_system_spark.operators.dedup import (
     MAX_POSTING_LEN,
     _SQL_SHINGLES,
+    _capped_postings,
     _grams,
     _shingles,
     _sql_grams,
@@ -205,14 +206,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: idf is floor-rounded to 6 decimals FIRST, so the ranking
     key tf·idf6 is a product of bit-identical doubles in both engines; ties
-    break by term. N is the corpus size (a parquet-footer count)."""
+    break by term. N is the corpus size, riding the lazy plan as a 1-row
+    broadcast (no separate eager count action)."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
     terms = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf6 = _fr(F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6)
-    scored = tf.join(df_, "term").select(
+    totals = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    idf6 = _fr(F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6)
+    scored = tf.join(df_, "term").crossJoin(F.broadcast(totals)).select(
         "doc_id",
         "term",
         "tf",
@@ -257,8 +259,14 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).select(
         "doc_id", F.size("toks").alias("dl"), "toks"
     )
-    stats = base.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    n_docs, avgdl = stats["n"], stats["avgdl"]
+    # corpus stats (N, avgdl) ride the lazy plan as a 1-row broadcast —
+    # previously an eager collect that cost a SEPARATE full tokenize pass
+    # over the corpus before the main job (same class as the
+    # tfidf_cosine_pairs/unigram n_docs fix; the values are identical
+    # doubles either way)
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
 
     terms = base.select("doc_id", "dl", F.explode("toks").alias("term")).filter(
         F.col("term").isin(*BM25_QUERY)
@@ -268,14 +276,15 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf6 = _fr(
-        F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)), 6
+        F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)), 6
     )
     denom = F.col("tf") + BM25_K1 * (
-        1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl)
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
     )
     tscore6 = _fr(idf6 * (F.col("tf") * (BM25_K1 + 1.0)) / denom, 6)
     per_doc = (
         tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
         .select("doc_id", tscore6.cast(DEC).alias("ts"))
         .groupBy("doc_id")
         .agg(_fr(F.sum("ts").cast("double"), 6).alias("bm25"))
@@ -450,9 +459,10 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.sum((F.col("w") * F.col("w")).cast(DEC)).cast("double")).alias("nrm")
     )
     sh = base.select("doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("s"))
-    postings = sh.groupBy("s").agg(F.collect_list("doc_id").alias("ds"))
+    # cap precedes the collect — see dedup._capped_postings
+    postings = _capped_postings(sh, MAX_POSTING_LEN)
     cand = (
-        postings.filter((F.size("ds") > 1) & (F.size("ds") <= MAX_POSTING_LEN))
+        postings
         .select(F.explode("ds").alias("doc_a"), "ds")
         .select("doc_a", F.explode("ds").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
