@@ -43,7 +43,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # lazy plan as a 1-row broadcast — bm25's cost a separate full tokenize
 # pass per run), ngram_jaccard_pairs + dedup_containment (posting cap now
 # precedes the collect_list — _capped_postings — so hot shingles never
-# materialize unbounded arrays in agg state; identical results).
+# materialize unbounded arrays in agg state; identical results), and the
+# whole banded-LSH family — dedup_minhash_lsh(+fast), dedup_clusters
+# (+fast), corpus_dedup_apply, split_by_cluster, pagerank_near_dup,
+# graph_clustering_coeff, dedup_against_index — whose candidate stage now
+# caps band-bucket size (BAND_BUCKET_CAP, engine + oracle in lockstep;
+# never binds at test SFs, so results are identical).
 _LAST_VERIFIED = {
     # --- last green in r01 ---
     **dict.fromkeys([
@@ -106,18 +111,16 @@ _LAST_VERIFIED = {
         "changepoint_mean_shift", "chunk_dedup_stats",
         "contamination_eval_overlap", "corpus_dedup_apply",
         "curriculum_pack_epochs", "data_quality_profile",
-        "decayed_user_value", "dedup_against_index", "dedup_clusters",
-        "dedup_clusters_fast", "dedup_minhash_lsh",
-        "dedup_minhash_lsh_fast", "diff_snapshots", "embedding_gram_matrix",
+        "decayed_user_value", "diff_snapshots", "embedding_gram_matrix",
         "embedding_pca_project", "entity_fuzzy_blocking",
-        "funnel_time_to_convert", "graph_clustering_coeff",
+        "funnel_time_to_convert",
         "hll_partial_rollup", "image_decode_features",
-        "item_cooccurrence_similarity", "pagerank_near_dup",
+        "item_cooccurrence_similarity",
         "pmi_collocations", "repetition_ngram_stats",
         "rollup_merge_incremental", "scd2_user_history",
         "seasonal_hourly_profile", "skyline_pareto", "source_kl_divergence",
         "source_overlap_jaccard", "span_corruption_masks",
-        "split_by_cluster", "time_proximity_join", "tokenize_to_ids",
+        "time_proximity_join", "tokenize_to_ids",
         "unigram_logprob_quality", "window_distribution_funcs",
         "winnow_fingerprints", "zorder_layout",
     ], 5),

@@ -2459,3 +2459,50 @@ def test_sequence_pack_conserves_tokens_across_shard_counts(spark):
             for b in bins[:-1]:
                 cum += b.n_tokens
                 assert cum >= (b.bin_id + 1) * PACK_BUDGET, (key, b.bin_id, cum)
+
+
+def test_band_bucket_cap_defuses_mega_buckets(spark, tmp_path_factory):
+    """A corpus where most docs share IDENTICAL text must not turn the
+    banded-LSH candidate stage into one k²/2-pair task: the bucket cap
+    (BAND_BUCKET_CAP, set low here via monkeypatch-free direct call)
+    drops the mega-bucket BEFORE pair expansion, while dedup_exact's
+    digest path still groups the identical docs — the documented division
+    of labour. Distinct near-dup pairs in small buckets survive."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.dedup import (
+        _cap_band_buckets,
+        _md5_signatures,
+        _band_explode,
+        dedup_exact,
+    )
+
+    tmp = tmp_path_factory.mktemp("megabucket")
+    boiler = "the same boilerplate licence header repeated verbatim " * 4
+    rows = [(i, boiler, "en", "src0", len(boiler)) for i in range(200)]
+    # two genuinely distinct near-dup docs in their own small bucket
+    rows += [
+        (200, "alpha beta gamma delta epsilon zeta eta theta", "en", "src1", 48),
+        (201, "alpha beta gamma delta epsilon zeta eta iota", "en", "src1", 47),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    from weather_database_system_spark.sources.star import load_table
+
+    docs = load_table(spark, str(tmp), "documents")
+    bands = _md5_signatures(docs, 4).select("doc_id", _band_explode()).select(
+        "doc_id", "bb.band", "bb.bsig"
+    )
+    capped = _cap_band_buckets(bands, cap=50)
+    # every surviving bucket is within the cap...
+    sizes = capped.groupBy("band", "bsig").count().collect()
+    assert sizes and all(r["count"] <= 50 for r in sizes)
+    # ...the 200-doc boilerplate bucket is gone from pair generation...
+    surviving_docs = {r["doc_id"] for r in capped.select("doc_id").distinct().collect()}
+    assert 200 in surviving_docs and 201 in surviving_docs
+    assert not any(d < 200 for d in surviving_docs)
+    # ...and the identical docs still dedup via the exact-digest path
+    exact = {r["canonical_doc_id"]: r["n_copies"] for r in dedup_exact(spark, str(tmp)).collect()}
+    assert exact[0] == 200, "exact path lost the identical-text mega-cluster"

@@ -44,6 +44,15 @@ NEAR_DUP_COS = 0.45   # embedding near-dup threshold (data is near-orthogonal)
 # from pair generation — they carry no dedup signal (they are, by
 # definition, common text). 64 bounds any task at ~2k pairs/shingle.
 MAX_POSTING_LEN = 64
+# LSH band-bucket cap: the banded candidate stage is a self-join on
+# (band, band-signature), so ONE bucket of k docs emits k(k-1)/2 pairs in
+# one task — the same skew bomb as an uncapped posting list. A bucket this
+# large is either boilerplate (a degenerate signature with no pairwise
+# signal) or an identical-text mega-cluster, which is dedup_exact's job
+# (the digest path groups it in one hash agg without pair expansion).
+# 1024 bounds any task at ~500k pairs and never binds at test SFs — the
+# oracles implement the identical cap so the contract stays executable.
+BAND_BUCKET_CAP = 1024
 # Exact all-pairs near-dup is O(n²) BY DESIGN (it is the verification
 # baseline for the LSH path in similarity.py); the guard makes "never run
 # this on unbounded input" executable instead of a docstring promise.
@@ -69,6 +78,17 @@ def _shingles(toks: Column) -> Column:
     )
     empty = F.expr("CAST(array() AS ARRAY<STRING>)")
     return F.when(F.size(toks) >= 3, F.array_distinct(gram)).otherwise(empty)
+
+
+def _cap_band_buckets(bands: DataFrame, cap: int = BAND_BUCKET_CAP) -> DataFrame:
+    """Drop over-cap band buckets BEFORE the pair self-join (see
+    BAND_BUCKET_CAP): a count pre-pass marks within-cap (band, bsig)
+    buckets and the band stream joins to them — the same
+    pre-filter-before-expansion shape as _capped_postings, and the join's
+    shuffle-by-bucket clustering is what the pair join needs anyway."""
+    sizes = bands.groupBy("band", "bsig").agg(F.count("*").alias("bn"))
+    ok = sizes.filter(F.col("bn") <= cap).select("band", "bsig")
+    return bands.join(ok, ["band", "bsig"])
 
 
 def _capped_postings(sh: DataFrame, cap: int) -> DataFrame:
@@ -222,8 +242,10 @@ def _banded_md5_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to re-joining the signature table twice after the pair join): the pair
     # stage then computes matched-hash counts inline from the two sig arrays
     # it already has, so the whole operator is ONE band-bucket join + one agg.
-    bands = sigs.select("doc_id", "sig", _band_explode()).select(
-        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
+    bands = _cap_band_buckets(
+        sigs.select("doc_id", "sig", _band_explode()).select(
+            "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
+        )
     )
 
     a, b = bands.alias("a"), bands.alias("b")
@@ -317,6 +339,7 @@ def _banded_fast_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
+    bands = _cap_band_buckets(bands)
 
     a, b = bands.alias("a"), bands.alias("b")
     return a.join(
@@ -495,9 +518,10 @@ def dedup_against_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = _md5_signatures(docs, n_part)
     bands = track_persisted(
-        sigs.select("doc_id", _band_explode())
-        .select("doc_id", "bb.band", "bb.bsig")
-        .persist()
+        _cap_band_buckets(
+            sigs.select("doc_id", _band_explode())
+            .select("doc_id", "bb.band", "bb.bsig")
+        ).persist()
     )
     near = (
         bands.filter(is_batch)
@@ -1071,9 +1095,19 @@ def _sql_dedup_clusters() -> str:
         sigs AS (
             SELECT doc_id, {_sql_minhash_sig(_SQL_SHINGLES)} AS sig FROM docs
         ),
-        bands AS (
+        bands0 AS (
             SELECT doc_id, b AS band, sig[2*b + 1] || sig[2*b + 2] AS bsig
             FROM sigs, range(0, {N_BANDS}) AS t(b)
+        ),
+        -- band-bucket cap (BAND_BUCKET_CAP): identical to the engine's
+        -- _cap_band_buckets pre-filter; never binds at oracle SF
+        bcap AS (
+            SELECT band, bsig FROM bands0
+            GROUP BY 1, 2 HAVING count(*) <= {BAND_BUCKET_CAP}
+        ),
+        bands AS (
+            SELECT bands0.doc_id, bands0.band, bands0.bsig
+            FROM bands0 JOIN bcap USING (band, bsig)
         ),
         cpairs AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1133,9 +1167,19 @@ def _sql_pagerank() -> str:
         sigs AS (
             SELECT doc_id, {_sql_minhash_sig(_SQL_SHINGLES)} AS sig FROM docs
         ),
-        bands AS (
+        bands0 AS (
             SELECT doc_id, b AS band, sig[2*b + 1] || sig[2*b + 2] AS bsig
             FROM sigs, range(0, {N_BANDS}) AS t(b)
+        ),
+        -- band-bucket cap (BAND_BUCKET_CAP): identical to the engine's
+        -- _cap_band_buckets pre-filter; never binds at oracle SF
+        bcap AS (
+            SELECT band, bsig FROM bands0
+            GROUP BY 1, 2 HAVING count(*) <= {BAND_BUCKET_CAP}
+        ),
+        bands AS (
+            SELECT bands0.doc_id, bands0.band, bands0.bsig
+            FROM bands0 JOIN bcap USING (band, bsig)
         ),
         cpairs AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1198,9 +1242,19 @@ ORACLE: dict[str, str] = {
         sigs AS (
             SELECT doc_id, {_sql_minhash_sig(_SQL_SHINGLES)} AS sig FROM docs
         ),
-        bands AS (
+        bands0 AS (
             SELECT doc_id, b AS band, sig[2*b + 1] || sig[2*b + 2] AS bsig
             FROM sigs, range(0, {N_BANDS}) AS t(b)
+        ),
+        -- band-bucket cap (BAND_BUCKET_CAP): identical to the engine's
+        -- _cap_band_buckets pre-filter; never binds at oracle SF
+        bcap AS (
+            SELECT band, bsig FROM bands0
+            GROUP BY 1, 2 HAVING count(*) <= {BAND_BUCKET_CAP}
+        ),
+        bands AS (
+            SELECT bands0.doc_id, bands0.band, bands0.bsig
+            FROM bands0 JOIN bcap USING (band, bsig)
         ),
         pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1275,9 +1329,19 @@ ORACLE: dict[str, str] = {
         sigs AS (
             SELECT doc_id, {_sql_minhash_sig(_SQL_SHINGLES)} AS sig FROM docs
         ),
-        bands AS (
+        bands0 AS (
             SELECT doc_id, b AS band, sig[2*b + 1] || sig[2*b + 2] AS bsig
             FROM sigs, range(0, {N_BANDS}) AS t(b)
+        ),
+        -- band-bucket cap (BAND_BUCKET_CAP): identical to the engine's
+        -- _cap_band_buckets pre-filter; never binds at oracle SF
+        bcap AS (
+            SELECT band, bsig FROM bands0
+            GROUP BY 1, 2 HAVING count(*) <= {BAND_BUCKET_CAP}
+        ),
+        bands AS (
+            SELECT bands0.doc_id, bands0.band, bands0.bsig
+            FROM bands0 JOIN bcap USING (band, bsig)
         ),
         near AS (
             SELECT b.doc_id, min(i.doc_id) AS near_match
@@ -1301,9 +1365,19 @@ ORACLE: dict[str, str] = {
         sigs AS (
             SELECT doc_id, {_sql_minhash_sig(_SQL_SHINGLES)} AS sig FROM docs
         ),
-        bands AS (
+        bands0 AS (
             SELECT doc_id, b AS band, sig[2*b + 1] || sig[2*b + 2] AS bsig
             FROM sigs, range(0, {N_BANDS}) AS t(b)
+        ),
+        -- band-bucket cap (BAND_BUCKET_CAP): identical to the engine's
+        -- _cap_band_buckets pre-filter; never binds at oracle SF
+        bcap AS (
+            SELECT band, bsig FROM bands0
+            GROUP BY 1, 2 HAVING count(*) <= {BAND_BUCKET_CAP}
+        ),
+        bands AS (
+            SELECT bands0.doc_id, bands0.band, bands0.bsig
+            FROM bands0 JOIN bcap USING (band, bsig)
         ),
         edges AS (
             SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
