@@ -242,10 +242,15 @@ def _banded_md5_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to re-joining the signature table twice after the pair join): the pair
     # stage then computes matched-hash counts inline from the two sig arrays
     # it already has, so the whole operator is ONE band-bucket join + one agg.
-    bands = _cap_band_buckets(
-        sigs.select("doc_id", "sig", _band_explode()).select(
-            "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
-        )
+    # persist the CAPPED band table: both sides of the pair self-join read
+    # it, and without a persist each side re-evaluates the cap subtree
+    # (bucket-size agg + join) — measured ~2× the candidate stage
+    bands = track_persisted(
+        _cap_band_buckets(
+            sigs.select("doc_id", "sig", _band_explode()).select(
+                "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
+            )
+        ).persist()
     )
 
     a, b = bands.alias("a"), bands.alias("b")
@@ -339,7 +344,8 @@ def _banded_fast_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
-    bands = _cap_band_buckets(bands)
+    # persisted for the same both-sides reason as _banded_md5_candidates
+    bands = track_persisted(_cap_band_buckets(bands).persist())
 
     a, b = bands.alias("a"), bands.alias("b")
     return a.join(
