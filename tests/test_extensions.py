@@ -2506,3 +2506,34 @@ def test_band_bucket_cap_defuses_mega_buckets(spark, tmp_path_factory):
     # ...and the identical docs still dedup via the exact-digest path
     exact = {r["canonical_doc_id"]: r["n_copies"] for r in dedup_exact(spark, str(tmp)).collect()}
     assert exact[0] == 200, "exact path lost the identical-text mega-cluster"
+
+
+def test_logstar_clusters_equal_fixpoint_twin_and_converge_in_log_rounds(spark):
+    """dedup_clusters_logstar must emit EXACTLY dedup_clusters' rows (same
+    candidate graph, different components algorithm), and the star
+    contraction must label a 240-node path graph — diameter 239, which the
+    one-hop fixpoint would need ~120 materializations for — in ≤ 12
+    alternations with every node labeled 0."""
+    from weather_database_system_spark.operators.dedup import (
+        _logstar_components,
+        dedup_clusters,
+        dedup_clusters_logstar,
+    )
+
+    a = [tuple(r) for r in dedup_clusters(spark, SF_SMOKE).collect()]
+    b = [tuple(r) for r in dedup_clusters_logstar(spark, SF_SMOKE).collect()]
+    assert a == b
+
+    n = 240
+    docs = spark.range(n).toDF("doc_id")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(i + 1, i) for i in range(n - 1)],
+        "src long, dst long",
+    )
+    rounds: list = []
+    labels = _logstar_components(docs, edges, _rounds_out=rounds).collect()
+    assert rounds and rounds[0] <= 12, rounds
+    assert len(labels) == n
+    assert all(r["cluster_id"] == 0 for r in labels), sorted(
+        {r["cluster_id"] for r in labels}
+    )

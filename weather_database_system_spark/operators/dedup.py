@@ -867,6 +867,105 @@ def _propagate_min_labels(docs: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
+LOGSTAR_MAX_ROUNDS = 30  # ≥ ~2·log2(n) for any plausible component
+
+
+def _canon_edges(df: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical (a < b) form, distinct."""
+    return (
+        df.select(
+            F.least(F.col("x"), F.col("y")).alias("a"),
+            F.greatest(F.col("x"), F.col("y")).alias("b"),
+        ).distinct()
+    )
+
+
+def _logstar_components(docs: DataFrame, edges: DataFrame, _rounds_out=None) -> DataFrame:
+    """Connected components in O(log n) rounds via alternating
+    large-star / small-star (Kiveris, Lattanzi, Mirrokni, Rastogi,
+    Vassilvitskii — "Connected Components in MapReduce and Beyond",
+    SoCC 2014): large-star connects every strictly-larger neighbor of a
+    node to the minimum of its neighborhood; small-star connects every
+    smaller neighbor (keyed by the larger endpoint) to that side's
+    minimum. Alternation converges to a forest of stars centered at each
+    component's minimum id — the same labels as min-label propagation.
+
+    Why this exists NEXT TO _propagate_min_labels: the fixpoint walks one
+    hop per step, so its round count is the graph DIAMETER — and the r6
+    scale rehearsal measured candidate-graph BFS depth growing 2 → 4 → 6
+    across 1×/2×/4× corpora (chance band collisions chain clusters;
+    boilerplate hubs do the same on real corpora). Star contraction
+    halves path lengths every alternation, so rounds grow with log
+    diameter instead; each round is still edge-sized key-partitioned
+    shuffles with zero driver state beyond the O(1) convergence probe.
+    Convergence = exact edge-set stability (count equality + an anti-join
+    emptiness probe on the canonical distinct edge set — no checksum
+    collisions). Labels read directly off the converged stars:
+    min(neighbor ∪ self).
+
+    Lineage discipline: each round references the previous edge set FOUR
+    times (both sym directions, the large→small chain, the stability
+    probe), so persist alone is not enough — persist caches physical
+    results but Catalyst re-analyzes the full LOGICAL tree, which would
+    quadruple per round (the exponential-plan failure NOTES r5 documents
+    for the fixpoint; here it OOMed the driver in 5 rounds at smoke SF).
+    localCheckpoint truncates the plan at each round's materialization,
+    so analysis cost is flat per round."""
+    E = _canon_edges(
+        edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    ).localCheckpoint(eager=True)
+    n_prev = E.count()
+    for rnd in range(LOGSTAR_MAX_ROUNDS):
+        sym = E.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            E.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        lmins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        lmins = lmins.select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        large = _canon_edges(
+            sym.filter(F.col("v") > F.col("u"))
+            .join(lmins, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .filter(F.col("x") != F.col("y"))
+        )
+        # small-star: key = the larger endpoint of each canonical edge
+        dirn = large.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        smins = dirn.groupBy("u").agg(F.min("v").alias("m"))
+        E_new = _canon_edges(
+            dirn.join(smins, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .filter(F.col("x") != F.col("y"))
+            .union(smins.select(F.col("u").alias("x"), F.col("m").alias("y")))
+        ).localCheckpoint(eager=True)
+        n_new = E_new.count()
+        stable = n_new == n_prev and (
+            E_new.join(E, ["a", "b"], "left_anti").limit(1).count() == 0
+        )
+        E, n_prev = E_new, n_new
+        if stable:
+            if _rounds_out is not None:
+                _rounds_out.append(rnd + 1)
+            sym = E.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+                E.select(F.col("b").alias("u"), F.col("a").alias("v"))
+            )
+            labels = (
+                sym.groupBy("u")
+                .agg(F.min("v").alias("mn"))
+                .select(
+                    F.col("u").alias("doc_id"),
+                    F.least(F.col("mn"), F.col("u")).alias("cluster_id"),
+                )
+            )
+            singles = docs.join(labels, "doc_id", "left_anti").select(
+                "doc_id", F.col("doc_id").alias("cluster_id")
+            )
+            return labels.union(singles)
+    raise RuntimeError(
+        f"dedup_clusters_logstar: star contraction still moving after "
+        f"{LOGSTAR_MAX_ROUNDS} rounds — that is > 2^{LOGSTAR_MAX_ROUNDS // 2} "
+        f"effective diameter; inspect the pair graph"
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment (survivorship): connected components over
     the MinHash-LSH candidate-pair graph via min-label propagation iterated
@@ -896,6 +995,21 @@ def dedup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pinned in test_extensions — identical banding geometry over the same
     shingle sets, only the salted hash family differs."""
     return _clusters_from_candidates(spark, sf_dir, _banded_fast_candidates)
+
+
+def dedup_clusters_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-round twin of ``dedup_clusters``: the same md5-banded candidate
+    graph, components via alternating large-star/small-star contraction
+    (see _logstar_components) instead of one-hop min-label propagation —
+    O(log diameter) materializations instead of O(diameter), which is the
+    variant a 100 TB corpus with boilerplate-chained components runs.
+    Output is IDENTICAL (component = component), so it shares
+    dedup_clusters' DuckDB transitive-closure oracle; a pytest pins
+    twin-equality plus log-round convergence on a 240-node path graph the
+    fixpoint would need 120 rounds to label."""
+    return _clusters_from_candidates(
+        spark, sf_dir, _banded_md5_candidates, propagate=_logstar_components
+    )
 
 
 def corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1058,7 +1172,9 @@ def _round10(x: float) -> float:
     return math.floor(x * 1e10 + 0.5) / 1e10
 
 
-def _clusters_from_candidates(spark: SparkSession, sf_dir: str, cand_fn) -> DataFrame:
+def _clusters_from_candidates(
+    spark: SparkSession, sf_dir: str, cand_fn, propagate=None
+) -> DataFrame:
     pairs = (
         cand_fn(spark, sf_dir)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -1070,7 +1186,7 @@ def _clusters_from_candidates(spark: SparkSession, sf_dir: str, cand_fn) -> Data
         .toDF("src", "dst")
         .persist()
     )
-    labels = _propagate_min_labels(docs, edges)
+    labels = (propagate or _propagate_min_labels)(docs, edges)
     w = W.partitionBy("cluster_id")
     return (
         labels.withColumn("cluster_size", F.count("*").over(w).cast("int"))
@@ -1232,6 +1348,9 @@ def _sql_corpus_dedup_apply() -> str:
 
 ORACLE: dict[str, str] = {
     "dedup_clusters": _sql_dedup_clusters(),
+    # identical output by construction (components are components): the
+    # closure oracle is algorithm-agnostic
+    "dedup_clusters_logstar": _sql_dedup_clusters(),
     "corpus_dedup_apply": _sql_corpus_dedup_apply(),
     "pagerank_near_dup": _sql_pagerank(),
     "split_by_cluster": _sql_split_by_cluster(),
@@ -1471,6 +1590,7 @@ QUERIES = {
     "dedup_minhash_lsh_fast": dedup_minhash_lsh_fast,  # rows-only: xxhash64
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_fast": dedup_clusters_fast,  # rows-only: xxhash64
+    "dedup_clusters_logstar": dedup_clusters_logstar,
     "corpus_dedup_apply": corpus_dedup_apply,
     "pagerank_near_dup": pagerank_near_dup,
     "split_by_cluster": split_by_cluster,
