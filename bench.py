@@ -72,6 +72,11 @@ HEADLINE = (
     "curriculum_pack_epochs", # two-level distributed global prefix sum
     "session_path_analysis",  # sessionized top event-type paths
     "ann_product_quantization",  # PQ codebooks + ADC scoring (4 Lloyd loops)
+    # --- round-6 headliners ---
+    "dedup_clusters_logstar", # md5 pair graph → large-star/small-star
+                              # components in O(log diameter) rounds
+    "feed_daily_rollup",      # partitioned Python DataSource ingest →
+                              # pivot → fill policy → daily rollup
 )
 
 # N runs per query; report the per-query MEDIAN. Default 1 preserves the

@@ -993,7 +993,14 @@ def dedup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry-canonical for the DuckDB oracle (xxhash64 is Spark-specific →
     rows-only driver check); cluster-assignment agreement between the twins
     is pinned in test_extensions — identical banding geometry over the same
-    shingle sets, only the salted hash family differs."""
+    shingle sets, only the salted hash family differs.
+
+    Algorithm choice is diameter-dependent (measured, NOTES r6): at small
+    graph diameter (≤ ~4 — every tested SF) one-hop min-label propagation
+    converges in 1-2 materializations and wins on round latency;
+    star contraction (_logstar_components, `dedup_clusters_logstar`) pays
+    more actions per alternation but scales as O(log diameter) — the
+    switch-over for boilerplate-chained corpora whose diameter grows."""
     return _clusters_from_candidates(spark, sf_dir, _banded_fast_candidates)
 
 
