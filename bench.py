@@ -56,9 +56,10 @@ HEADLINE = (
     "time_weighted_avg",      # interval-weighted temporal mean
     "corpus_curation",        # quality→lang→dedup gates in one pass
     "stratified_sample",      # map-only hash-bucket sampling
-    "dedup_clusters_fast",    # xxhash64 pair graph → fixpoint components
-                              # (production hash; the md5 twin stays in the
-                              # registry for byte-exact oracle parity)
+    "dedup_clusters_fast",    # xxhash64 pair graph → log-round star-
+                              # contraction components (production hash +
+                              # algorithm; md5 twins stay registry-
+                              # canonical for byte-exact oracle parity)
     "contamination_eval_overlap",  # broadcast eval-gram decontamination
     "semdedup_prune",         # Lloyd-clustered semantic prune (cell-scoped)
     "domain_mixture_weights", # per-source token shares + resample weights

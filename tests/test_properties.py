@@ -415,3 +415,60 @@ def test_single_observation_series_excluded_from_ols(spark, tmp_path_factory):
         em.oracle_sql()["linear_regression_trend"],
         name="linear_regression_trend_singleton",
     )
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("a b c d e".split()), min_size=0, max_size=8),
+        min_size=1,
+        max_size=14,
+    ),
+    cap=st.integers(min_value=2, max_value=6),
+)
+@SETTINGS
+def test_capped_prefilters_equal_naive_collect_then_filter(spark, docs, cap):
+    """The pre-filter-before-expansion rewrites (_capped_postings,
+    _cap_band_buckets) must emit EXACTLY the same sets as the naive
+    collect-everything-then-size-filter forms they replaced, for ANY tiny
+    corpus and cap — the memory-bounding optimization is not allowed to
+    change a single posting or bucket."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.dedup import (
+        _cap_band_buckets,
+        _capped_postings,
+    )
+
+    rows = [(i, " ".join(toks) if toks else "") for i, toks in enumerate(docs)]
+    # shingle-ish stream: one row per (doc, token) as the 's' unit
+    sh = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("s"))
+        .filter(F.col("s") != "")
+    )
+    got = {
+        (r["s"], tuple(sorted(r["ds"])))
+        for r in _capped_postings(sh, cap).collect()
+    }
+    naive = {
+        (r["s"], tuple(sorted(r["ds"])))
+        for r in sh.groupBy("s")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter((F.size("ds") > 1) & (F.size("ds") <= cap))
+        .collect()
+    }
+    assert got == naive
+
+    bands = sh.select(
+        "doc_id", (F.col("doc_id") % 2).alias("band"), F.col("s").alias("bsig")
+    )
+    got_b = {tuple(r) for r in _cap_band_buckets(bands, cap).collect()}
+    sizes = bands.groupBy("band", "bsig").count()
+    naive_b = {
+        tuple(r)
+        for r in bands.join(
+            sizes.filter(F.col("count") <= cap).select("band", "bsig"),
+            ["band", "bsig"],
+        ).collect()
+    }
+    assert got_b == naive_b

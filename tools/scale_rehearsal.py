@@ -48,6 +48,7 @@ HEAVY = [
     "semdedup_prune",
     "ann_product_quantization",
     "dedup_clusters_fast",
+    "dedup_clusters_logstar",
     "tfidf_cosine_pairs",
     "ngram_jaccard_pairs",
 ]

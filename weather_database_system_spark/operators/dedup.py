@@ -993,15 +993,20 @@ def dedup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry-canonical for the DuckDB oracle (xxhash64 is Spark-specific →
     rows-only driver check); cluster-assignment agreement between the twins
     is pinned in test_extensions — identical banding geometry over the same
-    shingle sets, only the salted hash family differs.
+    shingle sets, only the hash family and components algorithm differ
+    (components are components).
 
-    Algorithm choice is diameter-dependent (measured, NOTES r6): at small
-    graph diameter (≤ ~4 — every tested SF) one-hop min-label propagation
-    converges in 1-2 materializations and wins on round latency;
-    star contraction (_logstar_components, `dedup_clusters_logstar`) pays
-    more actions per alternation but scales as O(log diameter) — the
-    switch-over for boilerplate-chained corpora whose diameter grows."""
-    return _clusters_from_candidates(spark, sf_dir, _banded_fast_candidates)
+    Components run via star contraction (_logstar_components): an
+    interleaved same-session A/B on identical candidates at sf0.1
+    measured logstar 2.5-3.3 s vs fixpoint 5.1-5.6 s, and the r6 scale
+    rehearsal measured exponent 0.65 vs 1.3 on corpora whose diameter
+    grows (chance/boilerplate chaining) — logstar wins on both local
+    latency AND the O(log diameter) round bound. The md5 fixpoint twin
+    (dedup_clusters) stays oracle-canonical for the one-hop formulation;
+    dedup_clusters_logstar oracle-checks the contraction itself."""
+    return _clusters_from_candidates(
+        spark, sf_dir, _banded_fast_candidates, propagate=_logstar_components
+    )
 
 
 def dedup_clusters_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
