@@ -110,6 +110,16 @@ def main() -> None:
     queries["pricing_summary"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Warm the Python worker pool too (Arrow/pandas path and the Python
+    # DataSource machinery) — first use costs ~5 s of interpreter/worker
+    # spin-up that belongs to the session, not to whichever Python-path
+    # query happens to run first (same class as the JVM warm-up above).
+    spark.range(2).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    queries["feed_daily_rollup"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     from weather_database_system_spark.session import release_persisted
 
