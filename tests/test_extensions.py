@@ -2537,3 +2537,39 @@ def test_logstar_clusters_equal_fixpoint_twin_and_converge_in_log_rounds(spark):
     assert all(r["cluster_id"] == 0 for r in labels), sorted(
         {r["cluster_id"] for r in labels}
     )
+
+
+def test_ivf_nprobe_dominates_single_probe_recall(spark):
+    """Multi-probe IVF (nprobe=2) must (1) share training with the
+    single-probe variant — every (query, neighbor) both return carries a
+    bit-identical cosine — (2) return a SUPERSET of each query's
+    single-probe candidate cells' results at rank <= 3 cutoffs consistent
+    with the wider candidate pool, and (3) never recall FEWER rank-1
+    brute-force neighbors than single-probe: widening the probe can only
+    add candidates."""
+    from weather_database_system_spark.operators.similarity import (
+        ann_brute_force,
+        ann_ivf_kmeans,
+        ann_ivf_kmeans_nprobe,
+    )
+
+    bf_rows = ann_brute_force(spark, SF_SMOKE).collect()
+    bf_rank1 = {r.query_id: r.neighbor_id for r in bf_rows if r.rank == 1}
+
+    one = ann_ivf_kmeans(spark, SF_SMOKE).collect()
+    two = ann_ivf_kmeans_nprobe(spark, SF_SMOKE).collect()
+    assert len({r.query_id for r in two}) == 10
+
+    cos1 = {(r.query_id, r.neighbor_id): r.cosine for r in one}
+    cos2 = {(r.query_id, r.neighbor_id): r.cosine for r in two}
+    for key in cos1.keys() & cos2.keys():
+        assert cos1[key] == cos2[key]
+
+    def rank1_recall(rows):
+        by_q: dict[int, list[int]] = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+        return sum(1 for q, n in bf_rank1.items() if n in by_q.get(q, []))
+
+    r1, r2 = rank1_recall(one), rank1_recall(two)
+    assert r2 >= r1, f"nprobe=2 recall {r2} < single-probe {r1}"

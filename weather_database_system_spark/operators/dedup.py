@@ -910,7 +910,10 @@ def _logstar_components(docs: DataFrame, edges: DataFrame, _rounds_out=None) -> 
     quadruple per round (the exponential-plan failure NOTES r5 documents
     for the fixpoint; here it OOMed the driver in 5 rounds at smoke SF).
     localCheckpoint truncates the plan at each round's materialization,
-    so analysis cost is flat per round."""
+    so analysis cost is flat per round. (localCheckpoint stores blocks on
+    executors — lost partitions cannot recompute; a long-running
+    production job on a lossy cluster swaps in reliable ``checkpoint()``
+    with a checkpoint dir, same semantics, plus storage round-trips.)"""
     E = _canon_edges(
         edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
     ).localCheckpoint(eager=True)

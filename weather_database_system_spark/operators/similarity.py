@@ -171,29 +171,36 @@ def _cell_argmin_expr(cents: list[tuple[int, list[float]]], col=None):
     crossJoin(broadcast(cents)) + row_number over partitionBy(vec_id)
     forced an N×K-row hash exchange per Lloyd iteration; a projection is
     absorbed by the scan pipeline — zero exchange, nothing to skew."""
+    return F.array_min(_cell_entries_expr(cents, col))["cell"]
+
+
+def _cell_entries_expr(cents: list[tuple[int, list[float]]], col=None):
+    """The (d², cell) struct array behind _cell_argmin_expr — exposed so
+    multi-probe routing can array_sort + slice the SAME entries (identical
+    distances, identical tie-break).
+
+    The centroid data lives in TWO nested-array literals (single Literal
+    nodes), not K unrolled per-cell expression arms: every Lloyd round
+    rebuilds this expression with fresh centroids, and a K×dims-arm tree
+    (~1000s of nodes) costs seconds of driver-side analysis/codegen PER
+    ROUND with zero cache reuse — measured 5-7 s/round at PQ's M×K=64
+    codebook vs ~1 s with the constant-size tree. Executor-side work is
+    identical (the same K×dims fold per row, HOF-interpreted either way).
+    named_struct, not struct+alias: aliases on struct children are
+    stripped when this expression nests inside ANOTHER struct (the PQ
+    encode projection), leaving col1/col2 field names."""
     if col is None:
         col = F.col("emb")
     cs = sorted(cents)
-    # The centroid data lives in TWO nested-array literals (single Literal
-    # nodes), not K unrolled per-cell expression arms: every Lloyd round
-    # rebuilds this expression with fresh centroids, and a K×dims-arm tree
-    # (~1000s of nodes) costs seconds of driver-side analysis/codegen PER
-    # ROUND with zero cache reuse — measured 5-7 s/round at PQ's M×K=64
-    # codebook vs ~1 s with the constant-size tree. Executor-side work is
-    # identical (the same K×dims fold per row, HOF-interpreted either way).
-    # named_struct, not struct+alias: aliases on struct children are
-    # stripped when this expression nests inside ANOTHER struct (the PQ
-    # encode projection), leaving col1/col2 field names.
     ids = F.lit([c for c, _ in cs])
     vals = F.lit([v for _, v in cs])
-    entries = F.transform(
+    return F.transform(
         ids,
         lambda cid, i: F.named_struct(
             F.lit("d2"), _l2_dec(col, F.element_at(vals, i + 1)),
             F.lit("cell"), cid,
         ),
     )
-    return F.array_min(entries)["cell"]
 
 
 def _assign_cells(cand: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
@@ -262,6 +269,35 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible and the DuckDB oracle replays the whole training loop.
     Replaces the label-cell stand-in (ann_ivf_label) as the canonical IVF;
     recall vs brute force for both is measured in test_extensions."""
+    vecs, cand, assigned, cents = _train_ivf(spark, sf_dir)
+
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "emb")
+    qbest = _assign_cells(q, cents).select(
+        F.col("vec_id").alias("query_id"), F.col("cell").alias("best_cell")
+    )
+
+    qv, cv = vecs.alias("qv"), vecs.alias("cv")
+    cos = _dot_dec(F.col("qv.emb"), F.col("cv.emb")) / (F.col("qv.nrm") * F.col("cv.nrm"))
+    wk = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        qbest.join(assigned.alias("m"), qbest.best_cell == F.col("m.cell"))
+        .select("query_id", "best_cell", F.col("m.vec_id").alias("neighbor_id"))
+        .join(qv, F.col("query_id") == F.col("qv.vec_id"))
+        .join(cv, F.col("neighbor_id") == F.col("cv.vec_id"))
+        .select("query_id", "best_cell", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "best_cell", "rank", "neighbor_id", _fr(F.col("cos"), 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _train_ivf(spark: SparkSession, sf_dir: str):
+    """Shared IVF trainer: deterministic lowest-id init + KMEANS_ITERS
+    Lloyd rounds over the persisted candidates; returns (vecs, cand,
+    assigned, cents) for the probe stage. Factored out so the single-probe
+    and multi-probe variants train IDENTICALLY (same centroids → the
+    oracle replay applies verbatim to both)."""
     vecs = _emb_double(spark, sf_dir).select(
         "vec_id", "emb", F.sqrt(_dot_dec(F.col("emb"), F.col("emb"))).alias("nrm")
     )
@@ -283,24 +319,53 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = _lloyd_round(cand, cents, dims)
 
     assigned = _assign_cells(cand, cents).select("vec_id", "cell")
+    return vecs, cand, assigned, cents
+
+
+NPROBE = 2  # cells probed by the multi-probe variant
+
+
+def ann_ivf_kmeans_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with multi-cell probing — the recall knob every production IVF
+    index exposes (FAISS nprobe): route each query to its NPROBE nearest
+    learned centroids and exact-re-rank the UNION of those cells. Probing
+    one cell recall-cliffs whenever a query sits near a Voronoi boundary
+    (its true neighbors live in the second-closest cell); nprobe=2 reads
+    2/K of the table instead of 1/K — still a partition-pruned fraction at
+    100 TB — and strictly dominates single-probe recall (pytest pins
+    recall(nprobe=2) ≥ recall(nprobe=1) vs the brute-force ranking).
+
+    Training is shared with ann_ivf_kmeans (_train_ivf — identical
+    centroids), so the DuckDB oracle replays the same Lloyd loop and only
+    the probe CTE widens from rk = 1 to rk <= NPROBE. The NPROBE cells per
+    query come from ONE map-side expression: array_sort over the same
+    (d², cell) literal structs the argmin uses, sliced to NPROBE —
+    lexicographic sort = d² asc then cell asc, the argmin's tie-break."""
+    vecs, cand, assigned, cents = _train_ivf(spark, sf_dir)
 
     q = vecs.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "emb")
-    qbest = _assign_cells(q, cents).select(
-        F.col("vec_id").alias("query_id"), F.col("cell").alias("best_cell")
+    qcells = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(_cell_entries_expr(cents)), 1, NPROBE),
+                lambda e: e["cell"],
+            )
+        ).alias("cell"),
     )
 
     qv, cv = vecs.alias("qv"), vecs.alias("cv")
     cos = _dot_dec(F.col("qv.emb"), F.col("cv.emb")) / (F.col("qv.nrm") * F.col("cv.nrm"))
     wk = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        qbest.join(assigned.alias("m"), qbest.best_cell == F.col("m.cell"))
-        .select("query_id", "best_cell", F.col("m.vec_id").alias("neighbor_id"))
+        qcells.join(assigned.alias("m"), qcells.cell == F.col("m.cell"))
+        .select("query_id", F.col("m.vec_id").alias("neighbor_id"))
         .join(qv, F.col("query_id") == F.col("qv.vec_id"))
         .join(cv, F.col("neighbor_id") == F.col("cv.vec_id"))
-        .select("query_id", "best_cell", "neighbor_id", cos.alias("cos"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
         .withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= 3)
-        .select("query_id", "best_cell", "rank", "neighbor_id", _fr(F.col("cos"), 6).alias("cosine"))
+        .select("query_id", "rank", "neighbor_id", _fr(F.col("cos"), 6).alias("cosine"))
         .orderBy("query_id", "rank")
     )
 
@@ -1061,9 +1126,11 @@ def _sql_near_dup_lsh() -> str:
     """
 
 
-def _sql_ann_ivf_kmeans() -> str:
+def _sql_ann_ivf_kmeans(nprobe: int = 1) -> str:
     """DuckDB replay of the ENTIRE k-means training loop, long-form, with
-    the Lloyd rounds unrolled as CTE pairs (dist_i/assign_i → cent_{i+1})."""
+    the Lloyd rounds unrolled as CTE pairs (dist_i/assign_i → cent_{i+1}).
+    ``nprobe`` widens the query-routing CTE from rk = 1 to rk <= nprobe
+    (the multi-probe variant); training is byte-identical either way."""
     iters = []
     for i in range(KMEANS_ITERS):
         iters.append(f"""
@@ -1123,23 +1190,24 @@ def _sql_ann_ivf_kmeans() -> str:
                 SELECT vec_id, cell,
                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
                 FROM qdist
-            ) WHERE rk = 1
+            ) WHERE rk <= {nprobe}
         ),
         norms AS (
             SELECT vec_id, sqrt(CAST(sum(CAST(val*val AS DECIMAL(30,10))) AS DOUBLE)) AS nrm
             FROM long GROUP BY 1
         ),
         pdots AS (
-            SELECT b.query_id, b.best_cell, m.vec_id AS neighbor_id,
+            SELECT b.query_id, {"b.best_cell," if nprobe == 1 else ""}
+                   m.vec_id AS neighbor_id,
                    CAST(sum(CAST(x.val * y.val AS DECIMAL(30,10))) AS DOUBLE) AS dot
             FROM qbest b
             JOIN fassign m ON m.cell = b.best_cell
             JOIN q x ON x.vec_id = b.query_id
             JOIN cand y ON y.vec_id = m.vec_id AND x.dim = y.dim
-            GROUP BY 1, 2, 3
+            GROUP BY {"1, 2, 3" if nprobe == 1 else "1, 2"}
         ),
         ranked AS (
-            SELECT query_id, best_cell, neighbor_id,
+            SELECT query_id, {"best_cell," if nprobe == 1 else ""} neighbor_id,
                    dot / (nq.nrm * nc.nrm) AS cos,
                    CAST(row_number() OVER (PARTITION BY query_id
                                            ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS INT) AS rank
@@ -1147,7 +1215,7 @@ def _sql_ann_ivf_kmeans() -> str:
             JOIN norms nq ON query_id = nq.vec_id
             JOIN norms nc ON neighbor_id = nc.vec_id
         )
-        SELECT query_id, best_cell, rank, neighbor_id,
+        SELECT query_id, {"best_cell," if nprobe == 1 else ""} rank, neighbor_id,
                floor(cos * 1000000 + 0.5) / 1000000 AS cosine
         FROM ranked WHERE rank <= 3
         ORDER BY query_id, rank
@@ -1249,6 +1317,7 @@ ORACLE: dict[str, str] = {
     "semdedup_prune": _sql_semdedup(),
     "ann_lsh_fixedpoint": _sql_ann_lsh_fixedpoint(),
     "ann_ivf_kmeans": _sql_ann_ivf_kmeans(),
+    "ann_ivf_kmeans_nprobe": _sql_ann_ivf_kmeans(nprobe=NPROBE),
     "embedding_near_dup_lsh": _sql_near_dup_lsh(),
     "ann_brute_force": f"""
         WITH long AS ({_SQL_LONG}),
@@ -1351,6 +1420,7 @@ QUERIES = {
     "ann_brute_force": ann_brute_force,
     "ann_ivf_label": ann_ivf_label,
     "ann_ivf_kmeans": ann_ivf_kmeans,
+    "ann_ivf_kmeans_nprobe": ann_ivf_kmeans_nprobe,
     "ann_product_quantization": ann_product_quantization,  # rows-only: M Lloyd loops
     "semdedup_prune": semdedup_prune,
     "ann_bruteforce_pandas": ann_bruteforce_pandas,

@@ -185,6 +185,50 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late_data_policy(_ev(spark, sf_dir)).orderBy("window_start")
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream inner join
+    (test_streaming.test_stream_stream_join_with_watermarks drives the
+    SAME join through readStream/writeStream and asserts equality with
+    this form): per user, each click joined to the views in the
+    preceding 30 minutes — the attribution-join shape whose streaming
+    version bounds both sides' state with 1-hour watermarks.
+
+    Scale shape: an equi-join on user_id carries the time predicate as a
+    residual — one user-keyed exchange per side, no interval explosion;
+    the streaming twin's state is watermark-bounded per key. Output is a
+    deterministic (click, view) pair list with the gap in whole seconds."""
+    ev = _ev(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    gap_sec = F.unix_micros("click_ts") - F.unix_micros("view_ts")
+    return (
+        clicks.join(
+            views,
+            (F.col("click_user") == F.col("view_user"))
+            & (F.col("view_ts") <= F.col("click_ts"))
+            & (
+                F.col("view_ts")
+                >= F.col("click_ts") - F.expr("INTERVAL 30 MINUTES")
+            ),
+        )
+        .select(
+            "click_id",
+            "view_id",
+            F.col("click_user").alias("user_id"),
+            (gap_sec / 1_000_000).cast("long").alias("gap_sec"),
+        )
+        .orderBy("click_id", "view_id")
+    )
+
+
 _HOUR = "date_trunc('hour', ts)"
 
 ORACLE: dict[str, str] = {
@@ -266,6 +310,21 @@ ORACLE: dict[str, str] = {
         FROM agg, wm
         ORDER BY window_start
     """,
+    # gap_sec: both engines floor non-negative whole-second gaps — Spark
+    # truncates the double division on cast, DuckDB // is floor division
+    "stream_stream_join": """
+        SELECT c.event_id AS click_id,
+               v.event_id AS view_id,
+               c.user_id AS user_id,
+               (epoch_us(c.ts) - epoch_us(v.ts)) // 1000000 AS gap_sec
+        FROM events c
+        JOIN events v
+          ON c.user_id = v.user_id
+         AND v.ts <= c.ts
+         AND v.ts >= c.ts - INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click' AND v.event_type = 'view'
+        ORDER BY click_id, view_id
+    """,
 }
 
 QUERIES = {
@@ -274,4 +333,5 @@ QUERIES = {
     "stream_session_window": stream_session_window,
     "stream_windowed_dedup": stream_windowed_dedup,
     "stream_late_data_policy": stream_late_data_policy,
+    "stream_stream_join": stream_stream_join,
 }
