@@ -287,3 +287,85 @@ def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
     # restart with the same checkpoint: stream is drained, nothing reprocessed
     run("restart")
     assert spark.read.parquet(out_dir).count() == n_expected
+
+
+def test_stateful_transformWithStateInPandas_value_state(spark, stream_src, tmp_path):
+    """Spark 4's transformWithState API (the applyInPandasWithState
+    successor: typed named state cells, timers, TTL) driving a custom
+    per-user running (count, max) aggregate through ValueState. Requires
+    the RocksDB state-store provider. Drained update-mode output's final
+    row per user must equal the batch aggregate.
+
+    ENV-GATED: the transformWithState protocol speaks protobuf between the
+    JVM and its Python driver worker; this container ships no
+    google.protobuf (verified: the worker crashes in StateMessage_pb2
+    import), so the test skips until the environment gains it — the same
+    carried-limitation class as PIL/cv2 for the multimodal decoders.
+    applyInPandasWithState (protobuf-free) remains the exercised stateful
+    path above."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState needs protobuf, absent from this container",
+    )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", "n long, mx double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx = (self._state.get() or (0, None)) if self._state.exists() else (0, None)
+            for pdf in rows:
+                n += len(pdf)
+                vals = pdf["value"].dropna()
+                if len(vals):
+                    m = float(vals.max())
+                    mx = m if mx is None or m > mx else mx
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = _read_stream(spark, stream_src)
+        stats = events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningStats(),
+            outputStructType="user_id long, n_events long, max_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+        _drain(stats, "update", "tws_stats", tmp_path)
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
+
+    latest = {}
+    for r in spark.table("tws_stats").collect():
+        cur = latest.get(r.user_id)
+        if cur is None or r.n_events >= cur[0]:
+            latest[r.user_id] = (r.n_events, r.max_value)
+    from pyspark.sql import functions as F
+
+    batch = {
+        r.user_id: (r.n, r.mx)
+        for r in spark.read.parquet(stream_src)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert latest == batch
