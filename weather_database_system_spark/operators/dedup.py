@@ -85,7 +85,16 @@ def _cap_band_buckets(bands: DataFrame, cap: int = BAND_BUCKET_CAP) -> DataFrame
     BAND_BUCKET_CAP): a count pre-pass marks within-cap (band, bsig)
     buckets and the band stream joins to them — the same
     pre-filter-before-expansion shape as _capped_postings, and the join's
-    shuffle-by-bucket clustering is what the pair join needs anyway."""
+    shuffle-by-bucket clustering is what the pair join needs anyway.
+
+    A window-count formulation (count over partitionBy(band, bsig) +
+    filter) was A/B'd and measured ~0.5-1 s faster at sf0.1 — and
+    REJECTED: WindowExec buffers each (band, bsig) group in one task
+    before the filter can drop it, so a mega-bucket re-creates exactly
+    the unbounded single-task state this cap exists to prevent (it
+    spills rather than OOMs, but the skewed task is serial). The agg
+    side here is map-side-combined counts, and over-cap rows stream
+    through the join probe unmatched — nothing ever buffers."""
     sizes = bands.groupBy("band", "bsig").agg(F.count("*").alias("bn"))
     ok = sizes.filter(F.col("bn") <= cap).select("band", "bsig")
     return bands.join(ok, ["band", "bsig"])
