@@ -288,3 +288,88 @@ def test_observation_feed_matches_single_payload_path(spark, tmp_path):
     assert sorted(feed_obs.collect(), key=key) == sorted(
         single.collect(), key=key
     )
+
+
+def test_observation_feed_live_url_mode_against_loopback_server(spark):
+    """The feed's LIVE path: executors GET the payload from a (loopback
+    stdlib) HTTP server with the reference's query params — covering
+    fetch_hourly_history's executor-side use through the DataSource,
+    which the offline fixture tests cannot. The server echoes the
+    requested coordinates/range back in a deterministic payload, so each
+    (station, shard) partition must land its own parameters."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    from weather_database_system_spark.pipeline.ingest import read_observation_feed
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            qs = parse_qs(urlparse(self.path).query)
+            lat, lon = float(qs["latitude"][0]), float(qs["longitude"][0])
+            start = qs["start_date"][0]
+            import datetime as dt
+
+            days = (
+                dt.date.fromisoformat(qs["end_date"][0])
+                - dt.date.fromisoformat(start)
+            ).days + 1
+            hours = days * 24
+            base = dt.datetime.fromisoformat(start + "T00:00")
+            payload = {
+                "latitude": lat,
+                "longitude": lon,
+                "timezone": qs["timezone"][0],
+                "hourly": {
+                    "time": [
+                        (base + dt.timedelta(hours=h)).strftime("%Y-%m-%dT%H:%M")
+                        for h in range(hours)
+                    ],
+                    "temperature_2m": [lat + h * 0.5 for h in range(hours)],
+                    "relative_humidity_2m": [50.0] * hours,
+                    "precipitation": [0.1] * hours,
+                    "wind_speed_10m": [1.0] * hours,
+                    "wind_gusts_10m": [2.0] * hours,
+                },
+            }
+            body = json.dumps(payload).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        stations = [
+            {"latitude": 37.0, "longitude": -121.0},
+            {"latitude": 40.0, "longitude": -120.0},
+        ]
+        bronze = read_observation_feed(
+            spark,
+            stations,
+            "2024-04-01",
+            "2024-04-02",
+            shard_days=1,
+            url=f"http://127.0.0.1:{port}/v1/archive",
+            fetched_at="2024-04-03T00:00:00",
+        )
+        rows = bronze.collect()
+        assert len(rows) == 4  # 2 stations × 2 one-day shards
+        assert bronze.rdd.getNumPartitions() == 4
+        for r in rows:
+            assert len(r.hourly.time) == 24
+            # the server derives temperature from the requested latitude —
+            # proves each partition sent its own station's params
+            assert r.hourly.temperature_2m[0] == r.latitude
+        assert {r.latitude for r in rows} == {37.0, 40.0}
+    finally:
+        srv.shutdown()
+        srv.server_close()
