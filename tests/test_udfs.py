@@ -70,3 +70,35 @@ def test_scalar_pandas_udf_is_arrow_vectorized(spark):
     plan = formatted_plan(udf_normalize_text(spark, SF_SMOKE))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_udtf_tokenizer_null_and_empty_text_parity(spark, tmp_path):
+    """NULL-text docs must vanish identically in both engines (the UDTF
+    yields nothing for None; the oracle filters IS NOT NULL), and an
+    empty string must yield exactly ONE empty token in both (Python
+    ''.split(' ') == [''], DuckDB string_split('', ' ') == [''])."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from tests.oracle import compare
+
+    rows = [
+        (0, None, "en", "src0", 0),
+        (1, "", "en", "src0", 0),
+        (2, "the quick fox", "en", "src0", 13),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    df = em.queries()["udf_tokenize_table"](spark, str(tmp_path))
+    got = df.collect()
+    assert {r.doc_id for r in got} == {1, 2}  # NULL-text doc gone
+    assert [(r.pos, r.token) for r in got if r.doc_id == 1] == [(0, "")]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    compare(df, con, em.oracle_sql()["udf_tokenize_table"], name="udtf_nulls")
