@@ -373,3 +373,37 @@ def test_observation_feed_live_url_mode_against_loopback_server(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_feed_shard_ranges_partition_any_range():
+    """Property: for ANY (range length, shard size), the shards tile the
+    inclusive date range exactly — disjoint, ordered, gapless, all within
+    bounds — so no fetch window is lost or doubled at shard boundaries."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from weather_database_system_spark.sources.observation_feed import shard_ranges
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        days=st.integers(min_value=1, max_value=60),
+        shard=st.integers(min_value=1, max_value=20),
+    )
+    def prop(days, shard):
+        start = dt.date(2024, 3, 1)
+        end = start + dt.timedelta(days=days - 1)
+        got = shard_ranges(start.isoformat(), end.isoformat(), shard)
+        covered = []
+        for a, b in got:
+            da, db = dt.date.fromisoformat(a), dt.date.fromisoformat(b)
+            assert start <= da <= db <= end
+            assert (db - da).days + 1 <= shard
+            cur = da
+            while cur <= db:
+                covered.append(cur)
+                cur += dt.timedelta(days=1)
+        assert covered == [start + dt.timedelta(days=i) for i in range(days)]
+
+    prop()
