@@ -831,18 +831,34 @@ def _semdedup_cell_expr(cents: dict[int, list[int]]):
     nodes) exceeds janino's 64 KB method limit, and the failed compile +
     whole-stage fallback costs seconds PER STAGE (new literals each round =
     no codegen cache hit) — measured 12.5 s warm vs ~3 s with the compact
-    fold, whose interpreted per-element cost (K×dims ops/row) is noise."""
-    arms = []
-    for cell in sorted(cents):
-        c = cents[cell]
-        dot = F.aggregate(
-            F.zip_with(F.col("qarr"), F.array(*[F.lit(v) for v in c]), lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        d2 = F.col("qq") - F.lit(2) * dot + F.lit(sum(v * v for v in c))
-        arms.append(F.struct(d2.alias("d2"), F.lit(cell).alias("cell")))
-    return F.array_min(F.array(*arms))["cell"]
+    fold, whose interpreted per-element cost (K×dims ops/row) is noise.
+    The centroid data lives in nested-array literals consumed by ONE
+    transform lambda (the _cell_entries_expr shape) rather than K unrolled
+    arms — constant-size expression tree regardless of K, so per-round
+    analysis cost stays flat too."""
+    cs = sorted(cents)
+    ids = F.lit(cs)
+    vals = F.lit([cents[c] for c in cs])
+    sq = F.lit([sum(v * v for v in cents[c]) for c in cs])
+    entries = F.transform(
+        ids,
+        lambda cid, i: F.named_struct(
+            F.lit("d2"),
+            F.col("qq")
+            - F.lit(2)
+            * F.aggregate(
+                F.zip_with(
+                    F.col("qarr"), F.element_at(vals, i + 1), lambda x, y: x * y
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            + F.element_at(sq, i + 1),
+            F.lit("cell"),
+            cid,
+        ),
+    )
+    return F.array_min(entries)["cell"]
 
 
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
