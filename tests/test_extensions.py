@@ -2573,3 +2573,33 @@ def test_ivf_nprobe_dominates_single_probe_recall(spark):
 
     r1, r2 = rank1_recall(one), rank1_recall(two)
     assert r2 >= r1, f"nprobe=2 recall {r2} < single-probe {r1}"
+
+
+def test_png_decode_features_match_ppm_decode_cross_format(spark):
+    """Two REAL containers, one truth: the PNG path (zlib inflate + full
+    defilter) must produce byte-identical pixel statistics to the PPM path
+    for every document — and the corrupted-payload guard must reject a
+    flipped CRC."""
+    import pytest as _pytest
+
+    from weather_database_system_spark.operators.multimodal import (
+        _decode_png,
+        _synth_png,
+        image_decode_features,
+        png_decode_features,
+    )
+
+    png = {
+        r.doc_id: (r.width, r.height, r.mean_r, r.mean_g, r.mean_b, r.luma_std)
+        for r in png_decode_features(spark, SF_SMOKE).collect()
+    }
+    ppm = {
+        r.doc_id: (r.width, r.height, r.mean_r, r.mean_g, r.mean_b, r.luma_std)
+        for r in image_decode_features(spark, SF_SMOKE).collect()
+    }
+    assert png and png == ppm
+
+    payload = bytearray(_synth_png(0))
+    payload[-5] ^= 0xFF  # flip a CRC byte of IEND
+    with _pytest.raises(ValueError, match="CRC"):
+        _decode_png(bytes(payload))

@@ -472,3 +472,39 @@ def test_capped_prefilters_equal_naive_collect_then_filter(spark, docs, cap):
         ).collect()
     }
     assert got_b == naive_b
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=2, max_value=16),
+    h=st.integers(min_value=5, max_value=12),   # ≥5 rows → every filter type used
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_encode_decode_roundtrips_any_image(w, h, seed):
+    """PNG codec property: for ANY pixel grid, encode (scanline filters
+    cycling through ALL five spec types) → inflate+defilter is the
+    identity — the decoder's Sub/Up/Average/Paeth reversal is grounded
+    over arbitrary images, not just the synthesis pattern."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from weather_database_system_spark.operators.multimodal import (
+        _decode_png,
+        _png_chunk,
+        _png_filter_scanlines,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    raw = _png_filter_scanlines(img, [r % 5 for r in range(h)])
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    dw, dh, px = _decode_png(payload)
+    assert (dw, dh) == (w, h)
+    assert (px == img).all()

@@ -12,8 +12,13 @@ Decode coverage is format-tiered, honestly:
   run genuine pixel and signal math (channel means, luma deviation,
   block-mean resize, RMS energy, zero-crossing rate) on payloads
   synthesized as real files of those formats.
-- Compressed formats (JPEG/PNG/MP3/MP4) need PIL/cv2/ffmpeg, which this
-  container does not ship; ``_fake_decode`` remains the clearly-marked
+- REAL compressed decode, still no external codecs: PNG (stdlib zlib
+  inflate + full scanline defiltering — all five filter types;
+  ``png_decode_features``), cross-checked byte-for-byte against the PPM
+  path on the same pixel grids and hypothesis-round-tripped over random
+  images.
+- Remaining compressed formats (JPEG/MP3/MP4) need PIL/cv2/ffmpeg, which
+  this container does not ship; ``_fake_decode`` remains the clearly-marked
   deterministic stand-in on the text-payload pipeline so the Arrow plumbing
   (binary schema, metadata struct, batch iteration, output schema) stays
   exercised end-to-end.
@@ -294,6 +299,163 @@ def _decode_ppm(payload: bytes):
     return w, h, px.reshape(h, w, 3)
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _synth_png(doc_id: int) -> bytes:
+    """A REAL PNG file from stdlib zlib alone (8-bit truecolor, no
+    interlace): the same closed-form pixel grid as _synth_ppm, with the
+    scanline FILTER TYPE CYCLING 0→4 per row (None/Sub/Up/Average/Paeth)
+    so a decoder must implement every filter in the spec, not just the
+    trivial one."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    x = np.arange(IMG_W, dtype=np.int64)
+    y = np.arange(IMG_H, dtype=np.int64)
+    xx, yy = np.meshgrid(x, y)
+    r = (xx * 5 + doc_id) % 256
+    g = (yy * 7 + 3 * doc_id) % 256
+    b = (xx + yy + doc_id) % 256
+    img = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    raw = _png_filter_scanlines(img, [row % 5 for row in range(IMG_H)])
+    ihdr = struct.pack(">IIBBBBB", IMG_W, IMG_H, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_filter_scanlines(img, filters: list[int]) -> bytes:
+    """Apply per-row PNG filters (encoder side): Filt = Raw − predictor
+    mod 256, predictor per the spec (bpp = 3)."""
+    import numpy as np
+
+    h, w, _ = img.shape
+    bpp, out = 3, bytearray()
+    prior = np.zeros(w * 3, dtype=np.int32)
+    for row in range(h):
+        raw = img[row].reshape(-1).astype(np.int32)
+        ft = filters[row]
+        filt = np.empty_like(raw)
+        for i in range(len(raw)):
+            left = raw[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            ul = prior[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) // 2
+            else:
+                pred = _paeth(left, up, ul)
+            filt[i] = (raw[i] - pred) % 256
+        out.append(ft)
+        out.extend(filt.astype(np.uint8).tobytes())
+        prior = raw
+    return bytes(out)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _decode_png(payload: bytes):
+    """REAL PNG decode with stdlib zlib only: chunk walk (CRC-verified),
+    IHDR parse (8-bit truecolor RGB, non-interlaced), IDAT inflate, and
+    full scanline defiltering — all five filter types (None/Sub/Up/
+    Average/Paeth) per the PNG spec §6. Returns (w, h, uint8 (h,w,3))."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG payload")
+    i, w = 8, None
+    idat = bytearray()
+    while i < len(payload):
+        (length,) = struct.unpack(">I", payload[i : i + 4])
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        (crc,) = struct.unpack(">I", payload[i + 8 + length : i + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, ctype_id, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype_id, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG flavor (need 8-bit truecolor, "
+                    f"got depth={depth} color={ctype_id} interlace={interlace})"
+                )
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 3, w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload length mismatch")
+    px = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for row in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).astype(
+            np.int32
+        )
+        pos += stride
+        recon = np.empty(stride, dtype=np.int32)
+        for i2 in range(stride):
+            left = recon[i2 - bpp] if i2 >= bpp else 0
+            up = prior[i2]
+            ul = prior[i2 - bpp] if i2 >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) // 2
+            elif ft == 4:
+                pred = _paeth(left, up, ul)
+            else:
+                raise ValueError(f"bad PNG filter type {ft}")
+            recon[i2] = (line[i2] + pred) % 256
+        px[row] = recon.astype(np.uint8)
+        prior = recon
+    return w, h, px.reshape(h, w, 3)
+
+
 def _synth_wav(doc_id: int) -> bytes:
     """A real RIFF/WAVE file written by the stdlib ``wave`` encoder: 16-bit
     mono PCM sine at a doc-dependent frequency — decoders see a genuine WAV
@@ -469,6 +631,80 @@ def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def with_png_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → a REAL compressed-image table: one synthesized PNG per
+    doc (zlib-deflated scanlines, filters cycling through the whole spec),
+    metadata stamped like an ingest job."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda d: _synth_png(int(d))),
+                }
+            )
+
+    mm = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return mm.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.md5(F.col("payload")).alias("content_md5"),
+        ).alias("meta"),
+    )
+
+
+def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode over mapInPandas: inflate + defilter
+    each PNG payload (stdlib zlib — no PIL/cv2 needed, closing the r5
+    "compressed formats are stubbed" carried limitation for PNG) and
+    compute the SAME pixel statistics as image_decode_features. The pixel
+    grid is the PPM synthesis pattern, so the pytest pins channel means to
+    the identical closed-form expectations — and a cross-format test
+    asserts PNG-decoded statistics equal PPM-decoded statistics doc by
+    doc (two real containers, one truth). Rows-only for the driver
+    (Python-side by nature)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        rows = []
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = _decode_png(bytes(payload))
+                fl = px.astype(np.float64)
+                luma = 0.299 * fl[..., 0] + 0.587 * fl[..., 1] + 0.114 * fl[..., 2]
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": w,
+                        "height": h,
+                        "mean_r": round(float(fl[..., 0].mean()), 4),
+                        "mean_g": round(float(fl[..., 1].mean()), 4),
+                        "mean_b": round(float(fl[..., 2].mean()), 4),
+                        "luma_std": round(float(luma.std()), 4),
+                    }
+                )
+            yield pd.DataFrame(rows)
+            rows = []
+
+    mm = with_png_payload(spark, sf_dir)
+    return mm.select("doc_id", "payload").mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width int, height int, mean_r double, mean_g double, "
+            "mean_b double, luma_std double"
+        ),
+    ).orderBy("doc_id")
+
+
 ORACLE: dict[str, str] = {
     # NB: DuckDB's md5/substring only take VARCHAR; the corpus is pure ASCII
     # (asserted in tests), so char-slicing the text here equals the engine's
@@ -507,4 +743,5 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "image_decode_features": image_decode_features,    # rows-only: Python decode
     "audio_decode_features": audio_decode_features,    # rows-only: Python decode
+    "png_decode_features": png_decode_features,        # rows-only: Python decode
 }
