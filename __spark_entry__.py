@@ -23,6 +23,15 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # Verification-freshness bookkeeping (r5 VERDICT task #1).
 #
+# MAINTENANCE (start of each round): for every key in the new
+# CORRECTNESS_r{N}.json, set _LAST_VERIFIED[name] = N (add new names,
+# overwrite older rounds); then REMOVE any query this round's code or
+# oracle changes touch, so it re-enters the front of the sample. The
+# python one-liner in tests/test_docs.py's docstring neighborhood:
+#   rounds = {k: n for n in range(1, N+1)
+#             for k in json.load(open(f"CORRECTNESS_r0{n}.json"))}
+# gives the exact map; tests/test_docs.py pins names/ordering.
+#
 # _LAST_VERIFIED maps each query with a green CORRECTNESS row — whose
 # implementation AND oracle are unchanged since that row — to the round of
 # that row (last key occurrence across CORRECTNESS_r01..r05). The driver
