@@ -179,3 +179,94 @@ def test_repetition_plan_has_partial_aggregation(spark):
 
     plan = formatted_plan(repetition_ngram_stats(spark, SF_SMOKE))
     assert plan.count("partial_count") >= 2
+
+
+def test_duplicate_span_extraction_finds_planted_span_boundaries(spark, tmp_path):
+    """Two docs sharing one exact 12-token run inside otherwise-unique text
+    must each yield EXACTLY one duplicated span with the correct maximal
+    token boundaries (start at the run's first token, end at its last+1);
+    a doc with no shared run yields nothing."""
+    from weather_database_system_spark.operators.trainprep import (
+        SPAN_L,
+        duplicate_span_extraction,
+    )
+
+    run = " ".join(f"dup{i}" for i in range(12))
+    docs = [
+        (0, f"alpha beta gamma {run} delta epsilon"),          # run at tok 3..15
+        (1, f"one two {run} three four five six"),             # run at tok 2..14
+        (2, "totally unique text with no repeated region at all"),
+    ]
+    import pandas as pd  # noqa: F401
+
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    rows = duplicate_span_extraction(spark, str(tmp_path)).collect()
+    got = {(r.doc_id, r.start_tok, r.end_tok) for r in rows}
+    # the duplicated L-grams cover run positions only; maximal span =
+    # [first run token, last run token + 1)
+    assert got == {(0, 3, 15), (1, 2, 14)}, got
+    assert all(r.span_len == 12 for r in rows)
+    assert SPAN_L <= 12
+
+
+def test_duplicate_span_extraction_matches_python_replay(spark, tmp_path):
+    """Brute-force grounding on a randomized-ish corpus: spans must equal a
+    pure-Python replay (explicit gram sets, position marking, interval
+    merge) — pinning the gaps-and-islands merge against first principles."""
+    import random
+
+    from weather_database_system_spark.operators.trainprep import (
+        SPAN_L,
+        duplicate_span_extraction,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for d in range(30):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(4, 40))]
+        texts.append(toks)
+    # plant a few shared runs
+    shared = [rng.choice(vocab) for _ in range(SPAN_L + 3)]
+    texts[3][2:2] = shared
+    texts[11][0:0] = shared
+    texts[17][5:5] = shared[: SPAN_L + 1]
+    spark.createDataFrame(
+        [(i, " ".join(t), "en", "s", 0) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in duplicate_span_extraction(spark, str(tmp_path)).collect()
+    }
+
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for toks in texts:
+        for p in range(len(toks) - SPAN_L + 1):
+            counts[tuple(toks[p : p + SPAN_L])] += 1
+    want = set()
+    for d, toks in enumerate(texts):
+        ps = [
+            p
+            for p in range(len(toks) - SPAN_L + 1)
+            if counts[tuple(toks[p : p + SPAN_L])] >= 2
+        ]
+        spans, cur = [], None
+        for p in ps:
+            if cur is not None and p <= cur[1]:
+                cur = (cur[0], max(cur[1], p + SPAN_L))
+            else:
+                if cur:
+                    spans.append(cur)
+                cur = (p, p + SPAN_L)
+        if cur:
+            spans.append(cur)
+        want |= {(d, a, b) for a, b in spans}
+    assert got == want

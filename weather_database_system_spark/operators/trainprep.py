@@ -768,7 +768,103 @@ def _sql_chunk_ctes() -> str:
         )"""
 
 
+SPAN_L = 8  # duplicated-span gram length (tokens): the ExactSubstr window
+
+
+def duplicate_span_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring duplicate extraction — the ExactSubstr
+    criterion of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499 §3.1): locate, per document,
+    every MAXIMAL token span covered by length-SPAN_L grams that occur
+    more than once in the corpus. Doc-level dedup (minhash family) drops
+    whole near-copies; this finds the duplicated REGIONS inside otherwise
+    unique docs (quoted boilerplate, templated headers) so a curation
+    pass can excise spans instead of documents.
+
+    Shape at 100 TB — deliberately NO pair stage (the paper's suffix
+    array becomes an inverted gram index): positional grams explode
+    map-side; the duplicated-gram set is a gram-keyed count aggregate
+    (map-side combined, vocabulary-of-grams cardinality); membership is
+    ONE semi-join back on the gram (AQE-broadcast when small); maximal
+    spans merge per doc with a single doc_id-partitioned gaps-and-islands
+    window (positions p whose running max(p + L) chain overlaps fuse —
+    the sessionize_events island derivation on token offsets). A
+    boilerplate gram shared by millions of docs costs one counter and
+    marks positions; nothing quadratic exists to cap.
+
+    Fully SQL-expressible → DuckDB oracle replays grams, the duplicated
+    set, and the island merge identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.posexplode(_grams(_tokens(F.col("text")), SPAN_L)).alias("p", "g")
+    )
+    dup = grams.groupBy("g").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    hits = grams.join(dup.select("g"), "g", "left_semi").select("doc_id", "p")
+    w = W.partitionBy("doc_id").orderBy("p")
+    prev_max_end = F.max(F.col("p") + SPAN_L).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "ni",
+        F.when(prev_max_end.isNull() | (F.col("p") > prev_max_end), 1).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "span_no", F.sum("ni").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy("doc_id", "span_no")
+        .agg(
+            F.min("p").cast("int").alias("start_tok"),
+            (F.max("p") + SPAN_L).cast("int").alias("end_tok"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_no").cast("int").alias("span_no"),
+            "start_tok",
+            "end_tok",
+            (F.col("end_tok") - F.col("start_tok")).alias("span_len"),
+        )
+        .orderBy("doc_id", "span_no")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "duplicate_span_extraction": f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        gl AS (SELECT doc_id, {_sql_grams(SPAN_L)} AS g FROM d),
+        grams AS (
+            SELECT doc_id, unnest(g) AS g,
+                   unnest(generate_series(0, len(g) - 1)) AS p
+            FROM gl
+        ),
+        dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        hits AS (
+            SELECT doc_id, p FROM grams WHERE g IN (SELECT g FROM dup)
+        ),
+        marked AS (
+            SELECT doc_id, p,
+                   CASE WHEN max(p + {SPAN_L}) OVER w IS NULL
+                             OR p > max(p + {SPAN_L}) OVER w
+                        THEN 1 ELSE 0 END AS ni
+            FROM hits
+            WINDOW w AS (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        islands AS (
+            SELECT doc_id, p,
+                   sum(ni) OVER (PARTITION BY doc_id ORDER BY p
+                                 ROWS UNBOUNDED PRECEDING) AS span_no
+            FROM marked
+        )
+        SELECT doc_id,
+               CAST(span_no AS INT) AS span_no,
+               CAST(min(p) AS INT) AS start_tok,
+               CAST(max(p) + {SPAN_L} AS INT) AS end_tok,
+               CAST(max(p) + {SPAN_L} - min(p) AS INT) AS span_len
+        FROM islands
+        GROUP BY 1, 2
+        ORDER BY doc_id, span_no
+    """,
     "span_corruption_masks": f"""
         WITH toks AS (
             SELECT doc_id,
@@ -1079,4 +1175,5 @@ QUERIES = {
     "sequence_pack_bins_sharded": sequence_pack_bins_sharded,
     "pii_redaction": pii_redaction,
     "contamination_eval_overlap": contamination_eval_overlap,
+    "duplicate_span_extraction": duplicate_span_extraction,
 }
