@@ -40,56 +40,40 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # then ascending by staleness — the r01/r02-era greens re-verify before
 # anything newer. Two rounds of this rotation re-freshen the whole registry.
 #
-# Deliberately REMOVED from the map this round (r6 rewrites → jump the
-# queue): session_path_analysis (ADVICE: oracle gap test now floors
-# epoch(ts) to whole seconds, matching the Spark cast), linear_regression
-# _trend (ADVICE: explicit n >= 2 degenerate guard in both engines),
-# tfidf_cosine_pairs (n_docs folded into the lazy plan, r5 verdict #4),
-# ann_ivf_kmeans + ann_product_quantization + semdedup_prune (map-side
-# argmin port in _assign_cells, r5 verdict #3), udf_tokenize_table
-# (gained a DuckDB oracle — zipped-unnest UDTF replay, r5 verdict #7),
-# tfidf_top_terms + bm25_search (eager corpus-stats action folded into the
-# lazy plan as a 1-row broadcast — bm25's cost a separate full tokenize
-# pass per run), ngram_jaccard_pairs + dedup_containment (posting cap now
-# precedes the collect_list — _capped_postings — so hot shingles never
-# materialize unbounded arrays in agg state; identical results), and the
-# whole banded-LSH family — dedup_minhash_lsh(+fast), dedup_clusters
-# (+fast), corpus_dedup_apply, split_by_cluster, pagerank_near_dup,
-# graph_clustering_coeff, dedup_against_index — whose candidate stage now
-# caps band-bucket size (BAND_BUCKET_CAP, engine + oracle in lockstep;
-# never binds at test SFs, so results are identical).
+# Rotation executed at r7 start per the procedure above: every key in
+# CORRECTNESS_r06.json moved to 6 (the r6 sample re-froze the r01/r02-era
+# block plus every r6 rewrite), so the r7 sample covers the stalest
+# r03-era greens (cache_*, stream_*, sql_*, scalar-function batches, …)
+# and the front of the r04 block.
+#
+# Deliberately REMOVED from the map this round (r7 rewrites → jump the
+# queue): tfidf_cosine_pairs (doc-side base persisted so the term and
+# shingle explodes share one scan, r6 verdict #4); ann_ivf_kmeans +
+# ann_ivf_kmeans_nprobe + ann_product_quantization + semdedup_prune
+# (Lloyd driver-round-trip fold, r6 verdict #3); hll_partial_rollup +
+# anomaly_mad_zscore_approx (gained pinned-tolerance DuckDB oracles, r6
+# verdict #5); feed_daily_rollup (fixture payloads now written once to a
+# cached deterministic path, ADVICE); dedup_clusters_fast +
+# dedup_clusters_logstar (per-round checkpoint blocks now unpersisted,
+# ADVICE).
 _LAST_VERIFIED = {
-    # --- last green in r01 ---
-    **dict.fromkeys([
-        "ann_lsh_hyperplane", "embedding_near_dup_lsh", "lang_id_stopword",
-        "text_quality", "text_token_stats",
-    ], 1),
-    # --- last green in r02 ---
-    **dict.fromkeys([
-        "agg_collect_sorted", "ann_brute_force", "ann_bruteforce_pandas",
-        "ann_ivf_label", "dedup_exact", "dedup_simhash",
-        "embedding_near_dup", "grouping_sets_revenue",
-        "histogram_value_buckets", "late_orders_by_priority",
-        "shipping_priority", "string_functions",
-    ], 2),
     # --- last green in r03 ---
     **dict.fromkeys([
-        "ann_lsh_fixedpoint", "approx_distinct_users",
-        "approx_distinct_users_scale", "array_functions", "asof_attribution",
+        "approx_distinct_users",
+        "approx_distinct_users_scale", "array_functions",
         "cache_envelope_projection", "cache_freshness_ladder",
         "cache_ttl_introspection", "cohort_retention",
-        "conditional_functions", "corpus_curation", "datetime_functions",
+        "conditional_functions", "datetime_functions",
         "feature_scaling", "funnel_conversion", "gap_fill_interpolate",
         "gap_fill_locf", "map_functions", "math_functions",
-        "multimodal_features", "multimodal_frame_sample",
-        "multimodal_metadata", "quantile_bucket_decile",
-        "quantile_bucket_decile_approx", "range_band_join",
+        "quantile_bucket_decile",
+        "quantile_bucket_decile_approx",
         "rollup_cascade_day", "sessionize_events", "skew_salted_agg",
         "sql_correlated_exists", "sql_groupby_having", "sql_scalar_subquery",
         "stratified_sample", "stream_late_data_policy",
         "stream_session_window", "stream_sliding_window",
         "stream_tumbling_window", "stream_windowed_dedup",
-        "string_functions_extended", "time_weighted_avg",
+        "string_functions_extended",
         "train_test_split", "udf_normalize_text",
         "udf_weighted_mean_price",
     ], 3),
@@ -112,9 +96,9 @@ _LAST_VERIFIED = {
         "unpivot_measures", "window_lag_delta", "window_rank_dense",
         "window_rolling_1h", "window_running_sum", "window_topk_per_group",
     ], 4),
-    # --- last green in r05 (minus the r6 rewrites listed above) ---
+    # --- last green in r05 (minus the r7 rewrites listed above) ---
     **dict.fromkeys([
-        "anomaly_mad_zscore", "anomaly_mad_zscore_approx",
+        "anomaly_mad_zscore",
         "asof_attribution_tolerance", "audio_decode_features",
         "bigram_surprisal_quality", "bloom_prefilter_semi_join",
         "changepoint_mean_shift", "chunk_dedup_stats",
@@ -123,7 +107,7 @@ _LAST_VERIFIED = {
         "decayed_user_value", "diff_snapshots", "embedding_gram_matrix",
         "embedding_pca_project", "entity_fuzzy_blocking",
         "funnel_time_to_convert",
-        "hll_partial_rollup", "image_decode_features",
+        "image_decode_features",
         "item_cooccurrence_similarity",
         "pmi_collocations", "repetition_ngram_stats",
         "rollup_merge_incremental", "scd2_user_history",
@@ -133,6 +117,26 @@ _LAST_VERIFIED = {
         "unigram_logprob_quality", "window_distribution_funcs",
         "winnow_fingerprints", "zorder_layout",
     ], 5),
+    # --- last green in r06 (minus the r7 rewrites listed above) ---
+    **dict.fromkeys([
+        "agg_collect_sorted", "ann_brute_force", "ann_bruteforce_pandas",
+        "ann_ivf_label", "ann_lsh_fixedpoint", "ann_lsh_hyperplane",
+        "asof_attribution", "bm25_search", "corpus_curation",
+        "dedup_against_index", "dedup_clusters",
+        "dedup_containment", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_minhash_lsh_fast", "dedup_simhash",
+        "duplicate_span_extraction", "embedding_near_dup",
+        "embedding_near_dup_lsh", "graph_clustering_coeff",
+        "grouping_sets_revenue", "histogram_value_buckets",
+        "lang_id_stopword", "late_orders_by_priority",
+        "linear_regression_trend", "multimodal_features",
+        "multimodal_frame_sample", "multimodal_metadata",
+        "ngram_jaccard_pairs", "pagerank_near_dup", "png_decode_features",
+        "range_band_join", "session_path_analysis",
+        "shipping_priority", "split_by_cluster", "stream_stream_join",
+        "string_functions", "text_quality", "text_token_stats",
+        "tfidf_top_terms", "time_weighted_avg", "udf_tokenize_table",
+    ], 6),
 }
 
 

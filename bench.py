@@ -80,13 +80,13 @@ HEADLINE = (
                               # pivot → fill policy → daily rollup
 )
 
-# N runs per query; report the per-query MEDIAN. Default 1 preserves the
-# driver's n=3-invocations contract (three separate processes, single-run
-# timings each); set SPARK_GRAFT_BENCH_RUNS=5 locally to get medians that
-# are interpretable without the ±15 % single-run noise caveat (three r3
-# queries moved ≥13 % with no code change — same pattern as r2's phantom
-# ann_brute_force regression).
-RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
+# N runs per query; report the per-query MEDIAN. Default 3 (r6 verdict
+# #2): the r6 host drifted non-uniformly with ±60 % single-run swings on
+# untouched queries, making single-run BENCH files nearly unreadable —
+# within-process median-of-3 damps exactly that noise class at the
+# source. Set SPARK_GRAFT_BENCH_RUNS=5 locally for extra stability, or 1
+# to reproduce the old single-run behavior.
+RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -146,6 +146,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": RUNS,
                 "sf": _sf_from_dir(SF_DIR),
                 # Host-drift guard (r4 NOTES): the flagship time doubles as a
                 # normalization denominator so cross-round comparisons can
