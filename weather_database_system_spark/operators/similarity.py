@@ -192,8 +192,18 @@ def _cell_entries_expr(cents: list[tuple[int, list[float]]], col=None):
     if col is None:
         col = F.col("emb")
     cs = sorted(cents)
-    ids = F.lit([c for c, _ in cs])
-    vals = F.lit([v for _, v in cs])
+    return _cell_entries_from(
+        F.lit([c for c, _ in cs]), F.lit([v for _, v in cs]), col
+    )
+
+
+def _cell_entries_from(ids, vals, col):
+    """`_cell_entries_expr` generalized to arbitrary id/value expressions:
+    ``ids``/``vals`` may be literals (the normal per-round driver-state
+    path) or COLUMNS from a 1-row broadcast — the two-rounds-per-
+    materialization fold (r6 verdict #3) computes round-1 centroids inside
+    the plan and feeds them here as array columns, so round-2 assignment
+    never waits on a driver round trip."""
     return F.transform(
         ids,
         lambda cid, i: F.named_struct(
@@ -233,19 +243,202 @@ def _lloyd_round(
     # re-running the K×dims argmin fold dims× per vector (and
     # CollapseProject would inline it through a chained projection — the
     # Generate node is the barrier that pins one evaluation per vector)
-    rows = (
-        _assign_cells(cand, cents)
-        .select("cell", F.posexplode("emb").alias("dim", "val"))
-        .groupBy("cell", "dim")
-        .agg(F.count("*").alias("n"), F.sum(F.col("val").cast(DEC)).alias("s"))
-        .collect()
-    )
+    rows = _lloyd_partials(_assign_cells(cand, cents)).collect()
     acc: dict[int, dict[int, float]] = {}
     for r in rows:
         acc.setdefault(r["cell"], {})[r["dim"]] = float(r["s"]) / r["n"]
     return sorted(
         (cell, [byd[i] for i in range(dims)]) for cell, byd in acc.items()
     )
+
+
+def _lloyd_partials(assigned: DataFrame) -> DataFrame:
+    """(cell, dim) → (n, Σval) partials for one Lloyd update — the explode
+    in its own select AFTER the assignment projection (the Generate node
+    pins one argmin evaluation per vector, see _lloyd_round)."""
+    return (
+        assigned.select("cell", F.posexplode("emb").alias("dim", "val"))
+        .groupBy("cell", "dim")
+        .agg(F.count("*").alias("n"), F.sum(F.col("val").cast(DEC)).alias("s"))
+    )
+
+
+def _centroid_row(parts: DataFrame) -> DataFrame:
+    """Fold (cell, dim, n, s) partials into ONE row of (ids, vals) nested
+    arrays — the in-plan twin of _lloyd_round's driver finish.
+    CAST(DECIMAL AS DOUBLE) / n is the same correctly-rounded IEEE double
+    as the driver's float(decimal_sum) / n (both conversions round half to
+    even on the exact decimal value; n < 2^53), so centroids computed here
+    are bit-identical to the collected form and the oracle replay still
+    applies verbatim. K×dims partial rows collapse to a 1-row broadcast —
+    nothing here scales with the data."""
+    return (
+        parts.groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("dim"),
+                        (F.col("s").cast("double") / F.col("n")).alias("mu"),
+                    )
+                )
+            ).alias("ent")
+        )
+        .select("cell", F.transform("ent", lambda e: e["mu"]).alias("cent"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("cell", "cent"))).alias("cc"))
+        .select(
+            F.transform("cc", lambda x: x["cell"]).alias("ids"),
+            F.transform("cc", lambda x: x["cent"]).alias("vals"),
+        )
+    )
+
+
+def _lloyd_two_rounds(
+    cand: DataFrame, cents: list[tuple[int, list[float]]], dims: int
+) -> list[tuple[int, list[float]]]:
+    """TWO Lloyd rounds in ONE materialization (r6 verdict #3 — the
+    dedup.py fixpoint trick applied to training): round 1 assigns against
+    the driver-state centroid literals and its (cell, dim) means collapse
+    IN-PLAN to a 1-row broadcast (_centroid_row — bit-identical to the
+    collected form); round 2 assigns against those array columns via the
+    sanctioned 1-row-anchor BNLJ and only ITS partials cross the driver.
+    Halves both the driver round trips and the per-round plan
+    analysis/codegen cost (fresh centroid literals defeat the codegen
+    cache — the dominant local cost of the similarity family per the r6
+    audit); executor work per round is unchanged."""
+    c1 = _centroid_row(_lloyd_partials(_assign_cells(cand, cents)))
+    a2 = cand.crossJoin(F.broadcast(c1)).select(
+        "vec_id",
+        "emb",
+        F.array_min(
+            _cell_entries_from(F.col("ids"), F.col("vals"), F.col("emb"))
+        )["cell"].alias("cell"),
+    )
+    rows = _lloyd_partials(a2).collect()
+    acc: dict[int, dict[int, float]] = {}
+    for r in rows:
+        acc.setdefault(r["cell"], {})[r["dim"]] = float(r["s"]) / r["n"]
+    return sorted(
+        (cell, [byd[i] for i in range(dims)]) for cell, byd in acc.items()
+    )
+
+
+def _pq_entries(books, sub, argmin):
+    """Per-row M-entry array of (m, cell, subvector) structs — each argmin
+    evaluated once per vector inside the array build (see the PQ training
+    comment: a projection sharing a select with its generator would
+    re-evaluate the argmin per GENERATED row; the explode's input array is
+    evaluated once). ``argmin(m)`` supplies the per-subspace assignment
+    expression — literal codebooks for round 1, broadcast array columns
+    for the folded round 2."""
+    return F.array(*[
+        F.named_struct(
+            F.lit("m"), F.lit(m),
+            F.lit("cell"), argmin(m),
+            F.lit("svec"), sub(m),
+        )
+        for m in range(len(books))
+    ])
+
+
+def _pq_partials(cand, books, sub, entries=None):
+    """(m, cell, dim) → (n, Σval) partials for one batched-PQ Lloyd update:
+    ONE pass over the cached candidates (M-entry struct array exploded to
+    M rows, then the subvector to dims — an M-branch union re-scanned the
+    cache M times)."""
+    if entries is None:
+        entries = _pq_entries(
+            books, sub, lambda m: _cell_argmin_expr(books[m], sub(m))
+        )
+    return (
+        cand.select(F.explode(entries).alias("e"))
+        .select(
+            F.col("e.m").alias("m"),
+            F.col("e.cell").alias("cell"),
+            F.posexplode("e.svec").alias("dim", "val"),
+        )
+        .groupBy("m", "cell", "dim")
+        .agg(F.count("*").alias("n"), F.sum(F.col("val").cast(DEC)).alias("s"))
+    )
+
+
+def _pq_books_from_rows(rows):
+    """Driver finish for one batched-PQ Lloyd update (float(decimal)/n —
+    see _lloyd_round's correctly-rounded-divide note)."""
+    acc: dict[int, dict[int, dict[int, float]]] = {}
+    for r in rows:
+        acc.setdefault(r["m"], {}).setdefault(r["cell"], {})[r["dim"]] = (
+            float(r["s"]) / r["n"]
+        )
+    return [
+        sorted(
+            (cell, [byd[i] for i in range(PQ_SUBDIM)])
+            for cell, byd in acc[m].items()
+        )
+        for m in sorted(acc)
+    ]
+
+
+def _pq_two_rounds(cand, books, sub):
+    """TWO batched-PQ Lloyd rounds in ONE materialization — the
+    _lloyd_two_rounds fold with an extra subspace level: round-1
+    (m, cell, dim) partials collapse in-plan to a 1-row broadcast of
+    per-subspace (ids, vals) nested arrays (CAST(DECIMAL AS DOUBLE)/n —
+    bit-identical to the collected form, see _centroid_row), round-2
+    assignment reads them through element_at(·, m+1), and only round-2
+    partials cross the driver. Halves the KMEANS_ITERS driver round trips
+    and per-round plan recompiles that dominate PQ's local cost (r6
+    verdict #3)."""
+    c1 = (
+        _pq_partials(cand, books, sub)
+        .groupBy("m", "cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("dim"),
+                        (F.col("s").cast("double") / F.col("n")).alias("mu"),
+                    )
+                )
+            ).alias("ent")
+        )
+        .select(
+            "m", "cell", F.transform("ent", lambda e: e["mu"]).alias("cent")
+        )
+        .groupBy("m")
+        .agg(F.array_sort(F.collect_list(F.struct("cell", "cent"))).alias("cc"))
+        .select(
+            "m",
+            F.transform("cc", lambda x: x["cell"]).alias("mids"),
+            F.transform("cc", lambda x: x["cent"]).alias("mvals"),
+        )
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("m", "mids", "mvals"))
+            ).alias("bb")
+        )
+        .select(
+            F.transform("bb", lambda x: x["mids"]).alias("bids"),
+            F.transform("bb", lambda x: x["mvals"]).alias("bvals"),
+        )
+    )
+    ent2 = _pq_entries(
+        books,
+        sub,
+        lambda m: F.array_min(
+            _cell_entries_from(
+                F.element_at(F.col("bids"), m + 1),
+                F.element_at(F.col("bvals"), m + 1),
+                sub(m),
+            )
+        )["cell"],
+    )
+    rows = _pq_partials(
+        cand.crossJoin(F.broadcast(c1)), books, sub, entries=ent2
+    ).collect()
+    return _pq_books_from_rows(rows)
 
 
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,7 +508,10 @@ def _train_ivf(spark: SparkSession, sf_dir: str):
                   key=lambda r: r["vec_id"])
     cents = [(cell, list(r["emb"])) for cell, r in enumerate(init)]
     dims = len(cents[0][1])
-    for _ in range(KMEANS_ITERS):
+    # rounds advance in pairs — two per materialization (r6 verdict #3)
+    for _ in range(KMEANS_ITERS // 2):
+        cents = _lloyd_two_rounds(cand, cents, dims)
+    if KMEANS_ITERS % 2:
         cents = _lloyd_round(cand, cents, dims)
 
     assigned = _assign_cells(cand, cents).select("vec_id", "cell")
@@ -433,45 +629,12 @@ def ann_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for m in range(PQ_M)
     ]
-    for _ in range(KMEANS_ITERS):
-        # ONE pass over the cached candidates: per row, an M-entry array of
-        # (m, cell, subvector) structs — each argmin evaluated once per
-        # vector inside the array build — exploded to M rows, then the
-        # subvector exploded to dims. (An M-branch union re-scanned the
-        # cache M times and, at local partition counts, quadrupled the
-        # task count; a projection sharing a select with its generator
-        # would instead re-evaluate the argmin per GENERATED row.)
-        entries = F.array(*[
-            F.named_struct(
-                F.lit("m"), F.lit(m),
-                F.lit("cell"), _cell_argmin_expr(books[m], sub(m)),
-                F.lit("svec"), sub(m),
-            )
-            for m in range(PQ_M)
-        ])
-        rows = (
-            cand.select(F.explode(entries).alias("e"))
-            .select(
-                F.col("e.m").alias("m"),
-                F.col("e.cell").alias("cell"),
-                F.posexplode("e.svec").alias("dim", "val"),
-            )
-            .groupBy("m", "cell", "dim")
-            .agg(F.count("*").alias("n"), F.sum(F.col("val").cast(DEC)).alias("s"))
-            .collect()
-        )
-        acc: dict[int, dict[int, dict[int, float]]] = {}
-        for r in rows:
-            acc.setdefault(r["m"], {}).setdefault(r["cell"], {})[r["dim"]] = (
-                float(r["s"]) / r["n"]
-            )
-        books = [
-            sorted(
-                (cell, [byd[i] for i in range(PQ_SUBDIM)])
-                for cell, byd in acc[m].items()
-            )
-            for m in range(PQ_M)
-        ]
+    # rounds advance in pairs — two per materialization (r6 verdict #3;
+    # see _pq_two_rounds)
+    for _ in range(KMEANS_ITERS // 2):
+        books = _pq_two_rounds(cand, books, sub)
+    if KMEANS_ITERS % 2:
+        books = _pq_books_from_rows(_pq_partials(cand, books, sub).collect())
 
     # encode: ONE projection computes all M codes per vector — no M-way
     # join of per-subspace assignments
@@ -837,9 +1000,18 @@ def _semdedup_cell_expr(cents: dict[int, list[int]]):
     arms — constant-size expression tree regardless of K, so per-round
     analysis cost stays flat too."""
     cs = sorted(cents)
-    ids = F.lit(cs)
-    vals = F.lit([cents[c] for c in cs])
-    sq = F.lit([sum(v * v for v in cents[c]) for c in cs])
+    return _semdedup_cell_from(
+        F.lit(cs),
+        F.lit([cents[c] for c in cs]),
+        F.lit([sum(v * v for v in cents[c]) for c in cs]),
+    )
+
+
+def _semdedup_cell_from(ids, vals, sq):
+    """`_semdedup_cell_expr` generalized to arbitrary id/value/Σc²
+    expressions — literals for the driver-state path, 1-row-broadcast
+    array columns for the two-rounds-per-materialization fold (the
+    _cell_entries_from pattern on the int64 grid)."""
     entries = F.transform(
         ids,
         lambda cid, i: F.named_struct(
@@ -922,24 +1094,70 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell: [row[f"q{i}"] for i in range(EMB_DIMS)]
         for cell, row in enumerate(init)
     }
-    for _ in range(KMEANS_ITERS):
-        rows = (
-            fp.groupBy(_semdedup_cell_expr(cents).alias("cell"))
-            .agg(
-                F.count("*").alias("n"),
-                *[F.sum(f"q{i}").alias(f"s{i}") for i in range(EMB_DIMS)],
-            )
-            .collect()
+    def agg_by(cell_expr, src):
+        return src.groupBy(cell_expr.alias("cell")).agg(
+            F.count("*").alias("n"),
+            *[F.sum(f"q{i}").alias(f"s{i}") for i in range(EMB_DIMS)],
         )
+
+    def finish(rows):
         # floor(Σq/n + 0.5): Σq exact in int64 and < 2^53, so the Python
         # divide is the same IEEE double the oracle's CAST(... AS DOUBLE)/n
         # produces — centroids re-quantize identically on both engines.
-        cents = {
+        return {
             r["cell"]: [
                 math.floor(r[f"s{i}"] / r["n"] + 0.5) for i in range(EMB_DIMS)
             ]
             for r in rows
         }
+
+    # TWO rounds per materialization (r6 verdict #3, the _lloyd_two_rounds
+    # fold on the int64 grid): round-1 centroids re-quantize IN-PLAN —
+    # floor(CAST(Σq AS DOUBLE)/n + 0.5), the same correctly-rounded divide
+    # as the driver's math.floor — collapse to a 1-row broadcast of
+    # (ids, vals, Σc²) arrays, and round-2 assignment folds against those
+    # columns; only round-2 partials cross the driver.
+    def two_rounds(cents):
+        cent1 = F.array(*[
+            F.floor(
+                F.col(f"s{i}").cast("double") / F.col("n") + F.lit(0.5)
+            ).cast("long")
+            for i in range(EMB_DIMS)
+        ])
+        c1 = (
+            agg_by(_semdedup_cell_expr(cents), fp)
+            .select("cell", cent1.alias("cent"))
+            .select(
+                "cell",
+                "cent",
+                F.aggregate(
+                    F.col("cent"),
+                    F.lit(0).cast("long"),
+                    lambda a, v: a + v * v,
+                ).alias("csq"),
+            )
+            .groupBy()
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("cell", "cent", "csq"))
+                ).alias("cc")
+            )
+            .select(
+                F.transform("cc", lambda x: x["cell"]).alias("ids"),
+                F.transform("cc", lambda x: x["cent"]).alias("vals"),
+                F.transform("cc", lambda x: x["csq"]).alias("sqs"),
+            )
+        )
+        rows = agg_by(
+            _semdedup_cell_from(F.col("ids"), F.col("vals"), F.col("sqs")),
+            fp.crossJoin(F.broadcast(c1)),
+        ).collect()
+        return finish(rows)
+
+    for _ in range(KMEANS_ITERS // 2):
+        cents = two_rounds(cents)
+    if KMEANS_ITERS % 2:
+        cents = finish(agg_by(_semdedup_cell_expr(cents), fp).collect())
     side = fp.select(
         "vec_id",
         "fnrm",

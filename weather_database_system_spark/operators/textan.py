@@ -438,8 +438,13 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # One task per split otherwise (small corpus = one parquet split): the
     # token and shingle explodes are the CPU-bound stages, spread them — the
-    # same no-op-at-100TB repartition ngram_jaccard_pairs uses.
-    base = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # same no-op-at-100TB repartition ngram_jaccard_pairs uses. Persisted:
+    # the term explode and the shingle explode both read it — one scan +
+    # one repartition exchange instead of two of each (r6 verdict #4).
+    base = track_persisted(
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .persist()
+    )
     terms = base.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
