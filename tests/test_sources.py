@@ -407,3 +407,77 @@ def test_feed_shard_ranges_partition_any_range():
         assert covered == [start + dt.timedelta(days=i) for i in range(days)]
 
     prop()
+
+
+def test_observation_feed_missing_date_options_raise_value_error():
+    """A missing start_date/end_date must surface as the same descriptive
+    ValueError the other required options get, not a raw KeyError from
+    inside partition planning (ADVICE r6)."""
+    import json
+
+    import pytest
+
+    from weather_database_system_spark.sources.observation_feed import (
+        ObservationFeedReader,
+    )
+
+    base = {
+        "stations": json.dumps([{"latitude": 37.0, "longitude": -121.0}]),
+        "payload_dir": "/tmp/nowhere",
+    }
+    for missing in ("start_date", "end_date"):
+        opts = dict(base)
+        opts["start_date"] = "2024-01-01"
+        opts["end_date"] = "2024-01-02"
+        del opts[missing]
+        with pytest.raises(ValueError, match=missing):
+            ObservationFeedReader(opts).partitions()
+
+
+def test_ingest_feed_rejects_multi_station_fleet(spark):
+    """ingest_feed writes the single-location silver contract (no station
+    column) — distinct station coordinates must be rejected up front, not
+    silently mixed into one city's rows (ADVICE r6). Duplicated shards of
+    the SAME coordinates stay legal."""
+    import pytest
+
+    from weather_database_system_spark.pipeline.ingest import ingest_feed
+
+    with pytest.raises(ValueError, match="single-location silver contract"):
+        ingest_feed(
+            spark,
+            [
+                {"latitude": 37.0, "longitude": -121.0},
+                {"latitude": 38.0, "longitude": -122.0},
+            ],
+            "2024-01-01",
+            "2024-01-02",
+            city="Stockton",
+            state="California",
+            payload_dir="/tmp/nowhere",
+        )
+
+
+def test_cached_feed_fixtures_written_once_and_reused(spark):
+    """The registry feed query's fixture payloads live at ONE deterministic
+    cached path — repeated invocations must reuse it instead of leaking a
+    fresh mkdtemp per run (ADVICE r6)."""
+    import os
+
+    from weather_database_system_spark.pipeline.ingest import (
+        _cached_feed_fixtures,
+        feed_daily_rollup,
+    )
+
+    d1 = _cached_feed_fixtures()
+    mtimes = {
+        f: os.path.getmtime(os.path.join(d1, f)) for f in os.listdir(d1)
+    }
+    assert mtimes, "fixture directory is empty"
+    d2 = _cached_feed_fixtures()
+    assert d2 == d1
+    assert {
+        f: os.path.getmtime(os.path.join(d1, f)) for f in os.listdir(d1)
+    } == mtimes, "second call rewrote the cached fixtures"
+    # the registry query runs off the cached dir end-to-end
+    assert feed_daily_rollup(spark, "unused").count() > 0

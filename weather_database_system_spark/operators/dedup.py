@@ -922,10 +922,33 @@ def _logstar_components(docs: DataFrame, edges: DataFrame, _rounds_out=None) -> 
     so analysis cost is flat per round. (localCheckpoint stores blocks on
     executors — lost partitions cannot recompute; a long-running
     production job on a lossy cluster swaps in reliable ``checkpoint()``
-    with a checkpoint dir, same semantics, plus storage round-trips.)"""
+    with a checkpoint dir, same semantics, plus storage round-trips.)
+
+    Block lifecycle (ADVICE r6): a retired round's checkpoint blocks are
+    unpersisted as soon as E_new is materialized and the stability probe
+    (the last reader of the old edge set) has run — without this, up to
+    LOGSTAR_MAX_ROUNDS edge-set copies accumulate in executor storage on
+    large graphs. DataFrame.unpersist() can't reach localCheckpoint
+    blocks (they back the internal RDD, not a cacheManager entry), so the
+    ids of the freshly persisted RDDs are snapshotted around each
+    checkpoint and released by id."""
+    sc = docs.sparkSession.sparkContext
+
+    def _persist_ids() -> set[int]:
+        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _release(ids: set[int]) -> None:
+        jmap = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            rdd = jmap.get(i)
+            if rdd is not None:
+                rdd.unpersist(False)
+
+    snap = _persist_ids()
     E = _canon_edges(
         edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
     ).localCheckpoint(eager=True)
+    e_ids = _persist_ids() - snap
     n_prev = E.count()
     for rnd in range(LOGSTAR_MAX_ROUNDS):
         sym = E.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
@@ -942,17 +965,21 @@ def _logstar_components(docs: DataFrame, edges: DataFrame, _rounds_out=None) -> 
         # small-star: key = the larger endpoint of each canonical edge
         dirn = large.select(F.col("b").alias("u"), F.col("a").alias("v"))
         smins = dirn.groupBy("u").agg(F.min("v").alias("m"))
+        snap = _persist_ids()
         E_new = _canon_edges(
             dirn.join(smins, "u")
             .select(F.col("v").alias("x"), F.col("m").alias("y"))
             .filter(F.col("x") != F.col("y"))
             .union(smins.select(F.col("u").alias("x"), F.col("m").alias("y")))
         ).localCheckpoint(eager=True)
+        new_ids = _persist_ids() - snap
         n_new = E_new.count()
         stable = n_new == n_prev and (
             E_new.join(E, ["a", "b"], "left_anti").limit(1).count() == 0
         )
-        E, n_prev = E_new, n_new
+        # the probe was the old edge set's last reader — free its blocks
+        _release(e_ids)
+        E, n_prev, e_ids = E_new, n_new, new_ids
         if stable:
             if _rounds_out is not None:
                 _rounds_out.append(rnd + 1)

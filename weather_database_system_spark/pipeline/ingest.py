@@ -21,6 +21,7 @@ params + ``mapInPandas`` so executors fetch concurrently.
 from __future__ import annotations
 
 import datetime as dt
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -239,7 +240,28 @@ def ingest_feed(
     """Fleet ingestion: partitioned feed → bronze append → pivot → enrich →
     silver append. The multi-shard twin of ingest_payload — the zones,
     schemas and lineage envelope are identical, only the source scan
-    parallelizes."""
+    parallelizes.
+
+    The silver contract models ONE logical location (the reference's
+    single-city design: LOCATION_SCHEMA is (city, state) and SILVER_SCHEMA
+    has no station column), so every station here must share coordinates —
+    many shards of one place, not a multi-station fleet. A multi-station
+    feed would otherwise write silver rows with colliding timestamps and
+    no provenance, silently mixing stations in every date-grain rollup
+    downstream. Multi-station pipelines read the feed directly and carry
+    the coordinates through the pivot: ``bronze_to_observations(bronze,
+    keep=("latitude", "longitude"))`` — the ``feed_daily_rollup`` shape —
+    with a station-aware sink of their own."""
+    coords = {
+        (float(st["latitude"]), float(st["longitude"])) for st in stations
+    }
+    if len(coords) > 1:
+        raise ValueError(
+            "ingest_feed writes the single-location silver contract; got "
+            f"{len(coords)} distinct station coordinates. Use "
+            "read_observation_feed + bronze_to_observations(keep=("
+            "'latitude', 'longitude')) for multi-station feeds."
+        )
     fetched_at = fetched_at or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     bronze = read_observation_feed(
         spark,
@@ -313,6 +335,38 @@ FEED_SHARD_DAYS = 2  # 3 stations × 2 shards = 6 input partitions
 FEED_FETCHED_AT = "2024-01-05T00:00:00"
 
 
+def _cached_feed_fixtures() -> str:
+    """Deterministic fixture-payload directory for the registry feed query,
+    written ONCE per (stations, range, shard) configuration and reused by
+    every later invocation — mkdtemp-per-call leaked a directory per
+    registry/driver/bench run and billed the fixture-writing I/O to the
+    query being benchmarked (ADVICE r6). Concurrent-safe: fixtures land in
+    a unique temp dir that is atomically renamed into place; a racing
+    loser just removes its copy."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from weather_database_system_spark.sources.observation_feed import (
+        write_feed_fixtures,
+    )
+
+    key = hashlib.sha256(
+        repr((FEED_STATIONS, FEED_START, FEED_END, FEED_SHARD_DAYS)).encode()
+    ).hexdigest()[:16]
+    final = f"{tempfile.gettempdir()}/obsfeed_fixtures_{key}"
+    if not os.path.isdir(final):
+        work = tempfile.mkdtemp(prefix="obsfeed_build_")
+        write_feed_fixtures(
+            work, FEED_STATIONS, FEED_START, FEED_END, FEED_SHARD_DAYS
+        )
+        try:
+            os.rename(work, final)
+        except OSError:  # another process won the race
+            shutil.rmtree(work, ignore_errors=True)
+    return final
+
+
 def feed_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(station, day) rollup of the partitioned observation feed: the
     whole op #1-#4 chain — partitioned DataSource scan (6 (station, shard)
@@ -321,21 +375,13 @@ def feed_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads are closed-form in (station, hour), so the DuckDB oracle
     replays the feed from generate_series and the whole path is
     hash-checked. ``sf_dir`` is unused: the source under test IS the feed."""
-    import tempfile
-
     from weather_database_system_spark.operators.relational import (
         _avg4,
         _fr,
         _sum2,
     )
-    from weather_database_system_spark.sources.observation_feed import (
-        write_feed_fixtures,
-    )
 
-    payload_dir = tempfile.mkdtemp(prefix="obsfeed_")
-    write_feed_fixtures(
-        payload_dir, FEED_STATIONS, FEED_START, FEED_END, FEED_SHARD_DAYS
-    )
+    payload_dir = _cached_feed_fixtures()
     bronze = read_observation_feed(
         spark,
         FEED_STATIONS,

@@ -107,6 +107,12 @@ class ObservationFeedReader(DataSourceReader):
                 "observation_feed requires 'payload_dir' (offline fixtures) "
                 "or 'url' (live endpoint)"
             )
+        for req in ("start_date", "end_date"):
+            if req not in opts:
+                raise ValueError(
+                    f"observation_feed requires a '{req}' option "
+                    "(inclusive ISO date, e.g. '2024-01-01')"
+                )
         fetched_at = opts.get("fetched_at") or dt.datetime.now(
             dt.timezone.utc
         ).replace(tzinfo=None).isoformat(timespec="milliseconds")
