@@ -50,16 +50,19 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # queue): tfidf_cosine_pairs (doc-side base persisted so the term and
 # shingle explodes share one scan, r6 verdict #4); ann_ivf_kmeans +
 # ann_ivf_kmeans_nprobe + ann_product_quantization + semdedup_prune
-# (Lloyd driver-round-trip fold, r6 verdict #3); hll_partial_rollup +
-# anomaly_mad_zscore_approx (gained pinned-tolerance DuckDB oracles, r6
-# verdict #5); feed_daily_rollup (fixture payloads now written once to a
-# cached deterministic path, ADVICE); dedup_clusters_fast +
-# dedup_clusters_logstar (per-round checkpoint blocks now unpersisted,
-# ADVICE).
+# (Lloyd driver-round-trip fold — two rounds per materialization, r6
+# verdict #3); hll_partial_rollup + approx_distinct_users +
+# quantile_bucket_decile_approx + rfm_segmentation_approx (gained
+# pinned-tolerance DuckDB oracles — exact yardstick columns + an
+# engine-decidable claim column, r6 verdict #5) and rfm_segmentation
+# (shares the refactored _rfm_scored body — plan unchanged, re-checked
+# anyway per the rewrite rule); feed_daily_rollup (fixture payloads now
+# written once to a cached deterministic path, ADVICE); dedup_clusters
+# _fast + dedup_clusters_logstar (per-round checkpoint blocks now
+# unpersisted, ADVICE).
 _LAST_VERIFIED = {
     # --- last green in r03 ---
     **dict.fromkeys([
-        "approx_distinct_users",
         "approx_distinct_users_scale", "array_functions",
         "cache_envelope_projection", "cache_freshness_ladder",
         "cache_ttl_introspection", "cohort_retention",
@@ -67,7 +70,6 @@ _LAST_VERIFIED = {
         "feature_scaling", "funnel_conversion", "gap_fill_interpolate",
         "gap_fill_locf", "map_functions", "math_functions",
         "quantile_bucket_decile",
-        "quantile_bucket_decile_approx",
         "rollup_cascade_day", "sessionize_events", "skew_salted_agg",
         "sql_correlated_exists", "sql_groupby_having", "sql_scalar_subquery",
         "stratified_sample", "stream_late_data_policy",
@@ -89,8 +91,8 @@ _LAST_VERIFIED = {
         "json_extract_props", "lineage_projection", "monthly_filtered",
         "monthly_rollup", "pii_redaction",
         "pivot_status_matrix", "presentation_format", "pricing_summary",
-        "projection_sort", "quality_weighted_sample", "rfm_segmentation",
-        "rfm_segmentation_approx", "rollup_totals", "sequence_pack_bins",
+        "projection_sort", "quality_weighted_sample",
+        "rollup_totals", "sequence_pack_bins",
         "sequence_pack_bins_sharded", "set_except_nations",
         "set_intersect_nations", "set_union_nations", "topk_global",
         "unpivot_measures", "window_lag_delta", "window_rank_dense",
@@ -98,7 +100,7 @@ _LAST_VERIFIED = {
     ], 4),
     # --- last green in r05 (minus the r7 rewrites listed above) ---
     **dict.fromkeys([
-        "anomaly_mad_zscore",
+        "anomaly_mad_zscore", "anomaly_mad_zscore_approx",
         "asof_attribution_tolerance", "audio_decode_features",
         "bigram_surprisal_quality", "bloom_prefilter_semi_join",
         "changepoint_mean_shift", "chunk_dedup_stats",

@@ -508,3 +508,33 @@ def test_png_encode_decode_roundtrips_any_image(w, h, seed):
     dw, dh, px = _decode_png(payload)
     assert (dw, dh) == (w, h)
     assert (px == img).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=2, max_value=20),
+    h=st.integers(min_value=2, max_value=17),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_encode_decode_roundtrips_any_image_at_q100(w, h, seed):
+    """JPEG codec property: at quality 100 (all-ones-ish quant tables) the
+    only loss is float-DCT + rounding, so for ANY pixel grid — including
+    non-multiple-of-8 dims exercising the MCU edge padding — the decoder
+    must reproduce every pixel within ±3. Grounds the whole baseline
+    pipeline (DCT, zigzag, magnitude coding, Huffman tables, byte
+    stuffing, entropy decode, IDCT, color transform) over arbitrary
+    images, not just the synthesis pattern."""
+    import numpy as np
+
+    from weather_database_system_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = _encode_jpeg(img, quality=100)
+    dw, dh, out = _decode_jpeg(payload)
+    assert (dw, dh) == (w, h)
+    err = np.abs(out.astype(np.int64) - img.astype(np.int64))
+    assert err.max() <= 3, f"max per-pixel error {err.max()} at q100"

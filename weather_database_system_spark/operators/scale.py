@@ -61,26 +61,41 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch vs exact distinct counts per event_type: HLL++
-    (approx_count_distinct, rsd=1%) next to the exact countDistinct, plus
-    approx median vs exact. Driver check is rows-only; the pytest tolerance
-    test asserts the sketch error bound actually holds.
+    (approx_count_distinct, rsd=1%) checked against the exact
+    countDistinct, plus approx median vs exact — each sketch emitted as a
+    PINNED tolerance claim the DuckDB oracle can decide
+    (r6 verdict #5): ``hll_within_5pct`` =
+    |approx − exact| ≤ max(3, 0.05·exact) and ``p50_within_5pct`` =
+    |approx_p50 − exact_p50| ≤ 0.05·max(1, |exact_p50|). The oracle
+    replays the exact columns and asserts both claims held, so the sketch
+    path is hash-checked instead of rows-only.
 
     The exact columns exist ONLY as the error-bound yardstick at test sf —
     exact percentile buffers every group value and countDistinct expands the
     shuffle, neither survives unbounded groups at 100 TB. The
     production-designated variant is ``approx_distinct_users_scale``
-    (sketches only)."""
+    (sketches only — its raw sketch values stay rows-only by nature, with
+    the pytest bound against this twin's yardstick columns)."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("exact_users"),
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-            F.percentile("value", F.lit(0.5)).alias("exact_p50"),
-            F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx_p50"),
-        )
-        .orderBy("event_type")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        _fr(F.percentile("value", F.lit(0.5)), 6).alias("exact_p50"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx_p50"),
     )
+    hll_ok = F.abs(F.col("approx_users") - F.col("exact_users")) <= F.greatest(
+        F.lit(3.0), 0.05 * F.col("exact_users")
+    )
+    p50_ok = F.abs(F.col("approx_p50") - F.col("exact_p50")) <= 0.05 * F.greatest(
+        F.lit(1.0), F.abs(F.col("exact_p50"))
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "exact_p50",
+        hll_ok.cast("int").alias("hll_within_5pct"),
+        p50_ok.cast("int").alias("p50_within_5pct"),
+    ).orderBy("event_type")
 
 
 def approx_distinct_users_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,10 +369,15 @@ def hll_partial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches instead of re-scanning the raw feed, and the same partials
     roll up to month/quarter for free.
 
-    Emits the estimate alongside the exact weekly distinct (one extra agg,
-    affordable at test scale) so the error is visible in the output and
-    pytest pins it within HLL's guarantees. Rows-only for the driver: the
-    sketch estimate is engine-specific by nature."""
+    Emits the exact weekly distinct (one extra agg, affordable at test
+    scale — the error-bound yardstick) plus ``hll_within_5pct``: the
+    sketch estimate's PINNED tolerance claim,
+    |approx − exact| ≤ max(3, 0.05·exact) (lgK=14 → σ≈0.81 %, so 5 % is a
+    ≥6σ bound; the absolute floor covers near-empty smoke-SF weeks). The
+    raw estimate is engine-specific, but the claim is engine-decidable —
+    the DuckDB oracle replays week/n_days/exact and asserts the claim
+    held, so the sketch path is hash-checked instead of rows-only (r6
+    verdict #5). pytest additionally pins the raw estimate's bound."""
     # week key = the week's START DATE, not weekofyear(): a bare week number
     # collapses days from different years into one group and ISO-boundary
     # days (Jan 1 in ISO week 52/53) into the wrong year entirely.
@@ -374,9 +394,17 @@ def hll_partial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users"),
     )
     exact = ev.groupBy("week").agg(F.countDistinct("user_id").alias("exact_users"))
+    within = F.abs(F.col("approx_users") - F.col("exact_users")) <= F.greatest(
+        F.lit(3.0), 0.05 * F.col("exact_users")
+    )
     return (
         weekly.join(exact, "week")
-        .select("week", "n_days", "approx_users", "exact_users")
+        .select(
+            "week",
+            "n_days",
+            "exact_users",
+            within.cast("int").alias("hll_within_5pct"),
+        )
         .orderBy("week")
     )
 
@@ -704,6 +732,25 @@ def _sql_split_case() -> str:
 
 
 ORACLE: dict[str, str] = {
+    # pinned-tolerance replays (r6 verdict #5): the exact yardstick columns
+    # are replayed and the sketch claims asserted as held — if a sketch
+    # ever exceeds its pinned bound the Spark side emits 0 and the hash
+    # check catches it.
+    "approx_distinct_users": f"""
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               {_sql_fr('quantile_cont(value, 0.5)', 6)} AS exact_p50,
+               CAST(1 AS INT) AS hll_within_5pct,
+               CAST(1 AS INT) AS p50_within_5pct
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "hll_partial_rollup": """
+        SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+               count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
+               count(DISTINCT user_id) AS exact_users,
+               CAST(1 AS INT) AS hll_within_5pct
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
     "anomaly_mad_zscore": f"""
         WITH med AS (
             SELECT event_type,
