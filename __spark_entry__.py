@@ -40,67 +40,43 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # then ascending by staleness — the r01/r02-era greens re-verify before
 # anything newer. Two rounds of this rotation re-freshen the whole registry.
 #
-# Rotation executed at r7 start per the procedure above: every key in
-# CORRECTNESS_r06.json moved to 6 (the r6 sample re-froze the r01/r02-era
-# block plus every r6 rewrite), so the r7 sample covers the stalest
-# r03-era greens (cache_*, stream_*, sql_*, scalar-function batches, …)
-# and the front of the r04 block.
+# Rotation executed at r8 start per the procedure above: every key in
+# CORRECTNESS_r07.json moved to 7 (the r7 sample re-froze the whole
+# r03-era block — cache_*, stream_*, sql_*, scalar-function batches —
+# plus every r7 rewrite), so the r8 sample covers the ENTIRE r04-era
+# block (join_star_revenue, window_*, json_extract_props, pivot/unpivot,
+# set ops, presentation/lineage …) and the front of r05.
 #
-# Deliberately REMOVED from the map this round (r7 rewrites → jump the
-# queue): tfidf_cosine_pairs (doc-side base persisted so the term and
-# shingle explodes share one scan, r6 verdict #4); ann_ivf_kmeans +
-# ann_ivf_kmeans_nprobe + ann_product_quantization + semdedup_prune
-# (Lloyd driver-round-trip fold — two rounds per materialization, r6
-# verdict #3); hll_partial_rollup + approx_distinct_users +
-# quantile_bucket_decile_approx + rfm_segmentation_approx (gained
-# pinned-tolerance DuckDB oracles — exact yardstick columns + an
-# engine-decidable claim column, r6 verdict #5) and rfm_segmentation
-# (shares the refactored _rfm_scored body — plan unchanged, re-checked
-# anyway per the rewrite rule); feed_daily_rollup (fixture payloads now
-# written once to a cached deterministic path, ADVICE); dedup_clusters
-# _fast + dedup_clusters_logstar (per-round checkpoint blocks now
-# unpersisted, ADVICE).
+# Deliberately REMOVED from the map this round (r8 rewrites → jump the
+# queue): anomaly_mad_zscore_approx + approx_distinct_users_scale
+# (gained pinned-tolerance DuckDB oracles — exact yardstick columns +
+# an engine-decidable claim column, r7 verdict #5) and
+# anomaly_mad_zscore (shares the reworked _mad_anomaly body — plan
+# unchanged, re-checked anyway per the rewrite rule). New this round
+# (never verified, enumerate first): feed_station_rollup (multi-station
+# silver contract, r7 verdict #6).
 _LAST_VERIFIED = {
-    # --- last green in r03 ---
-    **dict.fromkeys([
-        "approx_distinct_users_scale", "array_functions",
-        "cache_envelope_projection", "cache_freshness_ladder",
-        "cache_ttl_introspection", "cohort_retention",
-        "conditional_functions", "datetime_functions",
-        "feature_scaling", "funnel_conversion", "gap_fill_interpolate",
-        "gap_fill_locf", "map_functions", "math_functions",
-        "quantile_bucket_decile",
-        "rollup_cascade_day", "sessionize_events", "skew_salted_agg",
-        "sql_correlated_exists", "sql_groupby_having", "sql_scalar_subquery",
-        "stratified_sample", "stream_late_data_policy",
-        "stream_session_window", "stream_sliding_window",
-        "stream_tumbling_window", "stream_windowed_dedup",
-        "string_functions_extended",
-        "train_test_split", "udf_normalize_text",
-        "udf_weighted_mean_price",
-    ], 3),
     # --- last green in r04 ---
     **dict.fromkeys([
         "agg_quantiles", "agg_statistics",
-        "coercion_fill_policy", "conditional_agg", "count_diagnostic",
+        "conditional_agg", "count_diagnostic",
         "cube_totals", "date_normalization", "derived_revenue",
         "doc_chunk_windows", "doc_fingerprint", "domain_mixture_weights",
         "filter_limit_sample", "join_anti_unordered_parts",
         "join_full_outer_nation_presence", "join_left_order_counts",
         "join_semi_active_customers", "join_star_revenue",
-        "json_extract_props", "lineage_projection", "monthly_filtered",
-        "monthly_rollup", "pii_redaction",
-        "pivot_status_matrix", "presentation_format", "pricing_summary",
-        "projection_sort", "quality_weighted_sample",
+        "json_extract_props", "lineage_projection",
+        "pii_redaction",
+        "pivot_status_matrix", "presentation_format",
+        "quality_weighted_sample",
         "rollup_totals", "sequence_pack_bins",
         "sequence_pack_bins_sharded", "set_except_nations",
         "set_intersect_nations", "set_union_nations", "topk_global",
         "unpivot_measures", "window_lag_delta", "window_rank_dense",
         "window_rolling_1h", "window_running_sum", "window_topk_per_group",
     ], 4),
-    # --- last green in r05 (minus the r7 rewrites listed above) ---
+    # --- last green in r05 (minus the r8 rewrites listed above) ---
     **dict.fromkeys([
-        "anomaly_mad_zscore", "anomaly_mad_zscore_approx",
         "asof_attribution_tolerance", "audio_decode_features",
         "bigram_surprisal_quality", "bloom_prefilter_semi_join",
         "changepoint_mean_shift", "chunk_dedup_stats",
@@ -119,7 +95,7 @@ _LAST_VERIFIED = {
         "unigram_logprob_quality", "window_distribution_funcs",
         "winnow_fingerprints", "zorder_layout",
     ], 5),
-    # --- last green in r06 (minus the r7 rewrites listed above) ---
+    # --- last green in r06 ---
     **dict.fromkeys([
         "agg_collect_sorted", "ann_brute_force", "ann_bruteforce_pandas",
         "ann_ivf_label", "ann_lsh_fixedpoint", "ann_lsh_hyperplane",
@@ -139,6 +115,30 @@ _LAST_VERIFIED = {
         "string_functions", "text_quality", "text_token_stats",
         "tfidf_top_terms", "time_weighted_avg", "udf_tokenize_table",
     ], 6),
+    # --- last green in r07 (minus the r8 rewrites listed above) ---
+    **dict.fromkeys([
+        "ann_ivf_kmeans", "ann_ivf_kmeans_nprobe",
+        "ann_product_quantization", "approx_distinct_users",
+        "array_functions",
+        "cache_envelope_projection", "cache_freshness_ladder",
+        "cache_ttl_introspection", "coercion_fill_policy",
+        "cohort_retention", "conditional_functions", "datetime_functions",
+        "dedup_clusters_fast", "dedup_clusters_logstar",
+        "feature_scaling", "feed_daily_rollup", "funnel_conversion",
+        "gap_fill_interpolate", "gap_fill_locf", "hll_partial_rollup",
+        "jpeg_decode_features", "map_functions", "math_functions",
+        "monthly_filtered", "monthly_rollup", "pricing_summary",
+        "projection_sort", "quantile_bucket_decile",
+        "quantile_bucket_decile_approx", "rfm_segmentation",
+        "rfm_segmentation_approx", "rollup_cascade_day", "semdedup_prune",
+        "sessionize_events", "skew_salted_agg", "sql_correlated_exists",
+        "sql_groupby_having", "sql_scalar_subquery", "stratified_sample",
+        "stream_late_data_policy", "stream_session_window",
+        "stream_sliding_window", "stream_tumbling_window",
+        "stream_windowed_dedup", "string_functions_extended",
+        "tfidf_cosine_pairs", "train_test_split", "udf_normalize_text",
+        "udf_weighted_mean_price",
+    ], 7),
 }
 
 

@@ -153,6 +153,17 @@ def main() -> None:
                 # self-correct for uniform host slowdowns (divide any query's
                 # time by this before comparing across BENCH_r files).
                 "normalizer_sec": timings["pricing_summary"],
+                # Second, independent sentinel (r7 verdict #4 / ADVICE):
+                # pricing_summary is itself a benched headline, so a change
+                # to IT would masquerade as host drift. topk_global is an
+                # untouched-since-r1 scan+TakeOrdered with no persisted
+                # state; two sentinels moving together = host drift, one
+                # moving alone = a real change in that query.
+                "normalizer2_sec": timings["topk_global"],
+                # Run-mode provenance (ADVICE r7): medians here are WARM
+                # within-process repeats — comparable across rounds with
+                # runs>=3, biased low vs any single cold run.
+                "run_mode": "warm_inprocess_median" if RUNS > 1 else "single",
             }
         )
     )

@@ -1202,10 +1202,14 @@ def test_zorder_files_prune_on_both_dimensions(spark):
 def test_mad_anomaly_grounded_and_approx_twin_agrees(spark):
     """Exact-twin flags match a pure-Python median/MAD recompute (per
     event_type), every emitted |mscore| clears the 3.5 bar, and the
-    approx_percentile production twin agrees on ≥95 % of flagged events."""
+    approx_percentile production twin emits the same yardstick row set
+    with every pinned ``approx_close`` claim true — the raw sketch mscore
+    itself within MAD_APPROX_TOL of exact on every flagged row."""
     from weather_database_system_spark.operators.scale import (
+        MAD_APPROX_TOL,
         MAD_K,
         MAD_THRESH,
+        _mad_anomaly,
         anomaly_mad_zscore,
         anomaly_mad_zscore_approx,
     )
@@ -1244,9 +1248,14 @@ def test_mad_anomaly_grounded_and_approx_twin_agrees(spark):
     for r in rows:
         assert abs(r.mscore) > MAD_THRESH - 1e-3
 
-    approx = {r.event_id for r in anomaly_mad_zscore_approx(spark, SF_SMOKE).collect()}
-    inter = len(flagged & approx)
-    assert inter >= 0.95 * max(len(flagged), len(approx))
+    arows = anomaly_mad_zscore_approx(spark, SF_SMOKE).collect()
+    assert {r.event_id for r in arows} == flagged  # yardstick-selected set
+    assert all(r.approx_close == 1 for r in arows)
+    exposed = _mad_anomaly(
+        spark, SF_SMOKE, approx=True, expose_approx=True
+    ).collect()
+    for r in exposed:
+        assert abs(r.mscore_a - r.mscore) <= MAD_APPROX_TOL, r.event_id
 
 
 def test_rollup_merge_is_nonvacuous_and_equals_direct(spark):
@@ -2115,21 +2124,26 @@ def test_approx_decile_twin_agrees_with_exact(spark):
 
 
 def test_sketch_only_scale_variant_within_error_bounds(spark):
-    """approx_distinct_users_scale carries no exact columns (that is the
-    point); its sketch values must still land within the documented error
-    of the exact twin's yardstick columns."""
+    """The production sketch-only plan (_sketch_user_stats) carries no
+    exact columns (that is the point); its raw sketch values must land
+    within the documented error of the exact twin's yardstick columns,
+    and the registry wrapper's pinned claims must all hold."""
     from weather_database_system_spark.operators.scale import (
+        _sketch_user_stats,
         approx_distinct_users,
         approx_distinct_users_scale,
     )
 
     exact = {r.event_type: r for r in approx_distinct_users(spark, SF_SMOKE).collect()}
-    rows = approx_distinct_users_scale(spark, SF_SMOKE).collect()
+    rows = _sketch_user_stats(spark, SF_SMOKE).collect()
     assert rows and set(exact) == {r.event_type for r in rows}
     for r in rows:
         e = exact[r.event_type]
         assert abs(r.approx_users - e.exact_users) <= max(3, 0.05 * e.exact_users)
         assert abs(r.approx_p50 - e.exact_p50) <= 0.05 * max(1.0, abs(e.exact_p50))
+    wrapped = approx_distinct_users_scale(spark, SF_SMOKE).collect()
+    assert {r.event_type for r in wrapped} == set(exact)
+    assert all(r.hll_within_5pct == 1 and r.p50_within_5pct == 1 for r in wrapped)
 
 
 def test_sampling_bucket_mixes_strided_ids(spark, duck):

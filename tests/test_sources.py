@@ -458,6 +458,82 @@ def test_ingest_feed_rejects_multi_station_fleet(spark):
         )
 
 
+def test_ingest_feed_stations_writes_station_keyed_silver(spark, tmp_path):
+    """The multi-station fleet path (r7 verdict #6): ingest_feed_stations
+    carries coordinates through the pivot into SILVER_STATION_SCHEMA,
+    derives a deterministic station_id per row, never mixes stations in a
+    (station_id, date) rollup, and the silver sink is physically
+    partitioned by station_id so per-station reads prune at the listing."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.pipeline.ingest import (
+        ingest_feed_stations,
+    )
+    from weather_database_system_spark.pipeline.schemas import (
+        SILVER_STATION_SCHEMA,
+    )
+    from weather_database_system_spark.sources.observation_feed import (
+        write_feed_fixtures,
+    )
+
+    stations = [
+        {"latitude": 37.0, "longitude": -121.0},
+        {"latitude": 40.0, "longitude": -120.0},
+    ]
+    fx = tmp_path / "payloads"
+    fx.mkdir()
+    write_feed_fixtures(str(fx), stations, "2024-02-01", "2024-02-02", 1)
+    silver_path = str(tmp_path / "silver")
+    silver = ingest_feed_stations(
+        spark,
+        stations,
+        "2024-02-01",
+        "2024-02-02",
+        shard_days=1,
+        payload_dir=str(fx),
+        silver_path=silver_path,
+        fetched_at=dt.datetime(2024, 2, 3),
+    )
+    # names+types pin the contract; produced nullability is advisory in
+    # Spark (explode widens non-null array elements to nullable)
+    assert [(f.name, f.dataType) for f in silver.schema] == [
+        (f.name, f.dataType) for f in SILVER_STATION_SCHEMA
+    ]
+    rows = silver.collect()
+    assert len(rows) == 2 * 2 * 24  # 2 stations × 2 days × 24 h
+    assert {r.station_id for r in rows} == {
+        "st_37.0000_-121.0000",
+        "st_40.0000_-120.0000",
+    }
+    for r in rows:
+        assert r.station_id == f"st_{r.latitude:.4f}_{r.longitude:.4f}"
+        assert r.metadata.etl_batch_id == "etl-1706918400000"
+    # (station, date) rollup keeps the fleet separated: every group is
+    # exactly one station's 24 hours
+    grp = (
+        silver.groupBy("station_id", F.substring("timestamp", 1, 10))
+        .count()
+        .collect()
+    )
+    assert len(grp) == 4 and all(g["count"] == 24 for g in grp)
+    # physical layout: one partition directory per station key
+    dirs = {d for d in os.listdir(silver_path) if d.startswith("station_id=")}
+    assert dirs == {
+        "station_id=st_37.0000_-121.0000",
+        "station_id=st_40.0000_-120.0000",
+    }
+    # read-back through the partitioned sink: pruning one station loses
+    # no rows and sees only that station's coordinates
+    back = spark.read.parquet(silver_path).filter(
+        F.col("station_id") == "st_40.0000_-120.0000"
+    )
+    assert back.count() == 48
+    assert back.select("latitude").distinct().collect()[0][0] == 40.0
+
+
 def test_cached_feed_fixtures_written_once_and_reused(spark):
     """The registry feed query's fixture payloads live at ONE deterministic
     cached path — repeated invocations must reuse it instead of leaking a

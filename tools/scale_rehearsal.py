@@ -154,10 +154,13 @@ def main() -> None:
             gen_documents(BASE_DOCS * m, seed=42, out_dir=d)
             gen_embeddings(BASE_VECS * m, seed=42, out_dir=d)
 
+    from weather_database_system_spark.session import release_persisted
+
     # warm the JVM/session on the smallest slice so m=1 isn't charged the
     # first-job startup the later points don't pay
     for name in names:
         queries[name](spark, f"{args.scratch}/m{multiples[0]}").count()
+        release_persisted()
 
     results: dict[str, dict[int, float]] = {}
     for name in names:
@@ -168,6 +171,10 @@ def main() -> None:
                 t0 = time.monotonic()
                 queries[name](spark, f"{args.scratch}/m{m}").count()
                 best = min(best, time.monotonic() - t0)
+                # empty the storage pool between points: persisted
+                # signatures/indexes must not leak across measurements
+                # (the bench.py lifecycle contract)
+                release_persisted()
             results[name][m] = round(best, 2)
 
     print("| query | " + " | ".join(f"{m}× (s)" for m in multiples) + " | exponent |")

@@ -126,6 +126,37 @@ def bronze_to_observations(bronze: DataFrame, keep: tuple[str, ...] = ()) -> Dat
     )
 
 
+def _metadata_struct(
+    *,
+    source_timestamp: str,
+    etl_batch_id: str,
+    api_request_id: str | None,
+    author: str,
+    source_database: str,
+    data_quality: str,
+) -> F.Column:
+    """op #6: the shared lineage envelope, field order pinned to
+    METADATA_SCHEMA (fetchStocktonWeather.js:148-155)."""
+    return F.struct(
+        F.lit(source_timestamp).alias("source_timestamp"),
+        F.lit(source_database).alias("source_database"),
+        F.lit(data_quality).alias("data_quality"),
+        F.lit(api_request_id).cast("string").alias("api_request_id"),
+        F.lit(etl_batch_id).alias("etl_batch_id"),
+        F.lit(author).alias("author"),
+    )
+
+
+_MEASURES = (
+    "temperatureC",
+    "temperatureF",
+    "humidityPercent",
+    "rainfallMm",
+    "windSpeedMps",
+    "windGustMps",
+)
+
+
 def enrich(
     obs: DataFrame,
     city: str,
@@ -143,22 +174,62 @@ def enrich(
     189-193). Column order is pinned to the silver contract."""
     return obs.select(
         "timestamp",
-        "temperatureC",
-        "temperatureF",
-        "humidityPercent",
-        "rainfallMm",
-        "windSpeedMps",
-        "windGustMps",
+        *_MEASURES,
         F.struct(
             F.lit(city).alias("city"), F.lit(state).alias("state")
         ).alias("location"),
-        F.struct(
-            F.lit(source_timestamp).alias("source_timestamp"),
-            F.lit(source_database).alias("source_database"),
-            F.lit(data_quality).alias("data_quality"),
-            F.lit(api_request_id).cast("string").alias("api_request_id"),
-            F.lit(etl_batch_id).alias("etl_batch_id"),
-            F.lit(author).alias("author"),
+        _metadata_struct(
+            source_timestamp=source_timestamp,
+            etl_batch_id=etl_batch_id,
+            api_request_id=api_request_id,
+            author=author,
+            source_database=source_database,
+            data_quality=data_quality,
+        ).alias("metadata"),
+    )
+
+
+def station_id_col(
+    lat: str = "latitude", lon: str = "longitude"
+) -> F.Column:
+    """Deterministic station key from coordinates, identical in Spark and
+    DuckDB (``printf('st_%.4f_%.4f', …)``): 4 decimal places ≈ 11 m — finer
+    than any two distinct weather stations, coarse enough that a payload's
+    float round-trip can't split one station into two keys."""
+    return F.format_string("st_%.4f_%.4f", F.col(lat), F.col(lon))
+
+
+def enrich_stations(
+    obs: DataFrame,
+    *,
+    source_timestamp: str,
+    etl_batch_id: str,
+    api_request_id: str | None = None,
+    author: str = "weather_database_system_spark",
+    source_database: str = "open-meteo.com/archive",
+    data_quality: str = "as-provided",
+) -> DataFrame:
+    """Station-keyed silver enrichment (r7 verdict #6): the multi-station
+    twin of ``enrich``. ``obs`` must carry the station coordinates through
+    the pivot — ``bronze_to_observations(bronze, keep=("latitude",
+    "longitude"))`` — and every row gets a derived ``station_id`` plus the
+    same lineage envelope; column order pinned to SILVER_STATION_SCHEMA.
+    Map-only at any fleet size: the key derivation and envelope are
+    projections, no shuffle until a downstream rollup groups on
+    (station_id, date)."""
+    return obs.select(
+        "timestamp",
+        *_MEASURES,
+        station_id_col().alias("station_id"),
+        "latitude",
+        "longitude",
+        _metadata_struct(
+            source_timestamp=source_timestamp,
+            etl_batch_id=etl_batch_id,
+            api_request_id=api_request_id,
+            author=author,
+            source_database=source_database,
+            data_quality=data_quality,
         ).alias("metadata"),
     )
 
@@ -248,10 +319,9 @@ def ingest_feed(
     many shards of one place, not a multi-station fleet. A multi-station
     feed would otherwise write silver rows with colliding timestamps and
     no provenance, silently mixing stations in every date-grain rollup
-    downstream. Multi-station pipelines read the feed directly and carry
-    the coordinates through the pivot: ``bronze_to_observations(bronze,
-    keep=("latitude", "longitude"))`` — the ``feed_daily_rollup`` shape —
-    with a station-aware sink of their own."""
+    downstream. Multi-station fleets use ``ingest_feed_stations``, which
+    carries the coordinates through the pivot into the station-keyed
+    SILVER_STATION_SCHEMA contract."""
     coords = {
         (float(st["latitude"]), float(st["longitude"])) for st in stations
     }
@@ -259,8 +329,7 @@ def ingest_feed(
         raise ValueError(
             "ingest_feed writes the single-location silver contract; got "
             f"{len(coords)} distinct station coordinates. Use "
-            "read_observation_feed + bronze_to_observations(keep=("
-            "'latitude', 'longitude')) for multi-station feeds."
+            "ingest_feed_stations for multi-station fleets."
         )
     fetched_at = fetched_at or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     bronze = read_observation_feed(
@@ -285,6 +354,51 @@ def ingest_feed(
     )
     if silver_path:
         write_zone(silver, silver_path)
+    return silver
+
+
+def ingest_feed_stations(
+    spark: SparkSession,
+    stations: list[dict[str, float]],
+    start_date: str,
+    end_date: str,
+    *,
+    shard_days: int = 30,
+    payload_dir: str | None = None,
+    url: str | None = None,
+    bronze_path: str | None = None,
+    silver_path: str | None = None,
+    fetched_at: dt.datetime | None = None,
+    author: str = "weather_database_system_spark",
+) -> DataFrame:
+    """Multi-station fleet ingestion (r7 verdict #6): partitioned feed →
+    bronze append → pivot WITH coordinates → station-keyed silver append.
+    The scale-honest generalization of ``ingest_feed``: any number of
+    distinct stations, each observation keyed by its derived station_id,
+    the silver sink partitioned by station_id so per-station reads prune
+    at the file listing and date-grain rollups group on (station_id,
+    date) instead of silently mixing the fleet."""
+    fetched_at = fetched_at or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    bronze = read_observation_feed(
+        spark,
+        stations,
+        start_date,
+        end_date,
+        shard_days=shard_days,
+        payload_dir=payload_dir,
+        url=url,
+        fetched_at=fetched_at.isoformat(timespec="milliseconds"),
+    )
+    if bronze_path:
+        write_zone(bronze, bronze_path)
+    silver = enrich_stations(
+        bronze_to_observations(bronze, keep=("latitude", "longitude")),
+        source_timestamp=fetched_at.isoformat(timespec="milliseconds") + "Z",
+        etl_batch_id=f"etl-{int(fetched_at.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)}",
+        author=author,
+    )
+    if silver_path:
+        silver.write.mode("append").partitionBy("station_id").parquet(silver_path)
     return silver
 
 
@@ -447,10 +561,124 @@ def _feed_oracle() -> str:
     """
 
 
+# etl batch id the registry's pinned FEED_FETCHED_AT produces — the same
+# derivation ingest_feed_stations applies, evaluated once so the oracle
+# can embed it as a literal.
+_FEED_BATCH_ID = "etl-{}".format(
+    int(
+        dt.datetime.fromisoformat(FEED_FETCHED_AT)
+        .replace(tzinfo=dt.timezone.utc)
+        .timestamp()
+        * 1000
+    )
+)
+
+
+def feed_station_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-station gold rollup THROUGH the station-keyed silver contract
+    (r7 verdict #6): partitioned feed scan → pivot carrying (latitude,
+    longitude) → ``enrich_stations`` (station_id derivation + lineage
+    envelope) → daily grain keyed by (station_id, obs_date). Exercises
+    what ``feed_daily_rollup`` can't: the silver contract itself — the
+    derived station key, both coordinates, and the metadata envelope all
+    survive into the rollup, and the group key proves stations never mix.
+    Offline fixtures are closed-form in (station, hour), so DuckDB
+    replays the whole chain — including station_id's printf derivation
+    and the batch-id lineage constant — from generate_series.
+    ``sf_dir`` is unused: the source under test IS the feed."""
+    from weather_database_system_spark.operators.relational import (
+        _avg4,
+        _fr,
+        _sum2,
+    )
+
+    payload_dir = _cached_feed_fixtures()
+    bronze = read_observation_feed(
+        spark,
+        FEED_STATIONS,
+        FEED_START,
+        FEED_END,
+        shard_days=FEED_SHARD_DAYS,
+        payload_dir=payload_dir,
+        fetched_at=FEED_FETCHED_AT,
+    )
+    silver = enrich_stations(
+        bronze_to_observations(bronze, keep=("latitude", "longitude")),
+        source_timestamp=FEED_FETCHED_AT + ".000Z",
+        etl_batch_id=_FEED_BATCH_ID,
+    )
+    return (
+        silver.groupBy(
+            "station_id", F.substring("timestamp", 1, 10).alias("obs_date")
+        )
+        .agg(
+            F.min("latitude").alias("latitude"),
+            F.min("longitude").alias("longitude"),
+            F.count("*").alias("n_hours"),
+            (F.count("*") - F.count("temperatureC")).cast("int").alias(
+                "n_missing_temp"
+            ),
+            _avg4(F.col("temperatureF")).alias("avg_temp_f"),
+            _avg4(F.col("humidityPercent")).alias("avg_humidity"),
+            _sum2(F.col("rainfallMm")).alias("total_rain_mm"),
+            _fr(F.max("windGustMps"), 4).alias("max_gust_mps"),
+            F.min("metadata.etl_batch_id").alias("etl_batch_id"),
+        )
+        .orderBy("station_id", "obs_date")
+    )
+
+
+def _feed_station_oracle() -> str:
+    from weather_database_system_spark.operators.relational import (
+        _sql_avg4,
+        _sql_fr,
+        _sql_sum2,
+    )
+
+    n_hours = (
+        (dt.date.fromisoformat(FEED_END) - dt.date.fromisoformat(FEED_START)).days
+        + 1
+    ) * 24
+    # replays fixture_hourly_values + the op #3/#4 policy + the station_id
+    # printf derivation and lineage constant from generate_series
+    return f"""
+        WITH s AS (SELECT unnest(generate_series(0, {len(FEED_STATIONS) - 1})) AS s),
+        g AS (SELECT unnest(generate_series(0, {n_hours - 1})) AS g),
+        obs AS (
+            SELECT 37.0 + s AS latitude,
+                   -121.0 - s AS longitude,
+                   strftime(TIMESTAMP '{FEED_START} 00:00:00' + to_hours(g),
+                            '%Y-%m-%dT%H:%M') AS ts,
+                   CASE WHEN (g + s) % 11 = 0 THEN NULL
+                        ELSE s * 10 + g * 0.25 END AS temp_c,
+                   50.0 + ((g + s) % 20) AS humidity,
+                   CASE WHEN (g + s) % 7 = 0 THEN 0.0 ELSE g * 0.1 END AS rain_mm,
+                   CASE WHEN (g + s) % 5 = 0 THEN 0.0 ELSE g * 0.07 END AS gust
+            FROM s, g
+        )
+        SELECT printf('st_%.4f_%.4f', latitude, longitude) AS station_id,
+               substr(ts, 1, 10) AS obs_date,
+               min(latitude) AS latitude,
+               min(longitude) AS longitude,
+               count(*) AS n_hours,
+               CAST(count(*) - count(temp_c) AS INT) AS n_missing_temp,
+               {_sql_avg4("temp_c * 9 / 5 + 32")} AS avg_temp_f,
+               {_sql_avg4("humidity")} AS avg_humidity,
+               {_sql_sum2("rain_mm")} AS total_rain_mm,
+               {_sql_fr("max(gust)", 4)} AS max_gust_mps,
+               '{_FEED_BATCH_ID}' AS etl_batch_id
+        FROM obs
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+
+
 QUERIES = {
     "feed_daily_rollup": feed_daily_rollup,
+    "feed_station_rollup": feed_station_rollup,
 }
 
 ORACLE: dict[str, str] = {
     "feed_daily_rollup": _feed_oracle(),
+    "feed_station_rollup": _feed_station_oracle(),
 }

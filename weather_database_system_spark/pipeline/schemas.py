@@ -77,6 +77,30 @@ SILVER_SCHEMA = StructType(
     ]
 )
 
+# A2b — station-keyed silver (r7 verdict #6): the multi-station
+# generalization of SILVER_SCHEMA. The reference models ONE location
+# (LOCATION_SCHEMA is a constant (city, state) — fetchStocktonWeather.js:
+# 189-193), so a fleet of stations needs provenance the single-location
+# contract cannot carry: station_id is a TOP-LEVEL column (the sink's
+# partition key — a nested struct field can't partition a write), and
+# every date-grain rollup downstream keys on (station_id, date) so
+# observations from different stations never collapse into one group.
+SILVER_STATION_SCHEMA = StructType(
+    [
+        StructField("timestamp", StringType(), False),
+        StructField("temperatureC", DoubleType(), True),
+        StructField("temperatureF", DoubleType(), True),
+        StructField("humidityPercent", DoubleType(), True),
+        StructField("rainfallMm", DoubleType(), False),
+        StructField("windSpeedMps", DoubleType(), True),
+        StructField("windGustMps", DoubleType(), False),
+        StructField("station_id", StringType(), False),
+        StructField("latitude", DoubleType(), False),
+        StructField("longitude", DoubleType(), False),
+        StructField("metadata", METADATA_SCHEMA, False),
+    ]
+)
+
 # A3 — gold daily_weather, flat 19 + 1 partition column
 # (etlToClickHouse.js:24-56; date from timestamp.slice(0,10) at :100).
 DAILY_COLUMNS = (
