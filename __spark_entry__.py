@@ -52,9 +52,17 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (gained pinned-tolerance DuckDB oracles — exact yardstick columns +
 # an engine-decidable claim column, r7 verdict #5) and
 # anomaly_mad_zscore (shares the reworked _mad_anomaly body — plan
-# unchanged, re-checked anyway per the rewrite rule). New this round
-# (never verified, enumerate first): feed_station_rollup (multi-station
-# silver contract, r7 verdict #6).
+# unchanged, re-checked anyway per the rewrite rule);
+# bloom_prefilter_semi_join (audit restructured to exact columns + the
+# no-false-negative / FP-bound pinned claims) and udf_weighted_mean_price
+# (decimal yardstick + |udaf − exact| claim) — two more rows-only →
+# hash-checked conversions; png_decode_features (gained a full
+# closed-form generate_series pixel oracle) plus image/audio/
+# jpeg_decode_features (codec stage now repartitions doc_ids across
+# cores before mapInPandas, and the image tiers share the portable
+# floor-rounding the new PNG oracle requires). New this round (never
+# verified, enumerate first): feed_station_rollup (multi-station silver
+# contract, r7 verdict #6).
 _LAST_VERIFIED = {
     # --- last green in r04 ---
     **dict.fromkeys([
@@ -77,15 +85,14 @@ _LAST_VERIFIED = {
     ], 4),
     # --- last green in r05 (minus the r8 rewrites listed above) ---
     **dict.fromkeys([
-        "asof_attribution_tolerance", "audio_decode_features",
-        "bigram_surprisal_quality", "bloom_prefilter_semi_join",
+        "asof_attribution_tolerance",
+        "bigram_surprisal_quality",
         "changepoint_mean_shift", "chunk_dedup_stats",
         "contamination_eval_overlap", "corpus_dedup_apply",
         "curriculum_pack_epochs", "data_quality_profile",
         "decayed_user_value", "diff_snapshots", "embedding_gram_matrix",
         "embedding_pca_project", "entity_fuzzy_blocking",
         "funnel_time_to_convert",
-        "image_decode_features",
         "item_cooccurrence_similarity",
         "pmi_collocations", "repetition_ngram_stats",
         "rollup_merge_incremental", "scd2_user_history",
@@ -109,7 +116,7 @@ _LAST_VERIFIED = {
         "lang_id_stopword", "late_orders_by_priority",
         "linear_regression_trend", "multimodal_features",
         "multimodal_frame_sample", "multimodal_metadata",
-        "ngram_jaccard_pairs", "pagerank_near_dup", "png_decode_features",
+        "ngram_jaccard_pairs", "pagerank_near_dup",
         "range_band_join", "session_path_analysis",
         "shipping_priority", "split_by_cluster", "stream_stream_join",
         "string_functions", "text_quality", "text_token_stats",
@@ -125,8 +132,7 @@ _LAST_VERIFIED = {
         "cohort_retention", "conditional_functions", "datetime_functions",
         "dedup_clusters_fast", "dedup_clusters_logstar",
         "feature_scaling", "feed_daily_rollup", "funnel_conversion",
-        "gap_fill_interpolate", "gap_fill_locf", "hll_partial_rollup",
-        "jpeg_decode_features", "map_functions", "math_functions",
+        "gap_fill_interpolate", "gap_fill_locf", "hll_partial_rollup", "map_functions", "math_functions",
         "monthly_filtered", "monthly_rollup", "pricing_summary",
         "projection_sort", "quantile_bucket_decile",
         "quantile_bucket_decile_approx", "rfm_segmentation",
@@ -137,7 +143,6 @@ _LAST_VERIFIED = {
         "stream_sliding_window", "stream_tumbling_window",
         "stream_windowed_dedup", "string_functions_extended",
         "tfidf_cosine_pairs", "train_test_split", "udf_normalize_text",
-        "udf_weighted_mean_price",
     ], 7),
 }
 

@@ -1014,15 +1014,20 @@ def test_bloom_prefilter_never_drops_matches_and_reduces_probe(spark):
     false positives account exactly for the difference), a real probe-side
     reduction, and a measured FP rate consistent with (1-e^(-kn/m))^k."""
     from weather_database_system_spark.operators.scale import (
+        _bloom_audit,
         bloom_prefilter_semi_join,
     )
 
+    stats, n_keys, theory = _bloom_audit(spark, SF_SMOKE)
+    assert stats.n_true_match > 0 and n_keys > 0
+    assert stats.n_false_neg == 0  # no false negatives, directly
+    assert stats.n_prefiltered == stats.n_true_match + stats.n_false_pos
+    assert stats.n_prefiltered < stats.n_probe, "no reduction — vacuous demo"
+    fp_rate = stats.n_false_pos / max(stats.n_probe - stats.n_true_match, 1)
+    assert fp_rate <= max(3 * theory, 0.02), (fp_rate, theory)
+    # registry surface: both pinned claims must hold
     r = bloom_prefilter_semi_join(spark, SF_SMOKE).collect()[0]
-    assert r.n_true_match > 0
-    assert r.n_prefiltered == r.n_true_match + r.n_false_pos  # no false negatives
-    assert r.n_prefiltered < r.n_probe, "no reduction — vacuous demo"
-    # measured FP rate within noise of theory (binomial noise at smoke sf)
-    assert r.fp_rate <= max(3 * r.fp_rate_theory, 0.02), tuple(r)
+    assert r.no_false_negative == 1 and r.fp_within_bound == 1, tuple(r)
 
 
 def test_clustering_coeff_matches_python_graph_replay(spark):

@@ -16,8 +16,10 @@ Three tiers shown:
   semantically transparent, which is exactly what you verify before trusting
   a UDF in a 100 TB pipeline);
 - grouped-agg pandas_udf — a numpy weighted mean per group (UDAF shape);
-  float accumulation can't bit-match a decimal oracle, so it is rows-only
-  for the driver and tolerance-tested against the exact expression;
+  float accumulation can't bit-match a decimal oracle, so the output
+  carries the exact decimal yardstick plus a pinned |udaf − exact| claim
+  the oracle asserts (hash-checked), with the raw closeness also
+  tolerance-tested in pytest;
 - Python UDTF — one row in, many rows out with per-row state (the TABLE
   function shape); rows-only + semantic tests.
 """
@@ -77,17 +79,54 @@ def udf_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Pinned tolerance for the UDAF claim: float accumulation over ~10⁵ rows
+# drifts ≤ ~1e-9 relative from the exact decimal mean; 1e-6 relative is a
+# ≥100× margin that still catches any real UDAF defect (a wrong weight
+# column or a dropped group is off by whole units).
+WMEAN_REL_TOL = 1e-6
+
+
 def udf_weighted_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-agg pandas UDF: quantity-weighted mean extended price per
-    returnflag. Rows-only for the driver (float accumulation order);
-    tolerance-tested against the exact decimal expression in pytest."""
+    returnflag. The UDAF's float accumulation order can't bit-match a
+    decimal oracle, so its raw value stays out of the output; instead the
+    same aggregation ALSO computes the exact decimal weighted mean
+    (sum(price·qty)/sum(qty) in DECIMAL — the engine-exact yardstick
+    DuckDB replays) and ``udaf_close`` pins the claim
+    |udaf − exact| ≤ WMEAN_REL_TOL·exact, so the pandas-UDAF path is
+    hash-checked instead of rows-only (r7 verdict #5 pattern)."""
     weighted_mean = F.pandas_udf(_weighted_mean, "double")
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(weighted_mean("l_extendedprice", "l_quantity").alias("wmean_price"))
-        .orderBy("l_returnflag")
+    dec = "decimal(30,10)"
+    # Spark forbids mixing a grouped-agg pandas UDF with built-in
+    # aggregates in ONE agg (INVALID_PANDAS_UDF_PLACEMENT), so the UDAF
+    # keeps its own aggregation — the path under test, plan unchanged —
+    # and the exact yardstick is a separate agg joined back on the 3-row
+    # group key (the approx_distinct_users_scale bolt-on shape). The
+    # yardstick divides two exact decimal SUMS each cast to double BEFORE
+    # one IEEE divide: identical decimal values convert to identical
+    # doubles in both engines, so the quotient is engine-exact
+    # (decimal/decimal division scale rules differ between Spark and
+    # DuckDB — never divide decimals cross-engine; the _avg4 recipe).
+    udaf = li.groupBy("l_returnflag").agg(
+        weighted_mean("l_extendedprice", "l_quantity").alias("wmean_udaf")
     )
+    yard = li.groupBy("l_returnflag").agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast(dec))
+        .cast("double")
+        .alias("wsum"),
+        F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("qsum"),
+    )
+    agg = udaf.join(F.broadcast(yard), "l_returnflag")
+    from weather_database_system_spark.operators.relational import _fr
+
+    exact = F.col("wsum") / F.col("qsum")
+    close = F.abs(F.col("wmean_udaf") - exact) <= F.lit(WMEAN_REL_TOL) * F.abs(exact)
+    return agg.select(
+        "l_returnflag",
+        _fr(exact, 4).alias("wmean_price"),
+        close.cast("int").alias("udaf_close"),
+    ).orderBy("l_returnflag")
 
 
 def udf_tokenize_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,6 +157,19 @@ ORACLE: dict[str, str] = {
                    AS text_normalized
         FROM documents
         ORDER BY doc_id
+    """,
+    # the UDAF query's output is the exact decimal yardstick plus the
+    # pinned claim the Spark side computed; a UDAF straying past
+    # WMEAN_REL_TOL emits 0 and hash-mismatches
+    "udf_weighted_mean_price": """
+        SELECT l_returnflag,
+               floor(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+                     / CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS wmean_price,
+               CAST(1 AS INT) AS udaf_close
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
     """,
     # parallel unnests zip positionally in DuckDB, replaying the UDTF's
     # enumerate(text.split(' ')) exactly (split on a single space keeps

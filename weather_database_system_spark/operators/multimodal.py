@@ -255,6 +255,16 @@ AUDIO_N = 2000                 # samples per clip (250 ms)
 AUDIO_AMP = 16000              # peak amplitude (int16 domain)
 
 
+def _r4(x: float) -> float:
+    """Portable floor-based rounding to 4 dp — the Python-side twin of
+    relational._fr / _sql_fr, so decode statistics computed in numpy can
+    hash-match a DuckDB replay (Python's round() is half-even, SQL
+    round() half-away; this rule is identical everywhere)."""
+    import math
+
+    return math.floor(x * 1e4 + 0.5) / 1e4
+
+
 def _synth_ppm(doc_id: int) -> bytes:
     """A real PPM (P6) file: binary netpbm header + RGB24 pixel grid whose
     channels are closed-form functions of (x, y, doc_id) — so tests can
@@ -943,7 +953,18 @@ def with_image_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     stamped the way an ingest job would."""
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Spread the CPU-bound Python codec stage across cores: a small-SF
+    # documents table is ONE parquet split -> ONE mapInPandas task, which
+    # serializes the per-payload encode/decode work (measured ~1-core
+    # throughput on the r8 rehearsal; a no-op at 100 TB where the input
+    # is many splits - the ngram_jaccard_pairs repartition rationale).
+    # Only doc_id longs shuffle, so the exchange is O(rows), not
+    # O(payload bytes).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -999,10 +1020,10 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "doc_id": int(doc_id),
                         "width": w,
                         "height": h,
-                        "mean_r": round(float(fl[..., 0].mean()), 4),
-                        "mean_g": round(float(fl[..., 1].mean()), 4),
-                        "mean_b": round(float(fl[..., 2].mean()), 4),
-                        "luma_std": round(float(luma.std()), 4),
+                        "mean_r": _r4(float(fl[..., 0].mean())),
+                        "mean_g": _r4(float(fl[..., 1].mean())),
+                        "mean_b": _r4(float(fl[..., 2].mean())),
+                        "luma_std": _r4(float(luma.std())),
                         "thumb_md5": hashlib.md5(thumb).hexdigest(),
                     }
                 )
@@ -1051,7 +1072,18 @@ def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
             rows = []
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Spread the CPU-bound Python codec stage across cores: a small-SF
+    # documents table is ONE parquet split -> ONE mapInPandas task, which
+    # serializes the per-payload encode/decode work (measured ~1-core
+    # throughput on the r8 rehearsal; a no-op at 100 TB where the input
+    # is many splits - the ngram_jaccard_pairs repartition rationale).
+    # Only doc_id longs shuffle, so the exchange is O(rows), not
+    # O(payload bytes).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -1078,7 +1110,18 @@ def with_png_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata stamped like an ingest job."""
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Spread the CPU-bound Python codec stage across cores: a small-SF
+    # documents table is ONE parquet split -> ONE mapInPandas task, which
+    # serializes the per-payload encode/decode work (measured ~1-core
+    # throughput on the r8 rehearsal; a no-op at 100 TB where the input
+    # is many splits - the ngram_jaccard_pairs repartition rationale).
+    # Only doc_id longs shuffle, so the exchange is O(rows), not
+    # O(payload bytes).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -1109,8 +1152,11 @@ def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid is the PPM synthesis pattern, so the pytest pins channel means to
     the identical closed-form expectations — and a cross-format test
     asserts PNG-decoded statistics equal PPM-decoded statistics doc by
-    doc (two real containers, one truth). Rows-only for the driver
-    (Python-side by nature)."""
+    doc (two real containers, one truth). DuckDB-oracle-checked (r8): the
+    grid is closed-form in (x, y, doc_id), so the oracle regenerates the
+    expected pixels from generate_series and replays every statistic with
+    the shared floor-rounding — the REAL decode is hash-checked against
+    pixel math, not against itself."""
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -1127,10 +1173,10 @@ def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "doc_id": int(doc_id),
                         "width": w,
                         "height": h,
-                        "mean_r": round(float(fl[..., 0].mean()), 4),
-                        "mean_g": round(float(fl[..., 1].mean()), 4),
-                        "mean_b": round(float(fl[..., 2].mean()), 4),
-                        "luma_std": round(float(luma.std()), 4),
+                        "mean_r": _r4(float(fl[..., 0].mean())),
+                        "mean_g": _r4(float(fl[..., 1].mean())),
+                        "mean_b": _r4(float(fl[..., 2].mean())),
+                        "luma_std": _r4(float(luma.std())),
                     }
                 )
             yield pd.DataFrame(rows)
@@ -1152,7 +1198,18 @@ def with_jpeg_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata stamped like an ingest job."""
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Spread the CPU-bound Python codec stage across cores: a small-SF
+    # documents table is ONE parquet split -> ONE mapInPandas task, which
+    # serializes the per-payload encode/decode work (measured ~1-core
+    # throughput on the r8 rehearsal; a no-op at 100 TB where the input
+    # is many splits - the ngram_jaccard_pairs repartition rationale).
+    # Only doc_id longs shuffle, so the exchange is O(rows), not
+    # O(payload bytes).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -1203,10 +1260,10 @@ def jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "doc_id": int(doc_id),
                         "width": w,
                         "height": h,
-                        "mean_r": round(float(fl[..., 0].mean()), 4),
-                        "mean_g": round(float(fl[..., 1].mean()), 4),
-                        "mean_b": round(float(fl[..., 2].mean()), 4),
-                        "luma_std": round(float(luma.std()), 4),
+                        "mean_r": _r4(float(fl[..., 0].mean())),
+                        "mean_g": _r4(float(fl[..., 1].mean())),
+                        "mean_b": _r4(float(fl[..., 2].mean())),
+                        "luma_std": _r4(float(luma.std())),
                     }
                 )
             yield pd.DataFrame(rows)
@@ -1252,14 +1309,56 @@ ORACLE: dict[str, str] = {
         FROM documents
         ORDER BY doc_id
     """,
+    # png_decode_features replay (r8): the synthesized pixel grid is
+    # closed-form in (x, y, doc_id), so the REAL zlib-inflate + defilter
+    # decode is checked against pixel MATH the oracle regenerates from
+    # generate_series — integer channel means are exact in both engines;
+    # luma_std replays numpy's two-pass population std (mean, then mean of
+    # squared deviations) with the shared floor-rounding at 4 dp.
+    "png_decode_features": f"""
+        WITH px AS (
+            SELECT d.doc_id,
+                   (xs.x * 5 + d.doc_id) % 256 AS r,
+                   (ys.y * 7 + 3 * d.doc_id) % 256 AS g,
+                   (xs.x + ys.y + d.doc_id) % 256 AS b
+            FROM (SELECT doc_id FROM documents) d,
+                 (SELECT unnest(generate_series(0, {IMG_W - 1})) AS x) xs,
+                 (SELECT unnest(generate_series(0, {IMG_H - 1})) AS y) ys
+        ),
+        lum AS (
+            SELECT doc_id, r, g, b,
+                   0.299 * r + 0.587 * g + 0.114 * b AS luma
+            FROM px
+        ),
+        m AS (
+            SELECT doc_id,
+                   avg(r) AS mr, avg(g) AS mg, avg(b) AS mb,
+                   avg(luma) AS ml
+            FROM lum GROUP BY 1
+        ),
+        sd AS (
+            SELECT l.doc_id,
+                   sqrt(avg((l.luma - m.ml) * (l.luma - m.ml))) AS lstd
+            FROM lum l JOIN m USING (doc_id) GROUP BY 1
+        )
+        SELECT m.doc_id,
+               CAST({IMG_W} AS INT) AS width,
+               CAST({IMG_H} AS INT) AS height,
+               floor(mr * 1e4 + 0.5) / 1e4 AS mean_r,
+               floor(mg * 1e4 + 0.5) / 1e4 AS mean_g,
+               floor(mb * 1e4 + 0.5) / 1e4 AS mean_b,
+               floor(lstd * 1e4 + 0.5) / 1e4 AS luma_std
+        FROM m JOIN sd USING (doc_id)
+        ORDER BY m.doc_id
+    """,
 }
 
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
-    "image_decode_features": image_decode_features,    # rows-only: Python decode
-    "audio_decode_features": audio_decode_features,    # rows-only: Python decode
-    "png_decode_features": png_decode_features,        # rows-only: Python decode
-    "jpeg_decode_features": jpeg_decode_features,      # rows-only: Python decode
+    "image_decode_features": image_decode_features,    # rows-only: thumb_md5 over binary
+    "audio_decode_features": audio_decode_features,    # rows-only: libm-trig samples
+    "png_decode_features": png_decode_features,        # oracle: closed-form pixel replay
+    "jpeg_decode_features": jpeg_decode_features,      # rows-only: lossy decode
 }
