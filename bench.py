@@ -78,6 +78,13 @@ HEADLINE = (
                               # components in O(log diameter) rounds
     "feed_daily_rollup",      # partitioned Python DataSource ingest →
                               # pivot → fill policy → daily rollup
+    # --- round-8 headliners ---
+    "png_decode_features",    # REAL zlib inflate + defilter per payload,
+                              # codec stage repartitioned across cores;
+                              # tracks the binary tier's throughput
+    "feed_station_rollup",    # multi-station silver contract: station_id
+                              # derivation + lineage envelope + rollup
+                              # keyed by (station_id, date)
 )
 
 # N runs per query; report the per-query MEDIAN. Default 3 (r6 verdict

@@ -351,31 +351,33 @@ def _synth_png(doc_id: int) -> bytes:
 
 def _png_filter_scanlines(img, filters: list[int]) -> bytes:
     """Apply per-row PNG filters (encoder side): Filt = Raw − predictor
-    mod 256, predictor per the spec (bpp = 3)."""
+    mod 256, predictor per the spec (bpp = 3). Fully vectorized: the
+    ENCODER's predictors read only RAW neighbor bytes (spec §6 — unlike
+    the decoder, which predicts from reconstructed bytes), so left/up/
+    upper-left are whole-row shifts and even Paeth is an elementwise
+    np.where — no per-byte Python (the r8 headline-throughput fix)."""
     import numpy as np
 
     h, w, _ = img.shape
     bpp, out = 3, bytearray()
+    zeros = np.zeros(bpp, dtype=np.int32)
     prior = np.zeros(w * 3, dtype=np.int32)
     for row in range(h):
         raw = img[row].reshape(-1).astype(np.int32)
+        left = np.concatenate([zeros, raw[:-bpp]])
+        ul = np.concatenate([zeros, prior[:-bpp]])
         ft = filters[row]
-        filt = np.empty_like(raw)
-        for i in range(len(raw)):
-            left = raw[i - bpp] if i >= bpp else 0
-            up = prior[i]
-            ul = prior[i - bpp] if i >= bpp else 0
-            if ft == 0:
-                pred = 0
-            elif ft == 1:
-                pred = left
-            elif ft == 2:
-                pred = up
-            elif ft == 3:
-                pred = (left + up) // 2
-            else:
-                pred = _paeth(left, up, ul)
-            filt[i] = (raw[i] - pred) % 256
+        if ft == 0:
+            pred = np.zeros_like(raw)
+        elif ft == 1:
+            pred = left
+        elif ft == 2:
+            pred = prior
+        elif ft == 3:
+            pred = (left + prior) // 2
+        else:
+            pred = _paeth_vec(left, prior, ul)
+        filt = (raw - pred) % 256
         out.append(ft)
         out.extend(filt.astype(np.uint8).tobytes())
         prior = raw
@@ -390,6 +392,17 @@ def _paeth(a: int, b: int, c: int) -> int:
     if pb <= pc:
         return b
     return c
+
+
+def _paeth_vec(a, b, c):
+    """Elementwise Paeth predictor with the spec's exact tie-breaks
+    (a on pa<=pb<=pc ties, then b on pb<=pc) — the vector twin of
+    ``_paeth``, used where the operands are whole rows."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
 def _decode_png(payload: bytes):
@@ -436,6 +449,13 @@ def _decode_png(payload: bytes):
     px = np.empty((h, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.int32)
     pos = 0
+    # Defilter (decoder side) predicts from RECONSTRUCTED bytes, so only
+    # None/Sub/Up rows vectorize outright (Sub's recursion recon[i] =
+    # filt[i] + recon[i−bpp] is a per-channel prefix sum — linear, so one
+    # trailing mod-256 equals the per-step mod); Average/Paeth rows stay
+    # a sequential scan (their predictors are nonlinear in the running
+    # reconstruction). With the encoder's 0→4 filter cycling that
+    # vectorizes 3 of every 5 rows (the r8 headline-throughput fix).
     for row in range(h):
         ft = raw[pos]
         pos += 1
@@ -443,24 +463,24 @@ def _decode_png(payload: bytes):
             np.int32
         )
         pos += stride
-        recon = np.empty(stride, dtype=np.int32)
-        for i2 in range(stride):
-            left = recon[i2 - bpp] if i2 >= bpp else 0
-            up = prior[i2]
-            ul = prior[i2 - bpp] if i2 >= bpp else 0
-            if ft == 0:
-                pred = 0
-            elif ft == 1:
-                pred = left
-            elif ft == 2:
-                pred = up
-            elif ft == 3:
-                pred = (left + up) // 2
-            elif ft == 4:
-                pred = _paeth(left, up, ul)
-            else:
-                raise ValueError(f"bad PNG filter type {ft}")
-            recon[i2] = (line[i2] + pred) % 256
+        if ft == 0:
+            recon = line
+        elif ft == 1:
+            recon = np.cumsum(line.reshape(-1, bpp), axis=0).reshape(-1) % 256
+        elif ft == 2:
+            recon = (line + prior) % 256
+        elif ft in (3, 4):
+            recon = np.empty(stride, dtype=np.int32)
+            for i2 in range(stride):
+                left = recon[i2 - bpp] if i2 >= bpp else 0
+                up = prior[i2]
+                ul = prior[i2 - bpp] if i2 >= bpp else 0
+                pred = (
+                    (left + up) // 2 if ft == 3 else _paeth(left, up, ul)
+                )
+                recon[i2] = (line[i2] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
         px[row] = recon.astype(np.uint8)
         prior = recon
     return w, h, px.reshape(h, w, 3)
