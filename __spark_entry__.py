@@ -60,7 +60,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # closed-form generate_series pixel oracle) plus image/audio/
 # jpeg_decode_features (codec stage now repartitions doc_ids across
 # cores before mapInPandas, and the image tiers share the portable
-# floor-rounding the new PNG oracle requires). New this round (never
+# floor-rounding the new PNG oracle requires); ann_bruteforce_pandas
+# (now shares ann_brute_force's decimal oracle — tie-gap pytest-pinned),
+# multimodal_features (the deterministic stub byte math gained a full
+# DuckDB replay) and audio_decode_features (pinned signal-physics
+# claims over engine-exact container columns). New this round (never
 # verified, enumerate first): feed_station_rollup (multi-station silver
 # contract, r7 verdict #6).
 _LAST_VERIFIED = {
@@ -104,7 +108,7 @@ _LAST_VERIFIED = {
     ], 5),
     # --- last green in r06 ---
     **dict.fromkeys([
-        "agg_collect_sorted", "ann_brute_force", "ann_bruteforce_pandas",
+        "agg_collect_sorted", "ann_brute_force",
         "ann_ivf_label", "ann_lsh_fixedpoint", "ann_lsh_hyperplane",
         "asof_attribution", "bm25_search", "corpus_curation",
         "dedup_against_index", "dedup_clusters",
@@ -114,7 +118,7 @@ _LAST_VERIFIED = {
         "embedding_near_dup_lsh", "graph_clustering_coeff",
         "grouping_sets_revenue", "histogram_value_buckets",
         "lang_id_stopword", "late_orders_by_priority",
-        "linear_regression_trend", "multimodal_features",
+        "linear_regression_trend",
         "multimodal_frame_sample", "multimodal_metadata",
         "ngram_jaccard_pairs", "pagerank_near_dup",
         "range_band_join", "session_path_analysis",

@@ -149,6 +149,18 @@ def test_pandas_ann_matches_exact_ann(spark):
     for q in exact:
         overlap = len(set(exact[q]) & set(fast[q]))
         assert overlap >= 4, f"query {q}: top-5 overlap only {overlap}"
+
+    # The shared DuckDB oracle (r8) relies on cross-engine rank ordering
+    # being deterministic: pin a consecutive-rank score gap far above
+    # float-association noise (ties would let the numpy and decimal paths
+    # legally order differently and break the hash check).
+    ranked: dict[int, list] = {}
+    for r in ann_brute_force(spark, SF_SMOKE).collect():
+        ranked.setdefault(r.query_id, []).append((r.rank, r.cosine))
+    for q, vals in ranked.items():
+        cos = [c for _, c in sorted(vals)]
+        for a, b in zip(cos, cos[1:]):
+            assert a - b > 2e-6, f"query {q}: near-tie {a} vs {b}"
         assert exact[q][0] == fast[q][0], f"query {q}: rank-1 neighbor differs"
 
 
@@ -225,10 +237,11 @@ def test_audio_decode_features_match_signal_physics(spark):
         AUDIO_AMP,
         AUDIO_N,
         AUDIO_SR,
+        _audio_raw_features,
         audio_decode_features,
     )
 
-    rows = {r.doc_id: r for r in audio_decode_features(spark, SF_SMOKE).collect()}
+    rows = {r.doc_id: r for r in _audio_raw_features(spark, SF_SMOKE).collect()}
     assert rows
     dur = AUDIO_N / AUDIO_SR
     for doc_id in list(rows)[:25]:
@@ -244,6 +257,14 @@ def test_audio_decode_features_match_signal_physics(spark):
         # samples/period the worst-case max sample is amp·cos(pi/n); the
         # highest synthesized freq (1150 Hz at 8 kHz) gives n ≈ 6.96
         assert AUDIO_AMP * 0.85 <= r.peak <= AUDIO_AMP
+
+    # registry surface: every pinned physics claim must hold on every doc
+    claims = audio_decode_features(spark, SF_SMOKE).collect()
+    assert claims and all(
+        c.rms_close == 1 and c.peak_close == 1 and c.zc_close == 1
+        for c in claims
+    )
+    assert all(c.freq_hz == 200 + (c.doc_id % 20) * 50 for c in claims)
 
 
 def test_corpus_dedup_apply_reconciles_with_clusters(spark):

@@ -165,8 +165,11 @@ def decode_features(df: DataFrame) -> DataFrame:
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline: binary payload → batched decode stub →
-    per-item features. Rows-only correctness (the decode is Python-side),
-    but deterministic, so row counts and values are stable run-to-run."""
+    per-item features. DuckDB-oracle-checked since r8: the stand-in decode
+    is deterministic byte math over the pure-ASCII payload, so the oracle
+    replays n_bytes/first_byte/byte_sum_mod/dims exactly — proving the
+    Arrow plumbing (binary schema, batch iteration, output schema) is
+    semantically transparent end-to-end."""
     mm = with_binary_payload(spark, sf_dir)
     return decode_features(mm.select("doc_id", "payload")).orderBy("doc_id")
 
@@ -1060,13 +1063,13 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _audio_raw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode + feature extraction over mapInPandas: parse each
     WAV payload with the stdlib RIFF decoder and compute genuine signal
-    features — duration, RMS energy, peak, zero-crossing count. Rows-only
-    for the driver; the pytest asserts the physics (a sine at frequency f
-    crosses zero ≈ 2·f·duration times and has RMS ≈ amp/√2), grounding the
-    decoder against signal theory rather than a replay of itself."""
+    features — duration, RMS energy, peak, zero-crossing count. The raw
+    rms/peak/zc values are libm-trig-dependent (the synth sine), so the
+    registry surface is ``audio_decode_features`` below, which wraps this
+    with pinned signal-physics claims; pytest grounds the raw values."""
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -1122,6 +1125,61 @@ def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rms double, peak int, zero_crossings int"
         ),
     ).orderBy("doc_id")
+
+
+# Pinned signal-physics tolerances for the audio claims. A sine of
+# amplitude AUDIO_AMP has RMS amp/√2 and 2·f·t sign changes; partial
+# final periods and int16 crest sampling perturb both by O(1/samples-
+# per-period) — at the worst synth frequency (1150 Hz at 8 kHz ≈ 7
+# samples/period) that is ≤ ~1 % RMS, ≤ ~10 % peak shortfall, ≤ a few
+# crossings. The bounds below are ≥3× those worst cases while still
+# catching any real decode defect (wrong sample width, dropped frames,
+# byte-order bugs are off by integer factors).
+AUDIO_RMS_TOL = 0.02      # relative, vs AUDIO_AMP/√2
+AUDIO_PEAK_MIN = 0.85     # fraction of AUDIO_AMP the sampled crest must reach
+AUDIO_ZC_TOL = 4          # absolute crossings, vs 2·f·duration
+
+
+def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry surface of ``_audio_raw_features``: the decode runs
+    unchanged, then PLAN-LEVEL claims compare its outputs to the
+    closed-form physics of the synth signal (frequency 200 + (doc_id mod
+    20)·50 — derived from doc_id OUTSIDE the UDF, so the decoder itself
+    stays payload-only): ``rms_close`` (|rms − amp/√2| ≤ 2 % relative),
+    ``peak_close`` (0.85·amp ≤ peak ≤ amp) and ``zc_close``
+    (|crossings − 2·f·t| ≤ 4). The engine-exact columns (sample_rate,
+    n_samples, duration_ms, freq_hz) plus the claims are what DuckDB
+    replays and asserts — the libm-trig-dependent raw values stay out of
+    the hash, so the WAV tier is hash-checked instead of rows-only (the
+    r7 verdict #5 pattern; raw values pytest-grounded)."""
+    import math
+
+    raw = _audio_raw_features(spark, sf_dir)
+    freq = (F.lit(200) + (F.col("doc_id") % 20) * 50).cast("int")
+    duration_s = F.col("n_samples").cast("double") / F.col("sample_rate")
+    rms_ref = AUDIO_AMP / math.sqrt(2.0)
+    rms_ok = F.abs(F.col("rms") - rms_ref) <= AUDIO_RMS_TOL * rms_ref
+    peak_ok = (F.col("peak") >= AUDIO_PEAK_MIN * AUDIO_AMP) & (
+        F.col("peak") <= AUDIO_AMP
+    )
+    zc_ok = (
+        F.abs(F.col("zero_crossings") - 2.0 * F.col("freq_hz") * duration_s)
+        <= AUDIO_ZC_TOL
+    )
+    return (
+        raw.withColumn("freq_hz", freq)
+        .select(
+            "doc_id",
+            "sample_rate",
+            "n_samples",
+            "duration_ms",
+            "freq_hz",
+            rms_ok.cast("int").alias("rms_close"),
+            peak_ok.cast("int").alias("peak_close"),
+            zc_ok.cast("int").alias("zc_close"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def with_png_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1329,6 +1387,40 @@ ORACLE: dict[str, str] = {
         FROM documents
         ORDER BY doc_id
     """,
+    # audio_decode_features replay (r8): engine-exact container columns +
+    # the closed-form frequency + the three pinned physics claims; a
+    # decode defect (wrong sample width, dropped frames, byte order)
+    # breaks a claim and the hash check catches it.
+    "audio_decode_features": f"""
+        SELECT doc_id,
+               CAST({AUDIO_SR} AS INT) AS sample_rate,
+               CAST({AUDIO_N} AS INT) AS n_samples,
+               {round(1000.0 * AUDIO_N / AUDIO_SR, 3)} AS duration_ms,
+               CAST(200 + (doc_id % 20) * 50 AS INT) AS freq_hz,
+               CAST(1 AS INT) AS rms_close,
+               CAST(1 AS INT) AS peak_close,
+               CAST(1 AS INT) AS zc_close
+        FROM documents ORDER BY doc_id
+    """,
+    # multimodal_features replay (r8): the stand-in decode is
+    # deterministic byte math over the (pure-ASCII, pytest-asserted)
+    # utf-8 payload, so DuckDB replays it exactly — n_bytes/dims from
+    # octet_length, first_byte from ascii(), byte_sum_mod as a
+    # list-transform sum over the first 256 characters.
+    "multimodal_features": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               CAST(CASE WHEN octet_length(encode(text)) > 0
+                         THEN ascii(substr(text, 1, 1)) ELSE -1 END AS INT)
+                   AS first_byte,
+               CAST(COALESCE(list_aggregate(list_transform(
+                        range(1, least(octet_length(encode(text)), 256) + 1),
+                        i -> ascii(substr(text, CAST(i AS INT), 1))), 'sum'), 0)
+                    % 997 AS INT) AS byte_sum_mod,
+               CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
+               CAST(octet_length(encode(text)) % 48 + 1 AS INT) AS height
+        FROM documents ORDER BY doc_id
+    """,
     # png_decode_features replay (r8): the synthesized pixel grid is
     # closed-form in (x, y, doc_id), so the REAL zlib-inflate + defilter
     # decode is checked against pixel MATH the oracle regenerates from
@@ -1375,10 +1467,10 @@ ORACLE: dict[str, str] = {
 
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
-    "multimodal_features": multimodal_features,
+    "multimodal_features": multimodal_features,        # oracle: deterministic byte math
     "multimodal_frame_sample": multimodal_frame_sample,
     "image_decode_features": image_decode_features,    # rows-only: thumb_md5 over binary
-    "audio_decode_features": audio_decode_features,    # rows-only: libm-trig samples
+    "audio_decode_features": audio_decode_features,    # pinned-claim: signal physics
     "png_decode_features": png_decode_features,        # oracle: closed-form pixel replay
     "jpeg_decode_features": jpeg_decode_features,      # rows-only: lossy decode
 }

@@ -704,8 +704,11 @@ def ann_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized brute-force scoring via mapInPandas: queries are collected
     once (tiny, bounded by N_QUERIES), broadcast into each Arrow batch, and
     scored with one numpy matmul per batch — the blocked-matmul shape of a
-    GPU/BLAS scorer. Rows-only correctness check (float32 matmul ≠ oracle
-    decimal), validated against ann_brute_force in tests by rank overlap."""
+    GPU/BLAS scorer. Oracle-checked since r8 (shares ann_brute_force's
+    decimal SQL): the 6-dp floor-rounding absorbs the float-association
+    gap and a pytest pins the >2e-6 consecutive-rank score gap that makes
+    cross-engine ordering deterministic; tests additionally validate rank
+    overlap against ann_brute_force."""
     import numpy as np
     import pandas as pd
 
@@ -1650,6 +1653,16 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+# ann_bruteforce_pandas computes the SAME exact top-k as ann_brute_force
+# — only the arithmetic path differs (numpy float64 matmul vs the decimal
+# fold). The 6-dp floor-rounding absorbs the ≤~1e-14 relative float-
+# association gap, and rank order is protected by a pytest-pinned
+# MINIMUM SCORE GAP between consecutive ranked neighbors (> 2e-6, far
+# above float noise, so both engines order identically) — making the
+# shared oracle an honest hash check of the BLAS-shaped path rather than
+# a bet on this corpus (r8; previously rows-only).
+ORACLE["ann_bruteforce_pandas"] = ORACLE["ann_brute_force"]
+
 QUERIES = {
     "ann_brute_force": ann_brute_force,
     "ann_ivf_label": ann_ivf_label,
@@ -1657,7 +1670,7 @@ QUERIES = {
     "ann_ivf_kmeans_nprobe": ann_ivf_kmeans_nprobe,
     "ann_product_quantization": ann_product_quantization,  # rows-only: M Lloyd loops
     "semdedup_prune": semdedup_prune,
-    "ann_bruteforce_pandas": ann_bruteforce_pandas,
+    "ann_bruteforce_pandas": ann_bruteforce_pandas,  # oracle shared w/ brute_force
     "ann_lsh_hyperplane": ann_lsh_hyperplane,
     "ann_lsh_fixedpoint": ann_lsh_fixedpoint,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
