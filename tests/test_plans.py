@@ -297,6 +297,71 @@ def test_sessionization_shares_one_user_exchange(spark):
     assert shuffle_count(sessionize_events(spark, SF_SMOKE)) <= 2
 
 
+def test_r8_yardstick_wrappers_broadcast_their_joins(spark):
+    """The r8 pinned-claim wrappers bolt a tiny exact-yardstick aggregate
+    onto the production plan via a BROADCAST join — if any of them ever
+    plans a sort-merge join, the wrapper would shuffle the full input a
+    second time at scale."""
+    from weather_database_system_spark.functions.udfs import (
+        udf_weighted_mean_price,
+    )
+    from weather_database_system_spark.operators.scale import (
+        anomaly_mad_zscore_approx,
+        approx_distinct_users_scale,
+    )
+    from weather_database_system_spark.plans import (
+        broadcast_join_count,
+        formatted_plan,
+    )
+
+    for fn, min_bcast in (
+        (approx_distinct_users_scale, 1),
+        (udf_weighted_mean_price, 1),
+        (anomaly_mad_zscore_approx, 2),  # med + mads broadcasts
+    ):
+        df = fn(spark, SF_SMOKE)
+        assert broadcast_join_count(df) >= min_bcast, fn.__name__
+        assert "SortMergeJoin" not in formatted_plan(df), fn.__name__
+
+
+def test_codec_stage_repartitions_before_python(spark):
+    """The binary-tier payload builders must plan an Exchange on doc_id
+    BEFORE the Python codec stage: a single-split small-SF input would
+    otherwise serialize the whole per-payload encode/decode onto one task
+    (measured ~1-core throughput at the r8 rehearsal)."""
+    from weather_database_system_spark.operators.multimodal import (
+        png_decode_features,
+        with_jpeg_payload,
+    )
+    from weather_database_system_spark.plans import formatted_plan
+
+    for df in (
+        png_decode_features(spark, SF_SMOKE),
+        with_jpeg_payload(spark, SF_SMOKE),
+    ):
+        plan = formatted_plan(df)
+        assert "hashpartitioning(doc_id" in plan, plan[:1500]
+
+
+def test_station_rollup_partial_agg_and_bounded_shuffles(spark):
+    """feed_station_rollup: the station-keyed daily rollup must map-side
+    combine (partial + final HashAggregate) with only the agg exchange
+    and the output sort — the enrichment (station key + envelope) is a
+    pure projection that adds no shuffle."""
+    from weather_database_system_spark.pipeline.ingest import (
+        feed_station_rollup,
+    )
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = feed_station_rollup(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    # the string-typed etl_batch_id min gives an immutable agg buffer, so
+    # Spark picks SortAggregate — partial+final combine is what matters
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
+    assert "partial_" in plan
+    assert shuffle_count(df) <= 2, plan[:1500]
+
+
 def test_kmeans_assignment_is_a_projection_no_exchange(spark):
     """Nearest-centroid assignment (_assign_cells) must plan as a pure
     map-side projection — ZERO exchanges between the embeddings scan and
