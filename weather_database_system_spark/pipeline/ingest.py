@@ -673,12 +673,89 @@ def _feed_station_oracle() -> str:
     """
 
 
+def feed_station_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Station-keyed GOLD monthly aggregate — the reference's monthly_agg
+    shape (etlToClickHouse.js:139-173: month key from the timestamp
+    prefix, avg temperature, total rainfall) generalized to the fleet:
+    grouped by (station_id, month) so no station's climate dilutes
+    another's. Cascades FROM the silver contract (feed → pivot →
+    enrich_stations), proving the month grain derives from station-keyed
+    silver exactly as the daily grain does; the DuckDB oracle replays the
+    whole chain from generate_series. ``sf_dir`` unused: the source under
+    test IS the feed."""
+    from weather_database_system_spark.operators.relational import (
+        _avg4,
+        _sum2,
+    )
+
+    payload_dir = _cached_feed_fixtures()
+    bronze = read_observation_feed(
+        spark,
+        FEED_STATIONS,
+        FEED_START,
+        FEED_END,
+        shard_days=FEED_SHARD_DAYS,
+        payload_dir=payload_dir,
+        fetched_at=FEED_FETCHED_AT,
+    )
+    silver = enrich_stations(
+        bronze_to_observations(bronze, keep=("latitude", "longitude")),
+        source_timestamp=FEED_FETCHED_AT + ".000Z",
+        etl_batch_id=_FEED_BATCH_ID,
+    )
+    return (
+        silver.groupBy(
+            "station_id", F.substring("timestamp", 1, 7).alias("month")
+        )
+        .agg(
+            F.count("*").alias("n_hours"),
+            _avg4(F.col("temperatureC")).alias("avg_temp_c"),
+            _sum2(F.col("rainfallMm")).alias("total_rain_mm"),
+        )
+        .orderBy("station_id", "month")
+    )
+
+
+def _feed_station_monthly_oracle() -> str:
+    from weather_database_system_spark.operators.relational import (
+        _sql_avg4,
+        _sql_sum2,
+    )
+
+    n_hours = (
+        (dt.date.fromisoformat(FEED_END) - dt.date.fromisoformat(FEED_START)).days
+        + 1
+    ) * 24
+    return f"""
+        WITH s AS (SELECT unnest(generate_series(0, {len(FEED_STATIONS) - 1})) AS s),
+        g AS (SELECT unnest(generate_series(0, {n_hours - 1})) AS g),
+        obs AS (
+            SELECT printf('st_%.4f_%.4f', 37.0 + s, -121.0 - s) AS station_id,
+                   strftime(TIMESTAMP '{FEED_START} 00:00:00' + to_hours(g),
+                            '%Y-%m') AS month,
+                   CASE WHEN (g + s) % 11 = 0 THEN NULL
+                        ELSE s * 10 + g * 0.25 END AS temp_c,
+                   CASE WHEN (g + s) % 7 = 0 THEN 0.0 ELSE g * 0.1 END AS rain_mm
+            FROM s, g
+        )
+        SELECT station_id, month,
+               count(*) AS n_hours,
+               {_sql_avg4("temp_c")} AS avg_temp_c,
+               {_sql_sum2("rain_mm")} AS total_rain_mm
+        FROM obs
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+
+
 QUERIES = {
     "feed_daily_rollup": feed_daily_rollup,
     "feed_station_rollup": feed_station_rollup,
+    "feed_station_monthly": feed_station_monthly,
 }
 
 ORACLE: dict[str, str] = {
     "feed_daily_rollup": _feed_oracle(),
     "feed_station_rollup": _feed_station_oracle(),
+    "feed_station_monthly": _feed_station_monthly_oracle(),
 }
