@@ -64,9 +64,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (now shares ann_brute_force's decimal oracle — tie-gap pytest-pinned),
 # multimodal_features (the deterministic stub byte math gained a full
 # DuckDB replay) and audio_decode_features (pinned signal-physics
-# claims over engine-exact container columns). New this round (never
-# verified, enumerate first): feed_station_rollup (multi-station silver
-# contract, r7 verdict #6).
+# claims over engine-exact container columns) — 11 rewrites in total.
+# New this round (never verified, enumerate first): feed_station_rollup
+# and feed_station_monthly (the multi-station silver/gold contract, r7
+# verdict #6).
 _LAST_VERIFIED = {
     # --- last green in r04 ---
     **dict.fromkeys([

@@ -153,14 +153,30 @@ def test_pandas_ann_matches_exact_ann(spark):
     # The shared DuckDB oracle (r8) relies on cross-engine rank ordering
     # being deterministic: pin a consecutive-rank score gap far above
     # float-association noise (ties would let the numpy and decimal paths
-    # legally order differently and break the hash check).
-    ranked: dict[int, list] = {}
-    for r in ann_brute_force(spark, SF_SMOKE).collect():
-        ranked.setdefault(r.query_id, []).append((r.rank, r.cosine))
-    for q, vals in ranked.items():
-        cos = [c for _, c in sorted(vals)]
-        for a, b in zip(cos, cos[1:]):
-            assert a - b > 2e-6, f"query {q}: near-tie {a} vs {b}"
+    # legally order differently and break the hash check). The boundary
+    # that actually decides SET membership is rank-k vs the first
+    # EXCLUDED candidate, which the emitted top-k can't show — recompute
+    # the full score column in numpy and pin every gap through k+1.
+    import numpy as np
+
+    from weather_database_system_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r.vec_id for r in emb])
+    mat = np.array([r.embedding for r in emb], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    qm, cm = mat[ids < N_QUERIES], mat[ids >= N_QUERIES]
+    sims = qm @ cm.T
+    for qi in range(sims.shape[0]):
+        top = np.sort(sims[qi])[::-1][: TOP_K + 1]
+        gaps = top[:-1] - top[1:]
+        assert gaps.min() > 2e-6, f"query row {qi}: near-tie gap {gaps.min()}"
         assert exact[q][0] == fast[q][0], f"query {q}: rank-1 neighbor differs"
 
 
@@ -1282,6 +1298,19 @@ def test_mad_anomaly_grounded_and_approx_twin_agrees(spark):
     ).collect()
     for r in exposed:
         assert abs(r.mscore_a - r.mscore) <= MAD_APPROX_TOL, r.event_id
+
+    # the DEPLOYABLE sketch-only plan: no exact-percentile learner
+    # anywhere in the optimized plan, and its sketch-selected flag set
+    # agrees with the exact twin on >=95% of events
+    from weather_database_system_spark.operators.scale import _mad_sketch_only
+
+    sk = _mad_sketch_only(spark, SF_SMOKE)
+    plan = sk._jdf.queryExecution().optimizedPlan().toString()
+    assert "approx_percentile" in plan
+    assert "percentile(" not in plan.replace("approx_percentile(", "")
+    sk_ids = {r.event_id for r in sk.collect()}
+    inter = len(sk_ids & flagged)
+    assert inter >= 0.95 * max(len(sk_ids), len(flagged))
 
 
 def test_rollup_merge_is_nonvacuous_and_equals_direct(spark):

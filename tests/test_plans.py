@@ -330,7 +330,9 @@ def test_codec_stage_repartitions_before_python(spark):
     otherwise serialize the whole per-payload encode/decode onto one task
     (measured ~1-core throughput at the r8 rehearsal)."""
     from weather_database_system_spark.operators.multimodal import (
+        _audio_raw_features,
         png_decode_features,
+        with_image_payload,
         with_jpeg_payload,
     )
     from weather_database_system_spark.plans import formatted_plan
@@ -338,6 +340,8 @@ def test_codec_stage_repartitions_before_python(spark):
     for df in (
         png_decode_features(spark, SF_SMOKE),
         with_jpeg_payload(spark, SF_SMOKE),
+        with_image_payload(spark, SF_SMOKE),
+        _audio_raw_features(spark, SF_SMOKE),
     ):
         plan = formatted_plan(df)
         assert "hashpartitioning(doc_id" in plan, plan[:1500]

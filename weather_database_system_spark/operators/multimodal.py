@@ -258,6 +258,23 @@ AUDIO_N = 2000                 # samples per clip (250 ms)
 AUDIO_AMP = 16000              # peak amplitude (int16 domain)
 
 
+def _doc_ids_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id base for every codec payload builder, repartitioned across
+    cores BEFORE the Python stage: a small-SF documents table is ONE
+    parquet split → ONE mapInPandas task, which serializes the whole
+    per-payload encode/decode (measured ~1-core throughput at the r8
+    rehearsal; a no-op at 100 TB where the input is many splits — the
+    ngram_jaccard_pairs repartition rationale). Only doc_id longs
+    shuffle, so the exchange is O(rows), not O(payload bytes). One
+    helper so a tuning change can never miss a tier
+    (tests/test_plans.py pins the exchange for all four)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+
+
 def _r4(x: float) -> float:
     """Portable floor-based rounding to 4 dp — the Python-side twin of
     relational._fr / _sql_fr, so decode statistics computed in numpy can
@@ -976,18 +993,7 @@ def with_image_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     stamped the way an ingest job would."""
     import pandas as pd
 
-    # Spread the CPU-bound Python codec stage across cores: a small-SF
-    # documents table is ONE parquet split -> ONE mapInPandas task, which
-    # serializes the per-payload encode/decode work (measured ~1-core
-    # throughput on the r8 rehearsal; a no-op at 100 TB where the input
-    # is many splits - the ngram_jaccard_pairs repartition rationale).
-    # Only doc_id longs shuffle, so the exchange is O(rows), not
-    # O(payload bytes).
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+    docs = _doc_ids_spread(spark, sf_dir)
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -1095,18 +1101,7 @@ def _audio_raw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
             rows = []
 
-    # Spread the CPU-bound Python codec stage across cores: a small-SF
-    # documents table is ONE parquet split -> ONE mapInPandas task, which
-    # serializes the per-payload encode/decode work (measured ~1-core
-    # throughput on the r8 rehearsal; a no-op at 100 TB where the input
-    # is many splits - the ngram_jaccard_pairs repartition rationale).
-    # Only doc_id longs shuffle, so the exchange is O(rows), not
-    # O(payload bytes).
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+    docs = _doc_ids_spread(spark, sf_dir)
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -1188,18 +1183,7 @@ def with_png_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata stamped like an ingest job."""
     import pandas as pd
 
-    # Spread the CPU-bound Python codec stage across cores: a small-SF
-    # documents table is ONE parquet split -> ONE mapInPandas task, which
-    # serializes the per-payload encode/decode work (measured ~1-core
-    # throughput on the r8 rehearsal; a no-op at 100 TB where the input
-    # is many splits - the ngram_jaccard_pairs repartition rationale).
-    # Only doc_id longs shuffle, so the exchange is O(rows), not
-    # O(payload bytes).
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+    docs = _doc_ids_spread(spark, sf_dir)
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -1276,18 +1260,7 @@ def with_jpeg_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata stamped like an ingest job."""
     import pandas as pd
 
-    # Spread the CPU-bound Python codec stage across cores: a small-SF
-    # documents table is ONE parquet split -> ONE mapInPandas task, which
-    # serializes the per-payload encode/decode work (measured ~1-core
-    # throughput on the r8 rehearsal; a no-op at 100 TB where the input
-    # is many splits - the ngram_jaccard_pairs repartition rationale).
-    # Only doc_id longs shuffle, so the exchange is O(rows), not
-    # O(payload bytes).
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+    docs = _doc_ids_spread(spark, sf_dir)
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

@@ -358,17 +358,56 @@ def anomaly_mad_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mad_anomaly(spark, sf_dir, approx=False)
 
 
+def _mad_sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYABLE sketch-only MAD anomaly plan: medians and MADs from
+    the mergeable approx_percentile sketch alone (map-side partials, tiny
+    shuffle payload — exact percentile on an unbounded group never ships
+    at 100 TB), flags selected by the SKETCH criterion. This is what a
+    100 TB deployment runs; it contains no exact-percentile learner
+    anywhere (pytest pins that plan property and bounds its flag set
+    against the exact twin). The registry surface below fuses a
+    test-scale exact yardstick into the same aggs instead — affordable at
+    test SF, and the only way the DuckDB hash check can decide the row
+    set — the same fused-yardstick compromise as _rfm_scored."""
+    ev = load_table(spark, sf_dir, "events")
+    aq = "approx_percentile({c}, 0.5, 10000)"
+    med = ev.groupBy("event_type").agg(
+        _fr(F.expr(aq.format(c="value")), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mads = dev.groupBy("event_type").agg(
+        F.min("med").alias("med"),
+        _fr(F.expr(aq.format(c="adev")), 6).alias("mad"),
+    )
+    scored = dev.drop("med").join(F.broadcast(mads), "event_type")
+    mscore = F.lit(MAD_K) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        scored.filter((F.col("mad") > 0) & (F.abs(mscore) > MAD_THRESH))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "med",
+            "mad",
+            _fr(mscore, 4).alias("mscore"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def anomaly_mad_zscore_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production twin of anomaly_mad_zscore: medians/MADs from the
-    mergeable approx_percentile sketch (map-side partials, tiny shuffle
-    payload) — exact percentile on an unbounded group never ships at
-    100 TB. The raw sketch scores are engine-specific, but their PINNED
-    tolerance is oracle-decidable (r7 verdict #5): the emitted row set is
-    the exact twin's (test-scale yardstick, replayed by DuckDB) and
-    ``approx_close`` asserts every flagged row's sketch mscore within
-    MAD_APPROX_TOL of the exact one — a sketch straying past its bound
-    now hash-mismatches instead of hiding behind a rows-only check.
-    tests/test_extensions.py additionally bounds the raw sketch mscore."""
+    """Registry surface of the sketch MAD twin (deployable form:
+    ``_mad_sketch_only`` above). Runs BOTH learners in the same two
+    aggregations — the exact med/mad are the test-scale yardstick that
+    defines the emitted row set (oracle-replayable), the sketch med/mad
+    are the path under test — and emits the PINNED per-row claim
+    ``approx_close`` = |mscore_sketch − mscore_exact| ≤ MAD_APPROX_TOL,
+    which the DuckDB oracle asserts held (r7 verdict #5): a sketch
+    straying past its bound now hash-mismatches instead of hiding behind
+    a rows-only check. tests/test_extensions.py additionally bounds the
+    raw sketch mscore and keeps the sketch-only plan regression-guarded."""
     return _mad_anomaly(spark, sf_dir, approx=True)
 
 
