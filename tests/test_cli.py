@@ -94,6 +94,42 @@ def test_cli_serve_miss_then_warehouse_fallback(spark, tmp_path, capsys):
     assert out["count"] == 1
 
 
+def test_cli_ingest_fleet_writes_station_keyed_silver(spark, tmp_path, capsys):
+    """ingest-fleet drives the multi-station path end to end from the
+    shell: offline fixture payloads in, station_id-partitioned silver out,
+    per-station row counts in the JSON report."""
+    from weather_database_system_spark.sources.observation_feed import (
+        write_feed_fixtures,
+    )
+
+    stations = [
+        {"latitude": 37.0, "longitude": -121.0},
+        {"latitude": 40.0, "longitude": -120.0},
+    ]
+    fx = tmp_path / "payloads"
+    fx.mkdir()
+    write_feed_fixtures(str(fx), stations, "2024-03-01", "2024-03-02", 1)
+    stations_file = tmp_path / "stations.json"
+    stations_file.write_text(json.dumps(stations))
+    silver = str(tmp_path / "silver")
+
+    code, out = _run(capsys, [
+        "ingest-fleet", "--stations-json", str(stations_file),
+        "--start-date", "2024-03-01", "--end-date", "2024-03-02",
+        "--shard-days", "1", "--payload-dir", str(fx), "--silver", silver,
+    ])
+    assert code == 0 and out["status"] == "ok"
+    assert out["stations"] == 2 and out["silver_rows"] == 2 * 2 * 24
+    assert out["rows_per_station"] == {
+        "st_37.0000_-121.0000": 48,
+        "st_40.0000_-120.0000": 48,
+    }
+    assert {d for d in os.listdir(silver) if d.startswith("station_id=")} == {
+        "station_id=st_37.0000_-121.0000",
+        "station_id=st_40.0000_-120.0000",
+    }
+
+
 def test_cli_ingest_live_fetch_requires_full_coordinates(tmp_path):
     """--latitude without --longitude/--start-date/--end-date must be a usage
     error (argparse exit 2), not None values reaching the HTTP fetcher."""

@@ -9,6 +9,10 @@ each onto the engine's library calls:
 
     python -m weather_database_system_spark ingest --payload-json f.json \
         --city Stockton --state CA --bronze /tmp/bronze --silver /tmp/silver
+    python -m weather_database_system_spark ingest-fleet \
+        --stations-json stations.json --start-date 2024-01-01 \
+        --end-date 2024-03-31 --payload-dir /tmp/payloads \
+        --silver /tmp/silver_fleet     # station-keyed contract (extension)
     python -m weather_database_system_spark etl --silver /tmp/silver \
         --warehouse /tmp/dw
     python -m weather_database_system_spark refresh-cache --warehouse /tmp/dw \
@@ -60,6 +64,45 @@ def _cmd_ingest(args: argparse.Namespace) -> int:
     )
     print(json.dumps({"status": "ok", "silver_rows": silver.count(),
                       "bronze": args.bronze, "silver": args.silver}))
+    return 0
+
+
+def _cmd_ingest_fleet(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.pipeline.ingest import (
+        ingest_feed_stations,
+    )
+
+    with open(args.stations_json, encoding="utf-8") as f:
+        stations = json.load(f)
+    spark = _spark(args.cpus)
+    silver = ingest_feed_stations(
+        spark,
+        stations,
+        args.start_date,
+        args.end_date,
+        shard_days=args.shard_days,
+        payload_dir=args.payload_dir,
+        url=args.url,
+        bronze_path=args.bronze,
+        silver_path=args.silver,
+    )
+    per_station = {
+        r["station_id"]: r["n"]
+        for r in silver.groupBy("station_id").agg(F.count("*").alias("n")).collect()
+    }
+    print(
+        json.dumps(
+            {
+                "status": "ok",
+                "stations": len(per_station),
+                "silver_rows": sum(per_station.values()),
+                "rows_per_station": per_station,
+                "silver": args.silver,
+            }
+        )
+    )
     return 0
 
 
@@ -134,6 +177,26 @@ def build_parser() -> argparse.ArgumentParser:
     ing.add_argument("--bronze", help="bronze zone path (optional)")
     ing.add_argument("--silver", required=True, help="silver zone path")
     ing.set_defaults(func=_cmd_ingest)
+
+    fl = sub.add_parser(
+        "ingest-fleet",
+        help="multi-station feed → station-keyed silver (partitioned by "
+        "station_id; the SILVER_STATION_SCHEMA contract)",
+    )
+    fl.add_argument(
+        "--stations-json",
+        required=True,
+        help='JSON file: [{"latitude": .., "longitude": ..}, ...]',
+    )
+    fl.add_argument("--start-date", required=True)
+    fl.add_argument("--end-date", required=True)
+    fl.add_argument("--shard-days", type=int, default=30)
+    fsrc = fl.add_mutually_exclusive_group(required=True)
+    fsrc.add_argument("--payload-dir", help="offline fixture payload directory")
+    fsrc.add_argument("--url", help="live archive endpoint")
+    fl.add_argument("--bronze", help="bronze zone path (optional)")
+    fl.add_argument("--silver", required=True, help="station-keyed silver path")
+    fl.set_defaults(func=_cmd_ingest_fleet)
 
     etl = sub.add_parser("etl", help="silver → daily_weather → monthly_agg")
     etl.add_argument("--silver", required=True)
