@@ -534,6 +534,55 @@ def test_ingest_feed_stations_writes_station_keyed_silver(spark, tmp_path):
     assert back.select("latitude").distinct().collect()[0][0] == 40.0
 
 
+def test_station_id_derivation_is_engine_exact(spark, duck):
+    """The station key must derive IDENTICALLY in Spark and DuckDB for any
+    coordinate — including binary-midpoint ties like 37.03125, where raw
+    %.4f diverges (Java format_string rounds HALF_UP, C printf half-even;
+    measured '37.0313' vs '37.0312' before the pre-rounding fix). Checks
+    adversarial midpoints plus random coordinates."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from weather_database_system_spark.pipeline.ingest import station_id_col
+
+    def both(coords):
+        df = spark.createDataFrame(coords, "latitude double, longitude double")
+        got_spark = [
+            r.sid
+            for r in df.select(station_id_col().alias("sid")).collect()
+        ]
+        got_duck = [
+            duck.execute(
+                "SELECT printf('st_%.4f_%.4f', floor(?::DOUBLE*1e4+0.5)/1e4, "
+                "floor(?::DOUBLE*1e4+0.5)/1e4)",
+                [lat, lon],
+            ).fetchone()[0]
+            for lat, lon in coords
+        ]
+        return got_spark, got_duck
+
+    adversarial = [
+        (37.03125, -121.03125),   # exact binary midpoints of 4-dp decimals
+        (41.15625, -120.65625),
+        (0.00005, -0.00005),
+        (89.99995, 179.99995),
+        (37.0, -121.0),
+    ]
+    s, d = both(adversarial)
+    assert s == d, list(zip(adversarial, s, d))
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        lat=st.floats(min_value=-90, max_value=90, allow_nan=False),
+        lon=st.floats(min_value=-180, max_value=180, allow_nan=False),
+    )
+    def prop(lat, lon):
+        s1, d1 = both([(lat, lon)])
+        assert s1 == d1, (lat, lon, s1, d1)
+
+    prop()
+
+
 def test_cached_feed_fixtures_written_once_and_reused(spark):
     """The registry feed query's fixture payloads live at ONE deterministic
     cached path — repeated invocations must reuse it instead of leaking a

@@ -193,10 +193,25 @@ def station_id_col(
     lat: str = "latitude", lon: str = "longitude"
 ) -> F.Column:
     """Deterministic station key from coordinates, identical in Spark and
-    DuckDB (``printf('st_%.4f_%.4f', …)``): 4 decimal places ≈ 11 m — finer
-    than any two distinct weather stations, coarse enough that a payload's
-    float round-trip can't split one station into two keys."""
-    return F.format_string("st_%.4f_%.4f", F.col(lat), F.col(lon))
+    DuckDB: 4 decimal places ≈ 11 m — finer than any two distinct weather
+    stations, coarse enough that a payload's float round-trip can't split
+    one station into two keys.
+
+    The coordinate is pre-rounded with the portable floor rule
+    (floor(x·10⁴ + 0.5)/10⁴ — identical double arithmetic in both
+    engines) BEFORE the ``%.4f`` format: raw ``%.4f`` resolves
+    binary-midpoint ties differently per engine (Java format_string
+    rounds HALF_UP, C printf half-even — measured: 37.03125 →
+    '37.0313' in Spark but '37.0312' in DuckDB), so a station at such a
+    coordinate would get two different keys. After pre-rounding the
+    formatted double is never a formatting tie, and the hypothesis test
+    in tests/test_sources.py pins cross-engine equality over adversarial
+    midpoints."""
+
+    def r4(c: F.Column) -> F.Column:
+        return F.floor(c * 1e4 + F.lit(0.5)) / 1e4
+
+    return F.format_string("st_%.4f_%.4f", r4(F.col(lat)), r4(F.col(lon)))
 
 
 def enrich_stations(
@@ -656,7 +671,8 @@ def _feed_station_oracle() -> str:
                    CASE WHEN (g + s) % 5 = 0 THEN 0.0 ELSE g * 0.07 END AS gust
             FROM s, g
         )
-        SELECT printf('st_%.4f_%.4f', latitude, longitude) AS station_id,
+        SELECT printf('st_%.4f_%.4f', floor(latitude * 1e4 + 0.5) / 1e4,
+                      floor(longitude * 1e4 + 0.5) / 1e4) AS station_id,
                substr(ts, 1, 10) AS obs_date,
                min(latitude) AS latitude,
                min(longitude) AS longitude,
@@ -730,7 +746,8 @@ def _feed_station_monthly_oracle() -> str:
         WITH s AS (SELECT unnest(generate_series(0, {len(FEED_STATIONS) - 1})) AS s),
         g AS (SELECT unnest(generate_series(0, {n_hours - 1})) AS g),
         obs AS (
-            SELECT printf('st_%.4f_%.4f', 37.0 + s, -121.0 - s) AS station_id,
+            SELECT printf('st_%.4f_%.4f', floor((37.0 + s) * 1e4 + 0.5) / 1e4,
+                      floor((-121.0 - s) * 1e4 + 0.5) / 1e4) AS station_id,
                    strftime(TIMESTAMP '{FEED_START} 00:00:00' + to_hours(g),
                             '%Y-%m') AS month,
                    CASE WHEN (g + s) % 11 = 0 THEN NULL
