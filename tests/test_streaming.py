@@ -369,3 +369,111 @@ def test_stateful_transformWithStateInPandas_value_state(spark, stream_src, tmp_
         .collect()
     }
     assert latest == batch
+
+
+def test_station_streaming_gold_partials_merge_to_batch_answer(spark, tmp_path):
+    """The station-keyed streaming gold (foreachBatch partial states):
+    micro-batched ingestion must merge to the EXACT single-pass answer
+    (decimal-exact merge contract), stations must never mix, and a
+    restart on the same checkpoint must not duplicate partials."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.pipeline.ingest import (
+        ingest_feed_stations,
+    )
+    from weather_database_system_spark.pipeline.warehouse import (
+        station_daily_merged,
+        stream_station_daily,
+    )
+    from weather_database_system_spark.sources.observation_feed import (
+        write_feed_fixtures,
+    )
+
+    stations = [
+        {"latitude": 37.0, "longitude": -121.0},
+        {"latitude": 40.0, "longitude": -120.0},
+    ]
+    fx = tmp_path / "payloads"
+    fx.mkdir()
+    write_feed_fixtures(str(fx), stations, "2024-05-01", "2024-05-03", 1)
+    silver = ingest_feed_stations(
+        spark,
+        stations,
+        "2024-05-01",
+        "2024-05-03",
+        shard_days=1,
+        payload_dir=str(fx),
+        fetched_at=dt.datetime(2024, 5, 4),
+    )
+    silver_src = str(tmp_path / "silver_src")
+    silver.repartition(4).write.mode("overwrite").parquet(silver_src)
+
+    gold = str(tmp_path / "gold_station")
+    ckpt = str(tmp_path / "ckpt_station")
+    schema = spark.read.parquet(silver_src).schema
+    q = stream_station_daily(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(silver_src),
+        gold,
+        ckpt,
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    merged = station_daily_merged(spark, gold)
+    rows = merged.collect()
+    # 2 stations × 3 days, never mixed
+    assert len(rows) == 6
+    assert {r.station_id for r in rows} == {
+        "st_37.0000_-121.0000",
+        "st_40.0000_-120.0000",
+    }
+    # exact-merge contract: equals the direct single-pass aggregate
+    dec = "decimal(30,10)"
+    direct = {
+        (r.station_id, r.obs_date): r
+        for r in silver.groupBy(
+            "station_id", F.substring("timestamp", 1, 10).alias("obs_date")
+        )
+        .agg(
+            F.count("*").alias("n_hours"),
+            (F.count("*") - F.count("temperatureC")).cast("int").alias(
+                "n_missing_temp"
+            ),
+            (
+                F.floor(
+                    F.sum(F.col("temperatureF").cast(dec)).cast("double")
+                    / F.count("temperatureC")
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("avg_temp_f"),
+            F.round(F.sum(F.col("rainfallMm").cast(dec)), 2)
+            .cast("double")
+            .alias("total_rain_mm"),
+        )
+        .collect()
+    }
+    for r in rows:
+        d = direct[(r.station_id, r.obs_date)]
+        assert r.n_hours == d.n_hours == 24
+        assert r.n_missing_temp == d.n_missing_temp
+        assert r.avg_temp_f == d.avg_temp_f
+        assert r.total_rain_mm == d.total_rain_mm
+
+    # restart on the same checkpoint: nothing new -> no extra partials
+    q2 = stream_station_daily(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(silver_src),
+        gold,
+        ckpt,
+    )
+    q2.awaitTermination(120)
+    assert station_daily_merged(spark, gold).collect() == sorted(
+        rows, key=lambda r: (r.station_id, r.obs_date)
+    )

@@ -278,3 +278,83 @@ def run_etl(
     in-process (no per-stage process boundaries)."""
     load_daily(silver_to_daily(silver, author=author, load_time=load_time), root)
     return build_monthly_agg(spark, root, load_time=load_time)
+
+
+# ---------------------------------------------------------------------------
+# Station-keyed streaming gold (r8 extension): the incremental-view-
+# maintenance pattern (rollup_merge_incremental) applied to the fleet.
+# ---------------------------------------------------------------------------
+
+_STATION_DEC = "decimal(30,10)"
+
+
+def station_daily_partials(silver: DataFrame) -> DataFrame:
+    """(station_id, obs_date) ALGEBRAIC partial states for one silver
+    slice: count / non-null count / exact decimal sums / max. Merging
+    partials from any micro-batch split reproduces the single-pass
+    aggregate bit-for-bit (sum-of-sums and max-of-max are exact on
+    DECIMAL), so the streaming sink can append partials per epoch and
+    defer finalization to read time — at 100 TB each refresh scans only
+    its delta, never the accumulated gold."""
+    return silver.groupBy(
+        "station_id", F.substring("timestamp", 1, 10).alias("obs_date")
+    ).agg(
+        F.count("*").alias("n_hours"),
+        F.count("temperatureC").alias("n_temp"),
+        F.sum(F.col("temperatureF").cast(_STATION_DEC)).alias("sum_temp_f"),
+        F.sum(F.col("rainfallMm").cast(_STATION_DEC)).alias("sum_rain_mm"),
+        F.max("windGustMps").alias("max_gust_mps"),
+    )
+
+
+def stream_station_daily(
+    silver_stream: DataFrame, root: str, checkpoint: str
+):
+    """Streaming twin of the station daily rollup: each micro-batch of
+    station-keyed silver appends its (station_id, obs_date) partial
+    states via foreachBatch; exactly-once comes from the streaming
+    checkpoint (a replayed epoch is not re-delivered after restart —
+    the stream_silver_to_daily contract). Partials are partitioned by
+    station_id so per-station reads prune at the listing."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        station_daily_partials(batch_df).write.mode("append").partitionBy(
+            "station_id"
+        ).parquet(root)
+
+    return (
+        silver_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def station_daily_merged(spark: SparkSession, root: str) -> DataFrame:
+    """Read-side merge + finalize of the streamed partials: sum the
+    states per (station_id, obs_date) and derive the presentation
+    columns (avg °F over non-null hours, missing-temp count) — the same
+    merge(partial(a), partial(b)) == direct(a ∪ b) contract
+    rollup_merge_incremental proves for the event rollup, applied to the
+    fleet's gold."""
+    from weather_database_system_spark.operators.relational import _fr
+
+    p = spark.read.parquet(root)
+    merged = p.groupBy("station_id", "obs_date").agg(
+        F.sum("n_hours").alias("n_hours"),
+        F.sum("n_temp").alias("n_temp"),
+        F.sum("sum_temp_f").alias("sum_temp_f"),
+        F.sum("sum_rain_mm").alias("sum_rain_mm"),
+        F.max("max_gust_mps").alias("max_gust_mps"),
+    )
+    return merged.select(
+        "station_id",
+        "obs_date",
+        F.col("n_hours").cast("long").alias("n_hours"),
+        (F.col("n_hours") - F.col("n_temp")).cast("int").alias("n_missing_temp"),
+        _fr(F.col("sum_temp_f").cast("double") / F.col("n_temp"), 4).alias(
+            "avg_temp_f"
+        ),
+        F.round(F.col("sum_rain_mm"), 2).cast("double").alias("total_rain_mm"),
+        _fr(F.col("max_gust_mps"), 4).alias("max_gust_mps"),
+    ).orderBy("station_id", "obs_date")
