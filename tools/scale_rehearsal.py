@@ -54,21 +54,44 @@ HEAVY = [
 ]
 
 
-def gen_documents(n: int, seed: int, out_dir: str) -> None:
+def _zipf_vocab(n_docs: int, rng) -> tuple[list[str], np.ndarray]:
+    """Corpus-scaled Zipfian vocabulary (``--vocab-scale`` mode): real
+    corpora grow their vocabulary with size (Heaps' law) and draw tokens
+    Zipf-distributed, so only the head of the shingle-posting
+    distribution ever crosses a posting cap. The fixed 30-word VOCAB is
+    the deliberate worst case (every posting crosses together — the r8
+    cap-crossover finding); this mode measures the realistic regime."""
+    v = max(100, int(8 * n_docs ** 0.5))  # Heaps-ish growth
+    words = [f"w{i}" for i in range(v)]
+    ranks = np.arange(1, v + 1, dtype=np.float64)
+    probs = 1.0 / ranks  # Zipf s=1
+    probs /= probs.sum()
+    return words, probs
+
+
+def gen_documents(
+    n: int, seed: int, out_dir: str, vocab_scale: bool = False
+) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rng = np.random.default_rng(seed)
     n_base = n - int(n * DUP_FRACTION)
+    if vocab_scale:
+        words, probs = _zipf_vocab(n, rng)
+        draw = lambda size: rng.choice(words, size=size, p=probs)  # noqa: E731
+    else:
+        words = VOCAB
+        draw = lambda size: rng.choice(VOCAB, size=size)  # noqa: E731
     texts: list[str] = []
     for _ in range(n_base):
-        toks = rng.choice(VOCAB, size=int(rng.integers(15, 95)))
+        toks = draw(int(rng.integers(15, 95)))
         texts.append(" ".join(toks))
     # near-duplicates: mutate ~5 % of a base doc's tokens (MinHash-findable)
     while len(texts) < n:
         src = texts[int(rng.integers(0, n_base))].split()
         for _ in range(max(1, len(src) // 20)):
-            src[int(rng.integers(0, len(src)))] = VOCAB[int(rng.integers(0, len(VOCAB)))]
+            src[int(rng.integers(0, len(src)))] = words[int(rng.integers(0, len(words)))]
         texts.append(" ".join(src))
     order = rng.permutation(n)
     texts = [texts[i] for i in order]
@@ -128,6 +151,8 @@ def main() -> None:
     ap.add_argument("--queries", default=",".join(HEAVY))
     ap.add_argument("--scratch", default="/tmp/scale_rehearsal")
     ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("--vocab-scale", action="store_true",
+                    help="Heaps/Zipf corpus-scaled vocabulary (realistic posting regime) instead of the fixed worst-case VOCAB")
     args = ap.parse_args()
     multiples = [int(m) for m in args.multiples.split(",")]
     names = args.queries.split(",")
@@ -151,7 +176,10 @@ def main() -> None:
         d = f"{args.scratch}/m{m}"
         os.makedirs(d, exist_ok=True)
         if not os.path.exists(f"{d}/documents.parquet"):
-            gen_documents(BASE_DOCS * m, seed=42, out_dir=d)
+            gen_documents(
+                BASE_DOCS * m, seed=42, out_dir=d,
+                vocab_scale=args.vocab_scale,
+            )
             gen_embeddings(BASE_VECS * m, seed=42, out_dir=d)
 
     from weather_database_system_spark.session import release_persisted
