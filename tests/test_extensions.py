@@ -149,6 +149,7 @@ def test_pandas_ann_matches_exact_ann(spark):
     for q in exact:
         overlap = len(set(exact[q]) & set(fast[q]))
         assert overlap >= 4, f"query {q}: top-5 overlap only {overlap}"
+        assert exact[q][0] == fast[q][0], f"query {q}: rank-1 neighbor differs"
 
     # The shared DuckDB oracle (r8) relies on cross-engine rank ordering
     # being deterministic: pin a consecutive-rank score gap far above
@@ -177,7 +178,18 @@ def test_pandas_ann_matches_exact_ann(spark):
         top = np.sort(sims[qi])[::-1][: TOP_K + 1]
         gaps = top[:-1] - top[1:]
         assert gaps.min() > 2e-6, f"query row {qi}: near-tie gap {gaps.min()}"
-        assert exact[q][0] == fast[q][0], f"query {q}: rank-1 neighbor differs"
+        # The shared oracle emits floor(cos*1e6 + 0.5)/1e6; the numpy and
+        # decimal paths may disagree by ~1e-14, so a cosine landing ON a
+        # rounding boundary could round differently across engines. Pin
+        # every EMITTED top-k value ≥1e-11 (1e-5 in scaled units) away
+        # from the nearest boundary — 1000× the float-association gap.
+        y = top[:TOP_K] * 1e6 + 0.5
+        frac = y % 1.0
+        bdist = np.minimum(frac, 1.0 - frac)
+        assert bdist.min() > 1e-5, (
+            f"query row {qi}: top-k cosine within {bdist.min():.2e} of a "
+            "6-dp floor-rounding boundary (scaled units)"
+        )
 
 
 def test_multimodal_features_deterministic_and_correct(spark):

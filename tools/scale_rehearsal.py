@@ -54,7 +54,7 @@ HEAVY = [
 ]
 
 
-def _zipf_vocab(n_docs: int, rng) -> tuple[list[str], np.ndarray]:
+def _zipf_vocab(n_docs: int) -> tuple[list[str], np.ndarray]:
     """Corpus-scaled Zipfian vocabulary (``--vocab-scale`` mode): real
     corpora grow their vocabulary with size (Heaps' law) and draw tokens
     Zipf-distributed, so only the head of the shingle-posting
@@ -78,7 +78,7 @@ def gen_documents(
     rng = np.random.default_rng(seed)
     n_base = n - int(n * DUP_FRACTION)
     if vocab_scale:
-        words, probs = _zipf_vocab(n, rng)
+        words, probs = _zipf_vocab(n)
         draw = lambda size: rng.choice(words, size=size, p=probs)  # noqa: E731
     else:
         words = VOCAB

@@ -1,6 +1,6 @@
 """Replay the driver's correctness gate locally: every registry query vs
-its DuckDB oracle at sf0.01 on a vanilla session (exactly what the driver
-does — see .claude/skills/verify/SKILL.md). Prints per-query status and a
+its DuckDB oracle at sf0.01 on a vanilla session (the same side-by-side
+compare the per-round driver runs). Prints per-query status and a
 final FAILURES line; exit code 1 on any mismatch.
 
 Usage: python tools/verify_replay.py [sf_dir]

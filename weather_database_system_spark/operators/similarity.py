@@ -1655,12 +1655,15 @@ ORACLE: dict[str, str] = {
 
 # ann_bruteforce_pandas computes the SAME exact top-k as ann_brute_force
 # — only the arithmetic path differs (numpy float64 matmul vs the decimal
-# fold). The 6-dp floor-rounding absorbs the ≤~1e-14 relative float-
-# association gap, and rank order is protected by a pytest-pinned
-# MINIMUM SCORE GAP between consecutive ranked neighbors (> 2e-6, far
-# above float noise, so both engines order identically) — making the
-# shared oracle an honest hash check of the BLAS-shaped path rather than
-# a bet on this corpus (r8; previously rows-only).
+# fold). Two pytest pins make the share an honest hash check rather
+# than a bet on this corpus (r8/r9; previously rows-only):
+#   1. rank order — MINIMUM SCORE GAP between consecutive ranked
+#      neighbors through k+1 (> 2e-6, far above float noise, so both
+#      engines order identically);
+#   2. value rounding — every EMITTED top-k cosine is ≥1e-11 away from
+#      the nearest floor(x·1e6+0.5) boundary, so the ≤~1e-14 float-
+#      association gap cannot flip the 6-dp rounding across engines
+#      (r9; previously asserted by assumption, not measurement).
 ORACLE["ann_bruteforce_pandas"] = ORACLE["ann_brute_force"]
 
 QUERIES = {
