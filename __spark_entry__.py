@@ -40,55 +40,26 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # then ascending by staleness — the r01/r02-era greens re-verify before
 # anything newer. Two rounds of this rotation re-freshen the whole registry.
 #
-# Rotation executed at r8 start per the procedure above: every key in
-# CORRECTNESS_r07.json moved to 7 (the r7 sample re-froze the whole
-# r03-era block — cache_*, stream_*, sql_*, scalar-function batches —
-# plus every r7 rewrite), so the r8 sample covers the ENTIRE r04-era
-# block (join_star_revenue, window_*, json_extract_props, pivot/unpivot,
-# set ops, presentation/lineage …) and the front of r05.
+# Rotation executed at r9 start per the procedure above: every key in
+# CORRECTNESS_r08.json moved to 8 (the r8 sample re-froze the ENTIRE
+# r04-era block plus skyline_pareto / window_distribution_funcs from the
+# r05 front, the 11 r8 rewrites, and both new station queries), so the
+# r9 sample covers the 4 r9 rewrites below, the whole remaining r05-era
+# block (tokenize_to_ids, curriculum_pack_epochs, scd2_user_history,
+# embedding_gram_matrix, contamination_eval_overlap, trainprep/featurize
+# …28 queries) and the front of r06 — after r9 nothing in the registry
+# is older than 3 rounds.
 #
-# Deliberately REMOVED from the map this round (r8 rewrites → jump the
-# queue): anomaly_mad_zscore_approx + approx_distinct_users_scale
-# (gained pinned-tolerance DuckDB oracles — exact yardstick columns +
-# an engine-decidable claim column, r7 verdict #5) and
-# anomaly_mad_zscore (shares the reworked _mad_anomaly body — plan
-# unchanged, re-checked anyway per the rewrite rule);
-# bloom_prefilter_semi_join (audit restructured to exact columns + the
-# no-false-negative / FP-bound pinned claims) and udf_weighted_mean_price
-# (decimal yardstick + |udaf − exact| claim) — two more rows-only →
-# hash-checked conversions; png_decode_features (gained a full
-# closed-form generate_series pixel oracle) plus image/audio/
-# jpeg_decode_features (codec stage now repartitions doc_ids across
-# cores before mapInPandas, and the image tiers share the portable
-# floor-rounding the new PNG oracle requires); ann_bruteforce_pandas
-# (now shares ann_brute_force's decimal oracle — tie-gap pytest-pinned),
-# multimodal_features (the deterministic stub byte math gained a full
-# DuckDB replay) and audio_decode_features (pinned signal-physics
-# claims over engine-exact container columns) — 11 rewrites in total.
-# New this round (never verified, enumerate first): feed_station_rollup
-# and feed_station_monthly (the multi-station silver/gold contract, r7
-# verdict #6).
+# Deliberately REMOVED from the map this round (r9 rewrites → jump the
+# queue): image_decode_features and jpeg_decode_features (rows-only →
+# pinned-claim DuckDB oracles via the audio_decode_features pattern:
+# engine-exact container/dimension columns + closed-form pixel claims);
+# dedup_minhash_lsh_fast and dedup_clusters_fast (xxhash64 twins gain
+# pinned label-agreement claim columns against their exact md5 twins —
+# yardstick join at test SF, kept OUT of the deployable plan, the
+# _sketch_user_stats precedent).
 _LAST_VERIFIED = {
-    # --- last green in r04 ---
-    **dict.fromkeys([
-        "agg_quantiles", "agg_statistics",
-        "conditional_agg", "count_diagnostic",
-        "cube_totals", "date_normalization", "derived_revenue",
-        "doc_chunk_windows", "doc_fingerprint", "domain_mixture_weights",
-        "filter_limit_sample", "join_anti_unordered_parts",
-        "join_full_outer_nation_presence", "join_left_order_counts",
-        "join_semi_active_customers", "join_star_revenue",
-        "json_extract_props", "lineage_projection",
-        "pii_redaction",
-        "pivot_status_matrix", "presentation_format",
-        "quality_weighted_sample",
-        "rollup_totals", "sequence_pack_bins",
-        "sequence_pack_bins_sharded", "set_except_nations",
-        "set_intersect_nations", "set_union_nations", "topk_global",
-        "unpivot_measures", "window_lag_delta", "window_rank_dense",
-        "window_rolling_1h", "window_running_sum", "window_topk_per_group",
-    ], 4),
-    # --- last green in r05 (minus the r8 rewrites listed above) ---
+    # --- last green in r05 ---
     **dict.fromkeys([
         "asof_attribution_tolerance",
         "bigram_surprisal_quality",
@@ -101,20 +72,20 @@ _LAST_VERIFIED = {
         "item_cooccurrence_similarity",
         "pmi_collocations", "repetition_ngram_stats",
         "rollup_merge_incremental", "scd2_user_history",
-        "seasonal_hourly_profile", "skyline_pareto", "source_kl_divergence",
+        "seasonal_hourly_profile", "source_kl_divergence",
         "source_overlap_jaccard", "span_corruption_masks",
         "time_proximity_join", "tokenize_to_ids",
-        "unigram_logprob_quality", "window_distribution_funcs",
+        "unigram_logprob_quality",
         "winnow_fingerprints", "zorder_layout",
     ], 5),
-    # --- last green in r06 ---
+    # --- last green in r06 (minus the r9 rewrites listed above) ---
     **dict.fromkeys([
         "agg_collect_sorted", "ann_brute_force",
         "ann_ivf_label", "ann_lsh_fixedpoint", "ann_lsh_hyperplane",
         "asof_attribution", "bm25_search", "corpus_curation",
         "dedup_against_index", "dedup_clusters",
         "dedup_containment", "dedup_exact", "dedup_minhash_lsh",
-        "dedup_minhash_lsh_fast", "dedup_simhash",
+        "dedup_simhash",
         "duplicate_span_extraction", "embedding_near_dup",
         "embedding_near_dup_lsh", "graph_clustering_coeff",
         "grouping_sets_revenue", "histogram_value_buckets",
@@ -127,7 +98,7 @@ _LAST_VERIFIED = {
         "string_functions", "text_quality", "text_token_stats",
         "tfidf_top_terms", "time_weighted_avg", "udf_tokenize_table",
     ], 6),
-    # --- last green in r07 (minus the r8 rewrites listed above) ---
+    # --- last green in r07 (minus the r9 rewrites listed above) ---
     **dict.fromkeys([
         "ann_ivf_kmeans", "ann_ivf_kmeans_nprobe",
         "ann_product_quantization", "approx_distinct_users",
@@ -135,7 +106,7 @@ _LAST_VERIFIED = {
         "cache_envelope_projection", "cache_freshness_ladder",
         "cache_ttl_introspection", "coercion_fill_policy",
         "cohort_retention", "conditional_functions", "datetime_functions",
-        "dedup_clusters_fast", "dedup_clusters_logstar",
+        "dedup_clusters_logstar",
         "feature_scaling", "feed_daily_rollup", "funnel_conversion",
         "gap_fill_interpolate", "gap_fill_locf", "hll_partial_rollup", "map_functions", "math_functions",
         "monthly_filtered", "monthly_rollup", "pricing_summary",
@@ -149,6 +120,31 @@ _LAST_VERIFIED = {
         "stream_windowed_dedup", "string_functions_extended",
         "tfidf_cosine_pairs", "train_test_split", "udf_normalize_text",
     ], 7),
+    # --- last green in r08 (minus the r9 rewrites listed above) ---
+    **dict.fromkeys([
+        "agg_quantiles", "agg_statistics", "ann_bruteforce_pandas",
+        "anomaly_mad_zscore", "anomaly_mad_zscore_approx",
+        "approx_distinct_users_scale", "audio_decode_features",
+        "bloom_prefilter_semi_join",
+        "conditional_agg", "count_diagnostic",
+        "cube_totals", "date_normalization", "derived_revenue",
+        "doc_chunk_windows", "doc_fingerprint", "domain_mixture_weights",
+        "feed_station_monthly", "feed_station_rollup",
+        "filter_limit_sample", "join_anti_unordered_parts",
+        "join_full_outer_nation_presence", "join_left_order_counts",
+        "join_semi_active_customers", "join_star_revenue",
+        "json_extract_props", "lineage_projection",
+        "multimodal_features", "pii_redaction",
+        "pivot_status_matrix", "png_decode_features",
+        "presentation_format", "quality_weighted_sample",
+        "rollup_totals", "sequence_pack_bins",
+        "sequence_pack_bins_sharded", "set_except_nations",
+        "set_intersect_nations", "set_union_nations", "skyline_pareto",
+        "topk_global", "udf_weighted_mean_price",
+        "unpivot_measures", "window_distribution_funcs",
+        "window_lag_delta", "window_rank_dense",
+        "window_rolling_1h", "window_running_sum", "window_topk_per_group",
+    ], 8),
 }
 
 
