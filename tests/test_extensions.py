@@ -229,11 +229,11 @@ def test_image_decode_features_match_closed_form(spark):
         IMG_H,
         IMG_W,
         _decode_ppm,
+        _image_raw_features,
         _synth_ppm,
-        image_decode_features,
     )
 
-    rows = {r.doc_id: r for r in image_decode_features(spark, SF_SMOKE).collect()}
+    rows = {r.doc_id: r for r in _image_raw_features(spark, SF_SMOKE).collect()}
     assert rows
     x = np.arange(IMG_W, dtype=np.int64)
     y = np.arange(IMG_H, dtype=np.int64)
@@ -254,6 +254,14 @@ def test_image_decode_features_match_closed_form(spark):
     import hashlib
 
     assert rows[0].thumb_md5 == hashlib.md5(thumb).hexdigest()
+    # the registry surface's replayable thumbnail means (r9) equal the
+    # real pooled thumbnail's channel means, floor-rounded at 4 dp
+    from weather_database_system_spark.operators.multimodal import _r4
+
+    tf = pooled.astype(np.uint8).astype(np.float64)
+    assert rows[0].thumb_mean_r == _r4(float(tf[..., 0].mean()))
+    assert rows[0].thumb_mean_g == _r4(float(tf[..., 1].mean()))
+    assert rows[0].thumb_mean_b == _r4(float(tf[..., 2].mean()))
 
 
 def test_audio_decode_features_match_signal_physics(spark):
@@ -2729,14 +2737,14 @@ def test_jpeg_decode_features_match_ppm_within_documented_tolerance(spark):
 
     from weather_database_system_spark.operators.multimodal import (
         _decode_jpeg,
+        _jpeg_raw_features,
         _synth_jpeg,
         image_decode_features,
-        jpeg_decode_features,
     )
 
     jp = {
         r.doc_id: (r.width, r.height, r.mean_r, r.mean_g, r.mean_b, r.luma_std)
-        for r in jpeg_decode_features(spark, SF_SMOKE).collect()
+        for r in _jpeg_raw_features(spark, SF_SMOKE).collect()
     }
     ppm = {
         r.doc_id: (r.width, r.height, r.mean_r, r.mean_g, r.mean_b, r.luma_std)
@@ -2750,6 +2758,21 @@ def test_jpeg_decode_features_match_ppm_within_documented_tolerance(spark):
             doc_id, jp[doc_id], ppm[doc_id],
         )
         assert abs(ls - els) <= 2.0, (doc_id, ls, els)
+
+    # the registry surface's plan-level claims (r9) must all hold — this
+    # grounds the constant-1 columns the DuckDB oracle replays
+    from weather_database_system_spark.operators.multimodal import (
+        jpeg_decode_features,
+    )
+
+    claims = jpeg_decode_features(spark, SF_SMOKE).collect()
+    assert claims and all(
+        r.mean_r_close == 1
+        and r.mean_g_close == 1
+        and r.mean_b_close == 1
+        and r.luma_std_close == 1
+        for r in claims
+    )
 
     # EVERY truncation point must surface as a descriptive ValueError (or a
     # complete decode, legal for cuts inside the final padding), never a

@@ -1016,15 +1016,17 @@ def with_image_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _image_raw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode + feature extraction over mapInPandas: parse each
     PPM payload into its pixel grid and compute genuine pixel statistics —
-    per-channel means, ITU-R 601 luma standard deviation — plus a 2×
-    block-mean-pooled thumbnail digest (the resize path, numpy reshape-mean,
-    re-encoded as a real PPM). Rows-only for the driver (Python-side by
-    nature); the pytest pins the channel means against the closed-form
-    expectation of the synthesis pattern, so the decoder is verified against
-    math, not against itself."""
+    per-channel means, ITU-R 601 luma standard deviation — plus the 2×
+    block-mean-pooled thumbnail (the resize path, numpy reshape-mean):
+    its per-channel means AND its digest re-encoded as a real PPM. The
+    pytest pins the channel means against the closed-form expectation of
+    the synthesis pattern, so the decoder is verified against math, not
+    against itself. ``thumb_md5`` is md5-over-binary (not replayable in
+    DuckDB), so the registry surface is ``image_decode_features`` below,
+    which drops it; this raw surface keeps it pytest-grounded."""
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -1044,6 +1046,7 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 thumb = (
                     f"P6\n{w // 2} {h // 2}\n255\n".encode() + pooled.tobytes()
                 )
+                pf = pooled.astype(np.float64)
                 rows.append(
                     {
                         "doc_id": int(doc_id),
@@ -1053,6 +1056,9 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "mean_g": _r4(float(fl[..., 1].mean())),
                         "mean_b": _r4(float(fl[..., 2].mean())),
                         "luma_std": _r4(float(luma.std())),
+                        "thumb_mean_r": _r4(float(pf[..., 0].mean())),
+                        "thumb_mean_g": _r4(float(pf[..., 1].mean())),
+                        "thumb_mean_b": _r4(float(pf[..., 2].mean())),
                         "thumb_md5": hashlib.md5(thumb).hexdigest(),
                     }
                 )
@@ -1064,9 +1070,25 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema=(
             "doc_id long, width int, height int, mean_r double, mean_g double, "
-            "mean_b double, luma_std double, thumb_md5 string"
+            "mean_b double, luma_std double, thumb_mean_r double, "
+            "thumb_mean_g double, thumb_mean_b double, thumb_md5 string"
         ),
     ).orderBy("doc_id")
+
+
+def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry surface of ``_image_raw_features``: the REAL PPM decode
+    runs unchanged; only the md5-over-binary thumbnail digest (which no
+    SQL engine can replay) is dropped from the hashed projection and
+    replaced by the thumbnail's per-channel block means — the resize
+    path's OUTPUT is still verified, as exact numbers instead of an
+    opaque digest. Every emitted column is closed-form in (x, y,
+    doc_id): full-grid means/std from the synthesis pattern, thumbnail
+    means from 2×2 block means truncated to uint8 — so the DuckDB
+    oracle regenerates both grids from generate_series and the decode +
+    resize pipeline is HASH-CHECKED against pixel math (r9; previously
+    rows-only because thumb_md5 sat in the projection)."""
+    return _image_raw_features(spark, sf_dir).drop("thumb_md5")
 
 
 def _audio_raw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1283,7 +1305,7 @@ def with_jpeg_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _jpeg_raw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossy-image decode over mapInPandas: full baseline-JPEG
     entropy decode + dequant + IDCT per payload (stdlib + numpy — no
     PIL/cv2, closing the last image tier of the r5 "compressed formats
@@ -1293,8 +1315,10 @@ def jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 (max per-pixel error ≤ 3 on arbitrary images — pure DCT/quant
     rounding) and (b) PPM cross-format statistics within the documented
     quality-90 tolerance (channel means ±1.0, luma_std ±2.0) instead of
-    the PNG path's byte equality. Rows-only for the driver (Python-side
-    by nature)."""
+    the PNG path's byte equality. The raw statistics are deterministic
+    but lossy-decode-dependent (no SQL engine can replay an IDCT), so
+    the registry surface is ``jpeg_decode_features`` below, which wraps
+    this with pinned closed-form claims."""
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -1328,6 +1352,93 @@ def jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_b double, luma_std double"
         ),
     ).orderBy("doc_id")
+
+
+# Pinned lossy-decode tolerances for the JPEG claims, identical to the
+# cross-format pytest bounds: at quality JPEG_QUALITY the DC coefficients
+# survive quantization nearly intact, so decoded channel means sit within
+# ±1.0 of the source grid's exact means, and the AC quantization noise
+# moves the luma standard deviation by ≤2.0. (The q-100 hypothesis
+# round-trip pins the codec pair itself to max per-pixel error ≤3 —
+# pure DCT/quant rounding — so these bounds catch any REAL decode defect:
+# wrong dequant table, zigzag order, IDCT scaling are off by far more.)
+JPEG_MEAN_TOL = 1.0
+JPEG_STD_TOL = 2.0
+
+
+def jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry surface of ``_jpeg_raw_features``: the full entropy decode
+    + dequant + IDCT runs unchanged, then PLAN-LEVEL claims compare its
+    pixel statistics to the closed-form expectations of the synthesis
+    grid, computed JVM-side from (x, y, doc_id) with nested higher-order
+    aggregates over ``sequence()`` — no second Python stage, no pixel
+    materialization (O(W·H) arithmetic per doc, the same order as the
+    decode itself). Claims: each decoded channel mean within ±1.0 of the
+    exact grid mean, decoded luma_std within ±2.0 of the exact grid
+    population std. The engine-exact container columns (width, height
+    from the SOF0 marker) plus the claims are what DuckDB replays and
+    asserts — the IDCT-dependent raw values stay out of the hash, so the
+    lossy tier is hash-checked instead of rows-only (r9; the
+    audio_decode_features pattern; raw values pytest-grounded)."""
+    raw = _jpeg_raw_features(spark, sf_dir)
+    d = F.col("doc_id")
+    xs = F.sequence(F.lit(0), F.lit(IMG_W - 1))
+    ys = F.sequence(F.lit(0), F.lit(IMG_H - 1))
+    zero = F.lit(0).cast("long")
+    n_px = float(IMG_W * IMG_H)
+    sum_r = F.aggregate(xs, zero, lambda acc, x: acc + (x * 5 + d) % 256)
+    sum_g = F.aggregate(ys, zero, lambda acc, y: acc + (y * 7 + 3 * d) % 256)
+    mean_r_exp = sum_r.cast("double") / IMG_W
+    mean_g_exp = sum_g.cast("double") / IMG_H
+    sum_b = F.aggregate(
+        ys,
+        zero,
+        lambda acc, y: acc
+        + F.aggregate(xs, zero, lambda a2, x: a2 + (x + y + d) % 256),
+    )
+    mean_b_exp = sum_b.cast("double") / n_px
+
+    def _luma(x, y):
+        return (
+            0.299 * ((x * 5 + d) % 256)
+            + 0.587 * ((y * 7 + 3 * d) % 256)
+            + 0.114 * ((x + y + d) % 256)
+        )
+
+    moments = F.aggregate(
+        ys,
+        F.struct(F.lit(0.0).alias("s1"), F.lit(0.0).alias("s2")),
+        lambda acc, y: F.aggregate(
+            xs,
+            acc,
+            lambda a2, x: F.struct(
+                (a2["s1"] + _luma(x, y)).alias("s1"),
+                (a2["s2"] + _luma(x, y) * _luma(x, y)).alias("s2"),
+            ),
+        ),
+    )
+    luma_mean_exp = moments["s1"] / n_px
+    luma_std_exp = F.sqrt(moments["s2"] / n_px - luma_mean_exp * luma_mean_exp)
+    return (
+        raw.select(
+            "doc_id",
+            "width",
+            "height",
+            (F.abs(F.col("mean_r") - mean_r_exp) <= JPEG_MEAN_TOL)
+            .cast("int")
+            .alias("mean_r_close"),
+            (F.abs(F.col("mean_g") - mean_g_exp) <= JPEG_MEAN_TOL)
+            .cast("int")
+            .alias("mean_g_close"),
+            (F.abs(F.col("mean_b") - mean_b_exp) <= JPEG_MEAN_TOL)
+            .cast("int")
+            .alias("mean_b_close"),
+            (F.abs(F.col("luma_std") - luma_std_exp) <= JPEG_STD_TOL)
+            .cast("int")
+            .alias("luma_std_close"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 ORACLE: dict[str, str] = {
@@ -1400,8 +1511,15 @@ ORACLE: dict[str, str] = {
     # generate_series — integer channel means are exact in both engines;
     # luma_std replays numpy's two-pass population std (mean, then mean of
     # squared deviations) with the shared floor-rounding at 4 dp.
-    "png_decode_features": f"""
-        WITH px AS (
+    "png_decode_features": None,  # assigned below (shared pixel CTEs)
+}
+
+# Shared pixel-statistics CTEs for the image-tier oracles: regenerate the
+# synthesis grid (r = (5x+d) mod 256, g = (7y+3d) mod 256,
+# b = (x+y+d) mod 256) from generate_series and compute the exact
+# full-grid means + two-pass population luma std.
+_SQL_PX_STATS_CTES = f"""
+        px AS (
             SELECT d.doc_id,
                    (xs.x * 5 + d.doc_id) % 256 AS r,
                    (ys.y * 7 + 3 * d.doc_id) % 256 AS g,
@@ -1425,7 +1543,10 @@ ORACLE: dict[str, str] = {
             SELECT l.doc_id,
                    sqrt(avg((l.luma - m.ml) * (l.luma - m.ml))) AS lstd
             FROM lum l JOIN m USING (doc_id) GROUP BY 1
-        )
+        )"""
+
+ORACLE["png_decode_features"] = f"""
+        WITH {_SQL_PX_STATS_CTES}
         SELECT m.doc_id,
                CAST({IMG_W} AS INT) AS width,
                CAST({IMG_H} AS INT) AS height,
@@ -1435,15 +1556,73 @@ ORACLE: dict[str, str] = {
                floor(lstd * 1e4 + 0.5) / 1e4 AS luma_std
         FROM m JOIN sd USING (doc_id)
         ORDER BY m.doc_id
-    """,
-}
+    """
+
+# image_decode_features replay (r9): same full-grid replay as PNG, plus
+# the 2× block-mean thumbnail — numpy pools each 2×2 block in float64
+# (sums of ≤4 ints over 4: exactly representable) and truncates to uint8
+# (= floor, values are non-negative and <256), so the thumbnail channels
+# are themselves closed-form:
+#   r is y-independent → block mean = ((10tx+d)%256 + (10tx+5+d)%256)/2
+#   g is x-independent → block mean = ((14ty+3d)%256 + (14ty+7+3d)%256)/2
+#   b over the block (s = 2tx+2ty+d): (s%256 + 2·((s+1)%256) + (s+2)%256)/4
+# floored, then averaged over the (W/2)×(H/2) thumbnail grid.
+ORACLE["image_decode_features"] = f"""
+        WITH {_SQL_PX_STATS_CTES},
+        tpx AS (
+            SELECT d.doc_id,
+                   floor((((txs.tx * 10 + d.doc_id) % 256)
+                          + ((txs.tx * 10 + 5 + d.doc_id) % 256)) / 2.0) AS tr,
+                   floor((((tys.ty * 14 + 3 * d.doc_id) % 256)
+                          + ((tys.ty * 14 + 7 + 3 * d.doc_id) % 256)) / 2.0) AS tg,
+                   floor((((2 * txs.tx + 2 * tys.ty + d.doc_id) % 256)
+                          + 2 * ((2 * txs.tx + 2 * tys.ty + 1 + d.doc_id) % 256)
+                          + ((2 * txs.tx + 2 * tys.ty + 2 + d.doc_id) % 256)) / 4.0) AS tb
+            FROM (SELECT doc_id FROM documents) d,
+                 (SELECT unnest(generate_series(0, {IMG_W // 2 - 1})) AS tx) txs,
+                 (SELECT unnest(generate_series(0, {IMG_H // 2 - 1})) AS ty) tys
+        ),
+        tm AS (
+            SELECT doc_id, avg(tr) AS tmr, avg(tg) AS tmg, avg(tb) AS tmb
+            FROM tpx GROUP BY 1
+        )
+        SELECT m.doc_id,
+               CAST({IMG_W} AS INT) AS width,
+               CAST({IMG_H} AS INT) AS height,
+               floor(mr * 1e4 + 0.5) / 1e4 AS mean_r,
+               floor(mg * 1e4 + 0.5) / 1e4 AS mean_g,
+               floor(mb * 1e4 + 0.5) / 1e4 AS mean_b,
+               floor(lstd * 1e4 + 0.5) / 1e4 AS luma_std,
+               floor(tmr * 1e4 + 0.5) / 1e4 AS thumb_mean_r,
+               floor(tmg * 1e4 + 0.5) / 1e4 AS thumb_mean_g,
+               floor(tmb * 1e4 + 0.5) / 1e4 AS thumb_mean_b
+        FROM m JOIN sd USING (doc_id) JOIN tm USING (doc_id)
+        ORDER BY m.doc_id
+    """
+
+# jpeg_decode_features replay (r9): engine-exact SOF0 container columns +
+# the four pinned lossy-decode claims (channel means ±1.0, luma_std ±2.0
+# vs the exact grid statistics — evaluated JVM-side against closed-form
+# expectations). A decode defect (wrong dequant table, zigzag order,
+# IDCT scaling, component order) breaks a claim by far more than the
+# tolerance and the hash check catches it.
+ORACLE["jpeg_decode_features"] = """
+        SELECT doc_id,
+               CAST(48 AS INT) AS width,
+               CAST(32 AS INT) AS height,
+               CAST(1 AS INT) AS mean_r_close,
+               CAST(1 AS INT) AS mean_g_close,
+               CAST(1 AS INT) AS mean_b_close,
+               CAST(1 AS INT) AS luma_std_close
+        FROM documents ORDER BY doc_id
+    """
 
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,        # oracle: deterministic byte math
     "multimodal_frame_sample": multimodal_frame_sample,
-    "image_decode_features": image_decode_features,    # rows-only: thumb_md5 over binary
+    "image_decode_features": image_decode_features,    # oracle: pixel + thumb replay
     "audio_decode_features": audio_decode_features,    # pinned-claim: signal physics
     "png_decode_features": png_decode_features,        # oracle: closed-form pixel replay
-    "jpeg_decode_features": jpeg_decode_features,      # rows-only: lossy decode
+    "jpeg_decode_features": jpeg_decode_features,      # pinned-claim: lossy tolerances
 }
