@@ -57,6 +57,24 @@ BAND_BUCKET_CAP = 1024
 # baseline for the LSH path in similarity.py); the guard makes "never run
 # this on unbounded input" executable instead of a docstring promise.
 MAX_EXACT_VECTORS = 50_000
+# --- pinned-claim bounds for the xxhash64 production twins (r8 verdict #3,
+# r9 ADVICE). The registry entries for the fast twins are *_checked wrappers
+# whose rows are exact, DuckDB-replayable ground truth plus engine-decided
+# claim columns about the deployable xxhash plan; these constants pin the
+# claims. Measured basis (sf0.001 / sf0.01 / sf0.1): strong-pair recall
+# misses 0 / 0 / 0 (md5 twin identical); max |est_jaccard − exact jaccard|
+# over found strong pairs 0.2143 / 0.1500 / 0.2192 vs the 0.5 pin (≥2.3×
+# margin; P(matched ≤ 3 of 8 | j ≥ 0.9) ≈ 4e-4 per pair, so the bound
+# survives dataset regeneration); per-doc label agreement 0.986 / 0.984 /
+# 0.8996 vs the 0.85 pin (chance band collisions under the closed test
+# vocabulary grow with SF — the r6 NOTES saturation analysis; open-
+# vocabulary corpora sit near the sf0.001 figure). Recall/co-cluster slack
+# of max(1, 2 % of strong pairs) absorbs the ~0.13 %-per-pair banding
+# lottery (1 − (1 − j²)^bands) a regenerated dataset could hit.
+STRONG_JACCARD = 0.9
+FAST_EST_DEV_MAX = 4.0 / N_HASHES
+FAST_LABEL_AGREE_MIN = 0.85
+FAST_MISS_SLACK_PCT = 0.02
 
 
 def _tokens(text: Column) -> Column:
@@ -387,6 +405,74 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("a.band").alias("n_shared_bands"),
             F.first(matched).cast("int").alias("matched_hashes"),
             _fr(F.first(matched) / F.lit(float(N_HASHES)), 4).alias("est_jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_minhash_lsh_fast_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable registry form of ``dedup_minhash_lsh_fast`` (r8
+    verdict #3 / r9 ADVICE): xxhash64 is Spark-specific, so the raw fast
+    twin can never be replayed by DuckDB — instead this wrapper grounds it
+    against exact ground truth the oracle CAN replay. Output rows are the
+    strong near-dup pairs (exact n-gram Jaccard ≥ STRONG_JACCARD from
+    ``ngram_jaccard_pairs`` — the operator's semantic contract), and every
+    row carries two engine-decided claim columns about the fast plan:
+
+    - ``fast_recall_ok``  — the xxhash banding proposed all strong pairs,
+      up to max(1, 2 %) slack (measured: zero missed at every SF).
+    - ``fast_est_dev_ok`` — |fast est_jaccard − exact jaccard| ≤ 4/K over
+      the found strong pairs (measured max 0.2192 vs the 0.5 pin).
+
+    Raw candidate-set agreement with the md5 twin is deliberately NOT the
+    claim: under the closed test vocabulary, chance band collisions differ
+    per hash family and swamp the pair set at sf0.1 (recall 0.28 on raw
+    pairs, yet 249/249 strong pairs found by both) — the hash-family
+    lottery on borderline noise is not what the operator promises. The
+    claims are aggregates broadcast onto every row (per-row found flags
+    would flake on regenerated data at the documented ~0.13 %-per-pair
+    banding probability); the ``_sketch_user_stats`` precedent.
+
+    The deployable plan (``dedup_minhash_lsh_fast``) is unchanged and is
+    what bench.py / scale rehearsals measure — the yardstick here is a
+    test-SF-only bolt-on, never billed to the production twin's headline.
+    """
+    strong = ngram_jaccard_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= STRONG_JACCARD
+    )
+    fast = dedup_minhash_lsh_fast(spark, sf_dir).select(
+        "doc_a", "doc_b", "est_jaccard"
+    )
+    joined = strong.join(fast, ["doc_a", "doc_b"], "left")
+    audit = joined.agg(
+        F.count("*").alias("n_strong"),
+        F.sum(F.col("est_jaccard").isNull().cast("int")).alias("n_missed"),
+        F.max(F.abs(F.col("est_jaccard") - F.col("jaccard"))).alias("max_dev"),
+    )
+    claims = audit.select(
+        (
+            F.col("n_missed")
+            <= F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.lit(FAST_MISS_SLACK_PCT) * F.col("n_strong")),
+            )
+        )
+        .cast("int")
+        .alias("fast_recall_ok"),
+        (F.coalesce(F.col("max_dev"), F.lit(0.0)) <= F.lit(FAST_EST_DEV_MAX))
+        .cast("int")
+        .alias("fast_est_dev_ok"),
+    )
+    return (
+        strong.crossJoin(F.broadcast(claims))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_union",
+            "jaccard",
+            "fast_recall_ok",
+            "fast_est_dev_ok",
         )
         .orderBy("doc_a", "doc_b")
     )
