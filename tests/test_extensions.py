@@ -107,6 +107,39 @@ def test_fast_clusters_agree_with_exact_twin(spark):
         assert min(docs) == cid  # every cluster_id is its member min
 
 
+def test_fast_twin_registry_surfaces_are_checked_wrappers():
+    """The xxhash64 fast twins are oracle-checkable ONLY through their
+    pinned-claim *_checked wrappers (r8 verdict #3): the registry must
+    expose the wrapper + an ORACLE entry for both names, so a refactor
+    can't silently demote them back to rows-only. The raw plans stay
+    importable for bench.py. The wrappers' semantics (claims hold, rows
+    replay) are exercised by test_oracle_parity's parametrized gate."""
+    from weather_database_system_spark.operators import dedup
+
+    assert dedup.QUERIES["dedup_minhash_lsh_fast"] is dedup.dedup_minhash_lsh_fast_checked
+    assert dedup.QUERIES["dedup_clusters_fast"] is dedup.dedup_clusters_fast_checked
+    assert "dedup_minhash_lsh_fast" in dedup.ORACLE
+    assert "dedup_clusters_fast" in dedup.ORACLE
+    # the claims pinned by the oracles must be the ones the wrappers emit
+    assert "fast_recall_ok" in dedup.ORACLE["dedup_minhash_lsh_fast"]
+    assert "fast_est_dev_ok" in dedup.ORACLE["dedup_minhash_lsh_fast"]
+    assert "fast_label_agree_ok" in dedup.ORACLE["dedup_clusters_fast"]
+    # same contract for the r11 PCA / PQ conversions — with these, the
+    # registry has ZERO rows-only entries; a regression here reopens one
+    from weather_database_system_spark.operators import featurize, similarity
+
+    assert (
+        featurize.QUERIES["embedding_pca_project"]
+        is featurize.embedding_pca_project_checked
+    )
+    assert "pcs_orthonormal_ok" in featurize.ORACLE["embedding_pca_project"]
+    assert (
+        similarity.QUERIES["ann_product_quantization"]
+        is similarity.ann_product_quantization_checked
+    )
+    assert "adc_err_ok" in similarity.ORACLE["ann_product_quantization"]
+
+
 def test_simhash_places_near_dups_at_small_hamming_distance(spark):
     """Near-identical docs (exact jaccard >= 0.95) must land within a small
     hamming distance of each other — the property SimHash bucketing (with

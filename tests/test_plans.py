@@ -158,6 +158,14 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
         "bm25_search",              # 1-row (N, avgdl) corpus-stats broadcast
         "rfm_segmentation_approx",  # same 1-row broadcasts; thresholds via
                                     # approx_percentile sketch
+        # the r11 pinned-claim checked wrappers each crossJoin ONE 1-row
+        # claims aggregate (broadcast) onto the replayable spine — the
+        # _sketch_user_stats shape
+        "dedup_minhash_lsh_fast",   # 1-row recall/est-dev claims broadcast
+        "dedup_clusters_fast",      # 1-row label-agreement claim broadcast
+        "embedding_pca_project",    # 1-row subspace-invariant claims
+                                    # broadcast (plus the sanctioned
+                                    # broadcast-K Lloyd-free Gram path)
     }
     for name, fn in em.queries().items():
         plan = formatted_plan(fn(spark, SF_SMOKE))

@@ -389,8 +389,11 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join, inline matched-hash count) but with the cheap hash in the
     CPU-bound signature stage. This is the variant a 100 TB pass runs; the
     md5 twin exists because md5 is byte-identical in DuckDB and therefore
-    oracle-checkable (xxhash64 is Spark-specific → rows-only driver check;
-    recall equivalence vs the md5 twin is pinned in test_extensions)."""
+    oracle-checkable. xxhash64 is Spark-specific, so the REGISTRY surface
+    is ``dedup_minhash_lsh_fast_checked`` (exact strong pairs + pinned
+    claims about this plan); recall equivalence vs the md5 twin is
+    additionally pinned in test_extensions, and bench.py times this raw
+    plan directly."""
     matched = F.aggregate(
         F.zip_with(
             F.col("a.sig"), F.col("b.sig"), lambda x, y: F.when(x == y, 1).otherwise(0)
@@ -437,13 +440,21 @@ def dedup_minhash_lsh_fast_checked(spark: SparkSession, sf_dir: str) -> DataFram
     what bench.py / scale rehearsals measure — the yardstick here is a
     test-SF-only bolt-on, never billed to the production twin's headline.
     """
-    strong = ngram_jaccard_pairs(spark, sf_dir).filter(
-        F.col("jaccard") >= STRONG_JACCARD
+    # `strong` feeds BOTH the claims agg and the output spine: persist it
+    # (the _banded_md5_candidates pattern) so the capped-postings pair
+    # expansion above the cached shingle explode — and its orderBy — run
+    # once, not twice.
+    strong = track_persisted(
+        ngram_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= STRONG_JACCARD)
+        .persist()
     )
     fast = dedup_minhash_lsh_fast(spark, sf_dir).select(
         "doc_a", "doc_b", "est_jaccard"
     )
-    joined = strong.join(fast, ["doc_a", "doc_b"], "left")
+    joined = strong.select("doc_a", "doc_b", "jaccard").join(
+        fast, ["doc_a", "doc_b"], "left"
+    )
     audit = joined.agg(
         F.count("*").alias("n_strong"),
         F.sum(F.col("est_jaccard").isNull().cast("int")).alias("n_missed"),
@@ -1134,6 +1145,63 @@ def dedup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters_fast_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable registry form of ``dedup_clusters_fast`` — the
+    clusters analogue of ``dedup_minhash_lsh_fast_checked``: xxhash64
+    labels can never be replayed by DuckDB, so the registry surface is the
+    EXACT twin's cluster assignment (``dedup_clusters`` — md5 banding +
+    min-label fixpoint, replayed by the recursive-closure oracle) with one
+    engine-decided claim column about the fast plan broadcast onto every
+    row:
+
+    - ``fast_label_agree_ok`` — the per-doc cluster-label agreement
+      between the xxhash64/log-star plan and the exact twin is ≥
+      FAST_LABEL_AGREE_MIN (measured 0.986 / 0.984 / 0.8996 at
+      sf0.001/0.01/0.1 vs the 0.85 pin; identical banding geometry over
+      the same shingle sets means only chance band collisions under the
+      closed test vocabulary can differ — the r6 NOTES saturation
+      analysis).
+
+    Per-doc agreement flags would flake on regenerated data at the
+    documented ~0.13 %-per-pair banding lottery, so the claim is the
+    corpus aggregate (the ``_sketch_user_stats`` precedent). The
+    deployable plan (``dedup_clusters_fast``) is unchanged and is what
+    bench.py measures — the exact-twin yardstick here is a test-SF-only
+    bolt-on, never billed to the production twin's headline.
+    """
+    # `exact` feeds BOTH the agreement agg and the output spine — persist,
+    # or the md5 banded pair join + fixpoint rounds run twice.
+    exact = track_persisted(dedup_clusters(spark, sf_dir).persist())
+    fast = dedup_clusters_fast(spark, sf_dir).select(
+        "doc_id", F.col("cluster_id").alias("fast_cluster_id")
+    )
+    agree = (
+        exact.select("doc_id", "cluster_id")
+        .join(fast, "doc_id")
+        .agg(
+            F.avg(
+                (F.col("cluster_id") == F.col("fast_cluster_id")).cast("double")
+            ).alias("agree")
+        )
+    )
+    claims = agree.select(
+        (F.col("agree") >= F.lit(FAST_LABEL_AGREE_MIN))
+        .cast("int")
+        .alias("fast_label_agree_ok")
+    )
+    return (
+        exact.crossJoin(F.broadcast(claims))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            "is_canonical",
+            "fast_label_agree_ok",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def dedup_clusters_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-round twin of ``dedup_clusters``: the same md5-banded candidate
     graph, components via alternating large-star/small-star contraction
@@ -1343,12 +1411,14 @@ _SQL_LONG_EMB = """
           FROM embeddings)
 """
 
-def _sql_dedup_clusters() -> str:
+def _sql_dedup_clusters(extra: str = "") -> str:
     # `reach(doc_id, rid)` = "rid is reachable from doc_id over the pair
     # graph" — a recursive-CTE transitive closure (UNION dedups, so it
     # terminates). min(rid) per doc_id is then the exact component min
     # label: the same fixpoint the Spark side iterates to, valid for any
     # chain radius. Closure is O(Σ|component|²) rows — fine at oracle sf.
+    # `extra` appends pinned-claim columns (the checked fast twin asserts
+    # its engine-decided claim held, so the oracle replays it as 1).
     return f"""
         WITH RECURSIVE docs AS ({_SQL_DOCS_TOKS}),
         sigs AS (
@@ -1390,7 +1460,7 @@ def _sql_dedup_clusters() -> str:
         )
         SELECT doc_id, cluster_id,
                CAST(count(*) OVER (PARTITION BY cluster_id) AS INT) AS cluster_size,
-               CAST(doc_id = cluster_id AS INT) AS is_canonical
+               CAST(doc_id = cluster_id AS INT) AS is_canonical{extra}
         FROM lab
         ORDER BY doc_id
     """
@@ -1488,6 +1558,11 @@ ORACLE: dict[str, str] = {
     # identical output by construction (components are components): the
     # closure oracle is algorithm-agnostic
     "dedup_clusters_logstar": _sql_dedup_clusters(),
+    # checked fast twin: exact-twin rows + the pinned label-agreement
+    # claim replayed as held (see dedup_clusters_fast_checked)
+    "dedup_clusters_fast": _sql_dedup_clusters(
+        extra=",\n               CAST(1 AS INT) AS fast_label_agree_ok"
+    ),
     "corpus_dedup_apply": _sql_corpus_dedup_apply(),
     "pagerank_near_dup": _sql_pagerank(),
     "split_by_cluster": _sql_split_by_cluster(),
@@ -1721,12 +1796,31 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+# Checked fast twin (dedup_minhash_lsh_fast_checked): the output spine is
+# the strong-pair subset of ngram_jaccard_pairs — replay that oracle, keep
+# rows whose 4-dp-rounded jaccard clears STRONG_JACCARD (the engine filters
+# the identically rounded column), and assert the two engine-decided
+# claims about the xxhash plan held.
+ORACLE["dedup_minhash_lsh_fast"] = f"""
+    SELECT doc_a, doc_b, n_common, n_union, jaccard,
+           CAST(1 AS INT) AS fast_recall_ok,
+           CAST(1 AS INT) AS fast_est_dev_ok
+    FROM ({ORACLE["ngram_jaccard_pairs"]})
+    WHERE jaccard >= {STRONG_JACCARD}
+    ORDER BY doc_a, doc_b
+"""
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_minhash_lsh_fast": dedup_minhash_lsh_fast,  # rows-only: xxhash64
+    # registry surface for the xxhash64 production twin: exact strong
+    # pairs + pinned claims about the fast plan (DuckDB-replayable); the
+    # raw dedup_minhash_lsh_fast plan is what bench.py times
+    "dedup_minhash_lsh_fast": dedup_minhash_lsh_fast_checked,
     "dedup_clusters": dedup_clusters,
-    "dedup_clusters_fast": dedup_clusters_fast,  # rows-only: xxhash64
+    # same contract for the clusters twin: exact-twin rows + pinned
+    # label-agreement claim; bench times the raw dedup_clusters_fast
+    "dedup_clusters_fast": dedup_clusters_fast_checked,
     "dedup_clusters_logstar": dedup_clusters_logstar,
     "corpus_dedup_apply": corpus_dedup_apply,
     "pagerank_near_dup": pagerank_near_dup,

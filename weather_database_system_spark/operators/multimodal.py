@@ -1606,10 +1606,10 @@ ORACLE["image_decode_features"] = f"""
 # expectations). A decode defect (wrong dequant table, zigzag order,
 # IDCT scaling, component order) breaks a claim by far more than the
 # tolerance and the hash check catches it.
-ORACLE["jpeg_decode_features"] = """
+ORACLE["jpeg_decode_features"] = f"""
         SELECT doc_id,
-               CAST(48 AS INT) AS width,
-               CAST(32 AS INT) AS height,
+               CAST({IMG_W} AS INT) AS width,
+               CAST({IMG_H} AS INT) AS height,
                CAST(1 AS INT) AS mean_r_close,
                CAST(1 AS INT) AS mean_g_close,
                CAST(1 AS INT) AS mean_b_close,

@@ -593,10 +593,12 @@ def ann_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange between scan and assignment), M×K mean vectors as the only
     driver state, and encoding is ONE projection emitting all M codes.
 
-    Rows-only for the driver (M coupled Lloyd loops per subspace make an
-    SQL replay impractical); pytest grounds the ADC output against a full
-    numpy replay of training + encoding + table scoring, and measures
-    recall vs the exact brute-force ranking."""
+    The per-row ADC output is not SQL-replayable (M coupled Lloyd loops +
+    float table sums), so the REGISTRY surface is
+    ``ann_product_quantization_checked`` — replayable per-query spine +
+    pinned quantization-error/gain claims; pytest grounds the ADC output
+    here against a full numpy replay of training + encoding + table
+    scoring, and measures recall vs the exact brute-force ranking."""
     vecs = _emb_double(spark, sf_dir)
     # repartition before persist: spread the per-subspace argmin folds (the
     # CPU-bound stage) across cores — the one-split small-SF scan otherwise
@@ -697,6 +699,116 @@ def ann_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             _fr(F.col("adc_d2"), 6).alias("adc_d2"),
         )
         .orderBy("query_id", "rank")
+    )
+
+
+# Pinned-claim bounds for ann_product_quantization_checked (r11; closes
+# the last rows-only registry entry). Measured basis (sf0.001 / 0.01 /
+# 0.1) over the 50 returned (query, neighbor) pairs per SF:
+#   max |adc_d2 − true_d2|   1.367 / 1.246 / 1.431   vs the 3.0 pin
+#     (ADC replaces each candidate subvector by its centroid, so the
+#      error is the per-subspace quantization distortion — a property of
+#      the embedding distribution, stable under regeneration; ≥2.1×
+#      margin. A broken dequant/table/zigzag-class defect lands far
+#      beyond typical d² ≈ 2.)
+#   mean true_d2 of returned / population mean d2  0.853 / 0.867 / 0.828
+#     vs the 0.95 pin — PQ's returned neighbors must be genuinely closer
+#     than a random candidate (recall itself is data-limited ~20 % top-1
+#     on this near-orthogonal corpus — too flaky to pin; the ratio is the
+#     robust form of the same "beats random" contract the pytest checks).
+PQ_ADC_ERR_MAX = 3.0
+PQ_GAIN_RATIO_MAX = 0.95
+
+
+def ann_product_quantization_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable registry form of ``ann_product_quantization`` —
+    the PQ analogue of the fast-dedup ``*_checked`` wrappers: the float
+    ADC path (M coupled Lloyd loops + float table sums) is not SQL-
+    replayable, so the registry surface is the replayable per-query spine
+    plus engine-decided claims about the PQ plan, broadcast onto every
+    row:
+
+    - ``n_results``        — exact column: PQ returns exactly PQ_TOPK
+      neighbors per query (the oracle replays the literal).
+    - ``adc_err_ok``       — max |adc_d2 − true d²| over all returned
+      pairs ≤ PQ_ADC_ERR_MAX (quantization-distortion bound; see the
+      measured basis above).
+    - ``pq_gain_ok``       — mean true d² of returned neighbors ≤
+      PQ_GAIN_RATIO_MAX × the population mean d², where the population
+      mean is computed in closed form (E‖q−x‖² = ‖q‖² + E‖x‖² − 2·q·E[x])
+      from ONE 1-row candidate aggregate — no all-pairs stage even in the
+      audit.
+
+    The true-d² yardstick join touches only N_QUERIES × PQ_TOPK rows and
+    is a test-SF-only bolt-on; the deployable plan
+    (``ann_product_quantization``) is unchanged and is what bench.py
+    times. The numpy replay pytest remains the primary defense (exact
+    neighbor-set equality); these claims make the driver's CORRECTNESS
+    gate see the operator."""
+    pq = track_persisted(ann_product_quantization(spark, sf_dir).persist())
+    vecs = _emb_double(spark, sf_dir)
+    cand = vecs.filter(F.col("vec_id") >= N_QUERIES)
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+
+    sq = F.aggregate(
+        F.zip_with("qemb", "cemb", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        pq.join(F.broadcast(q), "query_id")
+        .join(
+            cand.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("cemb")
+            ),
+            "neighbor_id",
+        )
+        .select("query_id", "adc_d2", sq.alias("true_d2"))
+    )
+
+    # population mean d² in closed form: one 1-row candidate aggregate
+    # (mean vector + mean squared norm), then per-query algebra — the
+    # audit itself never pairs queries with candidates.
+    cstats = cand.agg(
+        F.array(
+            *[F.avg(F.element_at("emb", d + 1)) for d in range(EMB_DIMS)]
+        ).alias("mean_vec"),
+        F.avg(
+            F.aggregate("emb", F.lit(0.0), lambda acc, v: acc + v * v)
+        ).alias("mean_sq"),
+    )
+    qdot = F.aggregate(
+        F.zip_with("qemb", "mean_vec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    qsq = F.aggregate("qemb", F.lit(0.0), lambda acc, v: acc + v * v)
+    pop = (
+        q.crossJoin(F.broadcast(cstats))
+        .select((qsq + F.col("mean_sq") - 2 * qdot).alias("pop_d2"))
+        .agg(F.avg("pop_d2").alias("pop_mean"))
+    )
+
+    audit = pairs.agg(
+        F.max(F.abs(F.col("adc_d2") - F.col("true_d2"))).alias("max_err"),
+        F.avg("true_d2").alias("ret_mean"),
+    )
+    claims = audit.crossJoin(F.broadcast(pop)).select(
+        (F.col("max_err") <= F.lit(PQ_ADC_ERR_MAX))
+        .cast("int")
+        .alias("adc_err_ok"),
+        (F.col("ret_mean") <= F.lit(PQ_GAIN_RATIO_MAX) * F.col("pop_mean"))
+        .cast("int")
+        .alias("pq_gain_ok"),
+    )
+    return (
+        pq.groupBy("query_id")
+        .agg(F.count("*").cast("int").alias("n_results"))
+        .crossJoin(F.broadcast(claims))
+        .select("query_id", "n_results", "adc_err_ok", "pq_gain_ok")
+        .orderBy("query_id")
     )
 
 
@@ -1666,12 +1778,24 @@ ORACLE: dict[str, str] = {
 #      (r9; previously asserted by assumption, not measurement).
 ORACLE["ann_bruteforce_pandas"] = ORACLE["ann_brute_force"]
 
+ORACLE["ann_product_quantization"] = f"""
+    SELECT vec_id AS query_id,
+           CAST({PQ_TOPK} AS INT) AS n_results,
+           CAST(1 AS INT) AS adc_err_ok,
+           CAST(1 AS INT) AS pq_gain_ok
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    ORDER BY query_id
+"""
+
 QUERIES = {
     "ann_brute_force": ann_brute_force,
     "ann_ivf_label": ann_ivf_label,
     "ann_ivf_kmeans": ann_ivf_kmeans,
     "ann_ivf_kmeans_nprobe": ann_ivf_kmeans_nprobe,
-    "ann_product_quantization": ann_product_quantization,  # rows-only: M Lloyd loops
+    # registry surface for the float-ADC path: replayable per-query spine
+    # + pinned quantization-error / gain claims; the raw PQ plan stays
+    # importable (bench would time it; numpy replay pytest pins it)
+    "ann_product_quantization": ann_product_quantization_checked,
     "semdedup_prune": semdedup_prune,
     "ann_bruteforce_pandas": ann_bruteforce_pandas,  # oracle shared w/ brute_force
     "ann_lsh_hyperplane": ann_lsh_hyperplane,
