@@ -87,12 +87,17 @@ HEADLINE = (
                               # keyed by (station_id, date)
 )
 
-# N runs per query; report the per-query MEDIAN. Default 3 (r6 verdict
-# #2): the r6 host drifted non-uniformly with ±60 % single-run swings on
-# untouched queries, making single-run BENCH files nearly unreadable —
-# within-process median-of-3 damps exactly that noise class at the
-# source. Set SPARK_GRAFT_BENCH_RUNS=5 locally for extra stability, or 1
-# to reproduce the old single-run behavior.
+# N runs per query. Run 1 is recorded separately as cold_sec (r8 verdict
+# #4, implemented r11): the first run pays one-off costs — parquet footer
+# reads, codegen, persist population — that repeatedly masqueraded as
+# regressions when medianed in (feed_station_rollup 0.58→4.41 s in
+# BENCH_r10 with the file untouched; did not reproduce warm). The
+# headline per-query number is the MEDIAN of runs 2..N (warm,
+# within-process — the r6 verdict #2 noise-damping), so cross-round
+# comparisons see steady-state throughput and cold-start is still
+# visible, labeled as what it is. Set SPARK_GRAFT_BENCH_RUNS=5 locally
+# for extra stability, or 1 to reproduce single-run behavior (no cold
+# split).
 RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 
@@ -111,7 +116,23 @@ def main() -> None:
 
     spark = get_spark(app_name="wdss-bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    queries = em.queries()
+    queries = dict(em.queries())
+    # The registry surfaces for the xxhash64 fast twins are *_checked
+    # wrappers that bolt an exact-twin yardstick onto the plan so the
+    # driver can oracle-check them (r8 verdict #3). The yardstick is a
+    # test-SF-only audit that a 100 TB pass never runs — bench times the
+    # raw production plans, not the audit.
+    from weather_database_system_spark.operators.dedup import (
+        dedup_clusters_fast,
+        dedup_minhash_lsh_fast,
+    )
+    from weather_database_system_spark.operators.similarity import (
+        ann_product_quantization,
+    )
+
+    queries["dedup_minhash_lsh_fast"] = dedup_minhash_lsh_fast
+    queries["dedup_clusters_fast"] = dedup_clusters_fast
+    queries["ann_product_quantization"] = ann_product_quantization
 
     # Warm up JVM/codegen/parquet footer caches on the flagship query.
     queries["pricing_summary"](spark, SF_DIR).write.format("noop").mode(
@@ -131,6 +152,7 @@ def main() -> None:
     from weather_database_system_spark.session import release_persisted
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         runs = []
@@ -143,7 +165,14 @@ def main() -> None:
             # this one — see an empty storage pool: the lifecycle contract
             # documented in session.track_persisted.
             release_persisted()
-        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        if RUNS > 1:
+            # run 1 = cold (footer/codegen/persist warm-up), runs 2..N =
+            # steady state; see the RUNS comment above.
+            cold[name] = round(runs[0], 3)
+            warm = runs[1:]
+        else:
+            warm = runs
+        timings[name] = round(sorted(warm)[len(warm) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -167,10 +196,17 @@ def main() -> None:
                 # state; two sentinels moving together = host drift, one
                 # moving alone = a real change in that query.
                 "normalizer2_sec": timings["topk_global"],
-                # Run-mode provenance (ADVICE r7): medians here are WARM
-                # within-process repeats — comparable across rounds with
-                # runs>=3, biased low vs any single cold run.
-                "run_mode": "warm_inprocess_median" if RUNS > 1 else "single",
+                # Per-query first-run times (one-off costs), reported
+                # separately so they can never masquerade as a warm
+                # regression — adjudicate a mover by comparing its WARM
+                # median across rounds and checking cold_sec for the
+                # one-off class.
+                "cold_sec": cold,
+                # Run-mode provenance (ADVICE r7): headline medians are
+                # WARM within-process repeats of runs 2..N (run 1 split
+                # out as cold_sec) — comparable across rounds with
+                # runs>=3.
+                "run_mode": "cold_first_warm_median" if RUNS > 1 else "single",
             }
         )
     )
