@@ -40,111 +40,114 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # then ascending by staleness — the r01/r02-era greens re-verify before
 # anything newer. Two rounds of this rotation re-freshen the whole registry.
 #
-# Rotation executed at r9 start per the procedure above: every key in
-# CORRECTNESS_r08.json moved to 8 (the r8 sample re-froze the ENTIRE
-# r04-era block plus skyline_pareto / window_distribution_funcs from the
-# r05 front, the 11 r8 rewrites, and both new station queries), so the
-# r9 sample covers the 4 r9 rewrites below, the whole remaining r05-era
-# block (tokenize_to_ids, curriculum_pack_epochs, scd2_user_history,
-# embedding_gram_matrix, contamination_eval_overlap, trainprep/featurize
-# …28 queries) and the front of r06 — after r9 nothing in the registry
-# is older than 3 rounds.
+# Rotation executed at r11 start per the procedure above (r10 skipped its
+# rotation — the r10 sample was key-identical to r9's; r10 VERDICT #3):
+# every key in CORRECTNESS_r10.json moved to 10 (that sample re-greened
+# the whole r05-era block and the r06 front), leaving groups r6=20,
+# r7=45, r8=48, r10=46. The r11 sample therefore covers the 5 r11
+# rewrites below, the entire 20-query r6 tail (ann_ivf_label, bm25_search,
+# asof_attribution, range_band_join, stream_stream_join, …) and the front
+# of the r7 block — after r11 nothing in the registry is older than r7.
 #
-# Deliberately REMOVED from the map this round (r9 rewrites → jump the
-# queue): image_decode_features and jpeg_decode_features (rows-only →
-# pinned-claim DuckDB oracles via the audio_decode_features pattern:
-# engine-exact container/dimension columns + closed-form pixel claims);
-# dedup_minhash_lsh_fast and dedup_clusters_fast (xxhash64 twins gain
-# pinned label-agreement claim columns against their exact md5 twins —
-# yardstick join at test SF, kept OUT of the deployable plan, the
-# _sketch_user_stats precedent).
+# Deliberately REMOVED from the map this round (r11 rewrites → jump the
+# queue): dedup_minhash_lsh_fast and dedup_clusters_fast (their registry
+# surfaces are NOW the *_checked wrappers — exact-twin rows + pinned
+# recall / est-deviation / label-agreement claims, DuckDB oracles added
+# this round; the r9 note that claimed this had already landed was wrong
+# for two rounds — r10 VERDICT #2); embedding_pca_project (registry
+# surface now embedding_pca_project_checked: replayable spine + pinned
+# subspace-invariant claims); ann_product_quantization (registry surface
+# now ann_product_quantization_checked: replayable per-query spine +
+# pinned ADC quantization-error / gain claims — the LAST rows-only entry,
+# so the registry is now 164/164 oracle-checked); jpeg_decode_features
+# (oracle dimensions now interpolate {IMG_W}/{IMG_H} instead of
+# hardcoding 48/32 — replay equivalence is expected but the oracle text
+# changed, so it re-enters the sample front).
 _LAST_VERIFIED = {
-    # --- last green in r05 ---
+    # --- last green in r06 ---
     **dict.fromkeys([
-        "asof_attribution_tolerance",
-        "bigram_surprisal_quality",
-        "changepoint_mean_shift", "chunk_dedup_stats",
-        "contamination_eval_overlap", "corpus_dedup_apply",
-        "curriculum_pack_epochs", "data_quality_profile",
-        "decayed_user_value", "diff_snapshots", "embedding_gram_matrix",
-        "embedding_pca_project", "entity_fuzzy_blocking",
-        "funnel_time_to_convert",
-        "item_cooccurrence_similarity",
-        "pmi_collocations", "repetition_ngram_stats",
-        "rollup_merge_incremental", "scd2_user_history",
-        "seasonal_hourly_profile", "source_kl_divergence",
-        "source_overlap_jaccard", "span_corruption_masks",
-        "time_proximity_join", "tokenize_to_ids",
-        "unigram_logprob_quality",
-        "winnow_fingerprints", "zorder_layout",
-    ], 5),
-    # --- last green in r06 (minus the r9 rewrites listed above) ---
-    **dict.fromkeys([
-        "agg_collect_sorted", "ann_brute_force",
         "ann_ivf_label", "ann_lsh_fixedpoint", "ann_lsh_hyperplane",
         "asof_attribution", "bm25_search", "corpus_curation",
-        "dedup_against_index", "dedup_clusters",
-        "dedup_containment", "dedup_exact", "dedup_minhash_lsh",
-        "dedup_simhash",
-        "duplicate_span_extraction", "embedding_near_dup",
-        "embedding_near_dup_lsh", "graph_clustering_coeff",
-        "grouping_sets_revenue", "histogram_value_buckets",
-        "lang_id_stopword", "late_orders_by_priority",
-        "linear_regression_trend",
+        "duplicate_span_extraction", "embedding_near_dup_lsh",
+        "lang_id_stopword", "linear_regression_trend",
         "multimodal_frame_sample", "multimodal_metadata",
-        "ngram_jaccard_pairs", "pagerank_near_dup",
         "range_band_join", "session_path_analysis",
-        "shipping_priority", "split_by_cluster", "stream_stream_join",
-        "string_functions", "text_quality", "text_token_stats",
+        "stream_stream_join", "text_quality", "text_token_stats",
         "tfidf_top_terms", "time_weighted_avg", "udf_tokenize_table",
     ], 6),
-    # --- last green in r07 (minus the r9 rewrites listed above) ---
+    # --- last green in r07 ---
     **dict.fromkeys([
         "ann_ivf_kmeans", "ann_ivf_kmeans_nprobe",
-        "ann_product_quantization", "approx_distinct_users",
-        "array_functions",
-        "cache_envelope_projection", "cache_freshness_ladder",
-        "cache_ttl_introspection", "coercion_fill_policy",
-        "cohort_retention", "conditional_functions", "datetime_functions",
-        "dedup_clusters_logstar",
-        "feature_scaling", "feed_daily_rollup", "funnel_conversion",
-        "gap_fill_interpolate", "gap_fill_locf", "hll_partial_rollup", "map_functions", "math_functions",
-        "monthly_filtered", "monthly_rollup", "pricing_summary",
-        "projection_sort", "quantile_bucket_decile",
-        "quantile_bucket_decile_approx", "rfm_segmentation",
-        "rfm_segmentation_approx", "rollup_cascade_day", "semdedup_prune",
-        "sessionize_events", "skew_salted_agg", "sql_correlated_exists",
-        "sql_groupby_having", "sql_scalar_subquery", "stratified_sample",
-        "stream_late_data_policy", "stream_session_window",
-        "stream_sliding_window", "stream_tumbling_window",
-        "stream_windowed_dedup", "string_functions_extended",
-        "tfidf_cosine_pairs", "train_test_split", "udf_normalize_text",
+        "approx_distinct_users",
+        "array_functions", "cache_envelope_projection",
+        "cache_freshness_ladder", "cache_ttl_introspection",
+        "coercion_fill_policy", "cohort_retention",
+        "conditional_functions", "datetime_functions",
+        "dedup_clusters_logstar", "feature_scaling",
+        "feed_daily_rollup", "funnel_conversion",
+        "gap_fill_interpolate", "gap_fill_locf", "hll_partial_rollup",
+        "map_functions", "math_functions", "monthly_filtered",
+        "monthly_rollup", "pricing_summary", "projection_sort",
+        "quantile_bucket_decile", "quantile_bucket_decile_approx",
+        "rfm_segmentation", "rfm_segmentation_approx",
+        "rollup_cascade_day", "semdedup_prune", "sessionize_events",
+        "skew_salted_agg", "sql_correlated_exists",
+        "sql_groupby_having", "sql_scalar_subquery",
+        "stratified_sample", "stream_late_data_policy",
+        "stream_session_window", "stream_sliding_window",
+        "stream_tumbling_window", "stream_windowed_dedup",
+        "string_functions_extended", "tfidf_cosine_pairs",
+        "train_test_split", "udf_normalize_text",
     ], 7),
-    # --- last green in r08 (minus the r9 rewrites listed above) ---
+    # --- last green in r08 ---
     **dict.fromkeys([
         "agg_quantiles", "agg_statistics", "ann_bruteforce_pandas",
         "anomaly_mad_zscore", "anomaly_mad_zscore_approx",
         "approx_distinct_users_scale", "audio_decode_features",
-        "bloom_prefilter_semi_join",
-        "conditional_agg", "count_diagnostic",
-        "cube_totals", "date_normalization", "derived_revenue",
-        "doc_chunk_windows", "doc_fingerprint", "domain_mixture_weights",
-        "feed_station_monthly", "feed_station_rollup",
-        "filter_limit_sample", "join_anti_unordered_parts",
+        "bloom_prefilter_semi_join", "conditional_agg",
+        "count_diagnostic", "cube_totals", "date_normalization",
+        "derived_revenue", "doc_chunk_windows", "doc_fingerprint",
+        "domain_mixture_weights", "feed_station_monthly",
+        "feed_station_rollup", "filter_limit_sample",
+        "join_anti_unordered_parts",
         "join_full_outer_nation_presence", "join_left_order_counts",
         "join_semi_active_customers", "join_star_revenue",
         "json_extract_props", "lineage_projection",
-        "multimodal_features", "pii_redaction",
-        "pivot_status_matrix", "png_decode_features",
-        "presentation_format", "quality_weighted_sample",
-        "rollup_totals", "sequence_pack_bins",
-        "sequence_pack_bins_sharded", "set_except_nations",
-        "set_intersect_nations", "set_union_nations", "skyline_pareto",
-        "topk_global", "udf_weighted_mean_price",
-        "unpivot_measures", "window_distribution_funcs",
-        "window_lag_delta", "window_rank_dense",
-        "window_rolling_1h", "window_running_sum", "window_topk_per_group",
+        "multimodal_features", "pii_redaction", "pivot_status_matrix",
+        "png_decode_features", "presentation_format",
+        "quality_weighted_sample", "rollup_totals",
+        "sequence_pack_bins", "sequence_pack_bins_sharded",
+        "set_except_nations", "set_intersect_nations",
+        "set_union_nations", "skyline_pareto", "topk_global",
+        "udf_weighted_mean_price", "unpivot_measures",
+        "window_distribution_funcs", "window_lag_delta",
+        "window_rank_dense", "window_rolling_1h",
+        "window_running_sum", "window_topk_per_group",
     ], 8),
+    # --- last green in r10 ---
+    **dict.fromkeys([
+        "agg_collect_sorted", "ann_brute_force",
+        "asof_attribution_tolerance", "bigram_surprisal_quality",
+        "changepoint_mean_shift", "chunk_dedup_stats",
+        "contamination_eval_overlap", "corpus_dedup_apply",
+        "curriculum_pack_epochs", "data_quality_profile",
+        "decayed_user_value", "dedup_against_index", "dedup_clusters",
+        "dedup_containment", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_simhash", "diff_snapshots", "embedding_gram_matrix",
+        "embedding_near_dup", "entity_fuzzy_blocking",
+        "funnel_time_to_convert", "graph_clustering_coeff",
+        "grouping_sets_revenue", "histogram_value_buckets",
+        "image_decode_features", "item_cooccurrence_similarity",
+        "late_orders_by_priority", "ngram_jaccard_pairs",
+        "pagerank_near_dup", "pmi_collocations",
+        "repetition_ngram_stats", "rollup_merge_incremental",
+        "scd2_user_history", "seasonal_hourly_profile",
+        "shipping_priority", "source_kl_divergence",
+        "source_overlap_jaccard", "span_corruption_masks",
+        "split_by_cluster", "string_functions", "time_proximity_join",
+        "tokenize_to_ids", "unigram_logprob_quality",
+        "winnow_fingerprints", "zorder_layout",
+    ], 10),
 }
 
 
