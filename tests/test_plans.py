@@ -402,3 +402,26 @@ def test_kmeans_assignment_is_a_projection_no_exchange(spark):
     # and it assigns every candidate to a real cell
     cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
     assert cells <= set(range(K_CELLS)) and cells
+
+
+def test_sole_return_supplier_single_fact_pass(spark):
+    """The Q21-shaped double-EXISTS must run as ONE grouped pass over the
+    fact table: exactly one lineitem scan (the textbook correlated form
+    scans it three times via two self-joins) and at most four shuffles —
+    the pair-dedupe exchange is the only one carrying fact-sized rows
+    (per-order / per-supplier aggregates and the presentation sort ride
+    on aggregated rows)."""
+    import re
+
+    from weather_database_system_spark.operators.relational import (
+        sole_return_supplier,
+    )
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = sole_return_supplier(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*lineitem", plan)) == 1, (
+        "lineitem scanned more than once — the self-join form leaked back"
+    )
+    assert shuffle_count(df) <= 4
+    assert "CartesianProduct" not in plan

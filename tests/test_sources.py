@@ -534,6 +534,45 @@ def test_ingest_feed_stations_writes_station_keyed_silver(spark, tmp_path):
     assert back.select("latitude").distinct().collect()[0][0] == 40.0
 
 
+def test_ingest_feed_stations_plans_no_exchange_before_sink(spark, tmp_path):
+    """The r11 station-fleet rehearsal (tools/station_rehearsal.py)
+    measured files/station == shards/station at every fleet size 8×→64× —
+    a property that holds ONLY while no shuffle sits between the feed
+    source and the partitionBy(station_id) sink: each (station, shard)
+    source task then writes exactly its own partition directory. A
+    repartition sneaking in would spread every station across every task
+    (tasks × stations small files at fleet scale). Pin it in the plan:
+    the silver DataFrame reaching the sink declares ZERO shuffle
+    exchanges."""
+    import datetime as dt
+
+    from weather_database_system_spark.pipeline.ingest import (
+        ingest_feed_stations,
+    )
+    from weather_database_system_spark.plans import shuffle_count
+    from weather_database_system_spark.sources.observation_feed import (
+        write_feed_fixtures,
+    )
+
+    stations = [
+        {"latitude": 37.0, "longitude": -121.0},
+        {"latitude": 40.0, "longitude": -120.0},
+    ]
+    fx = tmp_path / "payloads"
+    fx.mkdir()
+    write_feed_fixtures(str(fx), stations, "2024-02-01", "2024-02-02", 1)
+    silver = ingest_feed_stations(
+        spark,
+        stations,
+        "2024-02-01",
+        "2024-02-02",
+        shard_days=1,
+        payload_dir=str(fx),
+        fetched_at=dt.datetime(2024, 2, 3),
+    )
+    assert shuffle_count(silver) == 0
+
+
 def test_station_id_derivation_is_engine_exact(spark, duck):
     """The station key must derive IDENTICALLY in Spark and DuckDB for any
     coordinate — including binary-midpoint ties like 37.03125, where raw

@@ -347,6 +347,59 @@ def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped double-correlated-subquery join: suppliers who were
+    the SOLE supplier with returned items (l_returnflag = 'R') on finalized
+    multi-supplier orders — per lineitem l1 the textbook form is
+
+        EXISTS     (l2: same order, different supplier)
+        NOT EXISTS (l3: same order, different supplier, returnflag 'R')
+
+    which naïvely plans TWO self-joins of the fact table (three lineitem
+    scans, three fact-sized shuffles — Q21 is the classic optimizer
+    stress test for exactly this). The scale-honest rewrite runs ONE
+    grouped pass instead: dedupe lineitem to (order, supplier,
+    has_return) — partial map-side aggregation collapses each order's
+    ~4-7 lines before the shuffle — then one per-order aggregate derives
+    n_suppliers / n_return_suppliers / the sole returning supplier, and
+    the EXISTS pair becomes the filter n_suppliers > 1 AND
+    n_return_suppliers = 1. The second groupBy's input is one row per
+    (order, supplier) — a fraction of the fact table. Orders joins on the
+    already-aggregated per-order rows (AQE broadcasts its filtered side
+    when small); supplier is a broadcast dim. lineitem is scanned ONCE
+    (plan-pinned in test_plans).
+
+    The DuckDB oracle deliberately runs the UNREWRITTEN correlated
+    EXISTS / NOT EXISTS form, so the hash check proves the rewrite's
+    semantic equivalence, not just its self-consistency."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", (F.col("l_returnflag") == "R").alias("is_r")
+    )
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_r").alias("has_r")
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.col("has_r").cast("int")).alias("n_r_supp"),
+        F.max(F.when(F.col("has_r"), F.col("l_suppkey"))).alias("sole_supp"),
+    )
+    culprit = per_order.filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        culprit.join(orders_f, culprit.l_orderkey == orders_f.o_orderkey)
+        .groupBy("sole_supp")
+        .agg(F.count("*").alias("n_orders"))
+        .join(F.broadcast(supplier), F.col("sole_supp") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_orders")
+        .orderBy(F.col("n_orders").desc(), "s_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational completeness (§2B): aggregates beyond avg/sum/count
 # ---------------------------------------------------------------------------
@@ -1031,6 +1084,28 @@ ORACLE: dict[str, str] = {
           ON c_nationkey = s_nationkey
         ORDER BY nationkey
     """,
+    # deliberately the UNREWRITTEN correlated form (two EXISTS self-joins):
+    # matching the engine's single-grouped-pass rewrite proves semantic
+    # equivalence of the Q21-shaped rewrite, not just self-consistency
+    "sole_return_supplier": """
+        WITH culprit AS (
+            SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+            FROM lineitem l1
+            JOIN orders ON o_orderkey = l1.l_orderkey
+            WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+        )
+        SELECT s_suppkey, s_name, count(*) AS n_orders
+        FROM culprit JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, s_name
+    """,
     "agg_statistics": f"""
         SELECT l_returnflag,
                {_sql_fr('min(l_extendedprice)', 2)}    AS min_price,
@@ -1258,6 +1333,7 @@ QUERIES = {
     "join_semi_active_customers": join_semi_active_customers,
     "join_anti_unordered_parts": join_anti_unordered_parts,
     "join_full_outer_nation_presence": join_full_outer_nation_presence,
+    "sole_return_supplier": sole_return_supplier,
     "agg_statistics": agg_statistics,
     "agg_quantiles": agg_quantiles,
     "rollup_totals": rollup_totals,
