@@ -464,3 +464,89 @@ def test_diagnostics_staged_probe(spark, zones, tmp_path):
         "detail": "no rows for city='Nowhere'",
         "remediation": "check the city parameter or ingest that city",
     }
+
+
+def test_compact_partitioned_collapses_small_files_and_preserves_rows(
+    spark, tmp_path
+):
+    """Small-files compaction (pipeline/maintenance.py): six appended
+    fetches fragment each station partition into six files; one
+    compaction pass collapses every partition to its file-count floor
+    (ceil(rows/max_records) = 1 here), preserves every row bit-for-bit,
+    and keeps the partition directories — so listing-level pruning is
+    untouched. A second run over the compacted output is a no-op shape
+    (idempotence)."""
+    import datetime as dt
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.pipeline.ingest import (
+        ingest_feed_stations,
+    )
+    from weather_database_system_spark.pipeline.maintenance import (
+        compact_partitioned,
+    )
+    from weather_database_system_spark.sources.observation_feed import (
+        write_feed_fixtures,
+    )
+
+    stations = [
+        {"latitude": 37.0, "longitude": -121.0},
+        {"latitude": 40.0, "longitude": -120.0},
+    ]
+    fx = tmp_path / "payloads"
+    fx.mkdir()
+    write_feed_fixtures(str(fx), stations, "2024-02-01", "2024-02-02", 1)
+    silver_path = str(tmp_path / "silver")
+    # six fetch appends — the fragmentation a standing hourly refresh
+    # produces (each append = shards-per-station files per partition)
+    for i in range(6):
+        ingest_feed_stations(
+            spark,
+            stations,
+            "2024-02-01",
+            "2024-02-02",
+            shard_days=1,
+            payload_dir=str(fx),
+            silver_path=silver_path,
+            fetched_at=dt.datetime(2024, 2, 3, i),
+        )
+
+    def files_per_part(root):
+        out = {}
+        for d in os.listdir(root):
+            if d.startswith("station_id="):
+                out[d] = len(glob.glob(os.path.join(root, d, "*.parquet")))
+        return out
+
+    before = files_per_part(silver_path)
+    assert set(before.values()) == {12}  # 6 appends × 2 one-day shards
+
+    compact_path = str(tmp_path / "silver_compacted")
+    audit = compact_partitioned(
+        spark, silver_path, compact_path, ["station_id"]
+    )
+    after = files_per_part(compact_path)
+    assert set(after.values()) == {1}  # the floor: one file per partition
+    assert audit["rows"] == 2 * 2 * 24 * 6
+    assert audit["files_before"] == 24 and audit["files_after"] == 2
+
+    # rows survive exactly (same multiset, partition column included)
+    a = spark.read.parquet(silver_path)
+    b = spark.read.parquet(compact_path)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # pruning still works through the compacted layout
+    one = b.filter(F.col("station_id") == "st_40.0000_-120.0000")
+    assert one.count() == 2 * 24 * 6
+
+    # maxRecordsPerFile splits when the cap binds
+    tiny_path = str(tmp_path / "silver_tiny_files")
+    audit2 = compact_partitioned(
+        spark, compact_path, tiny_path, ["station_id"],
+        max_records_per_file=100,
+    )
+    assert audit2["files_after"] == 2 * -(-288 // 100)  # ceil(288/100)=3 each

@@ -425,3 +425,19 @@ def test_sole_return_supplier_single_fact_pass(spark):
     )
     assert shuffle_count(df) <= 4
     assert "CartesianProduct" not in plan
+
+
+def test_customer_order_distribution_pushes_agg_below_outer_join(spark):
+    """The Q13-shaped distribution must aggregate qualifying orders BEFORE
+    the outer join (one fact shuffle for the per-custkey agg, one tiny
+    histogram agg, one presentation sort), never shuffle a customer ×
+    orders join and count after — and the pre-aggregated side must reach
+    the customer join as a broadcast at test SF."""
+    from weather_database_system_spark.operators.relational import (
+        customer_order_distribution,
+    )
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = customer_order_distribution(spark, SF_SMOKE)
+    assert shuffle_count(df) <= 3
+    assert "BroadcastHashJoin" in formatted_plan(df)

@@ -400,6 +400,41 @@ def sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped distribution query: how many customers placed k
+    qualifying orders, for every k INCLUDING k = 0 — the one TPC-H query
+    built on a LEFT OUTER join with a join-side predicate (the order
+    filter must live in the join condition, not a post-join WHERE, or the
+    zero-order customers vanish) and a double aggregation (per-customer
+    count → histogram of counts).
+
+    Scale shape — the classic aggregate-pushdown-below-outer-join rewrite:
+    instead of shuffling the full customer × orders join and counting
+    after, qualifying orders aggregate to one row per o_custkey FIRST
+    (one map-side-combined shuffle of the fact table), the LEFT join then
+    carries pre-aggregated counts (AQE broadcasts the aggregate side when
+    small), unmatched customers coalesce to 0 — exactly count(o_orderkey)
+    over the textbook outer join, which counts nothing for the padded
+    NULL row — and the histogram shuffle moves one row per distinct
+    count. The oracle runs the UNREWRITTEN textbook form (outer join,
+    then count, then histogram), so the hash check proves the pushdown's
+    equivalence, NULL semantics included."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational completeness (§2B): aggregates beyond avg/sum/count
 # ---------------------------------------------------------------------------
@@ -1106,6 +1141,19 @@ ORACLE: dict[str, str] = {
         GROUP BY 1, 2
         ORDER BY n_orders DESC, s_name
     """,
+    # the UNREWRITTEN Q13 textbook form: outer join first, count second —
+    # matching the engine's aggregate-pushdown rewrite proves equivalence
+    # (count(o_orderkey) counts nothing for the padded NULL row ≙ the
+    # engine's coalesce-to-0 on the pre-aggregated side)
+    "customer_order_distribution": """
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey) pc
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
     "agg_statistics": f"""
         SELECT l_returnflag,
                {_sql_fr('min(l_extendedprice)', 2)}    AS min_price,
@@ -1334,6 +1382,7 @@ QUERIES = {
     "join_anti_unordered_parts": join_anti_unordered_parts,
     "join_full_outer_nation_presence": join_full_outer_nation_presence,
     "sole_return_supplier": sole_return_supplier,
+    "customer_order_distribution": customer_order_distribution,
     "agg_statistics": agg_statistics,
     "agg_quantiles": agg_quantiles,
     "rollup_totals": rollup_totals,
