@@ -85,6 +85,11 @@ HEADLINE = (
     "feed_station_rollup",    # multi-station silver contract: station_id
                               # derivation + lineage envelope + rollup
                               # keyed by (station_id, date)
+    # --- round-11 headliners ---
+    "sole_return_supplier",   # Q21-shaped double-EXISTS rewritten to one
+                              # grouped fact pass (single lineitem scan)
+    "customer_order_distribution",  # Q13-shaped outer-join distribution,
+                                    # aggregate pushed below the join
 )
 
 # N runs per query. Run 1 is recorded separately as cold_sec (r8 verdict
