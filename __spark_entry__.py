@@ -64,7 +64,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # so the registry is now 164/164 oracle-checked); jpeg_decode_features
 # (oracle dimensions now interpolate {IMG_W}/{IMG_H} instead of
 # hardcoding 48/32 — replay equivalence is expected but the oracle text
-# changed, so it re-enters the sample front).
+# changed, so it re-enters the sample front); window_running_sum (the
+# r11 full-registry sf0.1 parity sweep — tools/parity_sweep.py — caught
+# a ROWS-frame ordering tie between duplicate (orderkey, linenumber)
+# lineitem rows that the sf0.01 gate never hits; ordering now
+# tie-broken by the summands on both engine and oracle sides).
 _LAST_VERIFIED = {
     # --- last green in r06 ---
     **dict.fromkeys([
@@ -124,7 +128,7 @@ _LAST_VERIFIED = {
         "udf_weighted_mean_price", "unpivot_measures",
         "window_distribution_funcs", "window_lag_delta",
         "window_rank_dense", "window_rolling_1h",
-        "window_running_sum", "window_topk_per_group",
+        "window_topk_per_group",
     ], 8),
     # --- last green in r10 ---
     **dict.fromkeys([

@@ -557,11 +557,29 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running (cumulative) revenue per supplier ordered by ship date — rows
-    frame with fully deterministic ordering keys; exact decimal accumulation."""
+    frame with fully deterministic ordering keys; exact decimal accumulation.
+
+    The ordering must be TOTAL over every value the frame accumulates: the
+    synthetic lineitem carries duplicate (l_orderkey, l_linenumber) pairs
+    (~20 % of keys at sf0.1), and the r11 sf0.1 parity sweep caught two
+    rows tied on (shipdate, orderkey, linenumber) within one supplier
+    partition with DIFFERENT revenues — a ROWS-frame prefix sum then
+    depends on which engine happens to order the tie first (one row in
+    600 000 mismatched; the sf0.01 gate has zero such collisions and
+    never saw it). Tie-breaking by the summands (l_extendedprice,
+    l_discount) restores engine-independence: any ordering ambiguity left
+    is between identical-revenue rows, whose prefix multiset is the same
+    either way."""
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "l_discount",
+        )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     running = F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).over(w)
@@ -1223,11 +1241,14 @@ ORACLE: dict[str, str] = {
         FROM monthly
         ORDER BY event_type, month
     """,
+    # ordering tie-broken by the summands — see window_running_sum's
+    # docstring (duplicate (orderkey, linenumber) keys in the data)
     "window_running_sum": """
         SELECT l_suppkey, l_orderkey, l_linenumber,
                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)))
                      OVER (PARTITION BY l_suppkey
-                           ORDER BY l_shipdate, l_orderkey, l_linenumber
+                           ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                    l_extendedprice, l_discount
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_revenue
         FROM lineitem
         ORDER BY l_suppkey, l_orderkey, l_linenumber
