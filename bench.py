@@ -90,6 +90,12 @@ HEADLINE = (
                               # grouped fact pass (single lineitem scan)
     "customer_order_distribution",  # Q13-shaped outer-join distribution,
                                     # aggregate pushed below the join
+    "small_quantity_part_revenue",  # Q17-shaped correlated-avg filter as a
+                                    # single-scan window (integer compare)
+    "large_volume_orders",    # Q18-shaped IN-subquery, aggregate-once-
+                              # and-reuse (single lineitem scan)
+    "quarterly_top_supplier", # Q15-shaped max-over-view via a quarter-
+                              # partitioned window on the one aggregate
 )
 
 # N runs per query. Run 1 is recorded separately as cold_sec (r8 verdict

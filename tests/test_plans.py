@@ -166,6 +166,9 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
         "embedding_pca_project",    # 1-row subspace-invariant claims
                                     # broadcast (plus the sanctioned
                                     # broadcast-K Lloyd-free Gram path)
+        "wealthy_idle_customers",   # 1-row balance-threshold aggregate
+                                    # broadcast over the customer scan
+                                    # (the Q22 scalar-AVG subquery)
     }
     for name, fn in em.queries().items():
         plan = formatted_plan(fn(spark, SF_SMOKE))
@@ -441,3 +444,79 @@ def test_customer_order_distribution_pushes_agg_below_outer_join(spark):
     df = customer_order_distribution(spark, SF_SMOKE)
     assert shuffle_count(df) <= 3
     assert "BroadcastHashJoin" in formatted_plan(df)
+
+
+def test_small_quantity_part_revenue_single_scan_window(spark):
+    """The Q17-shaped correlated-average filter must run as a SINGLE
+    lineitem scan (the textbook decorrelation self-joins the fact table —
+    two scans) with the per-part sums riding ONE window exchange; part
+    arrives by broadcast and the brand rollup + sort move aggregated
+    rows only."""
+    import re
+
+    from weather_database_system_spark.operators.relational import (
+        small_quantity_part_revenue,
+    )
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = small_quantity_part_revenue(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*lineitem", plan)) == 1, (
+        "lineitem scanned more than once — the self-join decorrelation leaked back"
+    )
+    assert shuffle_count(df) <= 3
+    assert "BroadcastHashJoin" in plan
+
+
+def test_large_volume_orders_aggregates_fact_once(spark):
+    """The Q18-shaped IN-subquery query must aggregate lineitem ONCE and
+    reuse the aggregate as both the semi-probe and the sum_qty output
+    (the textbook form scans + aggregates the fact table twice)."""
+    import re
+
+    from weather_database_system_spark.operators.relational import (
+        large_volume_orders,
+    )
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = large_volume_orders(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*lineitem", plan)) == 1, (
+        "lineitem scanned more than once — the IN-subquery re-aggregation leaked back"
+    )
+    assert shuffle_count(df) <= 5
+    assert "CartesianProduct" not in plan
+
+
+def test_wealthy_idle_customers_anti_join_one_row_broadcast(spark):
+    """The Q22 shape must plan the balance threshold as ONE 1-row
+    aggregate broadcast (BNLJ-sanctioned) and idleness as a LEFT ANTI
+    join — never a per-row subquery or a fact-sized outer join."""
+    from weather_database_system_spark.operators.relational import (
+        wealthy_idle_customers,
+    )
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = wealthy_idle_customers(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert shuffle_count(df) <= 3
+
+
+def test_quarterly_top_supplier_no_view_recompute(spark):
+    """The Q15 shape must compute the revenue view ONCE (one fact scan,
+    one agg exchange) and resolve the per-quarter max via a window over
+    the aggregate — the correlated-max form recomputes the view."""
+    import re
+
+    from weather_database_system_spark.operators.relational import (
+        quarterly_top_supplier,
+    )
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = quarterly_top_supplier(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*lineitem", plan)) == 1, (
+        "lineitem scanned more than once — the revenue view is being recomputed"
+    )
+    assert shuffle_count(df) <= 3

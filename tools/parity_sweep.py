@@ -6,10 +6,11 @@ pinned-claim tolerances and engine-exact paths can be re-validated at 10×
 the gated volume. Prints one line per query and a FAILURES summary.
 
 Usage: python tools/parity_sweep.py [--sf-dir /root/testdata/sf0.1]
-           [--start 0] [--count 999] [--cpus 16]
+           [--start 0] [--count 999] [--cpus 16] [--names a,b,c]
 
 --start/--count slice the sorted query list so long sweeps can run in
-resumable chunks.
+resumable chunks; --names restricts to an explicit comma-separated list
+(for spot-checking newly added queries at several SFs).
 """
 
 from __future__ import annotations
@@ -28,6 +29,7 @@ def main() -> None:
     ap.add_argument("--start", type=int, default=0)
     ap.add_argument("--count", type=int, default=10_000)
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    ap.add_argument("--names", default="")
     args = ap.parse_args()
 
     import duckdb
@@ -45,6 +47,12 @@ def main() -> None:
     register_duck_views(con, args.sf_dir)
     Q, O = em.queries(), em.oracle_sql()
     names = sorted(Q)[args.start : args.start + args.count]
+    if args.names:
+        wanted = {n.strip() for n in args.names.split(",") if n.strip()}
+        unknown = wanted - set(Q)
+        if unknown:
+            raise SystemExit(f"unknown query names: {sorted(unknown)}")
+        names = [n for n in sorted(Q) if n in wanted]
     fails = []
     for name in names:
         t0 = time.perf_counter()

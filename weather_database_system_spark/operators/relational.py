@@ -435,6 +435,191 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated-average filter: revenue carried by
+    lineitems whose quantity is below 20 % of their part's average
+    quantity, reported per brand. The textbook form is a correlated
+    scalar subquery per lineitem —
+
+        l_quantity < 0.2 * (SELECT avg(l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = l.l_partkey)
+
+    — which naïvely re-aggregates the fact table once per row, and even
+    decorrelated plans a fact-side self-join (two lineitem scans). The
+    engine runs the single-scan window rewrite: sum/count of quantity
+    OVER (PARTITION BY l_partkey) ride the same shuffle the probe rows
+    take, so the fact table is scanned ONCE and shuffled ONCE (per-part
+    row counts are bounded — TPC-H-style data has ~30 lines/part at any
+    SF — so window partitions never skew). The brand rollup then moves
+    one row per surviving line through a broadcast join with the part
+    dim.
+
+    Cross-engine exactness: the threshold compare runs in INTEGER space
+    — `5 * qty * cnt < sum_qty` (l_quantity is integral 1..50 by the
+    TPC-H spec this synthetic schema follows; bigint is exact where a
+    float `0.2 * avg` would put boundary rows at the mercy of the
+    division). The DuckDB oracle runs the UNREWRITTEN correlated form,
+    so the hash check proves the window rewrite's equivalence."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_extendedprice",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    w = W.partitionBy("l_partkey")
+    small = li.select(
+        "l_partkey",
+        "l_extendedprice",
+        (
+            F.col("qty") * F.lit(5) * F.count("*").over(w)
+            < F.sum("qty").over(w)
+        ).alias("is_small"),
+    ).filter("is_small")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        small.join(F.broadcast(part), small.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_small_lines"),
+            _sum2(F.col("l_extendedprice")).alias("small_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+LARGE_ORDER_MIN_QTY = 250  # sum(l_quantity) threshold ≈ p99 of the synthetic data
+
+
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-customer query: orders whose total
+    lineitem quantity exceeds LARGE_ORDER_MIN_QTY, with the customer who
+    placed them. The textbook form joins customer × orders × lineitem,
+    re-aggregates the join, and probes an IN subquery that aggregates
+    lineitem AGAIN (two fact-sized aggregations, one of them over a
+    3-way join). The engine aggregates lineitem ONCE (map-side-combined
+    per-order sum — the partial agg collapses each order's ~4 lines
+    before the shuffle), filters to the qualifying ~1 %, and REUSES that
+    aggregate as both the IN-probe and the sum_qty output column; orders
+    joins the tiny filtered aggregate (AQE broadcasts it), customer
+    joins on the result. lineitem is scanned ONCE (plan-pinned).
+
+    Integer quantity sums are exact cross-engine; the oracle runs the
+    UNREWRITTEN textbook form (3-way join + HAVING-filtered IN subquery,
+    aggregating lineitem twice), proving the reuse rewrite equivalent."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("sum_qty"))
+        .filter(F.col("sum_qty") > LARGE_ORDER_MIN_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            _dstr(F.col("o_orderdate")).alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    )
+
+
+IDLE_CUTOFF = "2001-01-01"  # last ~7 months of the synthetic order history
+
+
+def wealthy_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped "global-customer-sentiment" query: per market
+    segment, the count and total balance of customers whose account
+    balance beats the average positive balance but who placed no order
+    since IDLE_CUTOFF. Textbook shape = an uncorrelated scalar AVG
+    subquery (threshold) + a correlated NOT EXISTS (idleness). The
+    engine computes the threshold as ONE 1-row aggregate broadcast over
+    the customer scan (the sanctioned 1-row-crossJoin shape — no
+    per-row subquery), turns NOT EXISTS into a LEFT ANTI join against
+    the date-filtered order keys (anti joins shuffle only keys), and
+    rolls up the ~5 segments last.
+
+    Cross-engine exactness: `bal > avg(bal)` is decided as
+    `bal * cnt > sum` in exact DECIMAL(12,2) space — the division-free
+    form both engines resolve identically (a double average would put
+    boundary customers at the mercy of summation order). The oracle
+    runs the UNREWRITTEN scalar-subquery + NOT EXISTS form."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("decimal(12,2)").alias("bal")
+    )
+    stats = cust.filter(F.col("bal") > 0).agg(
+        F.sum("bal").alias("bal_sum"), F.count("*").alias("bal_cnt")
+    )
+    wealthy = cust.crossJoin(F.broadcast(stats)).filter(
+        F.col("bal") * F.col("bal_cnt") > F.col("bal_sum")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(IDLE_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        wealthy.join(recent, wealthy.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("bal"), 2).cast("double").alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def quarterly_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top-supplier query, extended to every quarter:
+    the supplier(s) with the maximum net revenue within each shipping
+    quarter. The textbook form materializes a revenue view and probes
+    `total_revenue = (SELECT max(total_revenue) FROM revenue)` — a
+    correlated re-aggregation of the view. The engine computes the
+    per-(quarter, supplier) revenue in one map-side-combined fact
+    shuffle, then resolves the max WITHIN the same aggregate via a
+    window partitioned by quarter (partition width = supplier count —
+    bounded, never data-sized), so the view is never recomputed;
+    supplier names arrive by broadcast.
+
+    Ties on the max are kept by BOTH engines (Q15 semantics): revenue
+    is the order-independent decimal sum rounded to 2 dp, so equality
+    — and therefore the tie set — is decided on identical bits
+    cross-engine. The oracle runs the UNREWRITTEN correlated-max form
+    over the same view, proving the window rewrite equivalent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = (
+        li.groupBy(
+            F.concat(
+                F.year("l_shipdate"), F.lit("-Q"), F.quarter("l_shipdate")
+            ).alias("qtr"),
+            "l_suppkey",
+        )
+        .agg(
+            _sum2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    w = W.partitionBy("qtr")
+    top = per.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        top.join(F.broadcast(supplier), top.l_suppkey == supplier.s_suppkey)
+        .select("qtr", "s_suppkey", "s_name", "total_revenue")
+        .orderBy("qtr", "s_suppkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational completeness (§2B): aggregates beyond avg/sum/count
 # ---------------------------------------------------------------------------
@@ -1172,6 +1357,78 @@ ORACLE: dict[str, str] = {
         GROUP BY c_count
         ORDER BY custdist DESC, c_count DESC
     """,
+    # the UNREWRITTEN Q17 correlated-scalar-subquery form (per-row
+    # re-aggregation of lineitem); matching the engine's single-scan
+    # window rewrite proves equivalence. The compare is division-free
+    # integer math (5*qty*cnt < sum), exact on both engines.
+    "small_quantity_part_revenue": f"""
+        SELECT p_brand,
+               count(*) AS n_small_lines,
+               {_sql_sum2('l_extendedprice')} AS small_revenue
+        FROM lineitem l JOIN part ON p_partkey = l_partkey
+        WHERE CAST(l_quantity AS BIGINT) * 5
+              * (SELECT count(*) FROM lineitem l2
+                 WHERE l2.l_partkey = l.l_partkey)
+            < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l2
+               WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+    # the UNREWRITTEN Q18 textbook form: 3-way join re-aggregated, plus
+    # the HAVING-filtered IN subquery aggregating lineitem a second time
+    # — matching the engine's aggregate-once-and-reuse rewrite proves it
+    "large_volume_orders": f"""
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_totalprice,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING sum(CAST(l_quantity AS BIGINT)) > {LARGE_ORDER_MIN_QTY})
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+    """,
+    # the UNREWRITTEN Q22 form: uncorrelated scalar AVG subquery (as the
+    # division-free bal*cnt > sum compare, exact in DECIMAL(12,2)) plus
+    # a correlated NOT EXISTS — matching the engine's 1-row-broadcast +
+    # anti-join rewrite proves it
+    "wealthy_idle_customers": f"""
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   AS total_balance
+        FROM customer c
+        WHERE CAST(c_acctbal AS DECIMAL(12,2))
+              * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+            > (SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer
+               WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c.c_custkey
+                            AND o_orderdate >= TIMESTAMP '{IDLE_CUTOFF} 00:00:00')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    # the UNREWRITTEN Q15 form: the revenue view probed by a correlated
+    # max re-aggregation — matching the engine's quarter-partitioned
+    # window rewrite proves it; the 2-dp decimal rounding makes the tie
+    # set identical cross-engine
+    "quarterly_top_supplier": f"""
+        WITH rev AS (
+            SELECT CAST(year(l_shipdate) AS VARCHAR) || '-Q'
+                       || CAST(quarter(l_shipdate) AS VARCHAR) AS qtr,
+                   l_suppkey,
+                   {_sql_sum2('l_extendedprice * (1 - l_discount)')} AS total_revenue
+            FROM lineitem
+            GROUP BY 1, 2
+        )
+        SELECT qtr, s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev r2
+                               WHERE r2.qtr = rev.qtr)
+        ORDER BY qtr, s_suppkey
+    """,
     "agg_statistics": f"""
         SELECT l_returnflag,
                {_sql_fr('min(l_extendedprice)', 2)}    AS min_price,
@@ -1404,6 +1661,10 @@ QUERIES = {
     "join_full_outer_nation_presence": join_full_outer_nation_presence,
     "sole_return_supplier": sole_return_supplier,
     "customer_order_distribution": customer_order_distribution,
+    "small_quantity_part_revenue": small_quantity_part_revenue,
+    "large_volume_orders": large_volume_orders,
+    "wealthy_idle_customers": wealthy_idle_customers,
+    "quarterly_top_supplier": quarterly_top_supplier,
     "agg_statistics": agg_statistics,
     "agg_quantiles": agg_quantiles,
     "rollup_totals": rollup_totals,
