@@ -505,8 +505,11 @@ def test_wealthy_idle_customers_anti_join_one_row_broadcast(spark):
 
 def test_quarterly_top_supplier_no_view_recompute(spark):
     """The Q15 shape must compute the revenue view ONCE (one fact scan,
-    one agg exchange) and resolve the per-quarter max via a window over
-    the aggregate — the correlated-max form recomputes the view."""
+    one agg exchange, persisted) and resolve the per-quarter max as a
+    quarters-sized aggregate broadcast back onto it — the correlated-max
+    form recomputes the view, and a quarter-partitioned window would
+    funnel one supplier-dim-sized partition per quarter through a
+    single task at scale."""
     import re
 
     from weather_database_system_spark.operators.relational import (
