@@ -62,9 +62,13 @@ def test_parity(name, spark, duck_with_views):
     compare(df, duck_with_views, _ORACLE[name], name=name)
 
 
-@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLE)))
-def test_rows_only(name, spark):
-    """Queries without an oracle still must run and return a stable schema."""
-    df = _QUERIES[name](spark, PARITY_SF)
-    assert df.columns
-    df.collect()
+def test_every_query_is_oracle_checked():
+    """Since r11 the registry carries ZERO rows-only entries — every query
+    has a DuckDB oracle twin. Pin that: a new query landing without an
+    ORACLE entry silently downgrades the driver's check for it to
+    rows-only, which this guard turns into a visible failure instead.
+    (If a future operator genuinely cannot be SQL-expressed, give it a
+    pinned-claim ``_checked`` wrapper like the xxhash64/PQ/PCA paths —
+    see NOTES r11 — rather than re-opening the rows-only class.)"""
+    missing = sorted(set(_QUERIES) - set(_ORACLE))
+    assert not missing, f"queries without an oracle twin: {missing}"
