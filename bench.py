@@ -96,6 +96,10 @@ HEADLINE = (
                               # and-reuse (single lineitem scan)
     "quarterly_top_supplier", # Q15-shaped max-over-view via a quarter-
                               # partitioned window on the one aggregate
+    "nation_trade_volume",    # Q7-shaped bilateral trade: pair predicate
+                              # pushed into BOTH dim scans pre-join
+    "disjunctive_brand_revenue",  # Q19-shaped OR-of-conjunctions with
+                                  # factored superset pushdown
 )
 
 # N runs per query. Run 1 is recorded separately as cold_sec (r8 verdict

@@ -72,3 +72,29 @@ def test_every_query_is_oracle_checked():
     see NOTES r11 — rather than re-opening the rows-only class.)"""
     missing = sorted(set(_QUERIES) - set(_ORACLE))
     assert not missing, f"queries without an oracle twin: {missing}"
+
+
+def test_exactness_preconditions_hold_in_testdata(duck):
+    """Two wave-2 TPC-H rewrites decide boundary rows in exact integer /
+    decimal space, which is only equivalent to the oracle's textbook form
+    if the data really has the advertised shape (relational.py:458,551):
+
+    - small_quantity_part_revenue compares `5*qty*cnt < sum_qty` with
+      qty CAST to bigint — Spark truncates double→bigint while DuckDB
+      rounds, so a FRACTIONAL l_quantity would diverge cross-engine;
+    - wealthy_idle_customers casts c_acctbal to DECIMAL(12,2) — a balance
+      with >2 dp would be quantized differently than DuckDB's double AVG.
+
+    Both hold in the driver's synthetic TPC-H data at every SF (probed
+    0.001/0.01/0.1 in r11). Pin them so a testdata regeneration that
+    breaks either fails HERE, not as an opaque hash mismatch."""
+    frac_qty = duck.sql(
+        f"SELECT count(*) FROM '{PARITY_SF}/lineitem.parquet' "
+        "WHERE l_quantity <> floor(l_quantity)"
+    ).fetchone()[0]
+    assert frac_qty == 0, f"{frac_qty} fractional l_quantity rows"
+    deep_bal = duck.sql(
+        f"SELECT count(*) FROM '{PARITY_SF}/customer.parquet' "
+        "WHERE round(c_acctbal, 2) <> c_acctbal"
+    ).fetchone()[0]
+    assert deep_bal == 0, f"{deep_bal} customers with >2dp c_acctbal"

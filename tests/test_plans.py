@@ -523,3 +523,96 @@ def test_quarterly_top_supplier_no_view_recompute(spark):
         "lineitem scanned more than once — the revenue view is being recomputed"
     )
     assert shuffle_count(df) <= 3
+
+
+def test_nation_trade_volume_dims_filter_before_fact(spark):
+    """The Q7 shape must push the nation-pair membership into both
+    dimension sides BEFORE the fact joins (the textbook form filters
+    after a 6-way join), scan lineitem once, and attach nation names to
+    the years-sized aggregate — never drag strings through the fact
+    shuffle."""
+    import re
+
+    from weather_database_system_spark.operators.relational import (
+        nation_trade_volume,
+    )
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = nation_trade_volume(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*lineitem", plan)) == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert shuffle_count(df) <= 5
+
+
+def test_regional_market_share_one_pass_conditional_agg(spark):
+    """The Q8 shape must compute numerator and denominator in ONE
+    aggregate over ONE lineitem scan (the textbook CASE-inside-division
+    re-reads nothing but naïve rewrites split the two sums) and resolve
+    region membership as a semi join."""
+    import re
+
+    from weather_database_system_spark.operators.relational import (
+        regional_market_share,
+    )
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = regional_market_share(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*lineitem", plan)) == 1
+    assert "LeftSemi" in plan
+    assert shuffle_count(df) <= 5
+
+
+def test_returned_item_customers_aggregates_before_dims(spark):
+    """The Q10 shape must push the returnflag equality and the order-date
+    window into the scans, aggregate to customer keys BEFORE joining the
+    customer/nation dims, and run top-20 as TakeOrdered — never a global
+    sort of the fact."""
+    from weather_database_system_spark.operators.relational import (
+        returned_item_customers,
+    )
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = returned_item_customers(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "l_returnflag" in plan and "PushedFilters" in plan
+    assert shuffle_count(df) <= 4
+
+
+def test_promo_revenue_share_pruned_broadcast_single_shuffle(spark):
+    """The Q14 shape must prune part to (key, boolean) before the
+    broadcast, push the ship-date window into the lineitem scan, and
+    aggregate the month grain in one exchange."""
+    import re
+
+    from weather_database_system_spark.operators.relational import (
+        promo_revenue_share,
+    )
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = promo_revenue_share(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*lineitem", plan)) == 1
+    assert "BroadcastHashJoin" in plan
+    assert "l_shipdate" in plan  # date window reaches the scan
+    assert shuffle_count(df) <= 2
+
+
+def test_disjunctive_brand_revenue_superset_pushdown(spark):
+    """The Q19 shape's value is the factoring Catalyst does not do on
+    its own: the per-side superset predicates (brand IN + size hull on
+    part, quantity hull on lineitem) must appear as PushedFilters on
+    their scans, with only the residual OR evaluated post-join."""
+    from weather_database_system_spark.operators.relational import (
+        disjunctive_brand_revenue,
+    )
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = disjunctive_brand_revenue(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "p_brand" in plan and "p_size" in plan and "l_quantity" in plan
+    assert "BroadcastHashJoin" in plan
+    assert shuffle_count(df) <= 2

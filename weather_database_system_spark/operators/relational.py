@@ -627,6 +627,299 @@ def quarterly_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The Q7 nation pair — chosen so BOTH trade directions are populated even
+# at sf0.001 (the parity suite's default SF), keeping the check non-vacuous.
+TRADE_NATIONS = ("NATION_13", "NATION_19")
+
+
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume: revenue shipped between a
+    pair of nations (both directions), per shipping year. The textbook
+    form joins supplier × lineitem × orders × customer × nation n1 ×
+    nation n2 and filters the pair with an OR predicate AFTER the 6-way
+    join. The engine pushes the pair membership into BOTH dimension
+    scans first — supplier and customer each filter to the 2 qualifying
+    nations BEFORE touching a fact table, so only the ~2/25 of lineitem
+    sold by a pair supplier survives the first join and only the ~2/25
+    of orders placed by a pair customer survives the second; the
+    residual `supp ≠ cust` inequality runs post-join on the tiny
+    survivor set. It then aggregates on the integer nationkey pair +
+    year (map-side combine on a 2×2×7-value grain) and attaches nation
+    NAMES to the years-sized aggregate by broadcast — the textbook form
+    drags the names through the fact shuffle. supplier is broadcast;
+    at 100 TB customer⋈orders stays a shuffled equi-join (customer
+    scales with SF) and everything downstream of the pair filters is
+    ~8 % of the fact volume.
+
+    Revenue is the exact-decimal `_sum2`; years/keys are integers — the
+    hash compare is exact. The oracle runs the UNREWRITTEN 6-way-join +
+    post-join OR form, proving the pushdown rewrite equivalent."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*TRADE_NATIONS)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("s_nationkey").alias("supp_nkey"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("c_nationkey").alias("cust_nkey"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    vol = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nkey") != F.col("cust_nkey"))
+        .groupBy("supp_nkey", "cust_nkey", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            _sum2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    names = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        vol.join(
+            F.broadcast(names.select(F.col("n_nationkey").alias("sk"),
+                                     F.col("n_name").alias("supp_nation"))),
+            F.col("supp_nkey") == F.col("sk"),
+        )
+        .join(
+            F.broadcast(names.select(F.col("n_nationkey").alias("ck"),
+                                     F.col("n_name").alias("cust_nation"))),
+            F.col("cust_nkey") == F.col("ck"),
+        )
+        .select("supp_nation", "cust_nation", "l_year", "revenue")
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+MKT_REGION = "ASIA"          # the Q8 customer region
+MKT_TARGET_NATION = "NATION_12"  # the supplier nation whose share is measured
+
+
+def regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: of all revenue sold to customers in
+    MKT_REGION, the fraction supplied by MKT_TARGET_NATION, per order
+    year. The textbook form is a 7-table join with a CASE inside a
+    division of two aggregates. The engine resolves the customer-region
+    membership as a semi-join against a broadcast 5-row nation set
+    (region⋈nation collapses to keys before any fact is read), tags
+    each surviving line with a boolean via a broadcast supplier⋈nation
+    lookup, and computes numerator and denominator in ONE conditional
+    aggregate pass — a single fact shuffle on the year grain.
+
+    Cross-engine exactness: numerator and denominator are exact-decimal
+    `_sum2` columns (emitted for auditability); the share divides the
+    two ROUNDED doubles — identical operand bits on both engines ⇒
+    identical IEEE quotient — then floor-rounds at 4 dp. The oracle
+    runs the UNREWRITTEN CASE-inside-division 7-table form."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == MKT_REGION)
+    rnations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(rnations), F.col("c_nationkey") == F.col("n_nationkey"), "semi")
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", (F.col("n_name") == MKT_TARGET_NATION).alias("is_target"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol"),
+    )
+    num = _sum2(F.when(F.col("is_target"), F.col("vol")).otherwise(F.lit(0.0)))
+    den = _sum2(F.col("vol"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey, "semi")
+        .groupBy("o_year")
+        .agg(num.alias("target_revenue"), den.alias("total_revenue"))
+        .select(
+            "o_year",
+            "target_revenue",
+            "total_revenue",
+            _fr(F.col("target_revenue") / F.col("total_revenue"), 4).alias(
+                "mkt_share"
+            ),
+        )
+        .orderBy("o_year")
+    )
+
+
+RETURN_QTR_START, RETURN_QTR_END = "2001-01-01", "2001-04-01"  # the Q10 quarter
+
+
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item reporting: the top 20 customers by
+    revenue lost to returned lineitems (l_returnflag = 'R') on orders
+    placed in one quarter. The textbook form joins customer × orders ×
+    lineitem × nation and groups on the full 4-column customer tuple.
+    The engine aggregates FIRST — the date-filtered orders⋈returned-
+    lineitem join reduces to one row per customer key before any
+    dimension is touched (the group-by key is c_custkey alone; the
+    name/nation columns are functionally dependent and join onto the
+    customers-sized aggregate afterwards) — so the shuffle moves
+    (custkey, revenue) pairs, not customer tuples. Top-20 runs as a
+    TakeOrdered over the aggregate, never a global sort of the fact.
+
+    The tie order is total (revenue DESC — exact 2-dp decimal — then
+    c_custkey), so the LIMIT cut is deterministic cross-engine. The
+    oracle runs the UNREWRITTEN group-on-customer-tuple form."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(RETURN_QTR_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(RETURN_QTR_END).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol"),
+    )
+    lost = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(_sum2(F.col("vol")).alias("revenue"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        lost.join(cust, lost.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+PROMO_YEAR_START, PROMO_YEAR_END = "2000-01-01", "2001-01-01"  # the Q14 window
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion effect: the percentage of gross
+    discounted revenue carried by promo-class parts, per shipping month
+    of one year. The textbook form is CASE-inside-division over a
+    part⋈lineitem join. The engine prunes part to (p_partkey, is_promo
+    boolean) — 9 bytes a row — broadcasts it, and computes numerator /
+    denominator in one conditional aggregate over the month grain; the
+    fact is scanned once, shuffled once (12 groups, map-side combined).
+    At 100 TB part scales with SF, so the broadcast degrades to a
+    shuffled equi-join chosen by AQE — the aggregate shape is unchanged.
+
+    Numerator/denominator are exact-decimal `_sum2` doubles (emitted);
+    the percentage is 100·num/den floor-rounded at 4 dp — identical
+    operand bits ⇒ identical quotient bits cross-engine. The oracle
+    runs the UNREWRITTEN CASE-inside-division join form."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(PROMO_YEAR_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(PROMO_YEAR_END).cast("timestamp"))
+    ).select(
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol"),
+    )
+    num = _sum2(F.when(F.col("is_promo"), F.col("vol")).otherwise(F.lit(0.0)))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("ship_month")
+        .agg(num.alias("promo_revenue"), _sum2(F.col("vol")).alias("total_revenue"))
+        .select(
+            "ship_month",
+            "promo_revenue",
+            "total_revenue",
+            _fr(
+                F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 4
+            ).alias("promo_pct"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+# Q19 branch table: (brand, size lo/hi, quantity lo/hi). Brands chosen from
+# the synthetic 25-brand domain; windows overlap so the disjunction is not
+# partition-disjoint (the interesting case for pushdown).
+DISJ_BRANCH = (
+    ("Brand#4", 1, 15, 1, 20),
+    ("Brand#19", 10, 30, 10, 30),
+    ("Brand#16", 20, 50, 20, 50),
+)
+
+
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: revenue from
+    lineitems matching ANY of three (brand, size-window, quantity-window)
+    conjunctions, per brand. The textbook form puts the whole
+    OR-of-ANDs in the WHERE of a part⋈lineitem join — naïvely nothing
+    is pushable because no single conjunct holds across branches. The
+    engine factors the disjunction: the UNION of each side's branch
+    ranges pushes into that side's scan (part: brand IN (b1,b2,b3) AND
+    size in the hull; lineitem: quantity in the hull — both visible as
+    PushedFilters), the filtered part side collapses to a 3-brand
+    broadcast, and only the residual per-branch OR runs post-join on
+    the pre-filtered survivors. Catalyst does NOT derive these superset
+    predicates itself from an OR across two relations — the factoring
+    is the operator's value.
+
+    Revenue is the exact-decimal `_sum2`; counts are integers. The
+    oracle runs the UNREWRITTEN single-WHERE OR-of-conjunctions form,
+    proving the factored pushdown equivalent."""
+    brands = [b for b, *_ in DISJ_BRANCH]
+    size_lo = min(b[1] for b in DISJ_BRANCH)
+    size_hi = max(b[2] for b in DISJ_BRANCH)
+    qty_lo = min(b[3] for b in DISJ_BRANCH)
+    qty_hi = max(b[4] for b in DISJ_BRANCH)
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin(*brands)
+        & F.col("p_size").between(size_lo, size_hi)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(qty_lo, qty_hi)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    branch_ok = None
+    for b, slo, shi, qlo, qhi in DISJ_BRANCH:
+        cond = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        branch_ok = cond if branch_ok is None else (branch_ok | cond)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(branch_ok)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            _sum2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational completeness (§2B): aggregates beyond avg/sum/count
 # ---------------------------------------------------------------------------
@@ -1436,6 +1729,105 @@ ORACLE: dict[str, str] = {
                                WHERE r2.qtr = rev.qtr)
         ORDER BY qtr, s_suppkey
     """,
+    # the UNREWRITTEN Q7 textbook form: 6-way join with the nation-pair
+    # OR predicate applied AFTER the join — matching the engine's
+    # pushed-into-both-dims rewrite proves the factoring equivalent.
+    # year() is cast to INTEGER to match Spark's int32 year().
+    "nation_trade_volume": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               {_sql_sum2('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = '{TRADE_NATIONS[0]}' AND n2.n_name = '{TRADE_NATIONS[1]}')
+            OR (n1.n_name = '{TRADE_NATIONS[1]}' AND n2.n_name = '{TRADE_NATIONS[0]}'))
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    # the UNREWRITTEN Q8 textbook form: 7-table join, CASE inside the
+    # share division — matching the engine's semi-join + one-pass
+    # conditional-aggregate rewrite proves it. The share divides the
+    # two already-rounded sums (identical bits cross-engine).
+    "regional_market_share": f"""
+        WITH all_nations AS (
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS vol,
+                   n2.n_name AS supp_nation
+            FROM lineitem, orders, customer, supplier,
+                 nation n1, nation n2, region
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = n1.n_nationkey
+              AND n1.n_regionkey = r_regionkey
+              AND r_name = '{MKT_REGION}'
+              AND s_nationkey = n2.n_nationkey
+        ), shares AS (
+            SELECT o_year,
+                   {_sql_sum2("CASE WHEN supp_nation = '" + MKT_TARGET_NATION + "' THEN vol ELSE 0 END")}
+                       AS target_revenue,
+                   {_sql_sum2('vol')} AS total_revenue
+            FROM all_nations
+            GROUP BY o_year
+        )
+        SELECT o_year, target_revenue, total_revenue,
+               {_sql_fr('target_revenue / total_revenue', 4)} AS mkt_share
+        FROM shares
+        ORDER BY o_year
+    """,
+    # the UNREWRITTEN Q10 textbook form: group on the full customer
+    # tuple AFTER the 4-way join — matching the engine's aggregate-first
+    # rewrite (group on c_custkey, dims joined onto the aggregate)
+    # proves the functional-dependence factoring. Total tie order
+    # (exact 2-dp revenue DESC, custkey) makes LIMIT 20 deterministic.
+    "returned_item_customers": f"""
+        SELECT c_custkey, c_name, n_name, c_acctbal,
+               {_sql_sum2('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '{RETURN_QTR_START} 00:00:00'
+          AND o_orderdate <  TIMESTAMP '{RETURN_QTR_END} 00:00:00'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, n_name, c_acctbal
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    # the UNREWRITTEN Q14 textbook form: CASE-inside-division over the
+    # part join — matching the engine's pruned-broadcast conditional
+    # aggregate proves it
+    "promo_revenue_share": f"""
+        WITH m AS (
+            SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                   {_sql_sum2("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+                       AS promo_revenue,
+                   {_sql_sum2('l_extendedprice * (1 - l_discount)')} AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '{PROMO_YEAR_START} 00:00:00'
+              AND l_shipdate <  TIMESTAMP '{PROMO_YEAR_END} 00:00:00'
+            GROUP BY ship_month
+        )
+        SELECT ship_month, promo_revenue, total_revenue,
+               {_sql_fr('100.0 * promo_revenue / total_revenue', 4)} AS promo_pct
+        FROM m
+        ORDER BY ship_month
+    """,
+    # the UNREWRITTEN Q19 textbook form: the whole OR-of-conjunctions in
+    # one WHERE over the plain join — matching the engine's factored
+    # superset-pushdown + residual-OR rewrite proves the factoring
+    "disjunctive_brand_revenue": f"""
+        SELECT p_brand,
+               count(*) AS n_lines,
+               {_sql_sum2('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE {' OR '.join(
+            f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+            f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+            for b, slo, shi, qlo, qhi in DISJ_BRANCH
+        )}
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
     "agg_statistics": f"""
         SELECT l_returnflag,
                {_sql_fr('min(l_extendedprice)', 2)}    AS min_price,
@@ -1672,6 +2064,11 @@ QUERIES = {
     "large_volume_orders": large_volume_orders,
     "wealthy_idle_customers": wealthy_idle_customers,
     "quarterly_top_supplier": quarterly_top_supplier,
+    "nation_trade_volume": nation_trade_volume,
+    "regional_market_share": regional_market_share,
+    "returned_item_customers": returned_item_customers,
+    "promo_revenue_share": promo_revenue_share,
+    "disjunctive_brand_revenue": disjunctive_brand_revenue,
     "agg_statistics": agg_statistics,
     "agg_quantiles": agg_quantiles,
     "rollup_totals": rollup_totals,
