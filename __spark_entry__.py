@@ -68,7 +68,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # so the registry is now 164/164 oracle-checked); jpeg_decode_features
 # (oracle dimensions now interpolate {IMG_W}/{IMG_H} instead of
 # hardcoding 48/32 — replay equivalence is expected but the oracle text
-# changed, so it re-enters the sample front); window_running_sum (the
+# changed, so it re-enters the sample front); changepoint_mean_shift
+# (late-r11 fix: Spark's decimal(38,10) window-sum subtraction silently
+# dropped to scale 9 — a one-sided precision loss that could flip the
+# argmax on score ties vs DuckDB's exact subtraction; caught by the
+# NULL-series hypothesis property, subtraction now downcast-exact);
+# window_running_sum (the
 # r11 full-registry sf0.1 parity sweep — tools/parity_sweep.py — caught
 # a ROWS-frame ordering tie between duplicate (orderkey, linenumber)
 # lineitem rows that the sf0.01 gate never hits; ordering now
@@ -138,7 +143,7 @@ _LAST_VERIFIED = {
     **dict.fromkeys([
         "agg_collect_sorted", "ann_brute_force",
         "asof_attribution_tolerance", "bigram_surprisal_quality",
-        "changepoint_mean_shift", "chunk_dedup_stats",
+        "chunk_dedup_stats",
         "contamination_eval_overlap", "corpus_dedup_apply",
         "curriculum_pack_epochs", "data_quality_profile",
         "decayed_user_value", "dedup_against_index", "dedup_clusters",

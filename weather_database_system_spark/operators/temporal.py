@@ -548,9 +548,18 @@ def changepoint_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(wt).alias("n_tot"),
     ).filter(F.col("n_bef").isNotNull())
     before = F.col("s_bef").cast("double") / F.col("n_bef")
-    after = (F.col("s_tot") - F.col("s_bef")).cast("double") / (
-        F.col("n_tot") - F.col("n_bef")
-    )
+    # The windowed sums are decimal(38,10); subtracting them directly needs
+    # precision 39, which Spark resolves by silently dropping the scale to 9
+    # — a one-digit precision loss DuckDB's exact subtraction doesn't take.
+    # That skews `after` by ~1e-10 and, worse, breaks score TIES one-sidedly
+    # (the before-side mean keeps 10 digits), so the argmax can pick a
+    # different day than the oracle (caught by the NULL-series hypothesis
+    # property, r11). Downcasting to (28,10) first keeps the subtraction
+    # loss-free (precision 29 < 38) with 10^18 of sum headroom.
+    after = (
+        F.col("s_tot").cast("decimal(28,10)")
+        - F.col("s_bef").cast("decimal(28,10)")
+    ).cast("double") / (F.col("n_tot") - F.col("n_bef"))
     shift = F.abs(after - before)
     pick = W.partitionBy("event_type").orderBy(shift.desc(), F.col("day"))
     return (
