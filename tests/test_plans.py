@@ -156,6 +156,8 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
                                     # count folded into the lazy plan)
         "tfidf_top_terms",          # same 1-row n_docs broadcast
         "bm25_search",              # 1-row (N, avgdl) corpus-stats broadcast
+        "heavy_hitters_cms",        # 1-row total-count broadcast (N for the
+                                    # CM overshoot-bound claim)
         "rfm_segmentation_approx",  # same 1-row broadcasts; thresholds via
                                     # approx_percentile sketch
         # the r11 pinned-claim checked wrappers each crossJoin ONE 1-row

@@ -270,3 +270,68 @@ def test_duplicate_span_extraction_matches_python_replay(spark, tmp_path):
             spans.append(cur)
         want |= {(d, a, b) for a, b in spans}
     assert got == want
+
+
+def test_weighted_reservoir_fixed_size_and_boundary_gap(spark):
+    """A-ES reservoir invariants: the sample is EXACTLY RESERVOIR_K rows,
+    weights sit in [QUALITY_P_FLOOR, 1], membership is deterministic across
+    runs, and the top-K boundary gap (key_K − key_{K+1}) is ≥ 1e-4 — the
+    measured floor is ~1e-3 at sf0.001..0.1, ~12 orders above any libm ulp
+    divergence in ln, which is what makes the selected SET engine-exact
+    (the ann_bruteforce_pandas precedent)."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.relational import _fr
+    from weather_database_system_spark.operators.textan import _quality_score
+    from weather_database_system_spark.operators.trainprep import (
+        QUALITY_P_FLOOR,
+        RESERVOIR_K,
+        _HI_DIV,
+        _ID_MOD,
+        _KNUTH,
+        _U_BUCKETS,
+        weighted_reservoir_sample,
+    )
+    from weather_database_system_spark.operators.dedup import _tokens
+    from weather_database_system_spark.sources.star import load_table
+
+    a = weighted_reservoir_sample(spark, SF_SMOKE).collect()
+    b = weighted_reservoir_sample(spark, SF_SMOKE).collect()
+    assert len(a) == RESERVOIR_K
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]  # deterministic
+    assert all(QUALITY_P_FLOOR <= r.weight <= 1.0 for r in a)
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = _tokens(F.col("text"))
+    w = _fr(
+        F.least(F.lit(1.0), F.greatest(F.lit(QUALITY_P_FLOOR), _quality_score(toks))),
+        4,
+    )
+    u_int = F.expr(
+        f"pmod((pmod(doc_id, {_ID_MOD}) * {_KNUTH}) div {_HI_DIV}, {_U_BUCKETS})"
+    )
+    u = (u_int + F.lit(0.5)) / F.lit(float(_U_BUCKETS))
+    keys = [
+        r.k
+        for r in docs.select((F.log(u) / w).alias("k"))
+        .orderBy(F.col("k").desc())
+        .limit(RESERVOIR_K + 1)
+        .collect()
+    ]
+    gap = keys[RESERVOIR_K - 1] - keys[RESERVOIR_K]
+    assert gap >= 1e-4, f"top-K boundary gap {gap} too small for set determinism"
+
+
+def test_weighted_reservoir_plan_is_take_ordered(spark):
+    """The reservoir must plan as one map-only scan into TakeOrdered —
+    per-partition top-K heaps, NO full shuffle and no global sort (the
+    whole point of the distributed-reservoir shape at 100 TB)."""
+    from weather_database_system_spark.operators.trainprep import (
+        weighted_reservoir_sample,
+    )
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = weighted_reservoir_sample(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert shuffle_count(df) == 0, "reservoir selection must not shuffle the corpus"

@@ -605,9 +605,114 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HH_D = 3          # count-min depth (independent hash rows)
+HH_W = 256        # count-min width (buckets per row)
+HH_TOP = 50       # heavy hitters reported
+# Pinned overshoot bound: (est − exact) · HH_W ≤ HH_BOUND_MULT · N. The
+# classic CM guarantee is ε = e/W with prob 1 − e^−d per key; the pin uses
+# an integer multiplier with measured headroom (max observed overshoot
+# 1.60/1.67/1.68 · N/W at sf0.001/0.01/0.1 — stable across 100× growth,
+# as expected: per-row collision mass concentrates at N/W and the min
+# over d rows caps the tail) so the claim is decidable in exact integer
+# space with ~1.8× headroom.
+HH_BOUND_MULT = 3
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch (Cormode & Muthukrishnan 2005)
+    over document bigrams — the frequency-sketch member of the mergeable-
+    summary family (HLL = distinct, bloom = membership, KLL/approx-quantile
+    = rank, CM = frequency). At 100 TB the exact n-gram count table is a
+    key-cardinality-sized shuffle; the CM plan's state is d·W counters
+    PER TASK (map-side combined), additive across partitions / days /
+    sources — the rollup-compatible way to track frequent n-grams,
+    domains, or URLs in a streaming curation pipeline.
+
+    Plan: one gram explode → (row j, bucket h_j(gram)) counts — the
+    groupBy key space is d·W = 768, so the shuffle moves bounded state
+    regardless of corpus size — then the d W-sized counter slices
+    broadcast back onto the candidate keys; est = min_j counter[j][b_j].
+    N rides as ONE 1-row broadcast (Σ of row 0's counters — no extra
+    fact pass). The exact per-key counts here are the TEST-SF yardstick
+    (the approx_distinct_users_scale pattern): the sketch never needs
+    them, the claims they ground do.
+
+    Determinism: the spine is the exact top-HH_TOP bigrams (integer
+    counts, total tie order — replayable in DuckDB); the xxhash64-based
+    estimates are engine-specific, so they surface ONLY through two
+    pinned engine-decided claims the oracle asserts held: cm_overest_ok
+    (CM never undercounts — the no-false-negative guarantee) and
+    cm_bound_ok ((est−n)·W ≤ MULT·N, decided in exact integer space)."""
+    from weather_database_system_spark.session import track_persisted
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(F.explode(_grams(_tokens(F.col("text")), 2)).alias("g"))
+    bucketed = grams.select(
+        "g",
+        *[
+            F.pmod(
+                F.xxhash64(F.concat(F.lit(f"{j}|"), F.col("g"))), F.lit(HH_W)
+            ).alias(f"b{j}")
+            for j in range(HH_D)
+        ],
+    )
+    jb = bucketed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), F.col(f"b{j}").alias("b"))
+                    for j in range(HH_D)
+                ]
+            )
+        ).alias("jb")
+    ).select("jb.j", "jb.b")
+    # persisted: read d times for the broadcast slices + once for N
+    counters = track_persisted(
+        jb.groupBy("j", "b").agg(F.count("*").alias("c")).persist()
+    )
+    total = counters.filter(F.col("j") == 0).agg(F.sum("c").alias("n_total"))
+    exact = bucketed.groupBy("g", *[f"b{j}" for j in range(HH_D)]).agg(
+        F.count("*").alias("n_exact")
+    )
+    scored = exact
+    for j in range(HH_D):
+        cj = counters.filter(F.col("j") == j).select(
+            F.col("b").alias(f"cb{j}"), F.col("c").alias(f"c{j}")
+        )
+        scored = scored.join(F.broadcast(cj), F.col(f"b{j}") == F.col(f"cb{j}"))
+    est = F.least(*[F.col(f"c{j}") for j in range(HH_D)])
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .select(
+            F.col("g").alias("bigram"),
+            "n_exact",
+            (est >= F.col("n_exact")).alias("cm_overest_ok"),
+            (
+                (est - F.col("n_exact")) * HH_W
+                <= F.lit(HH_BOUND_MULT) * F.col("n_total")
+            ).alias("cm_bound_ok"),
+        )
+        .orderBy(F.col("n_exact").desc(), "bigram")
+        .limit(HH_TOP)
+    )
+
+
 _SQL_TOKS = "SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents"
 
 ORACLE: dict[str, str] = {
+    # exact top-K bigram counts are the replayable spine; the two CM
+    # claims are engine-decided and pinned TRUE (overestimate-only +
+    # integer-space overshoot bound)
+    "heavy_hitters_cms": f"""
+        WITH d AS ({_SQL_TOKS}),
+        g AS (SELECT unnest({_sql_grams(2)}) AS bigram FROM d)
+        SELECT bigram, count(*) AS n_exact,
+               TRUE AS cm_overest_ok, TRUE AS cm_bound_ok
+        FROM g
+        GROUP BY bigram
+        ORDER BY n_exact DESC, bigram
+        LIMIT {HH_TOP}
+    """,
     "pmi_collocations": f"""
         WITH d AS ({_SQL_TOKS}),
         uni AS (SELECT unnest(toks) AS tok FROM d),
@@ -908,6 +1013,7 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "heavy_hitters_cms": heavy_hitters_cms,
     "pmi_collocations": pmi_collocations,
     "corpus_curation": corpus_curation,
     "unigram_logprob_quality": unigram_logprob_quality,

@@ -417,6 +417,60 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESERVOIR_K = 100        # fixed sample size
+_U_BUCKETS = 1_048_576   # 2^20 — resolution of the deterministic uniform
+
+
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, "Weighted random sampling with a reservoir" — A-ES):
+    keep the K documents with the largest key u^(1/w) ⟺ largest ln(u)/w,
+    where w is the quality score. The complement of
+    quality_weighted_sample's Bernoulli keep: that one yields a RANDOM-
+    size sample with per-doc inclusion probability; this one yields an
+    EXACT-size quality-tilted subset (the "give me the best 10M docs,
+    diversity-preserving" curation ask — deterministic top-k beats
+    sort-by-score because low-score docs still win slots at rate ∝ w).
+
+    No RNG: u derives from the same Knuth multiplicative hash bucket as
+    the repo's other samplers (a pure integer function of doc_id →
+    engine-exact), widened to 2^20 buckets and centered (+0.5, so u>0
+    and ln is finite); w floor-rounds to 4 dp BEFORE keying so the
+    weight is engine-exact by construction. The only float op the
+    ordering rests on is ln of an identical double — a pytest pins the
+    measured top-K boundary gap at ≥1e-4, ~12 orders above any libm
+    ulp divergence, so the selected SET is deterministic cross-engine
+    (the ann_bruteforce_pandas precedent).
+
+    Scale shape: one map-only scan (score, hash, key are codegen'd
+    column expressions) into TakeOrdered(K) — per-partition top-K heaps
+    merged on the driver, NO full shuffle and no global sort; at 100 TB
+    the cost is the scan. The canonical distributed-reservoir plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    w = _fr(
+        F.least(F.lit(1.0), F.greatest(F.lit(QUALITY_P_FLOOR), _quality_score(toks))),
+        4,
+    )
+    u_int = F.expr(
+        f"pmod((pmod(doc_id, {_ID_MOD}) * {_KNUTH}) div {_HI_DIV}, {_U_BUCKETS})"
+    )
+    u = (u_int + F.lit(0.5)) / F.lit(float(_U_BUCKETS))
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        w.alias("weight"),
+        (F.log(u) / w).alias("k"),
+    )
+    return (
+        keyed.orderBy(F.col("k").desc(), "doc_id")
+        .limit(RESERVOIR_K)
+        .select("doc_id", "lang", "source", "weight", _fr(F.col("k"), 6).alias("sample_key"))
+        .orderBy("doc_id")
+    )
+
+
 def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-shift quantification: KL(source ‖ corpus) over unigram
     distributions — how far each data source's token distribution sits from
@@ -1033,6 +1087,32 @@ ORACLE: dict[str, str] = {
         WHERE b < keep_p * 100
         ORDER BY doc_id
     """,
+    # A-ES fixed-size weighted reservoir: the oracle replays the exact
+    # integer hash → uniform, the 4-dp-rounded weight, and the ln(u)/w key,
+    # then takes the same top-K with the same total tie order. The ln
+    # inputs are engine-exact doubles; the measured top-K boundary gap
+    # (pinned ≥1e-4 in pytest) dwarfs any libm ulp divergence.
+    "weighted_reservoir_sample": f"""
+        WITH d AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+                   FROM documents),
+        keyed AS (
+            SELECT doc_id, lang, source,
+                   {_sql_fr(f'least(1.0, greatest({QUALITY_P_FLOOR}, {_SQL_SCORE}))', 4)}
+                       AS weight,
+                   ((((doc_id % {_ID_MOD}) * {_KNUTH}) // {_HI_DIV}) % {_U_BUCKETS}
+                    + 0.5) / {float(_U_BUCKETS)} AS u
+            FROM d
+        ),
+        ranked AS (
+            SELECT doc_id, lang, source, weight, ln(u) / weight AS k
+            FROM keyed
+            ORDER BY k DESC, doc_id
+            LIMIT {RESERVOIR_K}
+        )
+        SELECT doc_id, lang, source, weight, {_sql_fr('k', 6)} AS sample_key
+        FROM ranked
+        ORDER BY doc_id
+    """,
     "repetition_ngram_stats": f"""
         WITH two AS ({_sql_rep_per_doc(2, 'top_2gram_frac', 'dup_2gram_frac')}),
         three AS ({_sql_rep_per_doc(3, 'top_3gram_frac', 'dup_3gram_frac')})
@@ -1168,6 +1248,7 @@ QUERIES = {
     "source_kl_divergence": source_kl_divergence,
     "domain_mixture_weights": domain_mixture_weights,
     "quality_weighted_sample": quality_weighted_sample,
+    "weighted_reservoir_sample": weighted_reservoir_sample,
     "repetition_ngram_stats": repetition_ngram_stats,
     "doc_chunk_windows": doc_chunk_windows,
     "chunk_dedup_stats": chunk_dedup_stats,
