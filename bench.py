@@ -100,6 +100,8 @@ HEADLINE = (
                               # pushed into BOTH dim scans pre-join
     "disjunctive_brand_revenue",  # Q19-shaped OR-of-conjunctions with
                                   # factored superset pushdown
+    "min_cost_supplier",      # Q2-shaped correlated-min via pair-agg +
+                              # parts-sized min equi-join (pseudo-partsupp)
 )
 
 # N runs per query. Run 1 is recorded separately as cold_sec (r8 verdict

@@ -171,6 +171,9 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
         "wealthy_idle_customers",   # 1-row balance-threshold aggregate
                                     # broadcast over the customer scan
                                     # (the Q22 scalar-AVG subquery)
+        "important_part_value",     # 1-row (total, n_parts) threshold
+                                    # broadcast over the per-part
+                                    # aggregate (the Q11 HAVING scalar)
     }
     for name, fn in em.queries().items():
         plan = formatted_plan(fn(spark, SF_SMOKE))
@@ -618,3 +621,115 @@ def test_disjunctive_brand_revenue_superset_pushdown(spark):
     assert "p_brand" in plan and "p_size" in plan and "l_quantity" in plan
     assert "BroadcastHashJoin" in plan
     assert shuffle_count(df) <= 2
+
+
+def test_min_cost_supplier_pushes_family_below_pair_agg(spark):
+    """The Q2 shape must push the part-family filter BELOW the pair
+    aggregation (broadcast semi on the fact scan), scan lineitem once,
+    resolve the per-part min as an aggregate equi-join (never a
+    suppliers-per-part-wide window), and cut the top-100 as TakeOrdered."""
+    import re
+
+    from weather_database_system_spark.operators.relational import (
+        min_cost_supplier,
+    )
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = min_cost_supplier(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*lineitem", plan)) == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert shuffle_count(df) <= 5
+
+
+def test_nation_profit_single_fact_pass(spark):
+    """The Q9 shape must push the name-family LIKE into the part scan,
+    broadcast all dims except orders, and aggregate the two-table profit
+    expression in ONE fact pass."""
+    import re
+
+    from weather_database_system_spark.operators.relational import nation_profit
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = nation_profit(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*lineitem", plan)) == 1
+    assert "BroadcastHashJoin" in plan
+    assert "p_name" in plan  # family filter reaches the part side
+    assert shuffle_count(df) <= 4
+
+
+def test_important_part_value_aggregates_once(spark):
+    """The Q11 shape must aggregate lineitem ONCE and derive the
+    threshold from a 1-row re-aggregation of the same partials (the
+    textbook HAVING form scans the fact three times)."""
+    import re
+
+    from weather_database_system_spark.operators.relational import (
+        important_part_value,
+    )
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = important_part_value(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*lineitem", plan)) == 1
+    assert shuffle_count(df) <= 3
+
+
+def test_supplier_count_family_anti_join(spark):
+    """The Q16 shape must resolve NOT IN as a LEFT ANTI against the
+    broadcast excluded-supplier set and push both part predicates into
+    the dimension scan."""
+    import re
+
+    from weather_database_system_spark.operators.relational import (
+        supplier_count_by_part_family,
+    )
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = supplier_count_by_part_family(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*lineitem", plan)) == 1
+    assert "LeftAnti" in plan
+    assert "p_brand" in plan and "p_size" in plan
+    assert shuffle_count(df) <= 4
+
+
+def test_excess_share_suppliers_flattened_decorrelation(spark):
+    """The Q20 shape must flatten the doubly-nested IN into ONE pair
+    aggregation reused for both the per-pair quantities and the
+    per-part totals (single lineitem scan), with semi joins for the
+    family and supplier memberships — never a per-row subquery."""
+    import re
+
+    from weather_database_system_spark.operators.relational import (
+        excess_share_suppliers,
+    )
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = excess_share_suppliers(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*lineitem", plan)) == 1
+    assert "LeftSemi" in plan
+    assert shuffle_count(df) <= 5
+
+
+def test_discount_elimination_all_predicates_pushed(spark):
+    """The Q6 shape's whole value: ship-year, discount band, and quantity
+    cap ALL reach the parquet scan as PushedFilters; the aggregate is
+    partial (one row per task) with a single 1-row exchange."""
+    from weather_database_system_spark.operators.relational import (
+        discount_elimination_revenue,
+    )
+    from weather_database_system_spark.plans import (
+        formatted_plan,
+        pushed_filters,
+        shuffle_count,
+    )
+
+    df = discount_elimination_revenue(spark, SF_SMOKE)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+    assert formatted_plan(df).count("HashAggregate") >= 2  # partial + final
+    assert shuffle_count(df) <= 1

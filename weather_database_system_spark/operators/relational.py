@@ -921,6 +921,279 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fourth TPC-H-shape wave: the partsupp-family shapes (Q2/Q9/Q11/Q16/Q20),
+# grounded on a PSEUDO-partsupp derived from lineitem — the testdata star
+# schema has no partsupp table, so the (partkey, suppkey) grain is derived
+# as "every pair that ever traded", with min unit price as the cost and
+# shipped quantity as the stock analog. The derivation is identical in the
+# engine and the DuckDB oracle, so the hash check still proves each
+# rewrite; what each query exercises is the textbook DECORRELATION shape.
+# ---------------------------------------------------------------------------
+
+FORECAST_YEAR_START, FORECAST_YEAR_END = "2000-01-01", "2001-01-01"  # Q6 window
+
+
+def discount_elimination_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecasting query: the revenue increase from
+    eliminating small discounts — sum(l_extendedprice · l_discount) over
+    a ship-year, a discount band, and a quantity cap. Deliberately the
+    SIMPLEST shape in the TPC-H sweep: zero joins, one scan, one 1-row
+    aggregate — its whole value is that all three predicates reach the
+    parquet scan as PushedFilters (plan-pinned) and the sum is map-side
+    combined to one row per task. At 100 TB this is the I/O-bound
+    query: with a date-partitioned layout the year window prunes
+    partitions before any row is read.
+
+    The discount band compares identical doubles against identical
+    literals (0.05/0.07 parse to the same bits in both engines); the
+    revenue term is the exact-decimal `_sum2`. Oracle: the same
+    single-WHERE textbook form (no rewrite to prove here — the pair
+    exists to pin the pushdown plan and the exact aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(FORECAST_YEAR_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(FORECAST_YEAR_END).cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _sum2(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+MIN_COST_PART_TYPE = "LARGE"  # the Q2 part family
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost-supplier query: for every part of one
+    type family, the supplier(s) offering it at the lowest unit cost,
+    with supplier attributes, top-100 by account balance. The textbook
+    form probes `cost = (SELECT min(cost) FROM ps WHERE ps.partkey =
+    p.partkey)` — a correlated scalar MIN re-aggregating the pair table
+    per row. The engine (a) pushes the part-family filter BELOW the
+    pair aggregation via a broadcast semi join on the fact scan (the
+    textbook aggregates every part first), and (b) resolves the
+    per-part min as a parts-sized aggregate equi-joined back on
+    partkey — both sides arrive partkey-keyed, and a window over
+    PARTITION BY l_partkey is rejected for the same reason as Q15's:
+    its partition width is suppliers-per-part, which grows with SF.
+
+    Unit cost floor-rounds to 4 dp BEFORE the min (portable IEEE ops on
+    identical doubles), so the min, the tie set, and the top-100 cut
+    (total order: balance DESC, partkey, suppkey — balances are 2-dp
+    parquet doubles) are engine-exact. The oracle runs the UNREWRITTEN
+    correlated-min form over the same pseudo-partsupp CTE."""
+    fam = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == MIN_COST_PART_TYPE
+    ).select("p_partkey", "p_name")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        _fr(F.col("l_extendedprice") / F.col("l_quantity"), 4).alias("unit"),
+    ).join(F.broadcast(fam.select("p_partkey")),
+           F.col("l_partkey") == F.col("p_partkey"), "semi")
+    ps = track_persisted(
+        li.groupBy("l_partkey", "l_suppkey").agg(F.min("unit").alias("cost"))
+        .persist()
+    )
+    pmin = ps.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    best = ps.join(pmin, "l_partkey").filter(F.col("cost") == F.col("min_cost"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        best.join(F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(fam), best.l_partkey == fam.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("l_partkey").alias("p_partkey"), "p_name", "cost",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+PROFIT_NAME_PART = "widget"   # the Q9 part-name substring
+PROFIT_COST_RATE = "0.1"      # pseudo unit cost = rate × p_retailprice
+
+
+def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-profit query: profit per supplier nation
+    per order year over a part-name family, where profit = discounted
+    revenue − pseudo cost (PROFIT_COST_RATE × p_retailprice × quantity —
+    the schema has no ps_supplycost). The classic 6-table star
+    aggregation with an expression combining columns from two tables.
+    The engine prunes part to (key, retailprice) and filters the name
+    family BEFORE the fact join (broadcast), computes the profit
+    expression inside the scan's codegen, and aggregates once on the
+    (nation, year) grain; supplier and nation broadcast. The textbook
+    form computes the same thing through a flat 6-way join.
+
+    The profit term is exact-decimal summed (`_sum2`); quantities are
+    integral and retailprice/discount arithmetic uses identical doubles
+    — engine-exact. Oracle: the UNREWRITTEN flat-join form."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(PROFIT_NAME_PART)
+    ).select("p_partkey", "p_retailprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(float(PROFIT_COST_RATE)) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "o_year")
+        .agg(_sum2(amount).alias("profit"))
+        .orderBy("n_name", F.col("o_year").desc())
+    )
+
+
+def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important-stock query: the parts whose traded
+    value exceeds 2× the average per-part value. The textbook form is a
+    GROUP BY ... HAVING against an uncorrelated scalar subquery that
+    re-aggregates THE SAME fact table. The engine aggregates once
+    (persisted), reduces the partials to ONE row (total + part count),
+    and broadcasts that row back over the aggregate — the fact table is
+    scanned once and the threshold costs one 1-row exchange. The
+    compare `value · n_parts > 2 · total` runs on the DOUBLE casts of
+    the exact decimal sums — NOT on the decimals themselves: the
+    product of two decimal(38,10)s overflows Spark's precision cap and
+    silently drops scale (the changepoint_mean_shift lesson), whereas
+    identical double operand bits give an identical IEEE compare in
+    both engines. The "1.5× average" form keeps selectivity
+    scale-invariant (a fixed fraction à la TPC-H's 0.0001/SF would
+    select everything at small SF and nothing at large; the synthetic
+    part values are near-uniform with max ≈ 1.75-1.89× average across
+    sf0.001..0.1, so 1.5 selects a real 2/29/252-part tail, probed).
+
+    Oracle: the UNREWRITTEN HAVING-with-scalar-subqueries form (which
+    scans lineitem three times), proving the compute-once rewrite."""
+    li = load_table(spark, sf_dir, "lineitem")
+    val = track_persisted(
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC))
+            .alias("v")
+        )
+        .persist()
+    )
+    tot = val.agg(F.sum("v").alias("total"), F.count("*").alias("n_parts"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("v").cast("double") * F.col("n_parts")
+            > F.lit(1.5) * F.col("total").cast("double")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("v"), 2).cast("double").alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "p_partkey")
+    )
+
+
+EXCLUDED_SIZES = (1, 5, 9, 13, 17, 21, 25, 29)  # Q16's IN-list analog
+
+
+def supplier_count_by_part_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier-count query: how many distinct suppliers
+    trade each (brand, size) family, for sizes in an IN-list, excluding
+    one brand and excluding "complaint" suppliers (negative account
+    balance — the schema's analog of Q16's comment LIKE filter). The
+    textbook form is a NOT IN subquery over supplier plus a
+    count(DISTINCT) over the pair table. The engine derives the
+    distinct (partkey, suppkey) pairs from the fact ONCE, resolves NOT
+    IN as a LEFT ANTI join against the tiny excluded-supplier set
+    (broadcast — NULL-safe by construction since keys are non-null),
+    and pushes both part predicates into the dimension scan before the
+    pair join. Distinct-count shuffles on the (brand, size) grain.
+
+    Counts are integers; ordering is total (count DESC, brand, size).
+    Oracle: the UNREWRITTEN NOT-IN form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(*EXCLUDED_SIZES)
+    ).select("p_partkey", "p_brand", "p_size")
+    excl = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .join(F.broadcast(excl), pairs.l_suppkey == excl.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+EXCESS_NAME_PREFIX = "red "  # the Q20 part family (p_name = 'red <noun>')
+
+
+def excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped excess-stock query: suppliers who carry more than
+    3× their FAIR share of any family part's traded quantity (the
+    schema's analog of ps_availqty > 0.5 × shipped; an absolute-share
+    threshold à la the textbook's 0.5 is scale-DEPENDENT here because
+    suppliers-per-part grows with SF — 25 % of a part's volume happens
+    at sf0.001 and never at sf0.01+, probed — while the fair-share
+    multiple selects a stable tail at every SF). The textbook form is
+    a doubly-nested IN — supplier IN (pairs WHERE part IN (family) AND
+    qty > correlated-total-subquery). The engine flattens it: family
+    keys broadcast-semi into the fact scan, ONE (partkey, suppkey)
+    aggregation (persisted), per-part totals AND supplier counts
+    re-aggregated from those partials and equi-joined back (never a
+    per-row subquery), the share test decided in exact BIGINT space
+    (qty·n_suppliers > 3·total — integral quantities, guard-pinned),
+    and the surviving supplier keys semi-join the supplier dim.
+
+    Oracle: the UNREWRITTEN nested-IN + correlated-subquery form."""
+    fam = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith(EXCESS_NAME_PREFIX)
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("bigint").alias("qty")
+    ).join(F.broadcast(fam), F.col("l_partkey") == F.col("p_partkey"), "semi")
+    q = track_persisted(
+        li.groupBy("l_partkey", "l_suppkey").agg(F.sum("qty").alias("sq")).persist()
+    )
+    ptot = q.groupBy("l_partkey").agg(
+        F.sum("sq").alias("tq"), F.count("*").alias("ns")
+    )
+    hot = (
+        q.join(ptot, "l_partkey")
+        .filter(F.col("sq") * F.col("ns") > F.lit(3) * F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        supplier.join(F.broadcast(hot), supplier.s_suppkey == hot.l_suppkey, "semi")
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Relational completeness (§2B): aggregates beyond avg/sum/count
 # ---------------------------------------------------------------------------
 
@@ -1828,6 +2101,109 @@ ORACLE: dict[str, str] = {
         GROUP BY p_brand
         ORDER BY p_brand
     """,
+    # Q6: same textbook single-WHERE form — the pair pins the pushdown
+    # plan and the exact decimal aggregate, not a rewrite
+    "discount_elimination_revenue": f"""
+        SELECT {_sql_sum2('l_extendedprice * l_discount')} AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{FORECAST_YEAR_START} 00:00:00'
+          AND l_shipdate <  TIMESTAMP '{FORECAST_YEAR_END} 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    # the UNREWRITTEN Q2 textbook form: the pseudo-partsupp aggregated
+    # over ALL parts, probed by a correlated scalar MIN per row —
+    # matching the engine's family-filter-pushdown + aggregate-equi-join
+    # rewrite proves both (the min is per-partkey, so filtering the
+    # family before or after the pair aggregation is equivalence the
+    # hash check certifies rather than assumes)
+    "min_cost_supplier": f"""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   min({_sql_fr('l_extendedprice / l_quantity', 4)}) AS cost
+            FROM lineitem GROUP BY 1, 2
+        )
+        SELECT s_acctbal, s_name, n_name,
+               l_partkey AS p_partkey, p_name, cost
+        FROM ps, part, supplier, nation
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND p_type = '{MIN_COST_PART_TYPE}' AND s_nationkey = n_nationkey
+          AND cost = (SELECT min(cost) FROM ps ps2
+                      WHERE ps2.l_partkey = ps.l_partkey)
+        ORDER BY s_acctbal DESC, p_partkey, s_name
+        LIMIT 100
+    """,
+    # the UNREWRITTEN Q9 textbook form: flat 6-way join with the
+    # two-table profit expression in the aggregate
+    "nation_profit": f"""
+        SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               {_sql_sum2(
+                   'l_extendedprice * (1 - l_discount) - '
+                   + PROFIT_COST_RATE + ' * p_retailprice * l_quantity'
+               )} AS profit
+        FROM lineitem, part, supplier, orders, nation
+        WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+          AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+          AND p_name LIKE '%{PROFIT_NAME_PART}%'
+        GROUP BY 1, 2
+        ORDER BY n_name, o_year DESC
+    """,
+    # the UNREWRITTEN Q11 textbook form: HAVING against scalar
+    # subqueries that re-aggregate the same table (three lineitem
+    # scans) — matching the engine's aggregate-once + 1-row-broadcast
+    # rewrite proves it. The compare mirrors the engine's double-cast
+    # form exactly (see the operator docstring for why not decimal).
+    "important_part_value": """
+        WITH val AS (
+            SELECT l_partkey,
+                   sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(30,10))) AS v
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_partkey AS p_partkey, CAST(round(v, 2) AS DOUBLE) AS value
+        FROM val
+        WHERE CAST(v AS DOUBLE) * (SELECT count(*) FROM val)
+              > 1.5 * CAST((SELECT sum(v) FROM val) AS DOUBLE)
+        ORDER BY value DESC, p_partkey
+    """,
+    # the UNREWRITTEN Q16 textbook form: NOT IN subquery + distinct
+    # count over the pseudo pair table
+    "supplier_count_by_part_family": f"""
+        SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs, part
+        WHERE p_partkey = l_partkey
+          AND p_brand <> 'Brand#1'
+          AND p_size IN ({', '.join(str(s) for s in EXCLUDED_SIZES)})
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    # the UNREWRITTEN Q20 textbook form: doubly-nested IN with a
+    # correlated per-part total subquery — matching the engine's
+    # flattened aggregate-join form proves the decorrelation
+    "excess_share_suppliers": f"""
+        WITH fam AS (SELECT p_partkey FROM part
+                     WHERE p_name LIKE '{EXCESS_NAME_PREFIX}%'),
+        q AS (
+            SELECT l_partkey, l_suppkey,
+                   sum(CAST(l_quantity AS BIGINT)) AS sq
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM fam)
+            GROUP BY 1, 2
+        )
+        SELECT s_suppkey, s_name, n_name, s_acctbal
+        FROM supplier, nation
+        WHERE s_nationkey = n_nationkey
+          AND s_suppkey IN (
+              SELECT l_suppkey FROM q
+              WHERE sq * (SELECT count(*) FROM q q2
+                          WHERE q2.l_partkey = q.l_partkey)
+                    > 3 * (SELECT sum(sq) FROM q q3
+                           WHERE q3.l_partkey = q.l_partkey))
+        ORDER BY s_suppkey
+    """,
     "agg_statistics": f"""
         SELECT l_returnflag,
                {_sql_fr('min(l_extendedprice)', 2)}    AS min_price,
@@ -2069,6 +2445,12 @@ QUERIES = {
     "returned_item_customers": returned_item_customers,
     "promo_revenue_share": promo_revenue_share,
     "disjunctive_brand_revenue": disjunctive_brand_revenue,
+    "discount_elimination_revenue": discount_elimination_revenue,
+    "min_cost_supplier": min_cost_supplier,
+    "nation_profit": nation_profit,
+    "important_part_value": important_part_value,
+    "supplier_count_by_part_family": supplier_count_by_part_family,
+    "excess_share_suppliers": excess_share_suppliers,
     "agg_statistics": agg_statistics,
     "agg_quantiles": agg_quantiles,
     "rollup_totals": rollup_totals,
