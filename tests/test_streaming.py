@@ -289,6 +289,105 @@ def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == n_expected
 
 
+def test_streaming_cms_counters_merge_to_batch_sketch(spark, tmp_path):
+    """The count-min counter table is ADDITIVE — the property that makes it
+    the streaming/rollup-compatible frequency summary: per-micro-batch
+    counter partials, appended blindly as the stream drains and summed at
+    read time, must equal the single-pass batch counters BIT-FOR-BIT (no
+    tolerance — integer counters), and the heavy-hitter estimates derived
+    from the merged table must still satisfy the CM overestimate
+    invariant against exact batch counts. This is the foreachBatch
+    incremental form a 100 TB ingest pipeline runs: state per batch is
+    d*W rows regardless of batch size, and the merge is a blind append +
+    sum — no read-modify-write of the accumulated index."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.dedup import _grams, _tokens
+    from weather_database_system_spark.operators.textan import HH_D, HH_W
+    from weather_database_system_spark.sources.star import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    partials_dir = str(tmp_path / "cms_partials")
+
+    def _jb(df):
+        grams = df.select(F.explode(_grams(_tokens(F.col("text")), 2)).alias("g"))
+        return grams.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.pmod(
+                                F.xxhash64(F.concat(F.lit(f"{j}|"), F.col("g"))),
+                                F.lit(HH_W),
+                            ).alias("b"),
+                        )
+                        for j in range(HH_D)
+                    ]
+                )
+            ).alias("jb")
+        ).select("jb.j", "jb.b")
+
+    def handle(batch_df, batch_id):
+        _jb(batch_df).groupBy("j", "b").agg(
+            F.count("*").alias("c")
+        ).write.mode("append").parquet(partials_dir)
+
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    merged = {
+        (r.j, r.b): r.c
+        for r in spark.read.parquet(partials_dir)
+        .groupBy("j", "b")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    batch = {
+        (r.j, r.b): r.c
+        for r in _jb(docs).groupBy("j", "b").agg(F.count("*").alias("c")).collect()
+    }
+    assert merged == batch  # bit-for-bit additivity
+
+    # CM estimates from the MERGED table still overestimate exact counts
+    exact = (
+        docs.select(F.explode(_grams(_tokens(F.col("text")), 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    gb = {
+        r.g: (r.b0, r.b1, r.b2)
+        for r in docs.select(F.explode(_grams(_tokens(F.col("text")), 2)).alias("g"))
+        .select(
+            "g",
+            *[
+                F.pmod(
+                    F.xxhash64(F.concat(F.lit(f"{j}|"), F.col("g"))), F.lit(HH_W)
+                ).alias(f"b{j}")
+                for j in range(HH_D)
+            ],
+        )
+        .distinct()
+        .collect()
+    }
+    for r in exact:
+        est = min(merged[(j, gb[r.g][j])] for j in range(HH_D))
+        assert est >= r.n, f"CM undercounted {r.g}: est {est} < exact {r.n}"
+
+
 def test_stateful_transformWithStateInPandas_value_state(spark, stream_src, tmp_path):
     """Spark 4's transformWithState API (the applyInPandasWithState
     successor: typed named state cells, timers, TTL) driving a custom
