@@ -733,3 +733,21 @@ def test_discount_elimination_all_predicates_pushed(spark):
     assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
     assert formatted_plan(df).count("HashAggregate") >= 2  # partial + final
     assert shuffle_count(df) <= 1
+
+
+def test_correlation_matrix_one_pass_moments(spark):
+    """All six Pearson pairs must come from ONE lineitem scan and ONE
+    1-row moment aggregate (partial + final) — never a per-pair corr()
+    pass; the pair assembly is an explode of the single moment row."""
+    import re
+
+    from weather_database_system_spark.operators.featurize import (
+        correlation_matrix,
+    )
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = correlation_matrix(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*lineitem", plan)) == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final moments
+    assert shuffle_count(df) <= 1

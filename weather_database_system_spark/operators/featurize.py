@@ -436,7 +436,99 @@ def _sql_scaled(col: str, tag: str) -> str:
     return f"{z} AS {tag}_z, {mm} AS {tag}_minmax"
 
 
+CORR_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the fact table's numeric
+    columns — the feature-selection / multicollinearity diagnostic run
+    before model training. ALL six pairs come out of ONE aggregate pass:
+    the moments (n, Σx, Σx², Σxy per pair) ride a single map-side-
+    combined 1-row aggregate — never a corr() call per pair (Spark's
+    built-in corr uses a streaming covariance update whose result
+    depends on row order; DuckDB's differs again). r is then assembled
+    from the moments driver-free with an explode of six structs.
+
+    Cross-engine exactness is the linear_regression_trend recipe: every
+    moment accumulates in DECIMAL(30,10) (order-independent), the
+    assembly arithmetic runs on the double casts (identical bits ⇒
+    identical IEEE results), and r floor-rounds to 6 dp. At 100 TB this
+    is one scan + one 1-row exchange regardless of column count (the
+    moment list grows O(k²) in columns, not in data)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(30,10)"
+    aggs = [F.count("*").alias("n")]
+    for c in CORR_COLS:
+        aggs.append(F.sum(F.col(c).cast(dec)).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast(dec)).cast("double").alias(f"ss_{c}")
+        )
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i + 1:]:
+            aggs.append(
+                F.sum((F.col(a) * F.col(b)).cast(dec))
+                .cast("double")
+                .alias(f"sp_{a}_{b}")
+            )
+    m = li.agg(*aggs)
+    structs = []
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i + 1:]:
+            num = F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+            den = F.sqrt(
+                (F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                * (F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+            )
+            structs.append(
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    _fr(num / den, 6).alias("pearson_r"),
+                )
+            )
+    return (
+        m.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.col_x", "p.col_y", "p.pearson_r")
+        .orderBy("col_x", "col_y")
+    )
+
+
+def _sql_corr_moments() -> str:
+    cols = [f"count(*) AS n"]
+    for c in CORR_COLS:
+        cols.append(f"CAST(sum(CAST({c} AS DECIMAL(30,10))) AS DOUBLE) AS s_{c}")
+        cols.append(
+            f"CAST(sum(CAST({c} * {c} AS DECIMAL(30,10))) AS DOUBLE) AS ss_{c}"
+        )
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i + 1:]:
+            cols.append(
+                f"CAST(sum(CAST({a} * {b} AS DECIMAL(30,10))) AS DOUBLE) AS sp_{a}_{b}"
+            )
+    return "SELECT " + ", ".join(cols) + " FROM lineitem"
+
+
+def _sql_corr_rows() -> str:
+    rows = []
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i + 1:]:
+            r = (
+                f"(n * sp_{a}_{b} - s_{a} * s_{b}) / "
+                f"sqrt((n * ss_{a} - s_{a} * s_{a}) * (n * ss_{b} - s_{b} * s_{b}))"
+            )
+            rows.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+                f"{_sql_fr(r, 6)} AS pearson_r FROM m"
+            )
+    return " UNION ALL ".join(rows)
+
+
 ORACLE: dict[str, str] = {
+    "correlation_matrix": f"""
+        WITH m AS ({_sql_corr_moments()})
+        SELECT col_x, col_y, pearson_r FROM ({_sql_corr_rows()})
+        ORDER BY col_x, col_y
+    """,
     "feature_scaling": f"""
         WITH stats AS ({_STATS_SQL})
         SELECT l_orderkey, l_linenumber, li.l_returnflag,
@@ -514,6 +606,7 @@ ORACLE["embedding_pca_project"] = """
 """
 
 QUERIES = {
+    "correlation_matrix": correlation_matrix,
     "feature_scaling": feature_scaling,
     "quantile_bucket_decile": quantile_bucket_decile,
     "quantile_bucket_decile_approx": quantile_bucket_decile_approx,
