@@ -44,7 +44,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # rotation — the r10 sample was key-identical to r9's; r10 VERDICT #3):
 # every key in CORRECTNESS_r10.json moved to 10 (that sample re-greened
 # the whole r05-era block and the r06 front), leaving groups r6=20,
-# r7=45, r8=48, r10=46. The r11 sample therefore covers the 5 r11
+# r7=45, r8=48, r10=46. The r11 sample therefore covers the 7 r11
 # rewrites below plus the twenty never-verified queries new this round
 # (sole_return_supplier, customer_order_distribution, the second
 # TPC-H-shape wave — small_quantity_part_revenue, large_volume_orders,
