@@ -45,7 +45,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # every key in CORRECTNESS_r10.json moved to 10 (that sample re-greened
 # the whole r05-era block and the r06 front), leaving groups r6=20,
 # r7=45, r8=48, r10=46. The r11 sample therefore covers the 7 r11
-# rewrites below plus the twenty never-verified queries new this round
+# rewrites below plus the twenty-one never-verified queries new this round
 # (sole_return_supplier, customer_order_distribution, the second
 # TPC-H-shape wave — small_quantity_part_revenue, large_volume_orders,
 # wealthy_idle_customers, quarterly_top_supplier — the third wave:
@@ -58,8 +58,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # TPC-H shapes — plus two late-r11 extension operators:
 # weighted_reservoir_sample (A-ES fixed-size weighted sampling, exact
 # oracle), heavy_hitters_cms (count-min frequency sketch, exact
-# spine + pinned claims), and correlation_matrix (one-pass Pearson
-# matrix from decimal-exact moments)), the entire
+# spine + pinned claims), correlation_matrix (one-pass Pearson
+# matrix from decimal-exact moments), and jaccard_prefix_pairs
+# (PPJoin prefix-filtered exact set-similarity join — the oracle
+# brute-forces the unfiltered join, certifying zero false negatives)),
+# the entire
 # 20-query r6 tail (ann_ivf_label, bm25_search,
 # asof_attribution, range_band_join, stream_stream_join, …) and the front
 # of the r7 block — after r11 nothing in the registry is older than r7.

@@ -2877,3 +2877,47 @@ def test_cms_heavy_hitters_claims_and_bounded_state(spark):
 
     plan = formatted_plan(heavy_hitters_cms(spark, SF_SMOKE))
     assert plan.count("BroadcastHashJoin") >= HH_D  # counter slices broadcast
+
+
+def test_ppjoin_prefix_recall_complete_and_index_smaller(spark):
+    """PPJoin invariants: (a) the prefix-filtered exact join must find
+    every pair the CAPPED inverted-index variant finds (recall
+    dominance — the cap can drop tail pairs, the prefix filter provably
+    cannot), and (b) the prefix index must be strictly smaller than the
+    full shingle index — the compression that makes it the scale path
+    (hot shingles sort last and drop out entirely)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.dedup import (
+        _shingles,
+        _tokens,
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    pp = {
+        (r.doc_a, r.doc_b) for r in jaccard_prefix_pairs(spark, SF_SMOKE).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(spark, SF_SMOKE).collect()
+    }
+    assert capped <= pp, f"prefix filter lost pairs: {sorted(capped - pp)[:5]}"
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("s")
+    )
+    full_n = sh.count()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    w = W.partitionBy("doc_id").orderBy("df", "s")
+    prefix_n = (
+        sh.join(dfreq, "s")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.floor(F.col("n") / 2) + 1)
+        .count()
+    )
+    assert prefix_n < full_n, (prefix_n, full_n)
