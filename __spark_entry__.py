@@ -55,7 +55,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # important_part_value, supplier_count_by_part_family,
 # excess_share_suppliers, and the Q6-shaped
 # discount_elimination_revenue that completes the sweep at 21 of 22
-# TPC-H shapes — plus two late-r11 extension operators:
+# TPC-H shapes — plus four late-r11 extension operators:
 # weighted_reservoir_sample (A-ES fixed-size weighted sampling, exact
 # oracle), heavy_hitters_cms (count-min frequency sketch, exact
 # spine + pinned claims), correlation_matrix (one-pass Pearson

@@ -321,6 +321,18 @@ def test_weighted_reservoir_fixed_size_and_boundary_gap(spark):
     gap = keys[RESERVOIR_K - 1] - keys[RESERVOIR_K]
     assert gap >= 1e-4, f"top-K boundary gap {gap} too small for set determinism"
 
+    # the EMITTED sample_key floor-rounds k at 6 dp: a selected key whose
+    # k·1e6+0.5 sits within ~1 ulp of an integer would round differently
+    # across libm ln implementations and hash-mismatch even though the
+    # selected SET is stable — pin every selected key's distance from the
+    # rounding grid at ≥1e-7 (ulp at this magnitude is ~4e-9, so 25×)
+    import math
+
+    for k in keys[:RESERVOIR_K]:
+        x = k * 1e6 + 0.5
+        dist = min(x - math.floor(x), math.ceil(x) - x)
+        assert dist >= 1e-7, f"key {k} within {dist} of the 6-dp floor boundary"
+
 
 def test_weighted_reservoir_plan_is_take_ordered(spark):
     """The reservoir must plan as one map-only scan into TakeOrdered —

@@ -1006,12 +1006,15 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.join(F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(fam), best.l_partkey == fam.p_partkey)
+        # the LIMIT cut orders by KEYS (suppkey, not name): (acctbal,
+        # partkey, suppkey) is structurally total — name uniqueness would
+        # be a data assumption this way needs no pin for
+        .orderBy(F.col("s_acctbal").desc(), F.col("l_partkey"), "s_suppkey")
+        .limit(100)
         .select(
             "s_acctbal", "s_name", "n_name",
             F.col("l_partkey").alias("p_partkey"), "p_name", "cost",
         )
-        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
-        .limit(100)
     )
 
 
@@ -1065,13 +1068,13 @@ def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11-shaped important-stock query: the parts whose traded
-    value exceeds 2× the average per-part value. The textbook form is a
+    value exceeds 1.5× the average per-part value. The textbook form is a
     GROUP BY ... HAVING against an uncorrelated scalar subquery that
     re-aggregates THE SAME fact table. The engine aggregates once
     (persisted), reduces the partials to ONE row (total + part count),
     and broadcasts that row back over the aggregate — the fact table is
     scanned once and the threshold costs one 1-row exchange. The
-    compare `value · n_parts > 2 · total` runs on the DOUBLE casts of
+    compare `value · n_parts > 1.5 · total` runs on the DOUBLE casts of
     the exact decimal sums — NOT on the decimals themselves: the
     product of two decimal(38,10)s overflows Spark's precision cap and
     silently drops scale (the changepoint_mean_shift lesson), whereas
@@ -1108,7 +1111,7 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EXCLUDED_SIZES = (1, 5, 9, 13, 17, 21, 25, 29)  # Q16's IN-list analog
+FAMILY_SIZES = (1, 5, 9, 13, 17, 21, 25, 29)  # Q16's size IN-list (INCLUDED sizes)
 
 
 def supplier_count_by_part_family(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1130,7 +1133,7 @@ def supplier_count_by_part_family(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs = li.select("l_partkey", "l_suppkey").distinct()
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
-        & F.col("p_size").isin(*EXCLUDED_SIZES)
+        & F.col("p_size").isin(*FAMILY_SIZES)
     ).select("p_partkey", "p_brand", "p_size")
     excl = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0
@@ -2131,7 +2134,7 @@ ORACLE: dict[str, str] = {
           AND p_type = '{MIN_COST_PART_TYPE}' AND s_nationkey = n_nationkey
           AND cost = (SELECT min(cost) FROM ps ps2
                       WHERE ps2.l_partkey = ps.l_partkey)
-        ORDER BY s_acctbal DESC, p_partkey, s_name
+        ORDER BY s_acctbal DESC, p_partkey, s_suppkey
         LIMIT 100
     """,
     # the UNREWRITTEN Q9 textbook form: flat 6-way join with the
@@ -2174,7 +2177,7 @@ ORACLE: dict[str, str] = {
         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs, part
         WHERE p_partkey = l_partkey
           AND p_brand <> 'Brand#1'
-          AND p_size IN ({', '.join(str(s) for s in EXCLUDED_SIZES)})
+          AND p_size IN ({', '.join(str(s) for s in FAMILY_SIZES)})
           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
                                 WHERE s_acctbal < 0)
         GROUP BY p_brand, p_size

@@ -647,14 +647,19 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select(F.explode(_grams(_tokens(F.col("text")), 2)).alias("g"))
-    bucketed = grams.select(
-        "g",
-        *[
-            F.pmod(
-                F.xxhash64(F.concat(F.lit(f"{j}|"), F.col("g"))), F.lit(HH_W)
-            ).alias(f"b{j}")
-            for j in range(HH_D)
-        ],
+    # persisted: BOTH the counter build and the exact yardstick read the
+    # bucketed grams — without it the tokenize→explode→3×xxhash pipeline
+    # runs twice (a full extra corpus pass, caught in the r11 self-review)
+    bucketed = track_persisted(
+        grams.select(
+            "g",
+            *[
+                F.pmod(
+                    F.xxhash64(F.concat(F.lit(f"{j}|"), F.col("g"))), F.lit(HH_W)
+                ).alias(f"b{j}")
+                for j in range(HH_D)
+            ],
+        ).persist()
     )
     jb = bucketed.select(
         F.explode(
