@@ -538,3 +538,57 @@ def test_jpeg_encode_decode_roundtrips_any_image_at_q100(w, h, seed):
     assert (dw, dh) == (w, h)
     err = np.abs(out.astype(np.int64) - img.astype(np.int64))
     assert err.max() <= 3, f"max per-pixel error {err.max()} at q100"
+
+
+DOC_TOKENS = st.lists(
+    st.sampled_from("alpha beta gamma delta eps zeta eta theta".split()),
+    min_size=5,
+    max_size=14,
+)
+
+
+@given(docs=st.lists(DOC_TOKENS, min_size=2, max_size=8))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ppjoin_recall_complete_on_random_corpora(spark, tmp_path_factory, docs):
+    """PPJoin's zero-false-negative property on ARBITRARY corpora, not
+    just the synthetic testdata: for any document set, the prefix-
+    filtered engine pairs must equal the brute-force exact-Jaccard ≥ 0.5
+    pair set computed in plain Python over the same distinct trigram
+    shingles. The pigeonhole argument says this can't fail; this pins
+    the IMPLEMENTATION (global ordering, integer prefix length,
+    candidate verification) against off-by-one regressions the fixed
+    corpus might not catch — tiny docs (5-14 tokens, 8-word vocab)
+    maximize boundary cases: identical docs, 2-3 shingle sets, ties in
+    the frequency order."""
+    from weather_database_system_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+    )
+
+    tmp = tmp_path_factory.mktemp("ppjoin")
+    rows = [(i, " ".join(toks), "en", "src") for i, toks in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    def shingles(toks):
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    expected = set()
+    sets = [shingles(t) for t in docs]
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            inter = len(sets[a] & sets[b])
+            if 3 * inter >= len(sets[a]) + len(sets[b]) and inter > 0:
+                expected.add((a, b))
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_prefix_pairs(spark, str(tmp)).collect()
+    }
+    assert got == expected, (sorted(got ^ expected)[:5], docs)
