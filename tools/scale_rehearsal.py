@@ -189,8 +189,13 @@ def main() -> None:
     queries["dedup_clusters_fast"] = dedup_clusters_fast
     queries["ann_product_quantization"] = ann_product_quantization
 
+    # regime-keyed cache dirs: fixed-vocab and --vocab-scale corpora must
+    # never share a cache slot — a stale cross-regime m4 once produced a
+    # phantom 4x=45s / 8x=7.5s inversion (r11 notes)
+    suffix = "-zipf" if args.vocab_scale else ""
+
     for m in multiples:
-        d = f"{args.scratch}/m{m}"
+        d = f"{args.scratch}/m{m}{suffix}"
         os.makedirs(d, exist_ok=True)
         if not os.path.exists(f"{d}/documents.parquet"):
             gen_documents(
@@ -204,7 +209,7 @@ def main() -> None:
     # warm the JVM/session on the smallest slice so m=1 isn't charged the
     # first-job startup the later points don't pay
     for name in names:
-        queries[name](spark, f"{args.scratch}/m{multiples[0]}").count()
+        queries[name](spark, f"{args.scratch}/m{multiples[0]}{suffix}").count()
         release_persisted()
 
     results: dict[str, dict[int, float]] = {}
@@ -214,7 +219,7 @@ def main() -> None:
             best = math.inf
             for _ in range(args.runs):
                 t0 = time.monotonic()
-                queries[name](spark, f"{args.scratch}/m{m}").count()
+                queries[name](spark, f"{args.scratch}/m{m}{suffix}").count()
                 best = min(best, time.monotonic() - t0)
                 # empty the storage pool between points: persisted
                 # signatures/indexes must not leak across measurements

@@ -615,6 +615,16 @@ def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles-per-doc (bounded by document length, not by SF). The
     threshold test runs in exact integers (J ≥ 1/2 ⟺ 3·inter ≥ |A|+|B|).
 
+    REGIME CAVEAT (measured, r11 rehearsal): prefix filtering's pruning
+    power comes from frequency DIVERSITY. On Zipf-vocabulary corpora
+    (real text; Heaps-law vocab growth) the 1×→4× wall-time exponent is
+    0.35; on the degenerate fixed-30-word worst case it is 1.82 —
+    every shingle is corpus-frequent, prefixes still collide, and
+    candidates grow quadratically. In that regime the CAPPED
+    ngram_jaccard_pairs (bounded per-task work, tail-recall trade) is
+    the right tool; this operator is the guaranteed-recall tool for the
+    realistic regime.
+
     The oracle deliberately brute-forces the UNFILTERED exact join (every
     co-occurring shingle), so the hash check certifies the prefix
     filter's zero-false-negative claim on real data, not just on paper."""
