@@ -131,7 +131,17 @@ def main() -> None:
 
     import __spark_entry__ as em
 
-    spark = get_spark(app_name="wdss-bench", cpus=CPUS)
+    # r11 VERDICT #1: Spark's console progress bars ([Stage N:...] spam)
+    # drowned the one-line JSON result and the driver's tail capture
+    # truncated it (BENCH_r11 parsed: null). Silence them at context build
+    # time — this is a SparkContext conf, so it must land before
+    # getOrCreate() — and additionally mirror the result to BENCH_LOCAL.json
+    # below so the payload survives any stdout mangling.
+    spark = get_spark(
+        app_name="wdss-bench",
+        cpus=CPUS,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     queries = dict(em.queries())
     # The registry surfaces for the xxhash64 fast twins are *_checked
@@ -192,41 +202,47 @@ def main() -> None:
         timings[name] = round(sorted(warm)[len(warm) // 2], 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": RUNS,
-                "sf": _sf_from_dir(SF_DIR),
-                # Host-drift guard (r4 NOTES): the flagship time doubles as a
-                # normalization denominator so cross-round comparisons can
-                # self-correct for uniform host slowdowns (divide any query's
-                # time by this before comparing across BENCH_r files).
-                "normalizer_sec": timings["pricing_summary"],
-                # Second, independent sentinel (r7 verdict #4 / ADVICE):
-                # pricing_summary is itself a benched headline, so a change
-                # to IT would masquerade as host drift. topk_global is an
-                # untouched-since-r1 scan+TakeOrdered with no persisted
-                # state; two sentinels moving together = host drift, one
-                # moving alone = a real change in that query.
-                "normalizer2_sec": timings["topk_global"],
-                # Per-query first-run times (one-off costs), reported
-                # separately so they can never masquerade as a warm
-                # regression — adjudicate a mover by comparing its WARM
-                # median across rounds and checking cold_sec for the
-                # one-off class.
-                "cold_sec": cold,
-                # Run-mode provenance (ADVICE r7): headline medians are
-                # WARM within-process repeats of runs 2..N (run 1 split
-                # out as cold_sec) — comparable across rounds with
-                # runs>=3.
-                "run_mode": "cold_first_warm_median" if RUNS > 1 else "single",
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "runs": RUNS,
+            "sf": _sf_from_dir(SF_DIR),
+            # Host-drift guard (r4 NOTES): the flagship time doubles as a
+            # normalization denominator so cross-round comparisons can
+            # self-correct for uniform host slowdowns (divide any query's
+            # time by this before comparing across BENCH_r files).
+            "normalizer_sec": timings["pricing_summary"],
+            # Second, independent sentinel (r7 verdict #4 / ADVICE):
+            # pricing_summary is itself a benched headline, so a change
+            # to IT would masquerade as host drift. topk_global is an
+            # untouched-since-r1 scan+TakeOrdered with no persisted
+            # state; two sentinels moving together = host drift, one
+            # moving alone = a real change in that query.
+            "normalizer2_sec": timings["topk_global"],
+            # Per-query first-run times (one-off costs), reported
+            # separately so they can never masquerade as a warm
+            # regression — adjudicate a mover by comparing its WARM
+            # median across rounds and checking cold_sec for the
+            # one-off class.
+            "cold_sec": cold,
+            # Run-mode provenance (ADVICE r7): headline medians are
+            # WARM within-process repeats of runs 2..N (run 1 split
+            # out as cold_sec) — comparable across rounds with
+            # runs>=3.
+            "run_mode": "cold_first_warm_median" if RUNS > 1 else "single",
+        }
     )
+    # Durable copy first (survives any console interleaving), then the
+    # contract's ONE JSON line as the final stdout write, flushed.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+        fh.write(payload + "\n")
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":
