@@ -145,3 +145,36 @@ def test_cli_ingest_live_fetch_requires_full_coordinates(tmp_path):
             ]
         )
     assert exc.value.code == 2
+
+
+def test_cli_compact_collapses_station_partitions(spark, tmp_path, capsys):
+    """The compact subcommand operationalizes the standing small-files
+    remedy (pipeline/maintenance.py): a fragmented station-keyed dataset
+    in, one file per partition out (below the max-records cap), row
+    counts preserved and reported in the JSON audit."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "frag")
+    df = spark.range(200).select(
+        (F.col("id") % 4).cast("string").alias("station_id"),
+        F.col("id").alias("v"),
+    )
+    for _ in range(3):  # three appends → 3× the files (and rows: 600)
+        df.repartition(4).write.mode("append").partitionBy(
+            "station_id"
+        ).parquet(src)
+    files_before = len(glob.glob(os.path.join(src, "*", "*.parquet")))
+    assert files_before > 4  # genuinely fragmented
+
+    dst = str(tmp_path / "compacted")
+    code, out = _run(capsys, [
+        "compact", "--src", src, "--dst", dst,
+        "--partition-col", "station_id",
+    ])
+    assert code == 0 and out["status"] == "ok"
+    assert out["rows"] == 600
+    assert out["files_before"] == files_before
+    assert out["files_after"] == 4  # the per-partition floor
+    assert spark.read.parquet(dst).count() == 600

@@ -751,3 +751,41 @@ def test_correlation_matrix_one_pass_moments(spark):
     assert len(re.findall(r"Location:.*lineitem", plan)) == 1
     assert plan.count("HashAggregate") >= 2  # partial + final moments
     assert shuffle_count(df) <= 1
+
+
+def test_shipmode_priority_counts_derived_bound_pushdown(spark):
+    """The Q12 shape's load-bearing moves: (a) the receipt-year window on
+    the DERIVED receipt date implies a bound on the physical l_shipdate
+    that must reach the parquet scan as a PushedFilter (partition/row-
+    group pruning at 100 TB — the textbook predicate can never push);
+    (b) all lineitem predicates sit below the join, so exactly one scan
+    of each table and ≤3 shuffles (join sides + presentation sort —
+    collapsing to 2 when AQE broadcasts the filtered fact side at test
+    SF); (c) the priority CASE is classified inside the orders scan, so
+    no o_orderpriority string survives past the join."""
+    import re
+
+    from weather_database_system_spark.operators.relational import (
+        shipmode_priority_counts,
+    )
+    from weather_database_system_spark.plans import (
+        formatted_plan,
+        pushed_filters,
+        shuffle_count,
+    )
+
+    df = shipmode_priority_counts(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    pf = " ".join(pushed_filters(df))
+    assert "GreaterThanOrEqual(l_shipdate" in pf and "LessThan(l_shipdate" in pf
+    assert len(re.findall(r"Location:.*lineitem", plan)) == 1
+    assert len(re.findall(r"Location:.*orders", plan)) == 1
+    assert shuffle_count(df) <= 3
+    assert "CartesianProduct" not in plan
+    # the priority CASE is classified inside the orders scan's project
+    # (the join/aggregate consume the is_high int, and the scan itself is
+    # pruned to exactly the key + priority columns)
+    assert "is_high" in plan
+    assert re.search(
+        r"ReadSchema: struct<o_orderkey:bigint,o_orderpriority:string>", plan
+    )

@@ -20,6 +20,9 @@ each onto the engine's library calls:
     python -m weather_database_system_spark serve --warehouse /tmp/dw \
         --cache /tmp/cache --city Stockton
     python -m weather_database_system_spark diagnostics --warehouse /tmp/dw
+    python -m weather_database_system_spark compact --src /tmp/silver_fleet \
+        --dst /tmp/silver_fleet_compact --partition-col station_id
+                                       # small-files maintenance (extension)
 
 Every subcommand prints ONE JSON document to stdout (machine-consumable,
 like the reference's route responses) and returns a conventional exit code
@@ -148,6 +151,23 @@ def _cmd_serve_http(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_compact(args: argparse.Namespace) -> int:
+    from weather_database_system_spark.pipeline.maintenance import (
+        compact_partitioned,
+    )
+
+    spark = _spark(args.cpus)
+    audit = compact_partitioned(
+        spark,
+        args.src,
+        args.dst,
+        args.partition_col,
+        max_records_per_file=args.max_records_per_file,
+    )
+    print(json.dumps({"status": "ok", **audit, "src": args.src, "dst": args.dst}))
+    return 0
+
+
 def _cmd_diagnostics(args: argparse.Namespace) -> int:
     from weather_database_system_spark.pipeline.diagnostics import run_diagnostics
 
@@ -225,6 +245,24 @@ def build_parser() -> argparse.ArgumentParser:
     sh.add_argument("--host", default="127.0.0.1")
     sh.add_argument("--port", type=int, default=3000)
     sh.set_defaults(func=_cmd_serve_http)
+
+    cp = sub.add_parser(
+        "compact",
+        help="small-files compaction for a partitioned dataset (the "
+        "standing remedy for fetch-frequency file growth in the "
+        "station-keyed silver sink; writes to a NEW root — swapping it "
+        "live is the caller's atomic move)",
+    )
+    cp.add_argument("--src", required=True, help="partitioned parquet root to read")
+    cp.add_argument("--dst", required=True, help="compacted root to write (new)")
+    cp.add_argument(
+        "--partition-col",
+        action="append",
+        required=True,
+        help="partition column (repeat for multi-level layouts)",
+    )
+    cp.add_argument("--max-records-per-file", type=int, default=1_000_000)
+    cp.set_defaults(func=_cmd_compact)
 
     dg = sub.add_parser("diagnostics", help="5-step staged self-probe")
     dg.add_argument("--warehouse", required=True)

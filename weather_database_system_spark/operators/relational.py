@@ -1196,6 +1196,110 @@ def excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Q12's pseudo columns: the schema has no l_shipmode / l_commitdate /
+# l_receiptdate, so all three derive DETERMINISTICALLY from existing
+# integer keys — identically in engine and oracle (the pseudo-partsupp
+# precedent), so the hash check still proves the rewrite, not the
+# derivation. Lags are integer days: commit_lag ∈ [-5, 25],
+# receipt_lag ∈ [-4, 9]; mode indexes a 7-element list.
+SHIPMODES = ("MAIL", "SHIP", "AIR", "RAIL", "TRUCK", "FOB", "REG AIR")
+SHIPMODE_TARGETS = ("MAIL", "SHIP")  # Q12's two audited modes
+HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+RECEIPT_YEAR_START, RECEIPT_YEAR_END = "2000-01-01", "2001-01-01"
+COMMIT_LAG_MAX, RECEIPT_LAG_MAX = 25, 9  # derivation bounds (see above)
+
+
+def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped shipping-mode audit: for two ship modes, how many
+    late-shipped lines (shipped after the commit date, received after
+    commit) arrived in the audit year, split by order priority — the
+    classic two-way conditional count over an orders⋈lineitem join.
+    Completes the 22/22 TPC-H shape sweep (r11 VERDICT #3).
+
+    The engine rewrite vs the textbook join-then-CASE form:
+    (a) every lineitem-side predicate (mode IN-list, ship<commit,
+        commit<receipt, receipt-year window) is applied BELOW the join,
+        so only qualifying (orderkey, shipmode) pairs reach the shuffle;
+    (b) the receipt-year window IMPLIES a bound on the physical
+        l_shipdate column (receipt = ship + lags, lags bounded by
+        construction), so the engine adds the redundant derived-bound
+        predicate — a real parquet PushedFilter that prunes row groups /
+        date partitions before any row materializes, where the textbook
+        predicate on the DERIVED receipt date can never push;
+    (c) the priority CASE is classified INSIDE the orders scan
+        (is_high: 1-byte int), so the join shuffles an int instead of a
+        15-char priority string and the aggregate is two plain sums.
+    At 100 TB both sides shuffle on orderkey (orders is fact-sized —
+    never broadcast); the shuffled payload is 2 small columns per side.
+
+    Oracle: the UNREWRITTEN textbook form — full-table CTE deriving the
+    pseudo columns, join, WHERE on the derived dates only (no shipdate
+    bound), CASE-sum counts — so the hash match certifies both the
+    derived-bound pushdown and the classify-before-join rewrite."""
+    modes = F.array(*[F.lit(m) for m in SHIPMODES])
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            F.element_at(
+                modes,
+                ((F.col("l_orderkey") + 3 * F.col("l_linenumber")) % 7 + 1)
+                .cast("int"),
+            ).alias("l_shipmode"),
+            (F.col("l_partkey") % 31 - 5).cast("int").alias("commit_lag"),
+            (F.col("l_suppkey") % 14 - 4).cast("int").alias("receipt_lag"),
+            F.col("l_shipdate"),
+        )
+        # (b) derived bound on the PHYSICAL column — pushable. receipt =
+        # ship + commit_lag + receipt_lag with lags ≤ 25 + 9 = 34 days,
+        # so receipt ≥ START ⇒ ship ≥ START − 34d, receipt < END ⇒
+        # ship < END (qualifying rows have positive lags). Conservative,
+        # implied by the semantic predicates below — plan-pinned.
+        .filter(
+            (
+                F.col("l_shipdate")
+                >= F.date_sub(
+                    F.lit(RECEIPT_YEAR_START).cast("date"),
+                    COMMIT_LAG_MAX + RECEIPT_LAG_MAX,
+                ).cast("timestamp")
+            )
+            & (F.col("l_shipdate") < F.lit(RECEIPT_YEAR_END).cast("timestamp"))
+        )
+        .withColumn(
+            "l_commitdate",
+            F.date_add(F.col("l_shipdate").cast("date"), F.col("commit_lag")),
+        )
+        .withColumn(
+            "l_receiptdate",
+            F.date_add(F.col("l_commitdate"), F.col("receipt_lag")),
+        )
+        # (a) the semantic Q12 predicates, all below the join
+        .filter(
+            F.col("l_shipmode").isin(*SHIPMODE_TARGETS)
+            & (F.col("l_commitdate") < F.col("l_receiptdate"))
+            & (F.col("l_shipdate").cast("date") < F.col("l_commitdate"))
+            & (F.col("l_receiptdate") >= F.lit(RECEIPT_YEAR_START).cast("date"))
+            & (F.col("l_receiptdate") < F.lit(RECEIPT_YEAR_END).cast("date"))
+        )
+        .select("l_orderkey", "l_shipmode")
+    )
+    # (c) classify priority inside the orders scan: the join moves an int
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").isin(*HIGH_PRIORITIES).cast("int")
+        .alias("is_high"),
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum("is_high").alias("high_line_count"),
+            F.sum(1 - F.col("is_high")).alias("low_line_count"),
+        )
+        .orderBy("l_shipmode")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational completeness (§2B): aggregates beyond avg/sum/count
 # ---------------------------------------------------------------------------
@@ -2207,6 +2311,42 @@ ORACLE: dict[str, str] = {
                            WHERE q3.l_partkey = q.l_partkey))
         ORDER BY s_suppkey
     """,
+    # the UNREWRITTEN Q12 textbook form: the pseudo columns derived over
+    # the FULL table (no shipdate bound — the oracle filters only the
+    # derived receipt/commit dates, so the hash match certifies the
+    # engine's derived-bound parquet pushdown is lossless), join first,
+    # CASE-sum after — matching the engine's classify-before-join +
+    # filter-below-join rewrite proves both
+    "shipmode_priority_counts": f"""
+        WITH li AS (
+            SELECT l_orderkey,
+                   ([{', '.join(f"'{m}'" for m in SHIPMODES)}])[
+                       CAST((l_orderkey + 3 * l_linenumber) % 7 + 1 AS INTEGER)
+                   ] AS l_shipmode,
+                   CAST(l_shipdate AS DATE) AS ship_d,
+                   CAST(l_shipdate AS DATE)
+                       + CAST(l_partkey % 31 - 5 AS INTEGER) AS l_commitdate,
+                   CAST(l_shipdate AS DATE)
+                       + CAST(l_partkey % 31 - 5 AS INTEGER)
+                       + CAST(l_suppkey % 14 - 4 AS INTEGER) AS l_receiptdate
+            FROM lineitem
+        )
+        SELECT l_shipmode,
+               CAST(sum(CASE WHEN o_orderpriority IN
+                        ({', '.join(f"'{p}'" for p in HIGH_PRIORITIES)})
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN
+                        ({', '.join(f"'{p}'" for p in HIGH_PRIORITIES)})
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM li JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_shipmode IN ({', '.join(f"'{m}'" for m in SHIPMODE_TARGETS)})
+          AND l_commitdate < l_receiptdate
+          AND ship_d < l_commitdate
+          AND l_receiptdate >= DATE '{RECEIPT_YEAR_START}'
+          AND l_receiptdate <  DATE '{RECEIPT_YEAR_END}'
+        GROUP BY l_shipmode
+        ORDER BY l_shipmode
+    """,
     "agg_statistics": f"""
         SELECT l_returnflag,
                {_sql_fr('min(l_extendedprice)', 2)}    AS min_price,
@@ -2454,6 +2594,7 @@ QUERIES = {
     "important_part_value": important_part_value,
     "supplier_count_by_part_family": supplier_count_by_part_family,
     "excess_share_suppliers": excess_share_suppliers,
+    "shipmode_priority_counts": shipmode_priority_counts,
     "agg_statistics": agg_statistics,
     "agg_quantiles": agg_quantiles,
     "rollup_totals": rollup_totals,

@@ -702,6 +702,107 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HH_STREAM_BATCHES = 4  # simulated micro-batches in the streaming twin
+
+
+def heavy_hitters_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAMING count-min ingest
+    (tests/test_streaming.py::test_streaming_cms_counters_merge_to_batch_sketch
+    drives the same flow through readStream → foreachBatch): documents
+    split into deterministic micro-batches (doc_id mod K — the stream's
+    maxFilesPerTrigger analog), per-batch counter PARTIALS built
+    independently, blind-appended (union) and merged by sum at read time
+    — the mergeable-summary property that lets a 100 TB ingest append
+    d·W-row partials per batch with no read-modify-write of the
+    accumulated index, and lets day/source partials roll up by addition.
+
+    The heavy-hitter estimates then come from the MERGED table exactly as
+    heavy_hitters_cms derives them from its single-pass counters, so the
+    pinned claims certify the merged sketch end-to-end:
+    merge_additive_ok (zero (j,b) cells differ between merged partials
+    and the single-pass counters — bit-for-bit, integer space; decided by
+    an anti-join on the 768-key counter tables, never a fact-sized pass),
+    cm_overest_ok and cm_bound_ok (as in the batch operator). The exact
+    top-HH_TOP spine is the TEST-SF yardstick (the
+    approx_distinct_users_scale pattern) — production reads estimates off
+    the merged counter table alone.
+
+    Scale shape: partial state is HH_STREAM_BATCHES·d·W ≤ 3072 keyed rows
+    regardless of corpus size; the merge shuffle moves ≤ d·W = 768."""
+    from weather_database_system_spark.session import track_persisted
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(HH_STREAM_BATCHES)).alias("batch"),
+        F.explode(_grams(_tokens(F.col("text")), 2)).alias("g"),
+    )
+    bucketed = track_persisted(
+        grams.select(
+            "batch",
+            "g",
+            *[
+                F.pmod(
+                    F.xxhash64(F.concat(F.lit(f"{j}|"), F.col("g"))), F.lit(HH_W)
+                ).alias(f"b{j}")
+                for j in range(HH_D)
+            ],
+        ).persist()
+    )
+    jb = bucketed.select(
+        "batch",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), F.col(f"b{j}").alias("b"))
+                    for j in range(HH_D)
+                ]
+            )
+        ).alias("jb"),
+    ).select("batch", "jb.j", "jb.b")
+    # per-micro-batch partials (what each foreachBatch appends) ...
+    partials = jb.groupBy("batch", "j", "b").agg(F.count("*").alias("c"))
+    # ... blind-appended and merged by SUM at read time
+    merged = track_persisted(
+        partials.groupBy("j", "b").agg(F.sum("c").alias("c")).persist()
+    )
+    # single-pass counters (what the batch operator builds) — the
+    # additivity yardstick; both tables are ≤ d·W rows
+    single = jb.groupBy("j", "b").agg(F.count("*").alias("c"))
+    mismatches = merged.join(single, ["j", "b", "c"], "anti").union(
+        single.join(merged, ["j", "b", "c"], "anti")
+    )
+    additive = mismatches.agg(
+        (F.count("*") == 0).alias("merge_additive_ok")
+    )
+    total = merged.filter(F.col("j") == 0).agg(F.sum("c").alias("n_total"))
+    exact = bucketed.groupBy("g", *[f"b{j}" for j in range(HH_D)]).agg(
+        F.count("*").alias("n_exact")
+    )
+    scored = exact
+    for j in range(HH_D):
+        cj = merged.filter(F.col("j") == j).select(
+            F.col("b").alias(f"cb{j}"), F.col("c").alias(f"c{j}")
+        )
+        scored = scored.join(F.broadcast(cj), F.col(f"b{j}") == F.col(f"cb{j}"))
+    est = F.least(*[F.col(f"c{j}") for j in range(HH_D)])
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(additive))
+        .select(
+            F.col("g").alias("bigram"),
+            "n_exact",
+            (est >= F.col("n_exact")).alias("cm_overest_ok"),
+            (
+                (est - F.col("n_exact")) * HH_W
+                <= F.lit(HH_BOUND_MULT) * F.col("n_total")
+            ).alias("cm_bound_ok"),
+            "merge_additive_ok",
+        )
+        .orderBy(F.col("n_exact").desc(), "bigram")
+        .limit(HH_TOP)
+    )
+
+
 _SQL_TOKS = "SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents"
 
 ORACLE: dict[str, str] = {
@@ -713,6 +814,20 @@ ORACLE: dict[str, str] = {
         g AS (SELECT unnest({_sql_grams(2)}) AS bigram FROM d)
         SELECT bigram, count(*) AS n_exact,
                TRUE AS cm_overest_ok, TRUE AS cm_bound_ok
+        FROM g
+        GROUP BY bigram
+        ORDER BY n_exact DESC, bigram
+        LIMIT {HH_TOP}
+    """,
+    # the streaming twin's spine is the SAME exact top-K (the micro-batch
+    # split cannot change totals); all three claims engine-decided,
+    # pinned TRUE — merge_additive_ok is the mergeable-summary invariant
+    "heavy_hitters_cms_stream": f"""
+        WITH d AS ({_SQL_TOKS}),
+        g AS (SELECT unnest({_sql_grams(2)}) AS bigram FROM d)
+        SELECT bigram, count(*) AS n_exact,
+               TRUE AS cm_overest_ok, TRUE AS cm_bound_ok,
+               TRUE AS merge_additive_ok
         FROM g
         GROUP BY bigram
         ORDER BY n_exact DESC, bigram
@@ -1019,6 +1134,7 @@ ORACLE: dict[str, str] = {
 
 QUERIES = {
     "heavy_hitters_cms": heavy_hitters_cms,
+    "heavy_hitters_cms_stream": heavy_hitters_cms_stream,
     "pmi_collocations": pmi_collocations,
     "corpus_curation": corpus_curation,
     "unigram_logprob_quality": unigram_logprob_quality,
