@@ -102,6 +102,15 @@ HEADLINE = (
                                   # factored superset pushdown
     "min_cost_supplier",      # Q2-shaped correlated-min via pair-agg +
                               # parts-sized min equi-join (pseudo-partsupp)
+    # --- round-12 headliners ---
+    "shipmode_priority_counts",  # Q12-shaped conditional counts; derived
+                                 # shipdate bound pushed to parquet
+    "yoy_revenue_delta",      # DS-Q75-shaped two-year conditional agg in
+                              # ONE fact pass (textbook: two scans)
+    "multi_band_counts",      # DS-Q88-shaped 8-band census in ONE scan
+                              # (textbook: eight scalar-subquery scans)
+    "bpe_merge_pairs",        # BPE pair counts off the word-frequency
+                              # table (vocab-factored, Heaps-bounded)
 )
 
 # N runs per query. Run 1 is recorded separately as cold_sec (r8 verdict

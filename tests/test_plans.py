@@ -158,6 +158,8 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
         "bm25_search",              # 1-row (N, avgdl) corpus-stats broadcast
         "heavy_hitters_cms",        # 1-row total-count broadcast (N for the
                                     # CM overshoot-bound claim)
+        "heavy_hitters_cms_stream",  # same 1-row N broadcast + 1-row
+                                     # merge-additivity claim broadcast
         "rfm_segmentation_approx",  # same 1-row broadcasts; thresholds via
                                     # approx_percentile sketch
         # the r11 pinned-claim checked wrappers each crossJoin ONE 1-row
@@ -789,3 +791,75 @@ def test_shipmode_priority_counts_derived_bound_pushdown(spark):
     assert re.search(
         r"ReadSchema: struct<o_orderkey:bigint,o_orderpriority:string>", plan
     )
+
+
+def test_yoy_revenue_delta_single_scan_conditional(spark):
+    """The DS-Q75 shape must fold both years into ONE fact pass: exactly
+    one lineitem scan (the textbook two-CTE form scans twice), the
+    two-year shipdate window pushed to parquet, part arriving by
+    broadcast, and ≤2 shuffles (brand aggregate + presentation sort)."""
+    import re
+
+    from weather_database_system_spark.operators.relational import (
+        yoy_revenue_delta,
+    )
+    from weather_database_system_spark.plans import (
+        formatted_plan,
+        pushed_filters,
+        shuffle_count,
+    )
+
+    df = yoy_revenue_delta(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*lineitem", plan)) == 1, (
+        "lineitem scanned more than once — the per-year-subquery form leaked back"
+    )
+    pf = " ".join(pushed_filters(df))
+    assert "GreaterThanOrEqual(l_shipdate" in pf and "LessThan(l_shipdate" in pf
+    assert "BroadcastHashJoin" in plan
+    assert shuffle_count(df) <= 2
+
+
+def test_multi_band_counts_one_scan_eight_bands(spark):
+    """The DS-Q88 shape must fold all eight band counts into ONE events
+    scan (the textbook form runs eight scalar-subquery scans) with the
+    type filter pushed and the aggregate map-side combined to one row
+    (partial + final HashAggregate, ≤1 shuffle)."""
+    import re
+
+    from weather_database_system_spark.operators.behavioral import (
+        multi_band_counts,
+    )
+    from weather_database_system_spark.plans import (
+        formatted_plan,
+        pushed_filters,
+        shuffle_count,
+    )
+
+    df = multi_band_counts(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*events", plan)) == 1, (
+        "events scanned more than once — the scalar-subquery form leaked back"
+    )
+    assert "event_type" in " ".join(pushed_filters(df))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert shuffle_count(df) <= 1
+
+
+def test_bpe_merge_pairs_vocab_factored(spark):
+    """The BPE pair count must ride the WORD-FREQUENCY table (Sennrich
+    rewrite): one documents scan, the pair explode consuming the vocab
+    aggregate's output (two aggregate exchanges — vocab + pair — and no
+    third), and the top-K cut a TakeOrdered, never a global sort."""
+    import re
+
+    from weather_database_system_spark.operators.trainprep import (
+        bpe_merge_pairs,
+    )
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = bpe_merge_pairs(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*documents", plan)) == 1
+    assert shuffle_count(df) <= 2
+    assert "TakeOrderedAndProject" in plan

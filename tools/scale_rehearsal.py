@@ -107,6 +107,25 @@ def gen_documents(
     pq.write_table(tbl, f"{out_dir}/documents.parquet")
 
 
+def gen_lineitem(m: int, out_dir: str) -> None:
+    """m× fact-table slice for the lineitem-scanning rehearsal queries
+    (correlation_matrix): tile the real sf0.1 lineitem m times. Exact
+    duplication preserves every column distribution bit-for-bit, and the
+    moment-aggregate / scan-bound queries rehearsed on it are
+    key-agnostic — the point is rows scanned, not key cardinality."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+            SELECT li.* FROM range({m}) t(k),
+                 parquet_scan('/root/testdata/sf0.1/lineitem.parquet') li
+        ) TO '{out_dir}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+
+
 def gen_embeddings(n: int, seed: int, out_dir: str) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -203,6 +222,10 @@ def main() -> None:
                 vocab_scale=args.vocab_scale,
             )
             gen_embeddings(BASE_VECS * m, seed=42, out_dir=d)
+        if "correlation_matrix" in names and not os.path.exists(
+            f"{d}/lineitem.parquet"
+        ):
+            gen_lineitem(m, out_dir=d)
 
     from weather_database_system_spark.session import release_persisted
 

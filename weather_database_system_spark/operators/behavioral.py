@@ -528,7 +528,49 @@ def session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BAND_HOURS = tuple(range(8, 16))   # the 8 audited hour-of-day bands
+BAND_TYPES = ("click", "view")     # the audited engagement event types
+
+
+def multi_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88-shaped multi-band census: engagement-event counts in
+    eight hour-of-day bands, one row out. The textbook form runs one
+    scalar COUNT subquery PER BAND and cross-joins the eight 1-row
+    results — eight full scans of the fact table for eight numbers. The
+    engine folds all eight bands into ONE conditional aggregate over a
+    single scan with the type filter pushed to parquet; band membership
+    is a codegen'd CASE on hour(ts), and the aggregate is map-side
+    combined to one row per task.
+
+    At 100 TB this is the canonical N-slices-of-one-table pattern
+    (same rewrite family as yoy_revenue_delta, N=8): the textbook plan
+    costs 8× the I/O for identical output. Counts are exact integers —
+    engine-exact by construction.
+
+    Oracle: the UNREWRITTEN eight-scalar-subquery form."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*BAND_TYPES)
+    )
+    hour = F.hour("ts")
+    return ev.agg(
+        *[
+            F.count(F.when(hour == h, 1)).alias(f"band_h{h:02d}")
+            for h in BAND_HOURS
+        ]
+    )
+
+
 ORACLE: dict[str, str] = {
+    # the UNREWRITTEN TPC-DS-Q88-shaped form: one scalar COUNT subquery
+    # per band, cross-joined — eight fact scans vs the engine's one
+    "multi_band_counts": "SELECT "
+    + ", ".join(
+        f"""(SELECT CAST(count(*) AS BIGINT) FROM events
+             WHERE hour(ts) = {h}
+               AND event_type IN ({", ".join(f"'{t}'" for t in BAND_TYPES)})
+            ) AS band_h{h:02d}"""
+        for h in BAND_HOURS
+    ),
     "item_cooccurrence_similarity": f"""
         WITH li AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -803,6 +845,7 @@ ORACLE["rfm_segmentation_approx"] = ORACLE["rfm_segmentation"].replace(
 )
 
 QUERIES = {
+    "multi_band_counts": multi_band_counts,
     "cohort_retention": cohort_retention,
     "funnel_conversion": funnel_conversion,
     "funnel_time_to_convert": funnel_time_to_convert,

@@ -1300,6 +1300,72 @@ def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+YOY_PREV, YOY_CURR = 1999, 2000  # both full shipdate years; decline
+# selects ~half the 25 brands at every SF (probed sf0.001/0.01/0.1:
+# 14/12/12) — a non-vacuous, scale-stable split
+
+
+def yoy_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q75-shaped year-over-year decline report: per part brand,
+    current- vs prior-year revenue and the delta, for brands whose
+    revenue DECLINED. The textbook form aggregates each year in its own
+    subquery and equi-joins the two aggregates on brand — two fact
+    scans, two shuffles, plus the join. The engine scans once: both
+    ship-years in one pushable shipdate window, part pruned to
+    (key, brand) and broadcast, ONE conditional aggregate producing
+    both years' sums per brand, the decline filter and delta computed
+    on the already-rounded doubles (identical operand bits ⇒ identical
+    IEEE compare/subtract in both engines).
+
+    At 100 TB the two-subquery form is strictly 2× the scan and 2× the
+    shuffle for the same answer; this shape is the standard pattern for
+    ANY same-fact-different-slice comparison (year/channel/source).
+
+    Oracle: the UNREWRITTEN two-CTE join form, proving the single-pass
+    conditional rewrite."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{YOY_PREV}-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{YOY_CURR + 1}-01-01").cast("timestamp"))
+    )
+    year = F.year("l_shipdate")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            _sum2(F.when(year == YOY_PREV, rev).otherwise(F.lit(0))).alias(
+                "prev_revenue"
+            ),
+            _sum2(F.when(year == YOY_CURR, rev).otherwise(F.lit(0))).alias(
+                "curr_revenue"
+            ),
+            # the textbook inner join only reports brands present in BOTH
+            # years — the conditional rewrite makes that explicit instead
+            # of inheriting it from the data (all 25 brands have both
+            # years at every test SF, but the semantics must not rely on it)
+            F.count(F.when(year == YOY_PREV, 1)).alias("n_prev"),
+            F.count(F.when(year == YOY_CURR, 1)).alias("n_curr"),
+        )
+    )
+    return (
+        agg.filter(
+            (F.col("n_prev") > 0)
+            & (F.col("n_curr") > 0)
+            & (F.col("curr_revenue") < F.col("prev_revenue"))
+        )
+        .select(
+            "p_brand",
+            "prev_revenue",
+            "curr_revenue",
+            _fr(F.col("curr_revenue") - F.col("prev_revenue"), 2).alias(
+                "revenue_delta"
+            ),
+        )
+        .orderBy("revenue_delta", "p_brand")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational completeness (§2B): aggregates beyond avg/sum/count
 # ---------------------------------------------------------------------------
@@ -2347,6 +2413,30 @@ ORACLE: dict[str, str] = {
         GROUP BY l_shipmode
         ORDER BY l_shipmode
     """,
+    # the UNREWRITTEN TPC-DS-Q75-shaped form: one aggregate subquery PER
+    # YEAR, equi-joined on brand (two fact scans) — matching the engine's
+    # single-scan conditional aggregate proves the rewrite
+    "yoy_revenue_delta": f"""
+        WITH prev AS (
+            SELECT p_brand, {_sql_sum2('l_extendedprice * (1 - l_discount)')} AS prev_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '{YOY_PREV}-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '{YOY_PREV + 1}-01-01 00:00:00'
+            GROUP BY p_brand
+        ),
+        curr AS (
+            SELECT p_brand, {_sql_sum2('l_extendedprice * (1 - l_discount)')} AS curr_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '{YOY_CURR}-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '{YOY_CURR + 1}-01-01 00:00:00'
+            GROUP BY p_brand
+        )
+        SELECT prev.p_brand, prev_revenue, curr_revenue,
+               {_sql_fr('curr_revenue - prev_revenue', 2)} AS revenue_delta
+        FROM prev JOIN curr ON prev.p_brand = curr.p_brand
+        WHERE curr_revenue < prev_revenue
+        ORDER BY revenue_delta, prev.p_brand
+    """,
     "agg_statistics": f"""
         SELECT l_returnflag,
                {_sql_fr('min(l_extendedprice)', 2)}    AS min_price,
@@ -2595,6 +2685,7 @@ QUERIES = {
     "supplier_count_by_part_family": supplier_count_by_part_family,
     "excess_share_suppliers": excess_share_suppliers,
     "shipmode_priority_counts": shipmode_priority_counts,
+    "yoy_revenue_delta": yoy_revenue_delta,
     "agg_statistics": agg_statistics,
     "agg_quantiles": agg_quantiles,
     "rollup_totals": rollup_totals,

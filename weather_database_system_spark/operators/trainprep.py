@@ -613,6 +613,59 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP_PAIRS = 50  # merge candidates reported (one BPE iteration's view)
+
+
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-pair counting — the inner statistic of byte-pair-encoding
+    tokenizer training (Sennrich, Haddow & Birch, ACL 2016): for every
+    adjacent character pair inside a word, its corpus occurrence count;
+    the top pair is the next merge. One full iteration's candidate table,
+    top-K by count.
+
+    The engine applies the same rewrite the reference BPE implementation
+    uses as its core trick: aggregate the corpus to the WORD-FREQUENCY
+    table first (one corpus-sized shuffle, map-side combined, output
+    bounded by |vocab| — Heaps-law sublinear in corpus size), then
+    explode each distinct word's pairs weighted by its frequency. The
+    naive form explodes every token OCCURRENCE into pairs — a
+    corpus×word-length-sized explode feeding the pair aggregation. At
+    100 TB the two differ by orders of magnitude: the vocab table is
+    millions of rows where the occurrence explode is trillions, and
+    every subsequent BPE iteration re-reads the small table, not the
+    corpus.
+
+    Counts are exact integers (vocab_count × pairs_per_word sums to the
+    per-occurrence count by construction); pair extraction is
+    character-based substring in both engines; the top-K cut rides a
+    total (count DESC, pair) order.
+
+    Oracle: the UNREWRITTEN per-occurrence explode, proving the
+    vocab-factored rewrite."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.length("tok") >= 2)
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
 _SQL_TOKS = "SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents"
 
 
@@ -883,6 +936,23 @@ def duplicate_span_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    # the UNREWRITTEN BPE pair count: explode every token OCCURRENCE into
+    # its character pairs (corpus-sized) — matching the engine's
+    # vocab-frequency-factored form proves the Sennrich rewrite
+    "bpe_merge_pairs": f"""
+        WITH d AS ({_SQL_TOKS}),
+        t AS (SELECT unnest(toks) AS tok FROM d),
+        p AS (
+            SELECT unnest(list_transform(range(1, length(tok)),
+                                         i -> substr(tok, i, 2))) AS pair
+            FROM t WHERE length(tok) >= 2
+        )
+        SELECT pair, CAST(count(*) AS BIGINT) AS pair_count
+        FROM p
+        GROUP BY pair
+        ORDER BY pair_count DESC, pair
+        LIMIT {BPE_TOP_PAIRS}
+    """,
     "duplicate_span_extraction": f"""
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         gl AS (SELECT doc_id, {_sql_grams(SPAN_L)} AS g FROM d),
@@ -1244,6 +1314,7 @@ QUERIES = {
     "span_corruption_masks": span_corruption_masks,
     "curriculum_pack_epochs": curriculum_pack_epochs,
     "tokenize_to_ids": tokenize_to_ids,
+    "bpe_merge_pairs": bpe_merge_pairs,
     "source_overlap_jaccard": source_overlap_jaccard,
     "source_kl_divergence": source_kl_divergence,
     "domain_mixture_weights": domain_mixture_weights,

@@ -50,9 +50,15 @@ def broadcast_join_count(df: DataFrame) -> int:
 def pushed_filters(df: DataFrame) -> list[str]:
     """All parquet-scan PushedFilters entries, flattened."""
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)):
+    # greedy-to-line-end capture: IN-list atoms like
+    # In(event_type, [click,view]) contain an inner ']', so a lazy
+    # [^\]]* match truncates them (found by the multi_band_counts pin)
+    for m in re.finditer(r"PushedFilters: \[(.*)\]", formatted_plan(df)):
         # filter atoms look like Name(args...); args may contain commas
-        out.extend(re.findall(r"\w+\([^()]*(?:\([^()]*\)[^()]*)*\)", m.group(1)))
+        # and bracketed IN-lists
+        out.extend(
+            re.findall(r"\w+\([^()]*(?:\([^()]*\)[^()]*)*\)", m.group(1))
+        )
     return out
 
 
