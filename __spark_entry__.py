@@ -29,12 +29,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # oracle changes touch, so it re-enters the front of the sample. The
 # python one-liner in tests/test_docs.py's docstring neighborhood:
 #   rounds = {k: n for n in range(1, N+1)
-#             for k in json.load(open(f"CORRECTNESS_r0{n}.json"))}
+#             for k in json.load(open(f"CORRECTNESS_r{n:02d}.json"))}
 # gives the exact map; tests/test_docs.py pins names/ordering.
 #
 # _LAST_VERIFIED maps each query with a green CORRECTNESS row — whose
 # implementation AND oracle are unchanged since that row — to the round of
-# that row (last key occurrence across CORRECTNESS_r01..r05). The driver
+# that row (last key occurrence across all CORRECTNESS_r* files). The driver
 # samples the first 50 registry entries per round, so _prioritize()
 # enumerates never-checked / rewritten entries first (absent from the map),
 # then ascending by staleness — the r01/r02-era greens re-verify before

@@ -863,3 +863,49 @@ def test_bpe_merge_pairs_vocab_factored(spark):
     assert len(re.findall(r"Location:.*documents", plan)) == 1
     assert shuffle_count(df) <= 2
     assert "TakeOrderedAndProject" in plan
+
+
+def test_skew_split_join_salted_composite_keys(spark):
+    """The skew-split join must plan the COMPOSITE-key join (salt in the
+    join keys — the hot key's rows scatter over N_SALTS reducers), with
+    the bounded hot set arriving at both sides by broadcast and exactly
+    two lineitem scans (hot detection + fact; the dim scanned once)."""
+    import re
+
+    from weather_database_system_spark.operators.scale import skew_split_join
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = skew_split_join(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "salt" in plan  # composite join key survives into the plan
+    assert "BroadcastHashJoin" in plan  # the hot set broadcasts
+    # the detection aggregate is persisted so both join sides read the
+    # cached hot set rather than re-scanning the fact table
+    assert "InMemoryTableScan" in plan
+    assert len(re.findall(r"Location:.*orders", plan)) == 1
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 5
+
+
+def test_rollup_topk_per_grain_single_expand_pass(spark):
+    """The DS-Q67 shape must compute every grain in ONE fact pass: a
+    single lineitem scan feeding an Expand (grouping sets), one window
+    ranking inside the grain partitions, ≤3 shuffles (grain aggregate +
+    window partition + presentation sort) — the textbook per-grain
+    UNION ALL scans once per grain."""
+    import re
+
+    from weather_database_system_spark.operators.relational import (
+        rollup_topk_per_grain,
+    )
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = rollup_topk_per_grain(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*lineitem", plan)) == 1, (
+        "lineitem scanned more than once — the per-grain UNION form leaked back"
+    )
+    assert "Expand" in plan
+    # exactly one Window NODE (the formatted details repeat the name)
+    assert len(re.findall(r"^\s*(?:\+-|:-)?\s*Window \(\d+\)", plan, re.M)) == 1
+    assert shuffle_count(df) <= 3

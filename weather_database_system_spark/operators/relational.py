@@ -1797,6 +1797,65 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GRAIN_TOP_K = 3          # brands reported per grain
+GRAIN_YEAR = 2000        # the audited ship-year (full year in the data)
+
+
+def rollup_topk_per_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-Q67-shaped ranked rollup: the top-K revenue brands WITHIN
+    EACH QUARTER of a ship-year and ACROSS the whole year, in one
+    result. The textbook form runs one aggregate+rank query per grain
+    and UNION ALLs them — N+1 fact scans for N+1 grains. The engine
+    computes every grain in ONE pass: a GROUPING SETS aggregate (Expand
+    — the fact is scanned once, the shuffle carries |sets|×|groups|
+    rows) feeds ONE window that ranks brands inside each
+    (grouping-set, quarter) partition; partition count = grains, width
+    = |brands| — both constants, so the window never skews.
+
+    The composite is the piece grouping_sets_revenue and
+    window_topk_per_group each cover alone: rank-within-rollup-grain,
+    the shape of every "top movers per period AND overall" report.
+    Revenue is `_sum2`-exact; ranks ride row_number over the total
+    (revenue DESC, brand) order, so the top-K cut is engine-exact.
+    NULL quarter marks the year grain (the rollup convention), surfaced
+    as quarter 0 so the oracle compare never hashes a NULL key.
+
+    Oracle: the UNREWRITTEN per-grain UNION ALL (two aggregate scans +
+    two ranked subqueries), proving the Expand+window rewrite."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{GRAIN_YEAR}-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{GRAIN_YEAR + 1}-01-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    grains = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.quarter("l_shipdate").alias("qtr"), "p_brand", rev.alias("r"))
+        .groupingSets([["qtr", "p_brand"], ["p_brand"]], "qtr", "p_brand")
+        .agg(_sum2(F.col("r")).alias("revenue"))
+    )
+    # qtr 0 = the year grain (quarters are 1-4, so 0 is free) — the
+    # coalesce happens BEFORE the window, making qtr alone the grain
+    # key: 5 partitions, each |brands| wide
+    w = W.partitionBy("qtr").orderBy(F.col("revenue").desc(), "p_brand")
+    ranked = grains.withColumn(
+        "qtr", F.coalesce(F.col("qtr"), F.lit(0)).cast("int")
+    ).withColumn("brand_rank", F.row_number().over(w).cast("int"))
+    return (
+        ranked.filter(F.col("brand_rank") <= GRAIN_TOP_K)
+        .select(
+            F.when(F.col("qtr") == 0, F.lit("year")).otherwise(
+                F.lit("quarter")
+            ).alias("grain"),
+            "qtr",
+            "p_brand",
+            "revenue",
+            "brand_rank",
+        )
+        .orderBy("qtr", "brand_rank")
+    )
+
+
 def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram over events.value: width-25 buckets clamped at
     10 — the one-shuffle shape of every monitoring histogram at 100 TB
@@ -2627,6 +2686,39 @@ ORACLE: dict[str, str] = {
         FROM part
         ORDER BY p_partkey
     """,
+    # the UNREWRITTEN DS-Q67-shaped form: one aggregate+rank query PER
+    # GRAIN, UNION ALLed (two fact scans) — matching the engine's single
+    # Expand+window pass proves the rewrite
+    "rollup_topk_per_grain": f"""
+        WITH base AS (
+            SELECT CAST(quarter(l_shipdate) AS INTEGER) AS qtr, p_brand,
+                   l_extendedprice * (1 - l_discount) AS r
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '{GRAIN_YEAR}-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '{GRAIN_YEAR + 1}-01-01 00:00:00'
+        ),
+        per_quarter AS (
+            SELECT 'quarter' AS grain, qtr, p_brand,
+                   {_sql_sum2('r')} AS revenue,
+                   CAST(row_number() OVER (
+                       PARTITION BY qtr
+                       ORDER BY {_sql_sum2('r')} DESC, p_brand
+                   ) AS INTEGER) AS brand_rank
+            FROM base GROUP BY qtr, p_brand
+        ),
+        per_year AS (
+            SELECT 'year' AS grain, 0 AS qtr, p_brand,
+                   {_sql_sum2('r')} AS revenue,
+                   CAST(row_number() OVER (
+                       ORDER BY {_sql_sum2('r')} DESC, p_brand
+                   ) AS INTEGER) AS brand_rank
+            FROM base GROUP BY p_brand
+        )
+        SELECT grain, qtr, p_brand, revenue, brand_rank
+        FROM (SELECT * FROM per_quarter UNION ALL SELECT * FROM per_year)
+        WHERE brand_rank <= {GRAIN_TOP_K}
+        ORDER BY qtr, brand_rank
+    """,
     "grouping_sets_revenue": f"""
         SELECT l_returnflag, l_linestatus,
                {_sql_sum2('l_extendedprice * (1 - l_discount)')} AS revenue,
@@ -2686,6 +2778,7 @@ QUERIES = {
     "excess_share_suppliers": excess_share_suppliers,
     "shipmode_priority_counts": shipmode_priority_counts,
     "yoy_revenue_delta": yoy_revenue_delta,
+    "rollup_topk_per_grain": rollup_topk_per_grain,
     "agg_statistics": agg_statistics,
     "agg_quantiles": agg_quantiles,
     "rollup_totals": rollup_totals,

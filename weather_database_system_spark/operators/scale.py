@@ -59,6 +59,95 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOT_MIN_LINES = 8  # fact rows per key to classify the key as hot; the
+# hot set is PROVABLY bounded: |{k : count(k) ≥ H}| ≤ N/H, so it always
+# broadcasts. Non-vacuous at every SF (77 / 734 hot orders at
+# sf0.001 / 0.01, probed).
+
+
+def skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-split (salted) equi-join — the manual remedy for a shuffled
+    join whose key distribution has heavy hitters, complementing
+    skew_salted_agg on the join side and AQE's runtime skew-join split
+    (which only fires on sort-merge joins past size thresholds; this
+    form is plan-level and portable). One pass detects the hot keys
+    (per-key fact counts ≥ HOT_MIN_LINES — a bounded, broadcastable set
+    by construction), then a SINGLE join runs with composite keys:
+
+    - fact side: salt = xxhash64(row-unique cols) mod N_SALTS for hot
+      keys, 0 for cold — the hot key's rows scatter over N_SALTS
+      reducers instead of stalling one;
+    - dim side: hot keys REPLICATE ×N_SALTS (explode a salt sequence),
+      cold keys carry salt 0 — every fact row still meets exactly one
+      dim row, so the join result is row-identical to the plain join.
+
+    The oracle runs the plain (unsalted) join + aggregate, proving the
+    equivalence the way skew_salted_agg's oracle does for aggregation.
+    At 100 TB the cost is |hot|·(N_SALTS−1) extra dim rows — bounded by
+    N_SALTS·N/HOT_MIN — against removing the straggler tail; the
+    detection pass is a combiner-friendly key count that production
+    would replace with a sampled or sketched (count-min) estimate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        "l_extendedprice", "l_discount",
+    )
+    from weather_database_system_spark.session import track_persisted
+
+    # persisted: the hot set feeds BOTH join sides — without it the
+    # detection aggregate (a full fact scan) runs twice
+    hot = track_persisted(
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_lines"))
+        .filter(F.col("n_lines") >= HOT_MIN_LINES)
+        .select("l_orderkey", F.lit(True).alias("is_hot"))
+        .persist()
+    )
+    fact = li.join(
+        F.broadcast(hot), "l_orderkey", "left"
+    ).withColumn(
+        "salt",
+        F.when(
+            F.col("is_hot"),
+            F.pmod(F.xxhash64("l_linenumber", "l_partkey"), F.lit(N_SALTS)),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    dim = (
+        orders.join(
+            F.broadcast(hot),
+            orders.o_orderkey == hot.l_orderkey,
+            "left",
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.when(
+                        F.col("is_hot"), F.lit(N_SALTS - 1).cast("bigint")
+                    ).otherwise(F.lit(0).cast("bigint")),
+                )
+            ).alias("salt"),
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        fact.join(
+            dim,
+            (fact.l_orderkey == dim.o_orderkey) & (fact.salt == dim.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(rev.cast(DEC)), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch vs exact distinct counts per event_type: HLL++
     (approx_count_distinct, rsd=1%) checked against the exact
@@ -1055,6 +1144,17 @@ ORACLE: dict[str, str] = {
         GROUP BY 1, 2
         ORDER BY 1, 2
     """,
+    # the plain (unsalted) join + aggregate — matching the engine's
+    # hot-key-salted composite join proves row-identical results
+    "skew_split_join": """
+        SELECT o_orderpriority,
+               count(*) AS n_lines,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
     "skew_salted_agg": """
         SELECT event_type,
                count(*) AS n_events,
@@ -1102,6 +1202,7 @@ QUERIES = {
     "bloom_prefilter_semi_join": bloom_prefilter_semi_join,  # pinned-tolerance
     "stratified_sample": stratified_sample,
     "train_test_split": train_test_split,
+    "skew_split_join": skew_split_join,
     "skew_salted_agg": skew_salted_agg,
     "approx_distinct_users": approx_distinct_users,
     "approx_distinct_users_scale": approx_distinct_users_scale,
