@@ -124,7 +124,12 @@ _LAST_VERIFIED = {
         "disjunctive_brand_revenue", "duplicate_span_extraction",
         "embedding_near_dup_lsh", "embedding_pca_project",
         "excess_share_suppliers", "heavy_hitters_cms",
-        "important_part_value", "jaccard_prefix_pairs",
+        "important_part_value",
+        # jaccard_prefix_pairs REMOVED late-r12 (rewrite → jumps the
+        # queue): the 32×-Zipf rehearsal investigation added the PPJoin
+        # LENGTH filter inside the prefix join (candidates pruned, never
+        # results — the brute-force oracle re-certifies zero false
+        # negatives); the plan changed, so it re-enters the sample front.
         "jpeg_decode_features", "lang_id_stopword", "large_volume_orders",
         "linear_regression_trend", "min_cost_supplier", "monthly_rollup",
         "multimodal_frame_sample", "multimodal_metadata", "nation_profit",

@@ -643,12 +643,25 @@ def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes, "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= F.floor(F.col("n") / 2) + 1)
-        .select("doc_id", "s")
+        .select("doc_id", "s", "n")
     )
+    # LENGTH filter (Xiao WWW'08 §3.1, exactness-preserving pigeonhole):
+    # J ≥ 1/2 ⟺ 3·inter ≥ |A|+|B| with inter ≤ min(|A|,|B|) forces
+    # max(|A|,|B|) ≤ 2·min(|A|,|B|) — integer-exact, applied inside the
+    # prefix join so out-of-band posting pairs never reach the distinct/
+    # verification shuffles (added after the r12 32×-Zipf rehearsal
+    # measured the unfiltered candidate stage going quadratic at 160k
+    # docs; the filter prunes candidates, not results, so the
+    # brute-force oracle still certifies zero false negatives)
     cand = (
         prefix.alias("pa")
-        .join(prefix.alias("pb"), "s")
-        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .join(
+            prefix.alias("pb"),
+            (F.col("pa.s") == F.col("pb.s"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            & (F.col("pb.n") <= 2 * F.col("pa.n"))
+            & (F.col("pa.n") <= 2 * F.col("pb.n")),
+        )
         .select(
             F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
         )
