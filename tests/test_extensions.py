@@ -2921,3 +2921,105 @@ def test_ppjoin_prefix_recall_complete_and_index_smaller(spark):
         .count()
     )
     assert prefix_n < full_n, (prefix_n, full_n)
+
+
+def test_salted_join_row_identical_for_any_detector(spark):
+    """salted_join's contract: row-identical to the plain inner join for
+    ANY hot-key set — exact, CMS-estimated, empty, or every key. The
+    detector choice moves work between reducers, never rows. Built on a
+    synthetic frame with a genuine heavy hitter (one key = half the
+    fact) so the salting path is actually exercised."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.scale import (
+        HOT_MIN_LINES,
+        detect_hot_keys_cms,
+        salted_join,
+    )
+
+    n = 4000
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(
+            F.col("id") % 400
+        ).alias("k"),
+        F.col("id").alias("row_id"),
+    )
+    dim = (
+        fact.select("k").distinct().withColumn("attr", F.col("k") * 10)
+    )
+    plain = sorted(
+        (r.k, r.row_id, r.attr)
+        for r in fact.join(dim, "k").collect()
+    )
+
+    exact_hot = (
+        fact.groupBy("k").agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= HOT_MIN_LINES).select("k")
+    )
+    cms_hot = detect_hot_keys_cms(fact, "k", HOT_MIN_LINES)
+    # CM never undercounts → the sketched set is a SUPERSET of the truth
+    assert exact_hot.join(cms_hot, "k", "anti").count() == 0
+
+    detectors = {
+        "exact": exact_hot,
+        "cms": cms_hot,
+        "empty": exact_hot.filter(F.lit(False)),
+        "all": fact.select("k").distinct(),
+    }
+    for name, hot in detectors.items():
+        got = sorted(
+            (r.k, r.row_id, r.attr)
+            for r in salted_join(
+                fact, dim, "k", hot, F.xxhash64("row_id")
+            ).collect()
+        )
+        assert got == plain, f"detector={name}: salted join diverged"
+
+
+def test_salted_join_scatters_hot_key_over_salts(spark):
+    """The mechanism itself: with the heavy hitter in the hot set, its
+    fact rows must carry >1 distinct salt (scatter), the dim must hold
+    exactly N_SALTS replicas of it, and cold keys exactly one."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.scale import N_SALTS
+
+    n = 2000
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(
+            F.col("id") % 400
+        ).alias("k"),
+        F.col("id").alias("row_id"),
+    )
+    hot = fact.groupBy("k").agg(F.count("*").alias("c")).filter(
+        F.col("c") >= 100
+    ).select("k")
+    assert [r.k for r in hot.collect()] == [7]
+
+    # reproduce salted_join's internals to observe the salt columns
+    hot_b = F.broadcast(hot.withColumn("__is_hot", F.lit(True)))
+    f = fact.join(hot_b, "k", "left").withColumn(
+        "__salt",
+        F.when(
+            F.col("__is_hot"),
+            F.pmod(F.xxhash64("row_id"), F.lit(N_SALTS)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    n_salts_hot = f.filter(F.col("k") == 7).select("__salt").distinct().count()
+    assert n_salts_hot == N_SALTS  # 1000 draws over 8 salts: all hit
+
+    dim = fact.select("k").distinct()
+    d = dim.join(hot_b, "k", "left").withColumn(
+        "__salt",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.when(
+                    F.col("__is_hot"), F.lit(N_SALTS - 1).cast("bigint")
+                ).otherwise(F.lit(0).cast("bigint")),
+            )
+        ),
+    )
+    per_key = {r.k: r.c for r in d.groupBy("k").agg(F.count("*").alias("c")).collect()}
+    assert per_key[7] == N_SALTS
+    assert all(v == 1 for k, v in per_key.items() if k != 7)

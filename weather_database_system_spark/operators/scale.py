@@ -148,6 +148,112 @@ def skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    hot_keys: DataFrame,
+    salt_expr,
+    n_salts: int = N_SALTS,
+) -> DataFrame:
+    """Library form of the skew-split join (see skew_split_join for the
+    registry-checked instance): inner equi-join ``fact ⋈ dim`` on ``key``
+    with the keys in ``hot_keys`` salted over ``n_salts`` reducers.
+
+    Correct for ANY ``hot_keys`` set — empty, exact, a superset, even
+    every key: each fact row carries exactly one salt and meets exactly
+    one dim replica, so the output is row-identical to the plain join
+    regardless of what the detector returned. A wrong or approximate
+    detector costs only performance (missed hot key → one hot reducer;
+    spurious hot key → n_salts−1 extra dim rows), never rows — which is
+    what makes sketched detection (detect_hot_keys_cms) safe to drive it.
+
+    ``salt_expr``: any Column scattering a hot key's fact rows (e.g.
+    xxhash64 of row-unique columns); its distribution affects balance,
+    not correctness."""
+    hot = F.broadcast(
+        hot_keys.select(key).distinct().withColumn("__is_hot", F.lit(True))
+    )
+    f = (
+        fact.join(hot, key, "left")
+        .withColumn(
+            "__salt",
+            F.when(
+                F.col("__is_hot"),
+                F.pmod(salt_expr, F.lit(n_salts)).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        .drop("__is_hot")
+    )
+    d = (
+        dim.join(hot, key, "left")
+        .withColumn(
+            "__salt",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.when(
+                        F.col("__is_hot"), F.lit(n_salts - 1).cast("bigint")
+                    ).otherwise(F.lit(0).cast("bigint")),
+                )
+            ),
+        )
+        .drop("__is_hot")
+    )
+    return f.join(d, [key, "__salt"]).drop("__salt")
+
+
+CMS_DETECT_D = 3     # detector sketch depth
+CMS_DETECT_W = 1024  # detector sketch width
+
+
+def detect_hot_keys_cms(
+    fact: DataFrame,
+    key: str,
+    min_count: int,
+    d: int = CMS_DETECT_D,
+    w: int = CMS_DETECT_W,
+) -> DataFrame:
+    """Count-min hot-key detector for salted_join: DataFrame[key] of every
+    key whose CM frequency ESTIMATE is ≥ min_count. CM never undercounts,
+    so the result is a SUPERSET of the true hot set — combined with
+    salted_join's any-set correctness this gives the directional
+    guarantee that matters: no true heavy hitter is ever left unsalted
+    (no straggler survives), and false positives only add benign extra
+    dim replicas (≤ d·N/(w·min_count) of them in expectation).
+
+    Counter state is d·w rows regardless of fact size (the
+    heavy_hitters_cms shape); the candidate probe here is one
+    distinct-keys pass — in the streaming deployment the counters are
+    maintained online (foreachBatch partials, sum-merged; additivity
+    pytest-pinned in test_streaming), so detection prices at the key
+    cardinality, not the fact volume."""
+    ks = F.col(key).cast("string")
+    buckets = [
+        F.pmod(F.xxhash64(F.concat(F.lit(f"{j}|"), ks)), F.lit(w)).alias(f"b{j}")
+        for j in range(d)
+    ]
+    jb = fact.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), b.alias("b"))
+                    for j, b in enumerate(buckets)
+                ]
+            )
+        ).alias("jb")
+    ).select("jb.j", "jb.b")
+    counters = jb.groupBy("j", "b").agg(F.count("*").alias("c"))
+    cand = fact.select(key).distinct().select(F.col(key), *buckets)
+    for j in range(d):
+        cj = counters.filter(F.col("j") == j).select(
+            F.col("b").alias(f"cb{j}"), F.col("c").alias(f"c{j}")
+        )
+        cand = cand.join(F.broadcast(cj), F.col(f"b{j}") == F.col(f"cb{j}"))
+    est = F.least(*[F.col(f"c{j}") for j in range(d)])
+    return cand.filter(est >= min_count).select(key)
+
+
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch vs exact distinct counts per event_type: HLL++
     (approx_count_distinct, rsd=1%) checked against the exact
