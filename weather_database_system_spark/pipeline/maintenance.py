@@ -54,22 +54,32 @@ def compact_partitioned(
     import glob
     import os
 
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     def _file_count(root: str) -> int:
         return len(
             glob.glob(os.path.join(root, *["*"] * len(partition_cols), "*.parquet"))
         )
 
     src = spark.read.parquet(src_path)
-    n_before = src.count()
     files_before = _file_count(src_path)
 
+    # The input row count rides an Observation on the write action itself
+    # — at 100 TB a separate count() is an entire extra dataset scan spent
+    # on bookkeeping. The read-back count below stays a real scan on
+    # purpose: it is the crash-safety assert (rows on disk, not rows the
+    # job believed it wrote), and the compacted output is the smaller side.
+    obs = Observation("compact_input")
     (
-        src.repartition(*partition_cols)
+        src.observe(obs, F.count(F.lit(1)).alias("n"))
+        .repartition(*partition_cols)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy(*partition_cols)
         .parquet(dst_path)
     )
+    n_before = obs.get["n"]
 
     n_after = spark.read.parquet(dst_path).count()
     files_after = _file_count(dst_path)
