@@ -126,6 +126,29 @@ HEADLINE = (
 # split).
 RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
+# SPARK_GRAFT_BENCH_QUICK=1 trims the run to a 12-query sentinel subset
+# (~15 s warm) for fast local iteration on a slow host: both host-drift
+# normalizers, the heaviest member of each operator family, and the
+# Python-path representative. The driver's per-round bench runs the full
+# set (this env is never set there); cross-round comparisons should only
+# ever use full-set BENCH files.
+QUICK = (
+    "pricing_summary",        # normalizer 1
+    "topk_global",            # normalizer 2
+    "join_star_revenue",      # join family
+    "window_running_sum",     # window family
+    "dedup_clusters_fast",    # dedup heavy
+    "semdedup_prune",         # embedding heavy
+    "ann_product_quantization",  # ANN heavy
+    "tfidf_cosine_pairs",     # text heavy
+    "feed_daily_rollup",      # Python DataSource path
+    "stream_session_window",  # streaming twin
+    "sole_return_supplier",   # TPC-H rewrite representative
+    "heavy_hitters_cms",      # sketch family
+)
+if os.environ.get("SPARK_GRAFT_BENCH_QUICK", "") not in ("", "0"):
+    HEADLINE = QUICK
+
 
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -218,6 +241,9 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "runs": RUNS,
+            # self-description so a QUICK-mode file can never be read as
+            # a full-set result in cross-round comparison
+            "headline_set": "quick" if HEADLINE is QUICK else "full",
             "sf": _sf_from_dir(SF_DIR),
             # Host-drift guard (r4 NOTES): the flagship time doubles as a
             # normalization denominator so cross-round comparisons can

@@ -107,23 +107,36 @@ def gen_documents(
     pq.write_table(tbl, f"{out_dir}/documents.parquet")
 
 
-def gen_lineitem(m: int, out_dir: str) -> None:
-    """m× fact-table slice for the lineitem-scanning rehearsal queries
-    (correlation_matrix): tile the real sf0.1 lineitem m times. Exact
-    duplication preserves every column distribution bit-for-bit, and the
-    moment-aggregate / scan-bound queries rehearsed on it are
-    key-agnostic — the point is rows scanned, not key cardinality."""
+# rehearsal queries that scan the star-schema fact tables rather than
+# documents/embeddings — their slices tile the REAL sf0.1 files m times:
+# exact duplication preserves every column distribution bit-for-bit, and
+# the scan/shuffle-bound shapes rehearsed on them are key-agnostic (the
+# point is rows scanned, not key cardinality)
+FACT_QUERIES = {
+    "correlation_matrix": ("lineitem",),
+    "shipmode_priority_counts": ("lineitem", "orders"),
+    "yoy_revenue_delta": ("lineitem", "part"),
+    "rollup_topk_per_grain": ("lineitem", "part"),
+    "skew_split_join": ("lineitem", "orders"),
+    "multi_band_counts": ("events",),
+}
+
+
+def gen_fact_tables(m: int, out_dir: str, tables: tuple) -> None:
     import duckdb
 
     con = duckdb.connect()
-    con.execute(
-        f"""
-        COPY (
-            SELECT li.* FROM range({m}) t(k),
-                 parquet_scan('/root/testdata/sf0.1/lineitem.parquet') li
-        ) TO '{out_dir}/lineitem.parquet' (FORMAT PARQUET)
-        """
-    )
+    for t in tables:
+        if os.path.exists(f"{out_dir}/{t}.parquet"):
+            continue
+        con.execute(
+            f"""
+            COPY (
+                SELECT s.* FROM range({m}) t(k),
+                     parquet_scan('/root/testdata/sf0.1/{t}.parquet') s
+            ) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)
+            """
+        )
 
 
 def gen_embeddings(n: int, seed: int, out_dir: str) -> None:
@@ -222,10 +235,11 @@ def main() -> None:
                 vocab_scale=args.vocab_scale,
             )
             gen_embeddings(BASE_VECS * m, seed=42, out_dir=d)
-        if "correlation_matrix" in names and not os.path.exists(
-            f"{d}/lineitem.parquet"
-        ):
-            gen_lineitem(m, out_dir=d)
+        fact_tables = tuple(
+            sorted({t for n in names for t in FACT_QUERIES.get(n, ())})
+        )
+        if fact_tables:
+            gen_fact_tables(m, out_dir=d, tables=fact_tables)
 
     from weather_database_system_spark.session import release_persisted
 
