@@ -592,3 +592,40 @@ def test_ppjoin_recall_complete_on_random_corpora(spark, tmp_path_factory, docs)
         for r in jaccard_prefix_pairs(spark, str(tmp)).collect()
     }
     assert got == expected, (sorted(got ^ expected)[:5], docs)
+
+
+@SETTINGS
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=60),
+    hot_mask=st.integers(min_value=0, max_value=2**13 - 1),
+)
+def test_salted_join_transparency_any_keys_any_hot_set(spark, keys, hot_mask):
+    """Join-side salting transparency (the join twin of the salted-agg
+    property above): for ANY fact key multiset and ANY hot-key subset —
+    including keys the fact doesn't contain, the empty set, and every
+    key — salted_join(fact, dim) is row-identical to the plain inner
+    join. The detector can therefore never affect correctness, only
+    reducer balance (the property that makes CMS-sketched detection
+    safe to deploy)."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.scale import salted_join
+
+    fact = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "k int, row_id int"
+    )
+    dim = spark.createDataFrame(
+        [(k, k * 10) for k in range(13)], "k int, attr int"
+    )
+    hot = spark.createDataFrame(
+        [(k,) for k in range(13) if hot_mask & (1 << k)] or [(-1,)],
+        "k int",
+    )
+    plain = sorted(
+        (r.k, r.row_id, r.attr) for r in fact.join(dim, "k").collect()
+    )
+    salted = sorted(
+        (r.k, r.row_id, r.attr)
+        for r in salted_join(fact, dim, "k", hot, F.xxhash64("row_id")).collect()
+    )
+    assert salted == plain
