@@ -123,7 +123,13 @@ _LAST_VERIFIED = {
         "dedup_minhash_lsh_fast", "discount_elimination_revenue",
         "disjunctive_brand_revenue", "duplicate_span_extraction",
         "embedding_near_dup_lsh", "embedding_pca_project",
-        "excess_share_suppliers", "heavy_hitters_cms",
+        "excess_share_suppliers",
+        # heavy_hitters_cms REMOVED late-r12 (refactor → jumps the
+        # queue): its body now rides the shared _cms_buckets/_cms_jb/
+        # _cms_estimate helpers extracted for the streaming twin (ADVICE
+        # r12 #2); results verified bit-identical vs the oracle at
+        # sf0.001/0.01/0.1 in-session, but touched code re-enters the
+        # sample front per the standing protocol.
         "important_part_value",
         # jaccard_prefix_pairs REMOVED late-r12 (rewrite → jumps the
         # queue): the 32×-Zipf rehearsal investigation added the PPJoin

@@ -618,6 +618,55 @@ HH_TOP = 50       # heavy hitters reported
 HH_BOUND_MULT = 3
 
 
+# Shared CMS plumbing for the batch sketch and its streaming twin (r12
+# ADVICE #2): the hash layout lives in exactly one place, so the two
+# operators — and the foreachBatch pytest that replays the same layout —
+# can never drift apart.
+
+def _cms_buckets(grams: DataFrame) -> DataFrame:
+    """Add the d count-min bucket columns b0..b{HH_D−1} (xxhash64 of a
+    per-row salted gram, mod HH_W) to a gram frame; every other column
+    passes through untouched."""
+    return grams.select(
+        "*",
+        *[
+            F.pmod(
+                F.xxhash64(F.concat(F.lit(f"{j}|"), F.col("g"))), F.lit(HH_W)
+            ).alias(f"b{j}")
+            for j in range(HH_D)
+        ],
+    )
+
+
+def _cms_jb(bucketed: DataFrame, *extra: str) -> DataFrame:
+    """Explode a bucketed gram frame to (…extra, j, b) rows — one per
+    (gram occurrence, hash row): the counter build's input."""
+    return bucketed.select(
+        *extra,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), F.col(f"b{j}").alias("b"))
+                    for j in range(HH_D)
+                ]
+            )
+        ).alias("jb"),
+    ).select(*extra, "jb.j", "jb.b")
+
+
+def _cms_estimate(candidates: DataFrame, counters: DataFrame):
+    """Join the d W-sized counter slices (broadcast) onto candidate rows
+    keyed by their b0..b{HH_D−1} columns. Returns (scored_df, est_col)
+    with est = min_j counter_j[b_j] — the count-min read."""
+    scored = candidates
+    for j in range(HH_D):
+        cj = counters.filter(F.col("j") == j).select(
+            F.col("b").alias(f"cb{j}"), F.col("c").alias(f"c{j}")
+        )
+        scored = scored.join(F.broadcast(cj), F.col(f"b{j}") == F.col(f"cb{j}"))
+    return scored, F.least(*[F.col(f"c{j}") for j in range(HH_D)])
+
+
 def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via a count-min sketch (Cormode & Muthukrishnan 2005)
     over document bigrams — the frequency-sketch member of the mergeable-
@@ -650,27 +699,8 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: BOTH the counter build and the exact yardstick read the
     # bucketed grams — without it the tokenize→explode→3×xxhash pipeline
     # runs twice (a full extra corpus pass, caught in the r11 self-review)
-    bucketed = track_persisted(
-        grams.select(
-            "g",
-            *[
-                F.pmod(
-                    F.xxhash64(F.concat(F.lit(f"{j}|"), F.col("g"))), F.lit(HH_W)
-                ).alias(f"b{j}")
-                for j in range(HH_D)
-            ],
-        ).persist()
-    )
-    jb = bucketed.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("j"), F.col(f"b{j}").alias("b"))
-                    for j in range(HH_D)
-                ]
-            )
-        ).alias("jb")
-    ).select("jb.j", "jb.b")
+    bucketed = track_persisted(_cms_buckets(grams).persist())
+    jb = _cms_jb(bucketed)
     # persisted: read d times for the broadcast slices + once for N
     counters = track_persisted(
         jb.groupBy("j", "b").agg(F.count("*").alias("c")).persist()
@@ -679,13 +709,7 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = bucketed.groupBy("g", *[f"b{j}" for j in range(HH_D)]).agg(
         F.count("*").alias("n_exact")
     )
-    scored = exact
-    for j in range(HH_D):
-        cj = counters.filter(F.col("j") == j).select(
-            F.col("b").alias(f"cb{j}"), F.col("c").alias(f"c{j}")
-        )
-        scored = scored.join(F.broadcast(cj), F.col(f"b{j}") == F.col(f"cb{j}"))
-    est = F.least(*[F.col(f"c{j}") for j in range(HH_D)])
+    scored, est = _cms_estimate(exact, counters)
     return (
         scored.crossJoin(F.broadcast(total))
         .select(
@@ -736,29 +760,8 @@ def heavy_hitters_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("doc_id"), F.lit(HH_STREAM_BATCHES)).alias("batch"),
         F.explode(_grams(_tokens(F.col("text")), 2)).alias("g"),
     )
-    bucketed = track_persisted(
-        grams.select(
-            "batch",
-            "g",
-            *[
-                F.pmod(
-                    F.xxhash64(F.concat(F.lit(f"{j}|"), F.col("g"))), F.lit(HH_W)
-                ).alias(f"b{j}")
-                for j in range(HH_D)
-            ],
-        ).persist()
-    )
-    jb = bucketed.select(
-        "batch",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("j"), F.col(f"b{j}").alias("b"))
-                    for j in range(HH_D)
-                ]
-            )
-        ).alias("jb"),
-    ).select("batch", "jb.j", "jb.b")
+    bucketed = track_persisted(_cms_buckets(grams).persist())
+    jb = _cms_jb(bucketed, "batch")
     # per-micro-batch partials (what each foreachBatch appends) ...
     partials = jb.groupBy("batch", "j", "b").agg(F.count("*").alias("c"))
     # ... blind-appended and merged by SUM at read time
@@ -778,13 +781,7 @@ def heavy_hitters_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = bucketed.groupBy("g", *[f"b{j}" for j in range(HH_D)]).agg(
         F.count("*").alias("n_exact")
     )
-    scored = exact
-    for j in range(HH_D):
-        cj = merged.filter(F.col("j") == j).select(
-            F.col("b").alias(f"cb{j}"), F.col("c").alias(f"c{j}")
-        )
-        scored = scored.join(F.broadcast(cj), F.col(f"b{j}") == F.col(f"cb{j}"))
-    est = F.least(*[F.col(f"c{j}") for j in range(HH_D)])
+    scored, est = _cms_estimate(exact, merged)
     return (
         scored.crossJoin(F.broadcast(total))
         .crossJoin(F.broadcast(additive))
