@@ -40,36 +40,25 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # then ascending by staleness — the r01/r02-era greens re-verify before
 # anything newer. Two rounds of this rotation re-freshen the whole registry.
 #
-# Rotation executed at r12 start per the procedure above: every key in
-# CORRECTNESS_r11.json moved to 11 (that sample covered the 21 new r11
-# queries, the 7 r11 rewrites, the whole 20-query r6 tail and the r7
-# front — 50/50 green), leaving groups r7=43, r8=47, r10=45, r11=50 —
-# all 185 registry entries mapped, nothing older than r7. The r12
-# sample (first 50) therefore re-greens the ENTIRE 43-query r7-era
-# block (ann_ivf_kmeans, gap_fill_locf, sql_correlated_exists, the
-# stream_* batch twins, …) — the stalest verifications left (r11
-# VERDICT #2) — plus any never-verified queries new this round, which
-# _prioritize() enumerates first.
+# Rotation executed at r13 start per the procedure above: 48 of the 50
+# keys in CORRECTNESS_r12.json moved to 12 (the r12 sample covered the
+# 7 new r12 queries plus 41 of the 43-query r7-era block — 50/50
+# green). Two r12-green keys stay UNMAPPED on the r12 VERDICT's orders:
+# `heavy_hitters_cms` (body now rides the shared _cms_buckets/_cms_jb/
+# _cms_estimate helpers extracted late-r12 for the streaming twin) and
+# `jaccard_prefix_pairs` (PPJoin length filter added late-r12 inside
+# the prefix join) — both were edited after their in-round green runs,
+# so they re-enter the sample front regardless of the driver's
+# round-boundary row. Groups now: r7=2 (feed_daily_rollup,
+# cache_envelope_projection — the only 5-round-stale entries, next in
+# line), r8=47, r10=45, r11=48, r12=48. The r13 sample (first 50) =
+# the 2 unmapped re-queues + any new r13 queries + the 2 r7 stragglers
+# + the front of the 47-query r8-era block (join_*, set_*, window_*,
+# codec paths) — exactly the order the r12 VERDICT task #1 prescribes.
 _LAST_VERIFIED = {
     # --- last green in r07 ---
     **dict.fromkeys([
-        "ann_ivf_kmeans", "ann_ivf_kmeans_nprobe", "approx_distinct_users",
-        "array_functions", "cache_envelope_projection",
-        "cache_freshness_ladder", "cache_ttl_introspection",
-        "coercion_fill_policy", "cohort_retention", "conditional_functions",
-        "datetime_functions", "dedup_clusters_logstar", "feature_scaling",
-        "feed_daily_rollup", "funnel_conversion", "gap_fill_interpolate",
-        "gap_fill_locf", "hll_partial_rollup", "map_functions",
-        "math_functions", "monthly_filtered", "projection_sort",
-        "quantile_bucket_decile", "quantile_bucket_decile_approx",
-        "rfm_segmentation", "rfm_segmentation_approx", "rollup_cascade_day",
-        "semdedup_prune", "sessionize_events", "skew_salted_agg",
-        "sql_correlated_exists", "sql_groupby_having",
-        "sql_scalar_subquery", "stratified_sample",
-        "stream_late_data_policy", "stream_session_window",
-        "stream_sliding_window", "stream_tumbling_window",
-        "stream_windowed_dedup", "string_functions_extended",
-        "tfidf_cosine_pairs", "train_test_split", "udf_normalize_text"
+        "cache_envelope_projection", "feed_daily_rollup"
     ], 7),
     # --- last green in r08 ---
     **dict.fromkeys([
@@ -89,8 +78,9 @@ _LAST_VERIFIED = {
         "sequence_pack_bins", "sequence_pack_bins_sharded",
         "set_except_nations", "set_intersect_nations", "set_union_nations",
         "skyline_pareto", "topk_global", "udf_weighted_mean_price",
-        "unpivot_measures", "window_distribution_funcs", "window_lag_delta",
-        "window_rank_dense", "window_rolling_1h", "window_topk_per_group"
+        "unpivot_measures", "window_distribution_funcs",
+        "window_lag_delta", "window_rank_dense", "window_rolling_1h",
+        "window_topk_per_group"
     ], 8),
     # --- last green in r10 ---
     **dict.fromkeys([
@@ -98,20 +88,21 @@ _LAST_VERIFIED = {
         "asof_attribution_tolerance", "bigram_surprisal_quality",
         "chunk_dedup_stats", "contamination_eval_overlap",
         "corpus_dedup_apply", "curriculum_pack_epochs",
-        "data_quality_profile", "decayed_user_value", "dedup_against_index",
-        "dedup_clusters", "dedup_containment", "dedup_exact",
-        "dedup_minhash_lsh", "dedup_simhash", "diff_snapshots",
-        "embedding_gram_matrix", "embedding_near_dup",
+        "data_quality_profile", "decayed_user_value",
+        "dedup_against_index", "dedup_clusters", "dedup_containment",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "diff_snapshots", "embedding_gram_matrix", "embedding_near_dup",
         "entity_fuzzy_blocking", "funnel_time_to_convert",
         "graph_clustering_coeff", "grouping_sets_revenue",
         "histogram_value_buckets", "image_decode_features",
         "item_cooccurrence_similarity", "late_orders_by_priority",
         "ngram_jaccard_pairs", "pagerank_near_dup", "pmi_collocations",
         "repetition_ngram_stats", "rollup_merge_incremental",
-        "scd2_user_history", "seasonal_hourly_profile", "shipping_priority",
-        "source_kl_divergence", "source_overlap_jaccard",
-        "span_corruption_masks", "split_by_cluster", "string_functions",
-        "time_proximity_join", "tokenize_to_ids", "unigram_logprob_quality",
+        "scd2_user_history", "seasonal_hourly_profile",
+        "shipping_priority", "source_kl_divergence",
+        "source_overlap_jaccard", "span_corruption_masks",
+        "split_by_cluster", "string_functions", "time_proximity_join",
+        "tokenize_to_ids", "unigram_logprob_quality",
         "winnow_fingerprints", "zorder_layout"
     ], 10),
     # --- last green in r11 ---
@@ -123,19 +114,7 @@ _LAST_VERIFIED = {
         "dedup_minhash_lsh_fast", "discount_elimination_revenue",
         "disjunctive_brand_revenue", "duplicate_span_extraction",
         "embedding_near_dup_lsh", "embedding_pca_project",
-        "excess_share_suppliers",
-        # heavy_hitters_cms REMOVED late-r12 (refactor → jumps the
-        # queue): its body now rides the shared _cms_buckets/_cms_jb/
-        # _cms_estimate helpers extracted for the streaming twin (ADVICE
-        # r12 #2); results verified bit-identical vs the oracle at
-        # sf0.001/0.01/0.1 in-session, but touched code re-enters the
-        # sample front per the standing protocol.
-        "important_part_value",
-        # jaccard_prefix_pairs REMOVED late-r12 (rewrite → jumps the
-        # queue): the 32×-Zipf rehearsal investigation added the PPJoin
-        # LENGTH filter inside the prefix join (candidates pruned, never
-        # results — the brute-force oracle re-certifies zero false
-        # negatives); the plan changed, so it re-enters the sample front.
+        "excess_share_suppliers", "important_part_value",
         "jpeg_decode_features", "lang_id_stopword", "large_volume_orders",
         "linear_regression_trend", "min_cost_supplier", "monthly_rollup",
         "multimodal_frame_sample", "multimodal_metadata", "nation_profit",
@@ -144,11 +123,34 @@ _LAST_VERIFIED = {
         "regional_market_share", "returned_item_customers",
         "session_path_analysis", "small_quantity_part_revenue",
         "sole_return_supplier", "stream_stream_join",
-        "supplier_count_by_part_family", "text_quality", "text_token_stats",
-        "tfidf_top_terms", "time_weighted_avg", "udf_tokenize_table",
-        "wealthy_idle_customers", "weighted_reservoir_sample",
-        "window_running_sum"
+        "supplier_count_by_part_family", "text_quality",
+        "text_token_stats", "tfidf_top_terms", "time_weighted_avg",
+        "udf_tokenize_table", "wealthy_idle_customers",
+        "weighted_reservoir_sample", "window_running_sum"
     ], 11),
+    # --- last green in r12 ---
+    **dict.fromkeys([
+        "ann_ivf_kmeans", "ann_ivf_kmeans_nprobe", "approx_distinct_users",
+        "array_functions", "bpe_merge_pairs", "cache_freshness_ladder",
+        "cache_ttl_introspection", "coercion_fill_policy",
+        "cohort_retention", "conditional_functions", "datetime_functions",
+        "dedup_clusters_logstar", "feature_scaling", "funnel_conversion",
+        "gap_fill_interpolate", "gap_fill_locf",
+        "heavy_hitters_cms_stream", "hll_partial_rollup", "map_functions",
+        "math_functions", "monthly_filtered", "multi_band_counts",
+        "projection_sort", "quantile_bucket_decile",
+        "quantile_bucket_decile_approx", "rfm_segmentation",
+        "rfm_segmentation_approx", "rollup_cascade_day",
+        "rollup_topk_per_grain", "semdedup_prune", "sessionize_events",
+        "shipmode_priority_counts", "skew_salted_agg", "skew_split_join",
+        "sql_correlated_exists", "sql_groupby_having",
+        "sql_scalar_subquery", "stratified_sample",
+        "stream_late_data_policy", "stream_session_window",
+        "stream_sliding_window", "stream_tumbling_window",
+        "stream_windowed_dedup", "string_functions_extended",
+        "tfidf_cosine_pairs", "train_test_split", "udf_normalize_text",
+        "yoy_revenue_delta"
+    ], 12),
 }
 
 

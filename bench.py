@@ -2,7 +2,10 @@
 """Benchmark harness: times the headline query set at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+"queries": {name: sec, ...}, "sf": ...}. The stdout line is COMPACT
+(sized to the driver's 2000-char tail capture — heaviest queries kept,
+rest elided with a count); the complete per-query payload including
+cold_sec is always written to BENCH_LOCAL.json alongside this file.
 
 Queries execute via the no-op sink (``format("noop")``) so the timing covers
 scan → shuffle → compute with zero driver-side materialization cost — the
@@ -26,6 +29,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# GROWTH POLICY (r12 VERDICT task #7, adopted r13): the full headline set
+# is FROZEN at the 56 queries below. At ~25 min of driver wall-clock for
+# 56 × 3 runs, per-round bench time must stop growing linearly with the
+# registry (192 queries and counting). New operators get their plan
+# audited and scale-rehearsed (tools/scale_rehearsal.py) when they land,
+# and are benched locally via SPARK_GRAFT_BENCH_QUICK with a temporary
+# QUICK override during development; they join the frozen set only by
+# REPLACING a headliner of the same operator family whose coverage they
+# strictly supersede (documented here when it happens). Cross-round
+# comparability of the 56-query total is the asset this freeze protects.
 HEADLINE = (
     "pricing_summary",        # flagship scan + wide agg (lineitem full scan)
     "join_star_revenue",      # 5-way broadcast star join + agg
@@ -270,14 +283,47 @@ def main() -> None:
             "run_mode": "cold_first_warm_median" if RUNS > 1 else "single",
         }
     )
-    # Durable copy first (survives any console interleaving), then the
-    # contract's ONE JSON line as the final stdout write, flushed.
+    # Durable copy first (survives any console interleaving): the FULL
+    # payload — every per-query warm median and cold split — always lands
+    # in BENCH_LOCAL.json.
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
         fh.write(payload + "\n")
+
+    # The contract's ONE JSON line, last on stdout, must survive the
+    # driver's 2000-char tail capture (measured: BENCH_r11/r12 both store
+    # exactly len(tail)==2000, and the full 56-query payload outgrew it →
+    # parsed: null two rounds running despite the r11 progress-bar fix).
+    # Emit a COMPACT final line instead (r12 VERDICT task #2): all scalar
+    # metadata, plus as many per-query entries as fit a 1800-byte budget —
+    # heaviest first, so the entries that matter for regression triage
+    # survive — with an explicit elision count and a pointer to the
+    # durable full payload. cold_sec lives only in BENCH_LOCAL.json.
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "queries_elided": 0,
+        "n_queries": len(timings),
+        "runs": RUNS,
+        "headline_set": "quick" if HEADLINE is QUICK else "full",
+        "sf": _sf_from_dir(SF_DIR),
+        "normalizer_sec": timings["pricing_summary"],
+        "normalizer2_sec": timings["topk_global"],
+        "run_mode": "cold_first_warm_median" if RUNS > 1 else "single",
+        "full_payload": "BENCH_LOCAL.json",
+    }
+    budget = 1800
+    for name in sorted(timings, key=timings.get, reverse=True):
+        compact["queries"][name] = timings[name]
+        if len(json.dumps(compact, separators=(",", ":"))) > budget:
+            del compact["queries"][name]
+            break
+    compact["queries_elided"] = len(timings) - len(compact["queries"])
     sys.stdout.flush()
     sys.stderr.flush()
-    print(payload, flush=True)
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

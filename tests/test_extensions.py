@@ -3023,3 +3023,43 @@ def test_salted_join_scatters_hot_key_over_salts(spark):
     per_key = {r.k: r.c for r in d.groupBy("k").agg(F.count("*").alias("c")).collect()}
     assert per_key[7] == N_SALTS
     assert all(v == 1 for k, v in per_key.items() if k != 7)
+
+
+def test_salted_join_null_salt_expr_keeps_rows(spark):
+    """ADVICE r12 #1: a salt_expr that evaluates NULL on a hot fact row
+    must not drop the row — the coalesce maps NULL to salt 0, whose dim
+    replica always exists. Balance degrades (NULLs pile on reducer 0);
+    rows never do."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.scale import salted_join
+
+    fact = spark.range(200).select(
+        F.lit(7).alias("k"),
+        F.col("id").alias("row_id"),
+        # NULL on even rows — half the hot key's salts are NULL
+        F.when(F.col("id") % 2 == 1, F.col("id")).alias("maybe_null"),
+    )
+    dim = fact.select("k").distinct().withColumn("attr", F.col("k") * 10)
+    hot = fact.select("k").distinct()
+    got = salted_join(fact, dim, "k", hot, F.col("maybe_null"))
+    assert got.count() == 200  # plain inner join row count — nothing dropped
+
+
+def test_salted_join_rejects_reserved_column_names(spark):
+    """ADVICE r12 #2: __is_hot/__salt are internal names; a caller frame
+    already carrying one must fail loudly, not be silently overwritten."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.scale import salted_join
+
+    fact = spark.range(10).select(
+        F.lit(1).alias("k"), F.col("id").alias("row_id")
+    )
+    dim = fact.select("k").distinct()
+    hot = fact.select("k").distinct()
+    for bad in ("__is_hot", "__salt"):
+        poisoned = fact.withColumn(bad, F.lit(0))
+        with pytest.raises(ValueError, match=bad):
+            salted_join(poisoned, dim, "k", hot, F.xxhash64("row_id"))

@@ -263,6 +263,33 @@ def main() -> None:
                 # (the bench.py lifecycle contract)
                 release_persisted()
             results[name][m] = round(best, 2)
+            if name == "skew_split_join":
+                # ADVICE r12 #4: HOT_MIN_LINES detection is data-dependent
+                # (standard TPC-H caps at 7 lines/order → empty hot set →
+                # the salting path silently no-ops). Surface the count so
+                # an empty set is visible, not silent.
+                from pyspark.sql import functions as F
+
+                from weather_database_system_spark.operators.scale import (
+                    HOT_MIN_LINES,
+                )
+                from weather_database_system_spark.sources.star import (
+                    load_table,
+                )
+
+                nh = (
+                    load_table(spark, f"{args.scratch}/m{m}{suffix}", "lineitem")
+                    .groupBy("l_orderkey")
+                    .agg(F.count("*").alias("n"))
+                    .filter(F.col("n") >= HOT_MIN_LINES)
+                    .count()
+                )
+                status = "" if nh else "  <-- EMPTY: salting path NOT exercised"
+                print(
+                    f"[skew_split_join] hot keys (>= {HOT_MIN_LINES} lines) "
+                    f"at {m}x: {nh}{status}",
+                    file=sys.stderr,
+                )
 
     print("| query | " + " | ".join(f"{m}× (s)" for m in multiples) + " | exponent |")
     print("|---|" + "---|" * (len(multiples) + 1))

@@ -17,10 +17,15 @@ Decode coverage is format-tiered, honestly:
   ``png_decode_features``), cross-checked byte-for-byte against the PPM
   path on the same pixel grids and hypothesis-round-tripped over random
   images.
-- Remaining compressed formats (JPEG/MP3/MP4) need PIL/cv2/ffmpeg, which
-  this container does not ship; ``_fake_decode`` remains the clearly-marked
-  deterministic stand-in on the text-payload pipeline so the Arrow plumbing
-  (binary schema, metadata struct, batch iteration, output schema) stays
+- REAL baseline-JPEG decode (stdlib + numpy, ITU-T T.81: marker/segment
+  parse, Huffman entropy decode, dequantize, 2-D IDCT, chroma upsample,
+  YCbCr→RGB; ``jpeg_decode_features`` + the encoder twin used by the
+  fixtures) has lived in this module since r7 — see the T.81 section
+  starting near line 515 and COVERAGE.md's multimodal row.
+- Only MP3/MP4 still need ffmpeg, which this container does not ship;
+  ``_fake_decode`` remains the clearly-marked deterministic stand-in on
+  the text-payload pipeline for those two, so the Arrow plumbing (binary
+  schema, metadata struct, batch iteration, output schema) stays
   exercised end-to-end.
 
 Scale design: payload bytes ride the same columnar files as the metadata

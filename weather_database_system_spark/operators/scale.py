@@ -170,7 +170,17 @@ def salted_join(
 
     ``salt_expr``: any Column scattering a hot key's fact rows (e.g.
     xxhash64 of row-unique columns); its distribution affects balance,
-    not correctness."""
+    not correctness. A NULL-valued ``salt_expr`` on a hot fact row is
+    coalesced to salt 0 (dim replica 0 always exists), so nullable salt
+    inputs degrade balance — NULL rows pile on one reducer — never rows
+    (ADVICE r12 #1)."""
+    for col in ("__is_hot", "__salt"):
+        for side, df in (("fact", fact), ("dim", dim), ("hot_keys", hot_keys)):
+            if col in df.columns:
+                raise ValueError(
+                    f"salted_join reserves column name {col!r}; "
+                    f"{side} already carries it (ADVICE r12 #2)"
+                )
     hot = F.broadcast(
         hot_keys.select(key).distinct().withColumn("__is_hot", F.lit(True))
     )
@@ -180,7 +190,10 @@ def salted_join(
             "__salt",
             F.when(
                 F.col("__is_hot"),
-                F.pmod(salt_expr, F.lit(n_salts)).cast("bigint"),
+                F.coalesce(
+                    F.pmod(salt_expr, F.lit(n_salts)).cast("bigint"),
+                    F.lit(0).cast("bigint"),
+                ),
             ).otherwise(F.lit(0).cast("bigint")),
         )
         .drop("__is_hot")

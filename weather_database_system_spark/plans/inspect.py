@@ -52,8 +52,14 @@ def pushed_filters(df: DataFrame) -> list[str]:
     out: list[str] = []
     # greedy-to-line-end capture: IN-list atoms like
     # In(event_type, [click,view]) contain an inner ']', so a lazy
-    # [^\]]* match truncates them (found by the multi_band_counts pin)
-    for m in re.finditer(r"PushedFilters: \[(.*)\]", formatted_plan(df)):
+    # [^\]]* match truncates them (found by the multi_band_counts pin).
+    # Anchored to end-of-line (ADVICE r12 #3): formatted mode puts
+    # PushedFilters on its own line; the anchor pins that assumption so
+    # a simple-mode style '..., ReadSchema: ...' trailer could never be
+    # swallowed into the capture.
+    for m in re.finditer(
+        r"PushedFilters: \[(.*)\]\s*$", formatted_plan(df), re.M
+    ):
         # filter atoms look like Name(args...); args may contain commas
         # and bracketed IN-lists
         out.extend(
