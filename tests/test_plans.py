@@ -961,3 +961,55 @@ def test_channel_cumulative_compare_single_scan_one_window_chain(spark):
     assert "Join" not in plan  # the grid IS the full-outer key set
     assert len(re.findall(r"^\s*(?:\+-|:-)?\s*Window \(\d+\)", plan, re.M)) == 2
     assert shuffle_count(df) <= 3
+
+
+def test_trigram_index_search_posting_intersection_shape(spark):
+    """The trigram search must stay index-shaped: the needle's literal
+    IN-list prunes the posting stream, the documents table is read at
+    most twice (posting build + candidate verify — at scale the posting
+    side is a pre-built index and disappears), candidates join back by
+    equi-join (never a cartesian), and the scans read only the three
+    needed columns."""
+    import re
+
+    from weather_database_system_spark.operators.textan import (
+        trigram_index_search,
+    )
+    from weather_database_system_spark.plans import (
+        formatted_plan,
+        read_schema_columns,
+        shuffle_count,
+    )
+
+    df = trigram_index_search(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*documents", plan)) == 2
+    assert "CartesianProduct" not in plan
+    assert " IN " in plan or "tri#" in plan  # the 8-literal posting prune
+    for cols in read_schema_columns(df):
+        assert cols <= {"doc_id", "lang", "text"}  # pruned scans
+    assert shuffle_count(df) <= 4  # postings agg, join sides, final sort
+
+
+def test_minmax_downsample_single_scan_one_exchange(spark):
+    """The M4-style decimation must rank both extremes in ONE pass: a
+    single events scan, both row_number orderings sharing the
+    (event_type, day) partitioning (2 Window nodes, one exchange), the
+    per-bucket emit via the CASE-array explode — no UNION re-scan, no
+    join — plus only the presentation sort."""
+    import re
+
+    from weather_database_system_spark.operators.temporal import (
+        minmax_downsample,
+    )
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = minmax_downsample(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*events", plan)) == 1, (
+        "events scanned more than once — the two-branch UNION form leaked back"
+    )
+    assert "Join" not in plan
+    assert len(re.findall(r"^\s*(?:\+-|:-)?\s*Window \(\d+\)", plan, re.M)) == 2
+    assert "Generate" in plan  # the explode emitting min/max kinds
+    assert shuffle_count(df) <= 2  # window exchange + presentation sort

@@ -576,7 +576,82 @@ def changepoint_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max time-series decimation (the M4 / dashboarding downsample;
+    Jugel et al., VLDB 2014): per (series, time bucket) keep exactly the
+    extreme rows — the max-value and min-value observation — so a plot
+    of the decimated series preserves every visual spike the full series
+    has. The TSDB counterpart of what the reference's dashboard does by
+    querying whole months of raw rows (routes/monthly.js rolls up; a
+    chart over 100 TB of observations needs decimation, not a full scan).
+
+    ONE window partitioning (event_type, day) carries both extreme ranks
+    — two orderings, two Window nodes, ONE exchange, no joins, no
+    second scan; the kept rows explode from a per-row CASE array, so a
+    single-row bucket correctly yields BOTH its min and max row. Total
+    ordering: value ties broken by the unique event_id, NULL values
+    ordered last under both directions in BOTH engines (explicit
+    NULLS LAST), so argmin/argmax are engine-deterministic. Output is
+    raw stored doubles — no arithmetic — hence hash-exact.
+
+    At 100 TB: map-side the fact partitions by (series, bucket) — a
+    uniform key space (buckets bound the per-group row count); the
+    shuffle carries the fact once and state per group is O(1). The M4
+    variant adding first/last rows per bucket is the same plan with two
+    more rank columns."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_id",
+        "value",
+    )
+    base = W.partitionBy("event_type", "day")
+    ranked = ev.select(
+        "*",
+        F.row_number()
+        .over(base.orderBy(F.col("value").desc_nulls_last(), "event_id"))
+        .alias("rmax"),
+        F.row_number()
+        .over(base.orderBy(F.col("value").asc_nulls_last(), "event_id"))
+        .alias("rmin"),
+    )
+    kind = F.explode(
+        F.filter(
+            F.array(
+                F.when(F.col("rmax") == 1, F.lit("max")),
+                F.when(F.col("rmin") == 1, F.lit("min")),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return (
+        ranked.select("event_type", "day", kind.alias("kind"), "event_id", "value")
+        .orderBy("event_type", "day", "kind")
+    )
+
+
 ORACLE: dict[str, str] = {
+    # the UNREWRITTEN two-branch form: rank twice, filter twice, UNION —
+    # the engine emits both extremes from one pass via the CASE-array
+    # explode instead
+    "minmax_downsample": """
+        WITH b AS (
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY event_type, strftime(ts, '%Y-%m-%d')
+                       ORDER BY value DESC NULLS LAST, event_id) AS rmax,
+                   row_number() OVER (
+                       PARTITION BY event_type, strftime(ts, '%Y-%m-%d')
+                       ORDER BY value ASC NULLS LAST, event_id) AS rmin
+            FROM events
+        )
+        SELECT event_type, day, 'max' AS kind, event_id, value
+        FROM b WHERE rmax = 1
+        UNION ALL
+        SELECT event_type, day, 'min' AS kind, event_id, value
+        FROM b WHERE rmin = 1
+        ORDER BY event_type, day, kind
+    """,
     "linear_regression_trend": f"""
         WITH m AS (
             SELECT event_type,
@@ -841,6 +916,7 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "minmax_downsample": minmax_downsample,
     "changepoint_mean_shift": changepoint_mean_shift,
     "linear_regression_trend": linear_regression_trend,
     "seasonal_hourly_profile": seasonal_hourly_profile,

@@ -822,9 +822,85 @@ def heavy_hitters_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRIGRAM_NEEDLE = "spark join"  # 10 chars → 8 trigrams; ~5 % of docs match
+
+
+def trigram_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search accelerated by a trigram posting index — the
+    pg_trgm / code-search pattern that turns a full-scan ``LIKE
+    '%needle%'`` into a posting-list intersection. A doc containing the
+    needle necessarily contains every one of the needle's trigrams, so
+    the intersection of the needle's posting lists is a provable
+    SUPERSET of the true matches; the final ``contains`` verify touches
+    only those candidates, making the result exact (the oracle replays
+    the plain LIKE over the whole table — a hash match proves zero
+    false positives AND zero false negatives end-to-end).
+
+    Plan: distinct per-doc trigrams explode once, the 8-literal IN
+    filter prunes the postings stream in the same codegen stage (no
+    posting survives that isn't a needle trigram), and the candidate
+    gate is count(distinct-by-construction) == |needle trigrams|. At
+    100 TB the postings are a PRE-BUILT bucketed index (doc→trigram
+    written once at ingest, the dedup_against_index shape) and the scan
+    side of this query disappears — queries price at
+    Σ |posting list(needle trigram)| + |candidates| verify reads,
+    not corpus bytes. Occurrence count via length arithmetic
+    (replace-and-measure), engine-exact integers."""
+    tris = sorted(
+        {TRIGRAM_NEEDLE[i : i + 3] for i in range(len(TRIGRAM_NEEDLE) - 2)}
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    # per-doc DISTINCT trigrams (postings carry no multiplicity)
+    tri_arr = F.when(
+        F.length("text") >= 3,
+        F.array_distinct(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    postings = docs.select(
+        "doc_id", F.explode(tri_arr).alias("tri")
+    ).filter(F.col("tri").isin(*tris))
+    cand = (
+        postings.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tris"))
+        .filter(F.col("n_tris") == len(tris))
+        .select("doc_id")
+    )
+    needle_len = len(TRIGRAM_NEEDLE)
+    return (
+        docs.join(cand, "doc_id")
+        .filter(F.instr("text", TRIGRAM_NEEDLE) > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.instr("text", TRIGRAM_NEEDLE).cast("int").alias("first_pos"),
+            (
+                (F.length("text") - F.length(F.replace(F.col("text"), F.lit(TRIGRAM_NEEDLE))))
+                / F.lit(needle_len)
+            )
+            .cast("int")
+            .alias("n_occurrences"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _SQL_TOKS = "SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents"
 
 ORACLE: dict[str, str] = {
+    # the UNINDEXED form: a full-table LIKE scan — matching it proves the
+    # trigram posting intersection + contains verify is exact end-to-end
+    "trigram_index_search": f"""
+        SELECT doc_id, lang,
+               CAST(strpos(text, '{TRIGRAM_NEEDLE}') AS INT) AS first_pos,
+               CAST((length(text) - length(replace(text, '{TRIGRAM_NEEDLE}', '')))
+                    / {len(TRIGRAM_NEEDLE)} AS INT) AS n_occurrences
+        FROM documents
+        WHERE text LIKE '%{TRIGRAM_NEEDLE}%'
+        ORDER BY doc_id
+    """,
     # exact top-K bigram counts are the replayable spine; the two CM
     # claims are engine-decided and pinned TRUE (overestimate-only +
     # integer-space overshoot bound)
@@ -1152,6 +1228,7 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "trigram_index_search": trigram_index_search,
     "heavy_hitters_cms": heavy_hitters_cms,
     "heavy_hitters_cms_stream": heavy_hitters_cms_stream,
     "pmi_collocations": pmi_collocations,
