@@ -30,15 +30,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # GROWTH POLICY (r12 VERDICT task #7, adopted r13): the full headline set
-# is FROZEN at the 56 queries below. At ~25 min of driver wall-clock for
-# 56 × 3 runs, per-round bench time must stop growing linearly with the
+# is FROZEN at the 55 queries below. At ~20 min of driver wall-clock for
+# 55 × 3 runs, per-round bench time must stop growing linearly with the
 # registry (192 queries and counting). New operators get their plan
 # audited and scale-rehearsed (tools/scale_rehearsal.py) when they land,
 # and are benched locally via SPARK_GRAFT_BENCH_QUICK with a temporary
 # QUICK override during development; they join the frozen set only by
 # REPLACING a headliner of the same operator family whose coverage they
 # strictly supersede (documented here when it happens). Cross-round
-# comparability of the 56-query total is the asset this freeze protects.
+# comparability of the 55-query total is the asset this freeze protects.
 HEADLINE = (
     "pricing_summary",        # flagship scan + wide agg (lineitem full scan)
     "join_star_revenue",      # 5-way broadcast star join + agg

@@ -1013,3 +1013,21 @@ def test_minmax_downsample_single_scan_one_exchange(spark):
     assert len(re.findall(r"^\s*(?:\+-|:-)?\s*Window \(\d+\)", plan, re.M)) == 2
     assert "Generate" in plan  # the explode emitting min/max kinds
     assert shuffle_count(df) <= 2  # window exchange + presentation sort
+
+
+def test_table_fingerprint_single_scan_no_sort_of_rows(spark):
+    """The replica checksum must stay one-pass: a single orders scan, a
+    map-side-combined 32-key aggregate (partial + final HashAggregate),
+    no Join, no row-level Sort — only the 32-row presentation sort. The
+    whole point is that verification never re-orders 100 TB."""
+    import re
+
+    from weather_database_system_spark.operators.scale import table_fingerprint
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = table_fingerprint(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*orders", plan)) == 1
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final (map-side combine)
+    assert shuffle_count(df) <= 2  # 32-key agg exchange + 32-row sort

@@ -118,7 +118,10 @@ FACT_QUERIES = {
     "yoy_revenue_delta": ("lineitem", "part"),
     "rollup_topk_per_grain": ("lineitem", "part"),
     "skew_split_join": ("lineitem", "orders"),
+    "salted_join_cms": ("lineitem", "orders"),
     "multi_band_counts": ("events",),
+    "channel_cumulative_compare": ("events",),
+    "minmax_downsample": ("events",),
 }
 
 

@@ -267,6 +267,65 @@ def detect_hot_keys_cms(
     return cand.filter(est >= min_count).select(key)
 
 
+FP_BUCKETS = 32  # fingerprint buckets (the Merkle level's fan-out)
+FP_MOD = (1 << 61) - 1  # Mersenne prime: digest stays int64, sum stays mergeable
+
+
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-bucket table checksum — the cross-replica
+    consistency check a 100 TB deployment runs after replication,
+    migration, or an engine swap (exactly this repo's use case: prove a
+    Spark copy equals the reference warehouse without shipping rows).
+
+    Each row canonicalizes to a '|'-joined string (explicit decimal/
+    timestamp formatting — never raw double→string, whose scientific
+    notation thresholds differ across engines), hashes to the first 15
+    md5 hex digits (60 bits — fits int64 exactly in BOTH engines:
+    Spark ``conv(…,16,10)``, DuckDB ``CAST('0x…' AS BIGINT)``), and the
+    bucket checksum is the SUM of row hashes modulo the Mersenne prime
+    2^61 - 1 (keeps the digest inside int64 for every engine and client
+    while staying commutative and mergeable): the check is scan-order-
+    and partitioning-independent — ONE scan, one 32-key shuffle, no
+    sort. Per-bucket (vs one global digest) is the
+    Merkle level: a mismatch localizes to n/FP_BUCKETS rows, and bucket
+    rows from different replicas/shards merge by comparison without any
+    re-read. Collision odds: forging equality needs correlated 60-bit
+    sums; for drift DETECTION (the ops use case) a single changed row
+    flips its bucket with probability 1 − 2⁻⁶⁰.
+
+    The oracle recomputes the identical canonical hash sums in DuckDB —
+    a genuinely independent engine agreeing on every bucket IS the
+    operator working. NULL policy: these six columns are non-null in
+    this dataset (profiled); a nullable deployment must add an explicit
+    NULL sentinel per column, because concat_ws(skip) and ||(propagate)
+    canonicalize NULLs differently across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        _fr(F.col("o_totalprice"), 2).cast("decimal(18,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_orderpriority"),
+    )
+    rv = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    return (
+        o.select(
+            F.pmod("o_orderkey", F.lit(FP_BUCKETS)).alias("bucket"),
+            rv.alias("rv"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.sum(F.col("rv").cast("decimal(28,0)")) % F.lit(FP_MOD))
+            .cast("long")
+            .alias("checksum"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def salted_join_cms_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable registry form of the ``salted_join`` +
     ``detect_hot_keys_cms`` library pair (r12 VERDICT task #3) — the
@@ -1362,6 +1421,27 @@ ORACLE: dict[str, str] = {
         GROUP BY 1, 2
         ORDER BY 1, 2
     """,
+    # the independent-engine recomputation of the canonical row-hash
+    # sums — DuckDB agreeing on all 32 bucket checksums IS the check
+    "table_fingerprint": f"""
+        WITH r AS (
+            SELECT o_orderkey % {FP_BUCKETS} AS bucket,
+                   CAST('0x' || substr(md5(
+                       CAST(o_orderkey AS VARCHAR) || '|' ||
+                       CAST(o_custkey AS VARCHAR) || '|' ||
+                       o_orderstatus || '|' ||
+                       CAST(CAST({_sql_fr('o_totalprice', 2)} AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' ||
+                       o_orderpriority
+                   ), 1, 15) AS BIGINT) AS rv
+            FROM orders
+        )
+        SELECT bucket, count(*) AS n_rows,
+               CAST(sum(rv) % 2305843009213693951 AS BIGINT) AS checksum
+        FROM r
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
     # the CMS-driven library salted join: the oracle replays the plain
     # join + the EXACT hot-key census and asserts both pinned claims held
     # (CM-superset detection, multiset row identity)
@@ -1444,6 +1524,7 @@ QUERIES = {
     "train_test_split": train_test_split,
     "skew_split_join": skew_split_join,
     "salted_join_cms": salted_join_cms_checked,
+    "table_fingerprint": table_fingerprint,
     "skew_salted_agg": skew_salted_agg,
     "approx_distinct_users": approx_distinct_users,
     "approx_distinct_users_scale": approx_distinct_users_scale,
