@@ -3063,3 +3063,78 @@ def test_salted_join_rejects_reserved_column_names(spark):
         poisoned = fact.withColumn(bad, F.lit(0))
         with pytest.raises(ValueError, match=bad):
             salted_join(poisoned, dim, "k", hot, F.xxhash64("row_id"))
+
+
+def test_table_fingerprint_partials_merge_by_modular_addition(spark):
+    """The fingerprint's operational contract: bucket digests computed on
+    disjoint SHARDS of the table merge by modular addition into exactly
+    the whole-table digests (and counts by plain addition) — replicas or
+    streaming batches never need a joint pass. Also pins
+    order-independence: a reversed-order scan yields identical digests."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.scale import (
+        FP_MOD,
+        table_fingerprint,
+    )
+    from weather_database_system_spark.sources.star import load_table
+    from tests.conftest import SF_SMOKE
+
+    full = {
+        r.bucket: (r.n_rows, r.checksum)
+        for r in table_fingerprint(spark, SF_SMOKE).collect()
+    }
+
+    # recompute the same digests over two disjoint shards (split on
+    # o_custkey parity — orthogonal to the o_orderkey bucketing, so every
+    # bucket receives rows from both shards) with the operator's own
+    # canonicalization, then merge driver-side
+    orders = load_table(spark, SF_SMOKE, "orders")
+    halves = [
+        orders.filter(F.col("o_custkey") % 2 == i) for i in (0, 1)
+    ]
+    import weather_database_system_spark.operators.scale as sc
+
+    def fp_of(df):
+        # same body as table_fingerprint, applied to an arbitrary frame
+        from weather_database_system_spark.operators.relational import _fr
+
+        canon = F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            _fr(F.col("o_totalprice"), 2).cast("decimal(18,2)").cast("string"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+            F.col("o_orderpriority"),
+        )
+        rv = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+        return {
+            r.bucket: (r.n_rows, r.checksum)
+            for r in df.select(
+                F.pmod("o_orderkey", F.lit(sc.FP_BUCKETS)).alias("bucket"),
+                rv.alias("rv"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_rows"),
+                (F.sum(F.col("rv").cast("decimal(28,0)")) % F.lit(FP_MOD))
+                .cast("long")
+                .alias("checksum"),
+            )
+            .collect()
+        }
+
+    a, b = fp_of(halves[0]), fp_of(halves[1])
+    merged = {
+        k: (
+            a.get(k, (0, 0))[0] + b.get(k, (0, 0))[0],
+            (a.get(k, (0, 0))[1] + b.get(k, (0, 0))[1]) % FP_MOD,
+        )
+        for k in set(a) | set(b)
+    }
+    assert merged == full
+
+    # order independence: scanning in descending key order changes nothing
+    rev = fp_of(orders.orderBy(F.col("o_orderkey").desc()))
+    assert rev == full
