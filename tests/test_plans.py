@@ -169,6 +169,8 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
         "dedup_clusters_fast",      # 1-row label-agreement claim broadcast
         "salted_join_cms",          # 1-row superset/identity claims
                                     # broadcast (r13 checked wrapper)
+        "frequent_best_customer_revenue",  # 1-row max-spend broadcast
+                                           # (Q23 best-customer threshold)
         "embedding_pca_project",    # 1-row subspace-invariant claims
                                     # broadcast (plus the sanctioned
                                     # broadcast-K Lloyd-free Gram path)
@@ -1031,3 +1033,32 @@ def test_table_fingerprint_single_scan_no_sort_of_rows(spark):
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final (map-side combine)
     assert shuffle_count(df) <= 2  # 32-key agg exchange + 32-row sort
+
+
+def test_frequent_best_customer_revenue_filters_before_join(spark):
+    """The DS-Q23 shape must filter BOTH fact-join inputs before the
+    orderkey shuffle: the frequent-part set semi-joins the pruned
+    reporting-year lineitem slice (whose year bound is a parquet
+    PushedFilter), the best-customer set semi-joins orders, and the max
+    spend arrives as a 1-row broadcast. Exactly two lineitem scans
+    (history pass for the frequent set + the bounded reporting pass)
+    and two orders scans (spend pass + key mapping) — the textbook
+    IN-after-join form ships every reporting-year line through the join
+    first."""
+    import re
+
+    from weather_database_system_spark.operators.relational import (
+        frequent_best_customer_revenue,
+    )
+    from weather_database_system_spark.plans import (
+        formatted_plan,
+        pushed_filters,
+    )
+
+    df = frequent_best_customer_revenue(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*lineitem", plan)) == 2
+    assert len(re.findall(r"Location:.*orders", plan)) == 2
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    assert "LeftSemi" in plan  # both IN-filters planned as semi joins
+    assert "CartesianProduct" not in plan

@@ -119,6 +119,7 @@ FACT_QUERIES = {
     "rollup_topk_per_grain": ("lineitem", "part"),
     "skew_split_join": ("lineitem", "orders"),
     "salted_join_cms": ("lineitem", "orders"),
+    "frequent_best_customer_revenue": ("lineitem", "orders"),
     "multi_band_counts": ("events",),
     "channel_cumulative_compare": ("events",),
     "minmax_downsample": ("events",),

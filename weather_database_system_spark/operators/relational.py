@@ -1366,6 +1366,95 @@ def yoy_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FREQ_MIN_DAYS = 20      # part "frequent" if shipped on ≥ this many days
+BEST_YEAR = 1998        # the reporting window (full shipdate year)
+# "best customer" = lifetime spend within 2× of the top spender
+# (2·s ≥ max(s) as s+s ≥ max — addition, never a precision-39 multiply);
+# selects 45/150 customers at sf0.001, 361/1500 at sf0.01 (probed)
+
+
+def frequent_best_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q23-shaped composite (the benchmark's hardest query
+    family): monthly revenue from FREQUENT items (parts shipped on ≥
+    FREQ_MIN_DAYS distinct days over all history) bought by BEST
+    customers (lifetime spend within 2× of the maximum spender), inside
+    one reporting year. The textbook form is two independent CTE
+    pipelines feeding IN-subqueries applied AFTER the fact⋈orders join.
+
+    The engine restructures for scale:
+    - frequent set: ONE lineitem pass pruned to (partkey, ship-day),
+      countDistinct per part (two-phase internally — never a distinct
+      materialization), ≥-filter → a part-keyed SEMI join on the fact.
+    - best set: ONE orders pass → per-customer decimal spend, the max
+      as a 1-row broadcast (the sanctioned claims shape), s+s ≥ max in
+      exact decimal(28,10) — and the semi-filter applies to the ORDERS
+      side BEFORE the fact join (the Q7 dims-filter-early pattern), so
+      the expensive orderkey shuffle moves only best-customer orders.
+    - fact pass: the reporting-year bound is a parquet PushedFilter;
+      the frequent semi-join prunes lines before the orders join.
+
+    At 100 TB the textbook plan ships every 1998 line through the join
+    and THEN discards ~everything (best customers are a 2-30 % slice);
+    filtering both join inputs first moves the shuffles from corpus-
+    sized to answer-sized. Oracle: the UNREWRITTEN two-CTE + two
+    IN-subqueries form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    freq = (
+        li.select("l_partkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("d"))
+        .groupBy("l_partkey")
+        .agg(F.countDistinct("d").alias("n_days"))
+        .filter(F.col("n_days") >= FREQ_MIN_DAYS)
+        .select("l_partkey")
+    )
+    from weather_database_system_spark.session import track_persisted
+
+    # persisted: the spend aggregate feeds BOTH the 1-row max and the
+    # threshold filter — without it the orders scan + customer shuffle
+    # run twice (caught by this query's own plan pin)
+    spend = track_persisted(
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast("decimal(28,10)")
+            .alias("s")
+        )
+        .persist()
+    )
+    mx = spend.agg(F.max("s").alias("mx"))
+    best = (
+        spend.crossJoin(F.broadcast(mx))
+        .filter((F.col("s") + F.col("s")) >= F.col("mx"))
+        .select("o_custkey")
+    )
+    o_best = orders.select("o_orderkey", "o_custkey").join(
+        best, "o_custkey", "leftsemi"
+    )
+    month_lines = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(f"{BEST_YEAR}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{BEST_YEAR + 1}-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+        .join(freq, "l_partkey", "leftsemi")
+    )
+    return (
+        month_lines.join(o_best, month_lines.l_orderkey == o_best.o_orderkey)
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_lines"),
+            _sum2(F.col("rev")).alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational completeness (§2B): aggregates beyond avg/sum/count
 # ---------------------------------------------------------------------------
@@ -2475,6 +2564,45 @@ ORACLE: dict[str, str] = {
     # the UNREWRITTEN TPC-DS-Q75-shaped form: one aggregate subquery PER
     # YEAR, equi-joined on brand (two fact scans) — matching the engine's
     # single-scan conditional aggregate proves the rewrite
+    # the UNREWRITTEN Q23 textbook form: two independent CTE pipelines,
+    # a scalar max subquery, and both IN-filters applied AFTER the
+    # fact⋈orders join — matching the engine's filter-both-inputs-first
+    # semi-join form proves the restructure. Arithmetic mirrored exactly:
+    # decimal(28,10) spends, s+s ≥ max (addition, never a precision-39
+    # multiply)
+    "frequent_best_customer_revenue": f"""
+        WITH freq AS (
+            SELECT l_partkey
+            FROM (SELECT DISTINCT l_partkey,
+                         strftime(l_shipdate, '%Y-%m-%d') AS d
+                  FROM lineitem)
+            GROUP BY l_partkey
+            HAVING count(*) >= {FREQ_MIN_DAYS}
+        ),
+        spend AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(30,10)))
+                        AS DECIMAL(28,10)) AS s
+            FROM orders GROUP BY 1
+        ),
+        best AS (
+            SELECT o_custkey FROM spend
+            WHERE s + s >= (SELECT max(s) FROM spend)
+        )
+        SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+               count(*) AS n_lines,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(30,10))), 2) AS DOUBLE)
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '{BEST_YEAR}-01-01'
+          AND l.l_shipdate <  TIMESTAMP '{BEST_YEAR + 1}-01-01'
+          AND l.l_partkey IN (SELECT l_partkey FROM freq)
+          AND o.o_custkey IN (SELECT o_custkey FROM best)
+        GROUP BY 1
+        ORDER BY 1
+    """,
     "yoy_revenue_delta": f"""
         WITH prev AS (
             SELECT p_brand, {_sql_sum2('l_extendedprice * (1 - l_discount)')} AS prev_revenue
@@ -2778,6 +2906,7 @@ QUERIES = {
     "excess_share_suppliers": excess_share_suppliers,
     "shipmode_priority_counts": shipmode_priority_counts,
     "yoy_revenue_delta": yoy_revenue_delta,
+    "frequent_best_customer_revenue": frequent_best_customer_revenue,
     "rollup_topk_per_grain": rollup_topk_per_grain,
     "agg_statistics": agg_statistics,
     "agg_quantiles": agg_quantiles,
