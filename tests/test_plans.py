@@ -171,6 +171,8 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
                                     # broadcast (r13 checked wrapper)
         "frequent_best_customer_revenue",  # 1-row max-spend broadcast
                                            # (Q23 best-customer threshold)
+        "table_fingerprint_stream",  # 1-row merge-additivity claim
+                                     # broadcast (32-row digest tables)
         "embedding_pca_project",    # 1-row subspace-invariant claims
                                     # broadcast (plus the sanctioned
                                     # broadcast-K Lloyd-free Gram path)

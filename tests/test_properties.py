@@ -629,3 +629,48 @@ def test_salted_join_transparency_any_keys_any_hot_set(spark, keys, hot_mask):
         for r in salted_join(fact, dim, "k", hot, F.xxhash64("row_id")).collect()
     )
     assert salted == plain
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    data=st.data(),
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=3, max_size=40), min_size=1, max_size=12
+    ),
+)
+def test_trigram_search_equals_python_substring_scan(spark, data, texts):
+    """Trigram-index search must agree with a pure-Python substring scan
+    for ANY corpus and ANY needle — including needles absent from every
+    doc, needles with repeated trigrams, and overlap-heavy 'aaa' texts
+    (n_occurrences counts non-overlapping replace semantics in both
+    implementations)."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.textan import _trigram_search
+
+    # needle: either a substring of a real text (guaranteed hits) or a
+    # random string (usually a miss) — both regimes matter
+    if data.draw(st.booleans()) and any(len(t) >= 3 for t in texts):
+        src = data.draw(
+            st.sampled_from([t for t in texts if len(t) >= 3])
+        )
+        n = data.draw(st.integers(3, min(15, len(src))))
+        i = data.draw(st.integers(0, len(src) - n))
+        needle = src[i : i + n]
+    else:
+        needle = data.draw(st.text(alphabet="ab ", min_size=3, max_size=8))
+
+    docs = spark.createDataFrame(
+        [(i, "xx", t) for i, t in enumerate(texts)],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r.doc_id: (r.first_pos, r.n_occurrences)
+        for r in _trigram_search(docs, needle).collect()
+    }
+    want = {
+        i: (t.index(needle) + 1, (len(t) - len(t.replace(needle, ""))) // len(needle))
+        for i, t in enumerate(texts)
+        if needle in t
+    }
+    assert got == want

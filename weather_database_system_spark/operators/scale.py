@@ -326,6 +326,69 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FP_STREAM_BATCHES = 4  # simulated micro-batches in the streaming twin
+
+
+def table_fingerprint_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAMING fingerprint ingest — the
+    heavy_hitters_cms_stream pattern applied to the replica checksum:
+    rows split into deterministic micro-batches (o_custkey mod K —
+    orthogonal to the o_orderkey bucketing, so every bucket receives
+    rows from every batch), per-batch digest PARTIALS built
+    independently, blind-appended and merged by count-addition +
+    modular checksum-addition at read time. Because
+    (a mod M + b mod M) mod M = (a + b) mod M, partials compose
+    without any read-modify-write — a continuously-ingesting 100 TB
+    table maintains its fingerprint by appending K·FP_BUCKETS-row
+    partials per batch, and replicas compare digests without ever
+    re-reading history.
+
+    Claims: ``merge_additive_ok`` — zero (bucket, n_rows, checksum)
+    rows differ between the merged partials and the single-pass
+    ``table_fingerprint`` (anti-joined both ways over the two 32-row
+    digest tables — never a fact-sized pass). The oracle replays the
+    single-pass digests and asserts the claim held."""
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        _fr(F.col("o_totalprice"), 2).cast("decimal(18,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_orderpriority"),
+    )
+    rv = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    rows = o.select(
+        F.pmod("o_custkey", F.lit(FP_STREAM_BATCHES)).alias("batch"),
+        F.pmod("o_orderkey", F.lit(FP_BUCKETS)).alias("bucket"),
+        rv.alias("rv"),
+    )
+    # per-micro-batch digest partials (what each foreachBatch appends) ...
+    partials = rows.groupBy("batch", "bucket").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.col("rv").cast("decimal(28,0)")) % F.lit(FP_MOD))
+        .cast("long")
+        .alias("c"),
+    )
+    # ... blind-appended and merged by (+, + mod M) at read time; each
+    # partial checksum < M < 2^61, so the K-term long sum cannot overflow
+    merged = partials.groupBy("bucket").agg(
+        F.sum("n").alias("n_rows"),
+        F.pmod(F.sum("c"), F.lit(FP_MOD)).alias("checksum"),
+    )
+    single = table_fingerprint(spark, sf_dir)
+    mismatches = merged.join(
+        single, ["bucket", "n_rows", "checksum"], "anti"
+    ).union(single.join(merged, ["bucket", "n_rows", "checksum"], "anti"))
+    additive = mismatches.agg((F.count("*") == 0).alias("merge_additive_ok"))
+    return (
+        merged.crossJoin(F.broadcast(additive))
+        .select("bucket", "n_rows", "checksum", "merge_additive_ok")
+        .orderBy("bucket")
+    )
+
+
 def salted_join_cms_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable registry form of the ``salted_join`` +
     ``detect_hot_keys_cms`` library pair (r12 VERDICT task #3) — the
@@ -1442,6 +1505,29 @@ ORACLE: dict[str, str] = {
         GROUP BY bucket
         ORDER BY bucket
     """,
+    # the streaming twin's spine is the SAME single-pass digests (the
+    # micro-batch split cannot change modular sums); the additivity
+    # claim is engine-decided and pinned TRUE
+    "table_fingerprint_stream": f"""
+        WITH r AS (
+            SELECT o_orderkey % {FP_BUCKETS} AS bucket,
+                   CAST('0x' || substr(md5(
+                       CAST(o_orderkey AS VARCHAR) || '|' ||
+                       CAST(o_custkey AS VARCHAR) || '|' ||
+                       o_orderstatus || '|' ||
+                       CAST(CAST({_sql_fr('o_totalprice', 2)} AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' ||
+                       o_orderpriority
+                   ), 1, 15) AS BIGINT) AS rv
+            FROM orders
+        )
+        SELECT bucket, count(*) AS n_rows,
+               CAST(sum(rv) % {(1 << 61) - 1} AS BIGINT) AS checksum,
+               TRUE AS merge_additive_ok
+        FROM r
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
     # the CMS-driven library salted join: the oracle replays the plain
     # join + the EXACT hot-key census and asserts both pinned claims held
     # (CM-superset detection, multiset row identity)
@@ -1525,6 +1611,7 @@ QUERIES = {
     "skew_split_join": skew_split_join,
     "salted_join_cms": salted_join_cms_checked,
     "table_fingerprint": table_fingerprint,
+    "table_fingerprint_stream": table_fingerprint_stream,
     "skew_salted_agg": skew_salted_agg,
     "approx_distinct_users": approx_distinct_users,
     "approx_distinct_users_scale": approx_distinct_users_scale,

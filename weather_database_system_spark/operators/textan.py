@@ -846,12 +846,19 @@ def trigram_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ |posting list(needle trigram)| + |candidates| verify reads,
     not corpus bytes. Occurrence count via length arithmetic
     (replace-and-measure), engine-exact integers."""
-    tris = sorted(
-        {TRIGRAM_NEEDLE[i : i + 3] for i in range(len(TRIGRAM_NEEDLE) - 2)}
-    )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
+    return _trigram_search(docs, TRIGRAM_NEEDLE)
+
+
+def _trigram_search(docs: DataFrame, needle: str) -> DataFrame:
+    """Library body of ``trigram_index_search`` over any (doc_id, lang,
+    text) frame; ``needle`` must be ≥3 chars. Hypothesis-pinned against
+    a pure-Python substring scan in test_properties."""
+    if len(needle) < 3:
+        raise ValueError("trigram search needs a needle of >= 3 chars")
+    tris = sorted({needle[i : i + 3] for i in range(len(needle) - 2)})
     # per-doc DISTINCT trigrams (postings carry no multiplicity)
     tri_arr = F.when(
         F.length("text") >= 3,
@@ -868,17 +875,16 @@ def trigram_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_tris") == len(tris))
         .select("doc_id")
     )
-    needle_len = len(TRIGRAM_NEEDLE)
     return (
         docs.join(cand, "doc_id")
-        .filter(F.instr("text", TRIGRAM_NEEDLE) > 0)
+        .filter(F.instr("text", needle) > 0)
         .select(
             "doc_id",
             "lang",
-            F.instr("text", TRIGRAM_NEEDLE).cast("int").alias("first_pos"),
+            F.instr("text", needle).cast("int").alias("first_pos"),
             (
-                (F.length("text") - F.length(F.replace(F.col("text"), F.lit(TRIGRAM_NEEDLE))))
-                / F.lit(needle_len)
+                (F.length("text") - F.length(F.replace(F.col("text"), F.lit(needle))))
+                / F.lit(len(needle))
             )
             .cast("int")
             .alias("n_occurrences"),
