@@ -576,3 +576,83 @@ def test_station_streaming_gold_partials_merge_to_batch_answer(spark, tmp_path):
     assert station_daily_merged(spark, gold).collect() == sorted(
         rows, key=lambda r: (r.station_id, r.obs_date)
     )
+
+
+def test_streaming_fingerprint_partials_merge_to_batch_digests(spark, tmp_path):
+    """The table fingerprint is ADDITIVE under streaming ingest: each
+    micro-batch appends its FP_BUCKETS-row digest partial (count +
+    modular hash sum) with no read-modify-write, and the partials summed
+    at read time must equal the single-pass table_fingerprint digests
+    BIT-FOR-BIT — the foreachBatch form a continuously-ingesting table
+    uses to keep a verifiable replica checksum current."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.relational import _fr
+    from weather_database_system_spark.operators.scale import (
+        FP_BUCKETS,
+        FP_MOD,
+        table_fingerprint,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    src = str(tmp_path / "orders_src")
+    orders.repartition(4).write.mode("overwrite").parquet(src)
+    partials_dir = str(tmp_path / "fp_partials")
+
+    def _partial(df):
+        canon = F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            _fr(F.col("o_totalprice"), 2).cast("decimal(18,2)").cast("string"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+            F.col("o_orderpriority"),
+        )
+        rv = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+        return (
+            df.select(
+                F.pmod("o_orderkey", F.lit(FP_BUCKETS)).alias("bucket"),
+                rv.alias("rv"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n"),
+                (F.sum(F.col("rv").cast("decimal(28,0)")) % F.lit(FP_MOD))
+                .cast("long")
+                .alias("c"),
+            )
+        )
+
+    def handle(batch_df, batch_id):
+        _partial(batch_df).write.mode("append").parquet(partials_dir)
+
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt_fp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    merged = {
+        r.bucket: (r.n_rows, r.checksum)
+        for r in spark.read.parquet(partials_dir)
+        .groupBy("bucket")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.pmod(F.sum("c"), F.lit(FP_MOD)).alias("checksum"),
+        )
+        .collect()
+    }
+    single = {
+        r.bucket: (r.n_rows, r.checksum)
+        for r in table_fingerprint(spark, SF_SMOKE).collect()
+    }
+    assert merged == single

@@ -836,6 +836,12 @@ def trigram_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plain LIKE over the whole table — a hash match proves zero
     false positives AND zero false negatives end-to-end).
 
+    Needle contract: the engine side (instr/contains/replace) is always
+    LITERAL; the DuckDB oracle's LIKE pattern would diverge for needles
+    containing the wildcards % or _, so registry needles must avoid
+    them (TRIGRAM_NEEDLE does; the hypothesis property pins the engine
+    against a pure-Python literal scan independently of LIKE).
+
     Plan: distinct per-doc trigrams explode once, the 8-literal IN
     filter prunes the postings stream in the same codegen stage (no
     posting survives that isn't a needle trigram), and the candidate
