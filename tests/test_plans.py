@@ -989,7 +989,8 @@ def test_trigram_index_search_posting_intersection_shape(spark):
     plan = formatted_plan(df)
     assert len(re.findall(r"Location:.*documents", plan)) == 2
     assert "CartesianProduct" not in plan
-    assert " IN " in plan or "tri#" in plan  # the 8-literal posting prune
+    assert "array_intersect" in plan  # the 8-literal posting prune,
+    # fused into the same codegen stage as the trigram transform
     for cols in read_schema_columns(df):
         assert cols <= {"doc_id", "lang", "text"}  # pruned scans
     assert shuffle_count(df) <= 4  # postings agg, join sides, final sort

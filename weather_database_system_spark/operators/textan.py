@@ -865,16 +865,23 @@ def _trigram_search(docs: DataFrame, needle: str) -> DataFrame:
     if len(needle) < 3:
         raise ValueError("trigram search needs a needle of >= 3 chars")
     tris = sorted({needle[i : i + 3] for i in range(len(needle) - 2)})
-    # per-doc DISTINCT trigrams (postings carry no multiplicity)
+    # per-doc DISTINCT needle-trigram postings: array_intersect against
+    # the needle's literal trigram set dedups AND prunes INSIDE the same
+    # codegen stage, so the explode emits ≤ |needle trigrams| rows per
+    # doc instead of one per text position (measured 1.16× at the Zipf
+    # 32× point, 31.9 → 27.6 s; the residual cost is the trigram
+    # transform itself — corpus-linear by nature, and exactly the part a
+    # pre-built posting index removes from the query path)
     tri_arr = F.when(
         F.length("text") >= 3,
-        F.array_distinct(
-            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
-        ),
+        F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"),
     ).otherwise(F.array().cast("array<string>"))
     postings = docs.select(
-        "doc_id", F.explode(tri_arr).alias("tri")
-    ).filter(F.col("tri").isin(*tris))
+        "doc_id",
+        F.explode(
+            F.array_intersect(tri_arr, F.array(*[F.lit(x) for x in tris]))
+        ).alias("tri"),
+    )
     cand = (
         postings.groupBy("doc_id")
         .agg(F.count("*").alias("n_tris"))
