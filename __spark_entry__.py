@@ -179,6 +179,7 @@ def _registries():
         "textan",
         "multimodal",
         "temporal",
+        "spatial",
         "scale",
         "behavioral",
         "featurize",

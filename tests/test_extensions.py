@@ -3138,3 +3138,66 @@ def test_table_fingerprint_partials_merge_by_modular_addition(spark):
     # order independence: scanning in descending key order changes nothing
     rev = fp_of(orders.orderBy(F.col("o_orderkey").desc()))
     assert rev == full
+
+
+def test_blocked_nearest_boundaries_cover_and_tiebreak(spark):
+    """Grid-blocking boundary semantics: a station at exactly euclidean R
+    on an axis is INCLUDED (dist² = R²), the (R, R) diagonal is excluded
+    (2R² > R²), stations just across a cell edge are still found (the
+    3×3 cover guarantee), equidistant ties break by the lower
+    s_suppkey, and a brute-force cross join over a seeded random cloud
+    agrees exactly."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.spatial import _blocked_nearest
+
+    R = 100
+
+    def run(cust_rows, st_rows):
+        cust = spark.createDataFrame(
+            cust_rows, "c_custkey long, lat long, lon long"
+        )
+        st = spark.createDataFrame(
+            st_rows, "s_suppkey long, slat long, slon long"
+        )
+        return {
+            r.c_custkey: (r.s_suppkey, r.dist2)
+            for r in _blocked_nearest(cust, st, R).collect()
+        }
+
+    # axis-exact R included; diagonal (R, R) excluded; cross-cell found
+    got = run(
+        [(1, 1000, 1000), (2, 199, 199), (3, 5000, 5000)],
+        [
+            (10, 1100, 1000),   # exactly R from cust 1 → included
+            (20, 299, 299),     # (R, R) diagonal from cust 2 → excluded
+            (30, 201, 205),     # same cell region, close → cust 2's hit
+                                # (cust 2 at cell (1,1), station at (2,2)
+                                # cell — found via the neighborhood)
+        ],
+    )
+    assert got[1] == (10, R * R)
+    assert got[2] == (30, 2 * 2 + 6 * 6)
+    assert 3 not in got  # nothing within R
+
+    # equidistant tie → lower s_suppkey wins
+    got = run([(1, 500, 500)], [(7, 500, 560), (5, 500, 440)])
+    assert got[1] == (5, 60 * 60)
+
+    # seeded random cloud vs brute force
+    rng = random.Random(13)
+    cust_rows = [(i, rng.randrange(0, 2000), rng.randrange(0, 2000)) for i in range(40)]
+    st_rows = [(j, rng.randrange(0, 2000), rng.randrange(0, 2000)) for j in range(25)]
+    got = run(cust_rows, st_rows)
+    want = {}
+    for i, la, lo in cust_rows:
+        best = None
+        for j, sa, so in st_rows:
+            d2 = (la - sa) ** 2 + (lo - so) ** 2
+            if d2 <= R * R and (best is None or (d2, j) < best):
+                best = (d2, j)
+        if best is not None:
+            want[i] = (best[1], best[0])
+    assert got == want

@@ -1065,3 +1065,26 @@ def test_frequent_best_customer_revenue_filters_before_join(spark):
     assert any("l_shipdate" in f for f in pushed_filters(df))
     assert "LeftSemi" in plan  # both IN-filters planned as semi joins
     assert "CartesianProduct" not in plan
+
+
+def test_nearest_station_blocked_join_no_cartesian(spark):
+    """The spatial nearest join must plan as a cell-key EQUI-join (never
+    the oracle's cross join): one customer scan, one supplier scan, the
+    ×9 neighborhood replication via a Generate on the station side, a
+    single per-customer Window for the argmin, and zero cartesian/BNLJ
+    nodes."""
+    import re
+
+    from weather_database_system_spark.operators.spatial import (
+        nearest_station_within_radius,
+    )
+    from weather_database_system_spark.plans import formatted_plan
+
+    df = nearest_station_within_radius(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"Location:.*customer", plan)) == 1
+    assert len(re.findall(r"Location:.*supplier", plan)) == 1
+    assert "Generate" in plan  # the 3x3 neighborhood explode
+    assert len(re.findall(r"^\s*(?:\+-|:-)?\s*Window \(\d+\)", plan, re.M)) == 1
