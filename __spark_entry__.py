@@ -51,10 +51,17 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # so they re-enter the sample front regardless of the driver's
 # round-boundary row. Groups now: r7=2 (feed_daily_rollup,
 # cache_envelope_projection — the only 5-round-stale entries, next in
-# line), r8=47, r10=45, r11=48, r12=48. The r13 sample (first 50) =
-# the 2 unmapped re-queues + any new r13 queries + the 2 r7 stragglers
-# + the front of the 47-query r8-era block (join_*, set_*, window_*,
-# codec paths) — exactly the order the r12 VERDICT task #1 prescribes.
+# line), r8=47, r10=45, r11=48, r12=48 at rotation time (r12 dropped
+# to 47 mid-round when heavy_hitters_cms_stream was rewritten — see
+# the inline note in its old group). With the 9 queries ADDED during
+# r13 (salted_join_cms, channel_cumulative_compare,
+# trigram_index_search, minmax_downsample, table_fingerprint,
+# table_fingerprint_stream, frequent_best_customer_revenue,
+# nearest_station_within_radius, station_density_grid) never-checked,
+# the r13 sample (first 50) = 12 unmapped (3 re-queues + 9 new) + the
+# 2 r7 stragglers + the front of the 47-query r8-era block (join_*,
+# set_*, window_* paths) — exactly the order the r12 VERDICT task #1
+# prescribes.
 _LAST_VERIFIED = {
     # --- last green in r07 ---
     **dict.fromkeys([

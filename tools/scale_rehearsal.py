@@ -120,6 +120,7 @@ FACT_QUERIES = {
     "skew_split_join": ("lineitem", "orders"),
     "salted_join_cms": ("lineitem", "orders"),
     "frequent_best_customer_revenue": ("lineitem", "orders"),
+    "nearest_station_within_radius": ("customer", "supplier"),
     "multi_band_counts": ("events",),
     "channel_cumulative_compare": ("events",),
     "minmax_downsample": ("events",),
