@@ -234,12 +234,35 @@ def main() -> None:
     for m in multiples:
         d = f"{args.scratch}/m{m}{suffix}"
         os.makedirs(d, exist_ok=True)
+        # Regime marker (r13): the r11 suffix keying stopped NEW cross-regime
+        # collisions but never invalidated dirs cached BEFORE it — a stale
+        # zipf corpus sat in the unsuffixed m16 slot for two rounds and
+        # skewed every "fixed-regime 16x" point (caught when a fixed-vocab
+        # probe found 2.7M distinct shingles where 30^3 is the ceiling).
+        # A dir is reused ONLY if its marker matches the requested regime.
+        marker = os.path.join(d, "regime.json")
+        want = {"vocab_scale": bool(args.vocab_scale), "m": m,
+                "base_docs": BASE_DOCS, "base_vecs": BASE_VECS}
+        have = None
+        if os.path.exists(marker):
+            try:
+                with open(marker) as fh:
+                    have = json.load(fh)
+            except (OSError, ValueError):
+                have = None
+        if have != want:
+            for f in ("documents.parquet", "embeddings.parquet"):
+                p = os.path.join(d, f)
+                if os.path.exists(p):
+                    os.remove(p)
         if not os.path.exists(f"{d}/documents.parquet"):
             gen_documents(
                 BASE_DOCS * m, seed=42, out_dir=d,
                 vocab_scale=args.vocab_scale,
             )
             gen_embeddings(BASE_VECS * m, seed=42, out_dir=d)
+            with open(marker, "w") as fh:
+                json.dump(want, fh)
         fact_tables = tuple(
             sorted({t for n in names for t in FACT_QUERIES.get(n, ())})
         )
