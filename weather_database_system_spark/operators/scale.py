@@ -271,6 +271,42 @@ FP_BUCKETS = 32  # fingerprint buckets (the Merkle level's fan-out)
 FP_MOD = (1 << 61) - 1  # Mersenne prime: digest stays int64, sum stays mergeable
 
 
+def _fp_rv(prefix: str = "") -> "F.Column":
+    """The fingerprint's canonical row hash over the orders columns
+    (shared by the batch digest, the streaming twin, and the divergence
+    report): '|'-joined canonical string → first 15 md5 hex digits →
+    int64. ``prefix`` optionally qualifies column names (joined frames)."""
+    p = prefix
+    canon = F.concat_ws(
+        "|",
+        F.col(p + "o_orderkey").cast("string"),
+        F.col(p + "o_custkey").cast("string"),
+        F.col(p + "o_orderstatus"),
+        _fr(F.col(p + "o_totalprice"), 2).cast("decimal(18,2)").cast("string"),
+        F.date_format(p + "o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col(p + "o_orderpriority"),
+    )
+    return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+
+
+def _fp_digests(o: DataFrame) -> DataFrame:
+    """Per-bucket (bucket, n_rows, checksum) digests of an orders-shaped
+    frame — the fingerprint aggregate shared by all three operators."""
+    return (
+        o.select(
+            F.pmod("o_orderkey", F.lit(FP_BUCKETS)).alias("bucket"),
+            _fp_rv().alias("rv"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.sum(F.col("rv").cast("decimal(28,0)")) % F.lit(FP_MOD))
+            .cast("long")
+            .alias("checksum"),
+        )
+    )
+
+
 def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent per-bucket table checksum — the cross-replica
     consistency check a 100 TB deployment runs after replication,
@@ -299,31 +335,7 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     this dataset (profiled); a nullable deployment must add an explicit
     NULL sentinel per column, because concat_ws(skip) and ||(propagate)
     canonicalize NULLs differently across engines."""
-    o = load_table(spark, sf_dir, "orders")
-    canon = F.concat_ws(
-        "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        _fr(F.col("o_totalprice"), 2).cast("decimal(18,2)").cast("string"),
-        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
-        F.col("o_orderpriority"),
-    )
-    rv = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
-    return (
-        o.select(
-            F.pmod("o_orderkey", F.lit(FP_BUCKETS)).alias("bucket"),
-            rv.alias("rv"),
-        )
-        .groupBy("bucket")
-        .agg(
-            F.count("*").alias("n_rows"),
-            (F.sum(F.col("rv").cast("decimal(28,0)")) % F.lit(FP_MOD))
-            .cast("long")
-            .alias("checksum"),
-        )
-        .orderBy("bucket")
-    )
+    return _fp_digests(load_table(spark, sf_dir, "orders")).orderBy("bucket")
 
 
 FP_STREAM_BATCHES = 4  # simulated micro-batches in the streaming twin
@@ -349,20 +361,10 @@ def table_fingerprint_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest tables — never a fact-sized pass). The oracle replays the
     single-pass digests and asserts the claim held."""
     o = load_table(spark, sf_dir, "orders")
-    canon = F.concat_ws(
-        "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        _fr(F.col("o_totalprice"), 2).cast("decimal(18,2)").cast("string"),
-        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
-        F.col("o_orderpriority"),
-    )
-    rv = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
     rows = o.select(
         F.pmod("o_custkey", F.lit(FP_STREAM_BATCHES)).alias("batch"),
         F.pmod("o_orderkey", F.lit(FP_BUCKETS)).alias("bucket"),
-        rv.alias("rv"),
+        _fp_rv().alias("rv"),
     )
     # per-micro-batch digest partials (what each foreachBatch appends) ...
     partials = rows.groupBy("batch", "bucket").agg(
@@ -385,6 +387,53 @@ def table_fingerprint_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         merged.crossJoin(F.broadcast(additive))
         .select("bucket", "n_rows", "checksum", "merge_additive_ok")
+        .orderBy("bucket")
+    )
+
+
+FP_DIVERGE_MOD = 977   # prime key-slice selector for the simulated drift
+FP_DIVERGE_RES = 3
+FP_DIVERGE_DELTA = 100.0
+
+
+def fingerprint_divergence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fingerprint's USE case end-to-end: localize replica drift.
+    A simulated replica of orders carries a deterministic value
+    mutation (+FP_DIVERGE_DELTA on o_totalprice for keys ≡
+    FP_DIVERGE_RES mod FP_DIVERGE_MOD — the diff_snapshots
+    bucket-mutation precedent, spread across digest buckets by the
+    prime modulus). Both sides reduce to their FP_BUCKETS-row digest
+    tables; the report is the buckets whose checksums differ, with both
+    digests and both counts — counts MATCH on every diverged bucket
+    here, demonstrating exactly the drift class a row count can never
+    catch. Comparison work is 2×32 digest rows, not table rows: the
+    replicas could live in different datacenters and ship only
+    digests.
+
+    Oracle: DuckDB recomputes both digest tables and the same
+    divergence join — cross-engine agreement on WHICH buckets diverged
+    (and both checksum values) is the replication-repair contract."""
+    o = load_table(spark, sf_dir, "orders")
+    replica = o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.pmod("o_orderkey", F.lit(FP_DIVERGE_MOD)) == FP_DIVERGE_RES,
+            F.col("o_totalprice") + F.lit(FP_DIVERGE_DELTA),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    a = _fp_digests(o).select(
+        "bucket",
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("checksum").alias("checksum_a"),
+    )
+    b = _fp_digests(replica).select(
+        "bucket",
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("checksum").alias("checksum_b"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("checksum_a") != F.col("checksum_b"))
         .orderBy("bucket")
     )
 
@@ -1505,6 +1554,46 @@ ORACLE: dict[str, str] = {
         GROUP BY bucket
         ORDER BY bucket
     """,
+    # both digest tables recomputed independently, same divergence join;
+    # counts equal on every diverged bucket — value drift only
+    "fingerprint_divergence_report": f"""
+        WITH a AS (
+            SELECT o_orderkey % {FP_BUCKETS} AS bucket, count(*) AS n_rows_a,
+                   CAST(sum(CAST('0x' || substr(md5(
+                       CAST(o_orderkey AS VARCHAR) || '|' ||
+                       CAST(o_custkey AS VARCHAR) || '|' ||
+                       o_orderstatus || '|' ||
+                       CAST(CAST({_sql_fr('o_totalprice', 2)} AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' ||
+                       o_orderpriority
+                   ), 1, 15) AS BIGINT)) % {(1 << 61) - 1} AS BIGINT) AS checksum_a
+            FROM orders GROUP BY 1
+        ),
+        r AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CASE WHEN o_orderkey % {FP_DIVERGE_MOD} = {FP_DIVERGE_RES}
+                        THEN o_totalprice + {FP_DIVERGE_DELTA}
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders
+        ),
+        b AS (
+            SELECT o_orderkey % {FP_BUCKETS} AS bucket, count(*) AS n_rows_b,
+                   CAST(sum(CAST('0x' || substr(md5(
+                       CAST(o_orderkey AS VARCHAR) || '|' ||
+                       CAST(o_custkey AS VARCHAR) || '|' ||
+                       o_orderstatus || '|' ||
+                       CAST(CAST({_sql_fr('o_totalprice', 2)} AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' ||
+                       o_orderpriority
+                   ), 1, 15) AS BIGINT)) % {(1 << 61) - 1} AS BIGINT) AS checksum_b
+            FROM r GROUP BY 1
+        )
+        SELECT a.bucket, n_rows_a, checksum_a, n_rows_b, checksum_b
+        FROM a JOIN b ON a.bucket = b.bucket
+        WHERE checksum_a <> checksum_b
+        ORDER BY a.bucket
+    """,
     # the streaming twin's spine is the SAME single-pass digests (the
     # micro-batch split cannot change modular sums); the additivity
     # claim is engine-decided and pinned TRUE
@@ -1612,6 +1701,7 @@ QUERIES = {
     "salted_join_cms": salted_join_cms_checked,
     "table_fingerprint": table_fingerprint,
     "table_fingerprint_stream": table_fingerprint_stream,
+    "fingerprint_divergence_report": fingerprint_divergence_report,
     "skew_salted_agg": skew_salted_agg,
     "approx_distinct_users": approx_distinct_users,
     "approx_distinct_users_scale": approx_distinct_users_scale,
