@@ -40,54 +40,34 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # then ascending by staleness — the r01/r02-era greens re-verify before
 # anything newer. Two rounds of this rotation re-freshen the whole registry.
 #
-# Rotation executed at r13 start per the procedure above: 48 of the 50
-# keys in CORRECTNESS_r12.json moved to 12 (the r12 sample covered the
-# 7 new r12 queries plus 41 of the 43-query r7-era block — 50/50
-# green). Two r12-green keys stay UNMAPPED on the r12 VERDICT's orders:
-# `heavy_hitters_cms` (body now rides the shared _cms_buckets/_cms_jb/
-# _cms_estimate helpers extracted late-r12 for the streaming twin) and
-# `jaccard_prefix_pairs` (PPJoin length filter added late-r12 inside
-# the prefix join) — both were edited after their in-round green runs,
-# so they re-enter the sample front regardless of the driver's
-# round-boundary row. Groups now: r7=2 (feed_daily_rollup,
-# cache_envelope_projection — the only 5-round-stale entries, next in
-# line), r8=47, r10=45, r11=48, r12=48 at rotation time (r12 dropped
-# to 47 mid-round when heavy_hitters_cms_stream was rewritten — see
-# the inline note in its old group). With the 9 queries ADDED during
-# r13 (salted_join_cms, channel_cumulative_compare,
+# Rotation executed at r14 start per the procedure above: all 50 keys
+# in CORRECTNESS_r13.json moved to 13 — 50/50 green (rows + schema +
+# hash). The r13 sample was 13 unmapped (3 re-queues: heavy_hitters_cms,
+# heavy_hitters_cms_stream, jaccard_prefix_pairs; 10 queries ADDED
+# during r13: salted_join_cms, channel_cumulative_compare,
 # trigram_index_search, minmax_downsample, table_fingerprint,
-# table_fingerprint_stream, frequent_best_customer_revenue,
-# nearest_station_within_radius, station_density_grid) never-checked,
-# the r13 sample (first 50) = 12 unmapped (3 re-queues + 9 new) + the
-# 2 r7 stragglers + the front of the 47-query r8-era block (join_*,
-# set_*, window_* paths) — exactly the order the r12 VERDICT task #1
-# prescribes.
+# table_fingerprint_stream, fingerprint_divergence_report,
+# frequent_best_customer_revenue, nearest_station_within_radius,
+# station_density_grid) + the 2 r7 stragglers (feed_daily_rollup,
+# cache_envelope_projection — now cleared) + 35 from the front of the
+# r8-era block.  [The previous revision of this comment under-counted
+# the r13 additions as "9 new / 12 unmapped"; fingerprint_divergence_
+# report was omitted — ADVICE r13 #1. Corrected: 10 new / 13 unmapped,
+# which is exactly what CORRECTNESS_r13.json shows.]
+# Groups now: r8=12 (the last r8-green entries — the stalest rows in
+# the registry, first in line this round per the r13 VERDICT task #1),
+# r10=45, r11=48, r12=47, r13=50. The r14 sample (first 50) = any
+# never-checked r14 additions + the 12-entry r8 block + the front of
+# the 45-entry r10 block; one more round then refreshes the remainder.
 _LAST_VERIFIED = {
-    # --- last green in r07 ---
-    **dict.fromkeys([
-        "cache_envelope_projection", "feed_daily_rollup"
-    ], 7),
     # --- last green in r08 ---
     **dict.fromkeys([
-        "agg_quantiles", "agg_statistics", "ann_bruteforce_pandas",
-        "anomaly_mad_zscore", "anomaly_mad_zscore_approx",
-        "approx_distinct_users_scale", "audio_decode_features",
-        "bloom_prefilter_semi_join", "conditional_agg", "count_diagnostic",
-        "cube_totals", "date_normalization", "derived_revenue",
-        "doc_chunk_windows", "doc_fingerprint", "domain_mixture_weights",
-        "feed_station_monthly", "feed_station_rollup",
-        "filter_limit_sample", "join_anti_unordered_parts",
-        "join_full_outer_nation_presence", "join_left_order_counts",
-        "join_semi_active_customers", "join_star_revenue",
-        "json_extract_props", "lineage_projection", "multimodal_features",
-        "pii_redaction", "pivot_status_matrix", "png_decode_features",
-        "presentation_format", "quality_weighted_sample", "rollup_totals",
+        "anomaly_mad_zscore_approx", "approx_distinct_users_scale",
+        "bloom_prefilter_semi_join", "doc_chunk_windows",
+        "domain_mixture_weights", "feed_station_monthly",
+        "feed_station_rollup", "pii_redaction", "quality_weighted_sample",
         "sequence_pack_bins", "sequence_pack_bins_sharded",
-        "set_except_nations", "set_intersect_nations", "set_union_nations",
-        "skyline_pareto", "topk_global", "udf_weighted_mean_price",
-        "unpivot_measures", "window_distribution_funcs",
-        "window_lag_delta", "window_rank_dense", "window_rolling_1h",
-        "window_topk_per_group"
+        "udf_weighted_mean_price"
     ], 8),
     # --- last green in r10 ---
     **dict.fromkeys([
@@ -164,6 +144,30 @@ _LAST_VERIFIED = {
         "tfidf_cosine_pairs", "train_test_split", "udf_normalize_text",
         "yoy_revenue_delta"
     ], 12),
+    # --- last green in r13 ---
+    **dict.fromkeys([
+        "agg_quantiles", "agg_statistics", "ann_bruteforce_pandas",
+        "anomaly_mad_zscore", "audio_decode_features",
+        "cache_envelope_projection", "channel_cumulative_compare",
+        "conditional_agg", "count_diagnostic", "cube_totals",
+        "date_normalization", "derived_revenue", "doc_fingerprint",
+        "feed_daily_rollup", "filter_limit_sample",
+        "fingerprint_divergence_report", "frequent_best_customer_revenue",
+        "heavy_hitters_cms", "heavy_hitters_cms_stream",
+        "jaccard_prefix_pairs", "join_anti_unordered_parts",
+        "join_full_outer_nation_presence", "join_left_order_counts",
+        "join_semi_active_customers", "join_star_revenue",
+        "json_extract_props", "lineage_projection", "minmax_downsample",
+        "multimodal_features", "nearest_station_within_radius",
+        "pivot_status_matrix", "png_decode_features",
+        "presentation_format", "rollup_totals", "salted_join_cms",
+        "set_except_nations", "set_intersect_nations", "set_union_nations",
+        "skyline_pareto", "station_density_grid", "table_fingerprint",
+        "table_fingerprint_stream", "topk_global", "trigram_index_search",
+        "unpivot_measures", "window_distribution_funcs",
+        "window_lag_delta", "window_rank_dense", "window_rolling_1h",
+        "window_topk_per_group"
+    ], 13),
 }
 
 
