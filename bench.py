@@ -253,6 +253,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "n_queries": len(timings),
             "runs": RUNS,
             # self-description so a QUICK-mode file can never be read as
             # a full-set result in cross-round comparison
@@ -321,6 +322,17 @@ def main() -> None:
             del compact["queries"][name]
             break
     compact["queries_elided"] = len(timings) - len(compact["queries"])
+    # Re-check AFTER patching queries_elided (ADVICE r13 #2): growing the
+    # placeholder "0" to a multi-digit elision count can push the line a
+    # byte or two past the budget measured inside the loop. Drop the
+    # lightest remaining entries (they matter least for triage) until the
+    # line fits, keeping the elision count in sync before each re-measure.
+    while compact["queries"] and (
+        len(json.dumps(compact, separators=(",", ":"))) > budget
+    ):
+        lightest = min(compact["queries"], key=compact["queries"].get)
+        del compact["queries"][lightest]
+        compact["queries_elided"] = len(timings) - len(compact["queries"])
     sys.stdout.flush()
     sys.stderr.flush()
     print(json.dumps(compact, separators=(",", ":")), flush=True)

@@ -921,8 +921,9 @@ def test_salted_join_cms_checked_claims_and_broadcasts(spark):
     """The checked salted-join entry must keep its audit machinery
     broadcast-shaped: the CMS hot set and the 1-row claim aggregates
     arrive by broadcast (no CartesianProduct anywhere), and the claim
-    columns are literally computed on the engine side (they appear in
-    the plan, not as constants folded away)."""
+    columns (detector_superset_ok / salted_identity_ok) survive into the
+    physical plan as engine-side attributes rather than being folded
+    away to driver-side constants."""
     from weather_database_system_spark.operators.scale import (
         salted_join_cms_checked,
     )
@@ -936,6 +937,11 @@ def test_salted_join_cms_checked_claims_and_broadcasts(spark):
     # shape for scalar claim attachment
     assert "BroadcastNestedLoopJoin" in plan
     assert "__salt" in plan  # the composite salted key survives planning
+    # The claim attributes must be computed in the plan, not constant-
+    # folded: their names appear as output attributes of plan nodes
+    # (ADVICE r13 #3 — previously only claimed in the docstring).
+    assert "detector_superset_ok" in plan
+    assert "salted_identity_ok" in plan
 
 
 def test_channel_cumulative_compare_single_scan_one_window_chain(spark):
@@ -994,6 +1000,53 @@ def test_trigram_index_search_posting_intersection_shape(spark):
     for cols in read_schema_columns(df):
         assert cols <= {"doc_id", "lang", "text"}  # pruned scans
     assert shuffle_count(df) <= 4  # postings agg, join sides, final sort
+
+
+def test_trigram_search_prebuilt_reads_index_not_corpus(spark):
+    """The prebuilt-index variant (r13 VERDICT task #3) must price the
+    QUERY at posting-list bytes: documents scanned exactly ONCE (the
+    final contains-verify), the posting side a parquet scan of the
+    written index with the needle's IN-list PUSHED to the parquet reader
+    (row-group pruning against the tri-sorted index files), no
+    cartesian, and no corpus-side trigram transform anywhere in the
+    query plan."""
+    import re
+
+    from weather_database_system_spark.operators.textan import (
+        trigram_search_prebuilt,
+    )
+    from weather_database_system_spark.plans import (
+        formatted_plan,
+        pushed_filters,
+        read_schema_columns,
+    )
+
+    df = trigram_search_prebuilt(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*documents", plan)) == 1  # verify only
+    assert len(re.findall(r"Location:.*trigram_postings", plan)) == 1
+    assert "CartesianProduct" not in plan
+    # the corpus trigram explode is a BUILD-time cost; the query plan
+    # must not recompute it
+    assert "array_intersect" not in plan
+    assert "sequence(1" not in plan
+    assert any(f.startswith("In(tri") for f in pushed_filters(df))
+    for cols in read_schema_columns(df):
+        assert cols <= {"doc_id", "lang", "text", "tri"}
+
+
+def test_trigram_needle_contract_self_enforcing(spark):
+    """Needles that would desynchronize the literal engine side from the
+    LIKE-interpolating oracle (%, _, quote) must fail loudly (ADVICE
+    r13 #4), as must sub-trigram needles."""
+    import pytest
+
+    from weather_database_system_spark.operators.textan import _needle_tris
+
+    assert _needle_tris("spark join")  # the registry needle passes
+    for bad in ("100% done", "under_score", "it's", "ab"):
+        with pytest.raises(ValueError):
+            _needle_tris(bad)
 
 
 def test_minmax_downsample_single_scan_one_exchange(spark):

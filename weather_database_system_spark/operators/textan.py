@@ -858,36 +858,37 @@ def trigram_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _trigram_search(docs, TRIGRAM_NEEDLE)
 
 
-def _trigram_search(docs: DataFrame, needle: str) -> DataFrame:
-    """Library body of ``trigram_index_search`` over any (doc_id, lang,
-    text) frame; ``needle`` must be ≥3 chars. Hypothesis-pinned against
-    a pure-Python substring scan in test_properties."""
+def _needle_tris(needle: str) -> list[str]:
+    """Validate the needle contract and return its sorted distinct
+    trigrams. Self-enforcing (ADVICE r13 #4): the engine side is literal
+    while the DuckDB oracle interpolates the needle into a LIKE pattern
+    (plus strpos/replace inside single quotes), so a needle containing
+    LIKE wildcards or a quote would silently desynchronize engine and
+    oracle. Fail loudly here instead."""
     if len(needle) < 3:
         raise ValueError("trigram search needs a needle of >= 3 chars")
-    tris = sorted({needle[i : i + 3] for i in range(len(needle) - 2)})
-    # per-doc DISTINCT needle-trigram postings: array_intersect against
-    # the needle's literal trigram set dedups AND prunes INSIDE the same
-    # codegen stage, so the explode emits ≤ |needle trigrams| rows per
-    # doc instead of one per text position (measured 1.16× at the Zipf
-    # 32× point, 31.9 → 27.6 s; the residual cost is the trigram
-    # transform itself — corpus-linear by nature, and exactly the part a
-    # pre-built posting index removes from the query path)
-    tri_arr = F.when(
+    if any(ch in needle for ch in ("%", "_", "'")):
+        raise ValueError(
+            "trigram needle must not contain %, _ or ' — the oracle "
+            "interpolates it verbatim into a LIKE pattern and string "
+            "literals (engine side is literal; they would diverge)"
+        )
+    return sorted({needle[i : i + 3] for i in range(len(needle) - 2)})
+
+
+def _tri_arr() -> Column:
+    """All character trigrams of ``text`` as an array column (with
+    positional duplicates; empty for texts shorter than 3 chars)."""
+    return F.when(
         F.length("text") >= 3,
         F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"),
     ).otherwise(F.array().cast("array<string>"))
-    postings = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_intersect(tri_arr, F.array(*[F.lit(x) for x in tris]))
-        ).alias("tri"),
-    )
-    cand = (
-        postings.groupBy("doc_id")
-        .agg(F.count("*").alias("n_tris"))
-        .filter(F.col("n_tris") == len(tris))
-        .select("doc_id")
-    )
+
+
+def _verify_contains(docs: DataFrame, cand: DataFrame, needle: str) -> DataFrame:
+    """Shared verify+project tail: join the candidate superset back to
+    the docs, keep true ``contains`` matches, emit first position and
+    occurrence count via length arithmetic (engine-exact integers)."""
     return (
         docs.join(cand, "doc_id")
         .filter(F.instr("text", needle) > 0)
@@ -906,12 +907,129 @@ def _trigram_search(docs: DataFrame, needle: str) -> DataFrame:
     )
 
 
+def _trigram_search(docs: DataFrame, needle: str) -> DataFrame:
+    """Library body of ``trigram_index_search`` over any (doc_id, lang,
+    text) frame; ``needle`` must be ≥3 chars. Hypothesis-pinned against
+    a pure-Python substring scan in test_properties."""
+    tris = _needle_tris(needle)
+    # per-doc DISTINCT needle-trigram postings: array_intersect against
+    # the needle's literal trigram set dedups AND prunes INSIDE the same
+    # codegen stage, so the explode emits ≤ |needle trigrams| rows per
+    # doc instead of one per text position (measured 1.16× at the Zipf
+    # 32× point, 31.9 → 27.6 s; the residual cost is the trigram
+    # transform itself — corpus-linear by nature, and exactly the part a
+    # pre-built posting index removes from the query path — see
+    # trigram_search_prebuilt for that deployment form)
+    postings = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_intersect(_tri_arr(), F.array(*[F.lit(x) for x in tris]))
+        ).alias("tri"),
+    )
+    cand = (
+        postings.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tris"))
+        .filter(F.col("n_tris") == len(tris))
+        .select("doc_id")
+    )
+    return _verify_contains(docs, cand, needle)
+
+
+def _trigram_index_path(sf_dir: str) -> str:
+    """Deterministic scratch path for the prebuilt posting index, keyed
+    by the source dir so repeated runs overwrite instead of accumulate.
+    Lives under the repo's spark-warehouse scratch area (overridable via
+    WDSS_SCRATCH_DIR for deployments with a real scratch volume)."""
+    import hashlib
+    import os
+
+    scratch = os.environ.get(
+        "WDSS_SCRATCH_DIR",
+        os.path.normpath(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "..",
+                "..",
+                "spark-warehouse",
+            )
+        ),
+    )
+    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12]
+    return os.path.join(scratch, f"trigram_postings_{tag}")
+
+
+def build_trigram_postings(docs: DataFrame, path: str) -> None:
+    """Build the pg_trgm-style posting index ONCE: distinct (doc_id, tri)
+    pairs for EVERY trigram of every document (the index cannot know
+    future needles), range-partitioned and sorted by ``tri`` so each
+    parquet file covers a tight trigram range — file/row-group min-max
+    statistics then prune an ``IN (needle trigrams)`` probe to the few
+    files actually holding those posting lists. This is the write-once
+    ingest-side cost that trigram_search_prebuilt amortizes away from
+    the query path."""
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    (
+        docs.select("doc_id", F.explode(F.array_distinct(_tri_arr())).alias("tri"))
+        .repartitionByRange(n_part, "tri")
+        .sortWithinPartitions("tri", "doc_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def trigram_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB deployment form of trigram substring search that the
+    fused ``trigram_index_search`` docstring promises: the posting index
+    is BUILT ONCE (here: written to scratch parquet, the stand-in for
+    the ingest-time index build) and the QUERY reads only posting lists
+    plus candidate docs. The returned plan — pinned in
+    tests/test_plans.py — scans ``documents`` exactly ONCE (the final
+    contains-verify); the trigram transform/explode over the corpus is
+    absent from the query path, replaced by a parquet scan of the index
+    whose ``tri IN (...)`` predicate is a PushedFilter against the
+    range-partitioned, tri-sorted posting files. Query cost is therefore
+    Σ|posting list(needle trigram)| + |candidates| verify reads, not
+    corpus bytes — the pg_trgm economics. Same provable-superset
+    semantics as the fused form: every true match contains all needle
+    trigrams, so the count-all-present gate never drops a match and the
+    contains-verify makes the result exact (the DuckDB oracle replays
+    the unindexed full-scan LIKE; the hash match proves exactness
+    end-to-end). Reference parity: extension surface (the reference has
+    no text search); cf. pg_trgm (PostgreSQL contrib) for the public
+    algorithm."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    path = _trigram_index_path(sf_dir)
+    build_trigram_postings(docs, path)
+    postings = spark.read.parquet(path)
+    tris = _needle_tris(TRIGRAM_NEEDLE)
+    cand = (
+        postings.filter(F.col("tri").isin(tris))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tris"))
+        .filter(F.col("n_tris") == len(tris))
+        .select("doc_id")
+    )
+    return _verify_contains(docs, cand, TRIGRAM_NEEDLE)
+
+
 _SQL_TOKS = "SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents"
 
 ORACLE: dict[str, str] = {
     # the UNINDEXED form: a full-table LIKE scan — matching it proves the
     # trigram posting intersection + contains verify is exact end-to-end
     "trigram_index_search": f"""
+        SELECT doc_id, lang,
+               CAST(strpos(text, '{TRIGRAM_NEEDLE}') AS INT) AS first_pos,
+               CAST((length(text) - length(replace(text, '{TRIGRAM_NEEDLE}', '')))
+                    / {len(TRIGRAM_NEEDLE)} AS INT) AS n_occurrences
+        FROM documents
+        WHERE text LIKE '%{TRIGRAM_NEEDLE}%'
+        ORDER BY doc_id
+    """,
+    # the prebuilt-index variant answers the SAME question from stored
+    # posting lists; the identical unindexed-LIKE oracle proves the index
+    # round-trip (build → parquet → IN-probe → verify) loses nothing
+    "trigram_search_prebuilt": f"""
         SELECT doc_id, lang,
                CAST(strpos(text, '{TRIGRAM_NEEDLE}') AS INT) AS first_pos,
                CAST((length(text) - length(replace(text, '{TRIGRAM_NEEDLE}', '')))
@@ -1248,6 +1366,7 @@ ORACLE: dict[str, str] = {
 
 QUERIES = {
     "trigram_index_search": trigram_index_search,
+    "trigram_search_prebuilt": trigram_search_prebuilt,
     "heavy_hitters_cms": heavy_hitters_cms,
     "heavy_hitters_cms_stream": heavy_hitters_cms_stream,
     "pmi_collocations": pmi_collocations,
