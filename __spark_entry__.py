@@ -162,12 +162,16 @@ _LAST_VERIFIED = {
         "pivot_status_matrix", "png_decode_features",
         "presentation_format", "rollup_totals", "salted_join_cms",
         "set_except_nations", "set_intersect_nations", "set_union_nations",
+        # station_density_grid REMOVED early-r14 (self-enforcing
+        # non-negativity assert added for the // vs floor(/) oracle
+        # equivalence — r13 VERDICT task #7): touched code re-enters
+        # the sample front per the standing protocol.
         # trigram_index_search REMOVED early-r14 (body refactored onto the
         # shared _needle_tris/_tri_arr/_verify_contains helpers extracted
         # for the new trigram_search_prebuilt variant, plus the
         # self-enforcing needle-contract assert — ADVICE r13 #4): touched
         # code re-enters the sample front per the standing protocol.
-        "skyline_pareto", "station_density_grid", "table_fingerprint",
+        "skyline_pareto", "table_fingerprint",
         "table_fingerprint_stream", "topk_global",
         "unpivot_measures", "window_distribution_funcs",
         "window_lag_delta", "window_rank_dense", "window_rolling_1h",

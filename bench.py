@@ -39,6 +39,19 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # REPLACING a headliner of the same operator family whose coverage they
 # strictly supersede (documented here when it happens). Cross-round
 # comparability of the 55-query total is the asset this freeze protects.
+#
+# POST-FREEZE FAMILIES (r13 VERDICT task #6, decided r14): families that
+# landed AFTER the freeze (geospatial: nearest_station_within_radius /
+# station_density_grid; fingerprint: table_fingerprint family; prebuilt
+# text index: trigram_search_prebuilt) have NO same-family headliner to
+# replace, so swapping one in would break the series the freeze exists to
+# protect. Their performance record is, explicitly, their scale-rehearsal
+# curves (tools/scale_rehearsal.py / tools/station_rehearsal.py output
+# tabulated in NOTES.md) plus their plan pins in tests/test_plans.py —
+# re-run the rehearsal when their code changes, exactly as the frozen set
+# re-runs here. If a post-freeze family ever gains a second generation
+# that supersedes its first, the replacement clause above applies WITHIN
+# that family using the rehearsal series as the comparability bridge.
 HEADLINE = (
     "pricing_summary",        # flagship scan + wide agg (lineitem full scan)
     "join_star_revenue",      # 5-way broadcast star join + agg

@@ -674,3 +674,93 @@ def test_trigram_search_equals_python_substring_scan(spark, data, texts):
         if needle in t
     }
     assert got == want
+
+
+# fingerprint(df, cols) mergeability pin (r13 VERDICT task #2): rows of
+# mixed type — ints, strings (incl. '|'-bearing and empty), nullable
+# decimals, timestamps — sharded arbitrarily.
+FP_ROW = st.tuples(
+    st.integers(-(2**40), 2**40),                               # id (long)
+    st.sampled_from(["", "a", "a|b", "spark", "été"]),  # name
+    st.one_of(st.none(), st.decimals(-1000, 1000, places=2)),   # amount
+    st.integers(0, 10**9),                                      # epoch seconds
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(FP_ROW, min_size=0, max_size=30),
+    cuts=st.lists(st.integers(0, 30), min_size=0, max_size=3),
+    buckets=st.sampled_from([1, 4, 32]),
+)
+def test_fingerprint_shard_merge_equals_whole_table(spark, rows, cuts, buckets):
+    """merge_fingerprints(fingerprint(shard_i)) must equal
+    fingerprint(whole table) row-for-row, for ANY frame content (mixed
+    types, NULL decimals, separator-bearing strings, duplicate rows),
+    ANY sharding (including empty shards), and ANY bucket count — the
+    invariant that lets 100 TB replicas digest independently and
+    compare by shipping <= `buckets` rows. Row-order invariance rides
+    along: the shards ARE a permutation of the table."""
+    import datetime as dt
+
+    from weather_database_system_spark.operators.scale import (
+        fingerprint,
+        merge_fingerprints,
+    )
+
+    def mk(rs):
+        return spark.createDataFrame(
+            [
+                (i, s, None if d is None else d, dt.datetime(2020, 1, 1)
+                 + dt.timedelta(seconds=e, microseconds=e % 7))
+                for (i, s, d, e) in rs
+            ],
+            "id long, name string, amount decimal(10,2), ts timestamp",
+        )
+
+    whole = {
+        (r.bucket, r.n_rows, r.checksum)
+        for r in fingerprint(mk(rows), buckets=buckets).collect()
+    }
+    bounds = sorted({c for c in cuts if c <= len(rows)}) + [len(rows)]
+    shards, lo = [], 0
+    for hi in bounds:
+        shards.append(mk(rows[lo:hi]))
+        lo = hi
+    merged = {
+        (r.bucket, r.n_rows, r.checksum)
+        for r in merge_fingerprints(
+            *[fingerprint(s, buckets=buckets) for s in shards]
+        ).collect()
+    }
+    assert merged == whole
+
+
+def test_fingerprint_contract_rejections(spark):
+    """The canonicalization contract is self-enforcing: raw floats and
+    complex types are rejected with instructions, as are unknown
+    columns; NULL cells hash to the sentinel rather than vanishing
+    (concat_ws would otherwise alias (NULL,'x') with ('x',NULL))."""
+    import pytest
+
+    from weather_database_system_spark.operators.scale import fingerprint
+
+    df = spark.createDataFrame(
+        [(1.5, [1], "x")], "d double, arr array<int>, s string"
+    )
+    with pytest.raises(ValueError, match="explicit-scale decimal"):
+        fingerprint(df, ["d"])
+    with pytest.raises(ValueError, match="unsupported type"):
+        fingerprint(df, ["arr"])
+    with pytest.raises(ValueError, match="not in frame"):
+        fingerprint(df, ["nope"])
+    # NULL vs swapped-null frames must NOT collide
+    a = spark.createDataFrame([(None, "x")], "u string, v string")
+    b = spark.createDataFrame([("x", None)], "u string, v string")
+    fa = {(r.bucket, r.checksum) for r in fingerprint(a).collect()}
+    fb = {(r.bucket, r.checksum) for r in fingerprint(b).collect()}
+    assert fa != fb

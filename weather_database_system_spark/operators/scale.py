@@ -438,6 +438,130 @@ def fingerprint_divergence_report(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+FP_NULL_SENTINEL = "\x00NULL\x00"  # outside any sane value alphabet
+
+
+def _fp_canonical_cell(name: str, dtype, null_sentinel: str) -> "F.Column":
+    """Render one column to its canonical string under the fingerprint
+    contract (the generalization of ``_fp_rv``'s per-column rules):
+
+    - string: as-is; integral/boolean: decimal-digit cast; decimal(p,s):
+      plain cast (both Spark and DuckDB render fixed-point decimals at
+      full declared scale, never scientific notation)
+    - date: 'yyyy-MM-dd'; timestamp: 'yyyy-MM-dd HH:mm:ss.SSSSSS'
+      (full microseconds — unlike the orders-specific ``_fp_rv``, whose
+      date-valued o_orderdate lets it truncate to seconds, a generic
+      frame must not hash sub-second drift to equality)
+    - float/double: REJECTED — raw floating-point → string crosses
+      scientific-notation thresholds differently across engines; cast
+      to an explicit-scale decimal first (that cast IS the contract)
+    - anything else (array/map/struct/binary): REJECTED — canonicalize
+      to one of the supported scalars first
+    - NULL: replaced by ``null_sentinel`` (concat_ws SKIPS nulls, which
+      would alias (NULL,'x') with ('x',NULL); the sentinel must stay
+      outside the live value alphabet, as must the '|' separator)."""
+    from pyspark.sql import types as T
+
+    col = F.col(name)
+    if isinstance(dtype, T.StringType):
+        rendered = col
+    elif isinstance(
+        dtype,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType),
+    ):
+        rendered = col.cast("string")
+    elif isinstance(dtype, T.DecimalType):
+        rendered = col.cast("string")
+    elif isinstance(dtype, T.DateType):
+        rendered = F.date_format(col, "yyyy-MM-dd")
+    elif isinstance(dtype, T.TimestampType):
+        rendered = F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    elif isinstance(dtype, (T.FloatType, T.DoubleType)):
+        raise ValueError(
+            f"fingerprint: column {name!r} is {dtype.simpleString()} — raw "
+            "floating-point canonicalization is engine-dependent "
+            "(scientific-notation thresholds); cast to an explicit-scale "
+            "decimal first"
+        )
+    else:
+        raise ValueError(
+            f"fingerprint: column {name!r} has unsupported type "
+            f"{dtype.simpleString()}; canonicalize to a supported scalar first"
+        )
+    return F.coalesce(rendered, F.lit(null_sentinel))
+
+
+def fingerprint(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    buckets: int = FP_BUCKETS,
+    null_sentinel: str = FP_NULL_SENTINEL,
+) -> DataFrame:
+    """Library form of ``table_fingerprint`` for ARBITRARY frames (r13
+    VERDICT task #2): order-independent per-bucket (bucket, n_rows,
+    checksum) digests over ``cols`` (default: every column, in schema
+    order — pass an explicit list when replicas disagree on column
+    order). Same digest algebra as the registry yardstick: canonical
+    '|'-joined row string (per-type rules in ``_fp_canonical_cell``) →
+    first 15 md5 hex digits → int64 row hash; bucket = pmod(row hash,
+    buckets) — no natural key needed, and a drifted row flips BOTH its
+    old and new bucket; checksum = Σ row-hash mod 2^61−1 (int64-safe in
+    every engine/client, commutative, mergeable).
+
+    Mergeability (hypothesis-pinned in tests/test_properties.py):
+    ``fingerprint(shard_1 ∪ … ∪ shard_k)`` equals
+    ``merge_fingerprints(fingerprint(shard_1), …)`` row-for-row, for
+    arbitrary frames and arbitrary shardings — so 100 TB replicas
+    digest independently, ship ≤ ``buckets`` rows each, and compare
+    without moving data. Row-order/partitioning invariance follows from
+    the same algebra (sum is commutative).
+
+    NULL policy is explicit (the registry operator's documented
+    requirement, made self-enforcing here): NULL cells render as
+    ``null_sentinel``, which — like the '|' separator — must not occur
+    in live string values, or distinct rows could alias."""
+    names = list(cols) if cols is not None else [f.name for f in df.schema.fields]
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    missing = [n for n in names if n not in by_name]
+    if missing:
+        raise ValueError(f"fingerprint: columns not in frame: {missing}")
+    if buckets < 1:
+        raise ValueError("fingerprint: buckets must be >= 1")
+    canon = F.concat_ws(
+        "|", *[_fp_canonical_cell(n, by_name[n], null_sentinel) for n in names]
+    )
+    rv = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    return (
+        df.select(F.pmod(rv, F.lit(buckets)).alias("bucket"), rv.alias("rv"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.sum(F.col("rv").cast("decimal(28,0)")) % F.lit(FP_MOD))
+            .cast("long")
+            .alias("checksum"),
+        )
+    )
+
+
+def merge_fingerprints(*parts: DataFrame) -> DataFrame:
+    """Combine per-shard ``fingerprint`` digest tables into the digest
+    of the union, without touching rows: counts add, checksums add
+    modulo 2^61−1 ((a mod M + b mod M) mod M = (a+b) mod M). The sum
+    runs in decimal(28,0), so any realistic shard count stays exact
+    before the final mod."""
+    if not parts:
+        raise ValueError("merge_fingerprints: need at least one digest table")
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return allp.groupBy("bucket").agg(
+        F.sum("n_rows").alias("n_rows"),
+        (F.sum(F.col("checksum").cast("decimal(28,0)")) % F.lit(FP_MOD))
+        .cast("long")
+        .alias("checksum"),
+    )
+
+
 def salted_join_cms_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable registry form of the ``salted_join`` +
     ``detect_hot_keys_cms`` library pair (r12 VERDICT task #3) — the

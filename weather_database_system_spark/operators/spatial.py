@@ -126,8 +126,26 @@ def station_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cell's bounding extents — the density map that (a) feeds
     dashboards and (b) makes spatial skew VISIBLE before it melts a
     reducer (a hot cell here is the hot key the salted join remedies).
-    One scan, one map-side-combined aggregate on the cell key."""
-    st = _station_points(spark, sf_dir)
+    One scan, one map-side-combined aggregate on the cell key.
+
+    PRECONDITION (r13 VERDICT task #7): coordinates must be NON-NEGATIVE
+    — guaranteed here by the ``pmod`` construction in _station_points.
+    The oracle's ``slat // RADIUS`` and Spark's ``floor(slat / RADIUS)``
+    agree only on non-negative operands; DuckDB's ``//`` truncates
+    toward zero on negatives in some versions while floor rounds down,
+    so a signed-coordinate extension MUST switch the oracle to
+    ``floor(slat / RADIUS)`` explicitly. Self-enforced below: a negative
+    coordinate fails the query rather than silently diverging."""
+    st = _station_points(spark, sf_dir).select(
+        F.assert_true(
+            (F.col("slat") >= 0) & (F.col("slon") >= 0),
+            "station_density_grid: negative coordinate — the // vs "
+            "floor(/) oracle equivalence only holds for non-negative "
+            "values; update the oracle before extending the domain",
+        ).alias("__nonneg"),
+        "slat",
+        "slon",
+    ).drop("__nonneg")
     return (
         st.groupBy(
             F.floor(F.col("slat") / RADIUS).alias("cx"),
