@@ -170,6 +170,94 @@ def gen_embeddings(n: int, seed: int, out_dir: str) -> None:
     pq.write_table(tbl, f"{out_dir}/embeddings.parquet")
 
 
+def run_spatial_area(spark, multiples: list[int], runs: int, scratch: str):
+    """AREA-growth rehearsal for the grid-blocked spatial join (r13
+    VERDICT task #5). The registry-table tiling mode grows DENSITY
+    (same coordinate span, m× points per cell → ~m² candidate pairs per
+    cell — the regime the r13 notes measured at exponent ~0.9 and
+    correctly flagged as the wrong model for real deployments). Real
+    fleets grow AREA: more cells at roughly constant points-per-cell,
+    where the cost model is the linear cell-key shuffle. This mode
+    measures that regime directly against the library body
+    ``_blocked_nearest``: the longitude span scales by m (area ∝ m,
+    cells ∝ m) while point counts scale by m too, holding density — and
+    therefore per-cell work — constant. Expect b ≈ 1 (shuffle/scan
+    bound) with small-m points dragged below that by fixed job costs."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.spatial import (
+        CUST_LAT_MUL,
+        CUST_LON_MUL,
+        LAT_SPAN,
+        LON_SPAN,
+        RADIUS,
+        SUPP_LAT_MUL,
+        SUPP_LON_MUL,
+        _blocked_nearest,
+    )
+
+    base_c, base_s = 150_000, 10_000  # 10× the sf0.1 key counts: big
+    # enough that the m=1 point isn't pure job-launch floor
+    points = []
+    for m in multiples:
+        d = os.path.join(scratch, f"spatial_area_m{m}")
+        lon_span = LON_SPAN * m
+        cpath, spath = f"{d}/cust.parquet", f"{d}/st.parquet"
+        if not os.path.exists(cpath):
+            os.makedirs(d, exist_ok=True)
+            spark.range(1, base_c * m + 1).select(
+                F.col("id").alias("c_custkey"),
+                F.pmod(F.col("id") * CUST_LAT_MUL, F.lit(LAT_SPAN)).alias("lat"),
+                F.pmod(F.col("id") * CUST_LON_MUL, F.lit(lon_span)).alias("lon"),
+            ).write.mode("overwrite").parquet(cpath)
+            spark.range(1, base_s * m + 1).select(
+                F.col("id").alias("s_suppkey"),
+                F.pmod(F.col("id") * SUPP_LAT_MUL, F.lit(LAT_SPAN)).alias("slat"),
+                F.pmod(F.col("id") * SUPP_LON_MUL, F.lit(lon_span)).alias("slon"),
+            ).write.mode("overwrite").parquet(spath)
+        cust, st = spark.read.parquet(cpath), spark.read.parquet(spath)
+        # density audit: stations per occupied cell must stay ~constant
+        # across m, or the mode isn't measuring the area regime at all
+        occ = (
+            st.groupBy(
+                F.floor(F.col("slat") / RADIUS), F.floor(F.col("slon") / RADIUS)
+            )
+            .count()
+            .agg(
+                F.count("*").alias("cells"), F.avg("count").alias("per_cell")
+            )
+            .collect()[0]
+        )
+        best = math.inf
+        for _ in range(runs):
+            t0 = time.monotonic()
+            _blocked_nearest(cust, st, RADIUS).count()
+            best = min(best, time.monotonic() - t0)
+        points.append(
+            {
+                "m": m,
+                "customers": base_c * m,
+                "stations": base_s * m,
+                "cells": int(occ["cells"]),
+                "stations_per_cell": round(float(occ["per_cell"]), 2),
+                "best_sec": round(best, 2),
+            }
+        )
+    b = fit_exponent(
+        [float(p["m"]) for p in points], [p["best_sec"] for p in points]
+    )
+    print("| m (area) | customers | stations | cells | st/cell | best (s) |")
+    print("|---|---|---|---|---|---|")
+    for p in points:
+        print(
+            f"| {p['m']} | {p['customers']} | {p['stations']} | {p['cells']} "
+            f"| {p['stations_per_cell']} | {p['best_sec']} |"
+        )
+    print(f"\nexponent b (t ~ area^b): {b:.2f}")
+    print(json.dumps({"spatial_area_rehearsal": {
+        "points": points, "exponent": round(b, 3)}}))
+
+
 def fit_exponent(ms: list[float], ts: list[float]) -> float:
     if len(set(ms)) < 2:
         return float("nan")
@@ -190,6 +278,11 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=1)
     ap.add_argument("--vocab-scale", action="store_true",
                     help="Heaps/Zipf corpus-scaled vocabulary (realistic posting regime) instead of the fixed worst-case VOCAB")
+    ap.add_argument("--spatial-area", action="store_true",
+                    help="AREA-growth mode for the grid-blocked spatial "
+                    "join: span and points scale together (constant "
+                    "density, cells ∝ m) — the deployment regime the "
+                    "registry-table tiling mode cannot model")
     args = ap.parse_args()
     multiples = [int(m) for m in args.multiples.split(",")]
     names = args.queries.split(",")
@@ -207,6 +300,9 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if args.spatial_area:
+        run_spatial_area(spark, multiples, max(2, args.runs), args.scratch)
+        return
     queries = dict(em.queries())
     # The registry surfaces for the xxhash64 / float-ADC production twins
     # are *_checked wrappers that bolt an exact-twin yardstick onto the

@@ -21,7 +21,15 @@ local[32] at 30-50 % hot share and wins by construction at cluster
 partition counts, where the plain join's wall-clock IS the hot reducer.
 
 Usage: python tools/skew_experiment.py [--rows 3000000] [--keys 2000]
-           [--shares 0.1,0.3,0.5] [--runs 3]
+           [--shares 0.1,0.3,0.5] [--runs 3] [--shuffle-partitions N]
+
+--shuffle-partitions decouples reducer count from cores (r13 VERDICT
+task #4): local[32] with 32 partitions understates the salting win —
+every reducer slot is busy anyway, so the hot reducer merely finishes
+last among 32. At cluster-like counts (1024+) the plain join's
+wall-clock converges to the ONE hot reducer while 1023 others idle;
+salting scatters that key over N_SALTS reducers. Running this tool at
+1024 partitions makes that claim measured instead of argued.
 """
 
 from __future__ import annotations
@@ -42,7 +50,22 @@ def main() -> None:
     ap.add_argument("--shares", default="0.1,0.3,0.5")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument(
+        "--shuffle-partitions",
+        default=None,
+        help="reducer count (default: --cpus); set 1024+ to emulate "
+        "cluster-scale reducer fan-out on a local box",
+    )
+    ap.add_argument(
+        "--scratch",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "spark-warehouse",
+        ),
+        help="parquet scratch dir (kept inside the repo by default)",
+    )
     args = ap.parse_args()
+    shuffle_parts = args.shuffle_partitions or args.cpus
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -54,7 +77,7 @@ def main() -> None:
 
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
-        .config("spark.sql.shuffle.partitions", args.cpus)
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         # force real shuffle joins: the 100 TB dim never broadcasts
         .config("spark.sql.autoBroadcastJoinThreshold", "-1")
         .config("spark.ui.enabled", "false")
@@ -77,10 +100,12 @@ def main() -> None:
         dim = spark.range(args.keys).select(
             F.col("id").alias("k"), (F.col("id") * 7).alias("attr")
         )
-        fact.write.mode("overwrite").parquet(f"/tmp/skew_fact_{share_s}")
-        dim.write.mode("overwrite").parquet(f"/tmp/skew_dim_{share_s}")
-        fact = spark.read.parquet(f"/tmp/skew_fact_{share_s}")
-        dim = spark.read.parquet(f"/tmp/skew_dim_{share_s}")
+        fpath = os.path.join(args.scratch, f"skew_fact_{share_s}")
+        dpath = os.path.join(args.scratch, f"skew_dim_{share_s}")
+        fact.write.mode("overwrite").parquet(fpath)
+        dim.write.mode("overwrite").parquet(dpath)
+        fact = spark.read.parquet(fpath)
+        dim = spark.read.parquet(dpath)
 
         # detection is persisted and materialized OUTSIDE the timing: in
         # production the hot set is amortized across many queries (or
@@ -118,20 +143,69 @@ def main() -> None:
                 best = min(best, time.monotonic() - t0)
             return best
 
+        def reducer_profile(join_df):
+            """(max, median) rows per shuffle-output partition of the
+            JOIN itself — the number that IS a real cluster's
+            wall-clock. local[32] wave-scheduling hides the skew tail
+            (32 cores absorb the other reducers' work between waves of
+            the 1024 tasks), so at cluster-like partition counts the
+            timing columns UNDERSTATE the win; the reducer row
+            distribution is scheduling-independent: a 1024-executor
+            cluster's plain-join tail ≈ max_rows × per-row cost while
+            everything else finishes in one wave."""
+            # AQE coalescing merges tiny shuffle partitions (and is ON in
+            # the timed runs — the deployable config); disable it just for
+            # the profile so partition ids reflect the REQUESTED reducer
+            # fan-out, i.e. what 1024 distinct executors would each get.
+            key = "spark.sql.adaptive.coalescePartitions.enabled"
+            old = spark.conf.get(key, "true")
+            spark.conf.set(key, "false")
+            try:
+                pc = (
+                    join_df.select(F.spark_partition_id().alias("__p"))
+                    .groupBy("__p")
+                    .count()
+                )
+                row = pc.agg(
+                    F.max("count").alias("mx"),
+                    F.expr("percentile(count, 0.5)").alias("med"),
+                ).collect()[0]
+            finally:
+                spark.conf.set(key, old)
+            return int(row["mx"]), float(row["med"])
+
         tp, ts = best_of(plain), best_of(salted)
+        pmax, pmed = reducer_profile(fact.join(dim, "k"))
+        smax, smed = reducer_profile(
+            salted_join(fact, dim, "k", hot, F.xxhash64("row_id"))
+        )
         results[share_s] = {
             "plain_sec": round(tp, 2),
             "salted_sec": round(ts, 2),
             "speedup": round(tp / ts, 2),
+            "plain_max_reducer_rows": pmax,
+            "plain_median_reducer_rows": pmed,
+            "salted_max_reducer_rows": smax,
+            "salted_median_reducer_rows": smed,
+            "tail_reduction": round(pmax / max(1, smax), 1),
         }
         hot.unpersist()
 
-    print("| hot share | plain (s) | salted (s) | speedup |")
-    print("|---|---|---|---|")
+    print(
+        "| hot share | plain (s) | salted (s) | speedup | plain max/med "
+        "reducer rows | salted max/med | tail reduction |"
+    )
+    print("|---|---|---|---|---|---|---|")
     for s, r in results.items():
-        print(f"| {s} | {r['plain_sec']} | {r['salted_sec']} | {r['speedup']}× |")
+        print(
+            f"| {s} | {r['plain_sec']} | {r['salted_sec']} | {r['speedup']}× "
+            f"| {r['plain_max_reducer_rows']}/{int(r['plain_median_reducer_rows'])} "
+            f"| {r['salted_max_reducer_rows']}/{int(r['salted_median_reducer_rows'])} "
+            f"| {r['tail_reduction']}× |"
+        )
     print(json.dumps({"skew_experiment": {
         "rows": args.rows, "keys": args.keys, "cpus": args.cpus,
+        "shuffle_partitions": int(shuffle_parts),
         "results": results,
     }}))
 
