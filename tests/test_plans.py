@@ -1035,6 +1035,28 @@ def test_trigram_search_prebuilt_reads_index_not_corpus(spark):
         assert cols <= {"doc_id", "lang", "text", "tri"}
 
 
+def test_ann_ivf_prebuilt_probes_index_by_partition(spark):
+    """The prebuilt IVF query must price at index bytes: assignments come
+    from the stored cell-partitioned index (exactly ONE ivf_index scan,
+    with a dynamic-partition-pruning filter on cell — a probe reads only
+    its routed cell directories), no Lloyd pass over the corpus in the
+    query plan (embeddings scans are the query rows + gather sides + the
+    DPP subquery, <= 4), and no cartesian anywhere."""
+    import re
+
+    from weather_database_system_spark.operators.similarity import (
+        ann_ivf_prebuilt,
+    )
+    from weather_database_system_spark.plans import formatted_plan
+
+    df = ann_ivf_prebuilt(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*ivf_index", plan)) == 1
+    assert "dynamicpruning" in plan.lower()  # cell-directory pruning
+    assert len(re.findall(r"Location:.*embeddings", plan)) <= 4
+    assert "CartesianProduct" not in plan
+
+
 def test_trigram_needle_contract_self_enforcing(spark):
     """Needles that would desynchronize the literal engine side from the
     LIKE-interpolating oracle (%, _, quote) must fail loudly (ADVICE

@@ -937,25 +937,11 @@ def _trigram_search(docs: DataFrame, needle: str) -> DataFrame:
 
 def _trigram_index_path(sf_dir: str) -> str:
     """Deterministic scratch path for the prebuilt posting index, keyed
-    by the source dir so repeated runs overwrite instead of accumulate.
-    Lives under the repo's spark-warehouse scratch area (overridable via
-    WDSS_SCRATCH_DIR for deployments with a real scratch volume)."""
-    import hashlib
-    import os
+    by the source dir so repeated runs overwrite instead of accumulate
+    (shared scratch contract: session.scratch_path)."""
+    from weather_database_system_spark.session import scratch_path
 
-    scratch = os.environ.get(
-        "WDSS_SCRATCH_DIR",
-        os.path.normpath(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "..",
-                "..",
-                "spark-warehouse",
-            )
-        ),
-    )
-    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12]
-    return os.path.join(scratch, f"trigram_postings_{tag}")
+    return scratch_path("trigram_postings", sf_dir)
 
 
 def build_trigram_postings(docs: DataFrame, path: str) -> None:

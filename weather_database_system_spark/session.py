@@ -73,6 +73,29 @@ def get_spark(app_name: str = "weather_database_system_spark",
 # it degrades gracefully (MEMORY_AND_DISK evicts under pressure) but a
 # registry-wide sweep should not accumulate dead cached blocks.
 
+def scratch_path(kind: str, sf_dir: str) -> str:
+    """Deterministic scratch location for build-once artifacts (posting
+    indexes, IVF assignments): keyed by the source dir so repeated runs
+    OVERWRITE their own slot instead of accumulating, unique per (kind,
+    source) so families never collide. Defaults to the repo-local
+    spark-warehouse area; deployments point WDSS_SCRATCH_DIR at a real
+    scratch volume."""
+    import hashlib
+
+    scratch = os.environ.get(
+        "WDSS_SCRATCH_DIR",
+        os.path.normpath(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "..",
+                "spark-warehouse",
+            )
+        ),
+    )
+    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12]
+    return os.path.join(scratch, f"{kind}_{tag}")
+
+
 _TRACKED: list = []
 
 
