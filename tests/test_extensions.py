@@ -3201,3 +3201,60 @@ def test_blocked_nearest_boundaries_cover_and_tiebreak(spark):
         if best is not None:
             want[i] = (best[1], best[0])
     assert got == want
+
+
+def test_trigram_posting_append_equals_rebuild(spark, tmp_path):
+    """Incremental posting-index ingest must be blind-append exact:
+    build(batch1) + append(batch2) answers every trigram search
+    identically to build(batch1 UNION batch2) — the disjoint-doc_id
+    property that makes the 100 TB index maintainable without
+    read-modify-write. Also pins that the appended generation actually
+    landed as extra files (the graceful-pruning-degradation claim)."""
+    import glob
+
+    from weather_database_system_spark.operators.textan import (
+        _needle_tris,
+        _verify_contains,
+        append_trigram_postings,
+        build_trigram_postings,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "spark join fast"),
+            (2, "en", "no match here"),
+            (3, "en", "a spark join and another spark join"),
+            (4, "fr", "spark and join separately"),
+            (5, "en", "tail spark join"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    needle = "spark join"
+
+    def search(postings):
+        tris = _needle_tris(needle)
+        cand = (
+            postings.filter(F.col("tri").isin(tris))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tris"))
+            .filter(F.col("n_tris") == len(tris))
+            .select("doc_id")
+        )
+        return sorted(
+            tuple(r) for r in _verify_contains(docs, cand, needle).collect()
+        )
+
+    whole = str(tmp_path / "idx_whole")
+    incr = str(tmp_path / "idx_incr")
+    build_trigram_postings(docs, whole)
+    batch1, batch2 = docs.filter("doc_id <= 2"), docs.filter("doc_id > 2")
+    build_trigram_postings(batch1, incr)
+    n_files_before = len(glob.glob(f"{incr}/*.parquet"))
+    append_trigram_postings(batch2, incr)
+    assert len(glob.glob(f"{incr}/*.parquet")) > n_files_before
+
+    got_whole = search(spark.read.parquet(whole))
+    got_incr = search(spark.read.parquet(incr))
+    assert got_whole == got_incr
+    assert [r[0] for r in got_whole] == [1, 3, 5]

@@ -944,23 +944,40 @@ def _trigram_index_path(sf_dir: str) -> str:
     return scratch_path("trigram_postings", sf_dir)
 
 
-def build_trigram_postings(docs: DataFrame, path: str) -> None:
-    """Build the pg_trgm-style posting index ONCE: distinct (doc_id, tri)
-    pairs for EVERY trigram of every document (the index cannot know
-    future needles), range-partitioned and sorted by ``tri`` so each
-    parquet file covers a tight trigram range — file/row-group min-max
-    statistics then prune an ``IN (needle trigrams)`` probe to the few
-    files actually holding those posting lists. This is the write-once
-    ingest-side cost that trigram_search_prebuilt amortizes away from
-    the query path."""
+def _posting_frame(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, tri) postings for EVERY trigram of every doc
+    (the index cannot know future needles), range-partitioned and sorted
+    by ``tri`` so each parquet file covers a tight trigram range —
+    file/row-group min-max statistics then prune an ``IN (needle
+    trigrams)`` probe to the few files actually holding those lists."""
     n_part = docs.sparkSession.sparkContext.defaultParallelism
-    (
+    return (
         docs.select("doc_id", F.explode(F.array_distinct(_tri_arr())).alias("tri"))
         .repartitionByRange(n_part, "tri")
         .sortWithinPartitions("tri", "doc_id")
-        .write.mode("overwrite")
-        .parquet(path)
     )
+
+
+def build_trigram_postings(docs: DataFrame, path: str) -> None:
+    """Build the pg_trgm-style posting index ONCE — the write-once
+    ingest-side cost that trigram_search_prebuilt amortizes away from
+    the query path."""
+    _posting_frame(docs).write.mode("overwrite").parquet(path)
+
+
+def append_trigram_postings(docs: DataFrame, path: str) -> None:
+    """Incremental ingest for the posting index: a NEW batch's postings
+    BLIND-APPEND as their own tri-sorted file generation. Because the
+    index rows are (doc_id, tri) and batch doc_ids are disjoint from
+    history, no merge or read-modify-write is ever needed — the same
+    blind-append mergeability the fingerprint partials rely on
+    (pytest-pinned: build(batch₁) + append(batch₂) answers every search
+    identically to build(batch₁ ∪ batch₂)). Pruning degrades gracefully,
+    one tri-range file generation per appended batch; a periodic
+    compaction pass (the pipeline/maintenance.compact_partitioned
+    precedent) restores the single-generation layout without touching
+    correctness."""
+    _posting_frame(docs).write.mode("append").parquet(path)
 
 
 def trigram_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
