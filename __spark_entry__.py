@@ -57,11 +57,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # Groups now: r8=12 (the last r8-green entries — the stalest rows in
 # the registry, first in line this round per the r13 VERDICT task #1),
 # r10=45, r11=48, r12=47, r13=48 after the two mid-round removals noted
-# inline below. The r14 sample (first 50) = 4 unmapped (2 new r14
-# queries: trigram_search_prebuilt, ann_ivf_prebuilt; 2 re-queues:
-# trigram_index_search, station_density_grid) + the 12-entry r8 block +
-# the front 34 of the 45-entry r10 block; one more round then
-# refreshes the remainder.
+# inline below. The r14 sample (first 50) = 5 unmapped (3 new r14
+# queries: trigram_search_prebuilt, ann_ivf_prebuilt,
+# fingerprint_generic_orders; 2 re-queues: trigram_index_search,
+# station_density_grid) + the 12-entry r8 block + the front 33 of the
+# 45-entry r10 block; one more round then refreshes the remainder.
 _LAST_VERIFIED = {
     # --- last green in r08 ---
     **dict.fromkeys([

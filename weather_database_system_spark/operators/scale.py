@@ -562,6 +562,32 @@ def merge_fingerprints(*parts: DataFrame) -> DataFrame:
     )
 
 
+def fingerprint_generic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked exercise of the GENERIC ``fingerprint`` library
+    path (r14; the orders yardstick ``table_fingerprint`` keeps its
+    hard-coded ``_fp_rv`` and stays untouched): the same table digested
+    through ``fingerprint(df)``'s per-type canonicalization — integral
+    (o_orderkey), string (o_orderstatus), decimal (o_totalprice, which
+    arrives as DOUBLE and therefore takes the contract's prescribed
+    move: portable round + explicit-scale decimal cast BEFORE
+    fingerprinting, exactly what the library's raw-float rejection
+    instructs), and timestamp (o_orderdate at the library's full
+    microsecond format). Bucketing is the library rule — pmod(row hash,
+    32), no natural key — so this digest is deliberately NOT comparable
+    to table_fingerprint's o_orderkey-bucketed one. The DuckDB oracle
+    recomputes the library's canonical strings per type rule
+    (microseconds via strftime %f); agreement on all 32 buckets
+    driver-checks the generic path end-to-end, upgrading it from
+    pytest-only coverage."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        _fr(F.col("o_totalprice"), 2).cast("decimal(18,2)").alias("o_totalprice"),
+        "o_orderdate",
+    )
+    return fingerprint(o).orderBy("bucket")
+
+
 def salted_join_cms_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable registry form of the ``salted_join`` +
     ``detect_hot_keys_cms`` library pair (r12 VERDICT task #3) — the
@@ -1678,6 +1704,25 @@ ORACLE: dict[str, str] = {
         GROUP BY bucket
         ORDER BY bucket
     """,
+    # the generic library path recomputed per its type rules: digits for
+    # integrals, full-scale decimal strings, %f microsecond timestamps,
+    # bucket = row-hash mod 32 (non-negative, so % == pmod)
+    "fingerprint_generic_orders": f"""
+        WITH r AS (
+            SELECT CAST('0x' || substr(md5(
+                       CAST(o_orderkey AS VARCHAR) || '|' ||
+                       o_orderstatus || '|' ||
+                       CAST(CAST({_sql_fr('o_totalprice', 2)} AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f')
+                   ), 1, 15) AS BIGINT) AS rv
+            FROM orders
+        )
+        SELECT rv % {FP_BUCKETS} AS bucket, count(*) AS n_rows,
+               CAST(sum(rv) % {(1 << 61) - 1} AS BIGINT) AS checksum
+        FROM r
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
     # both digest tables recomputed independently, same divergence join;
     # counts equal on every diverged bucket — value drift only
     "fingerprint_divergence_report": f"""
@@ -1824,6 +1869,7 @@ QUERIES = {
     "skew_split_join": skew_split_join,
     "salted_join_cms": salted_join_cms_checked,
     "table_fingerprint": table_fingerprint,
+    "fingerprint_generic_orders": fingerprint_generic_orders,
     "table_fingerprint_stream": table_fingerprint_stream,
     "fingerprint_divergence_report": fingerprint_divergence_report,
     "skew_salted_agg": skew_salted_agg,
