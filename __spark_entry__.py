@@ -56,12 +56,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # which is exactly what CORRECTNESS_r13.json shows.]
 # Groups now: r8=12 (the last r8-green entries — the stalest rows in
 # the registry, first in line this round per the r13 VERDICT task #1),
-# r10=45, r11=48, r12=47, r13=48 after the two mid-round removals noted
-# inline below. The r14 sample (first 50) = 5 unmapped (3 new r14
+# r10=45, r11=48, r12=47, r13=47 after the three mid-round removals
+# noted inline below. The r14 sample (first 50) = 6 unmapped (3 new r14
 # queries: trigram_search_prebuilt, ann_ivf_prebuilt,
-# fingerprint_generic_orders; 2 re-queues: trigram_index_search,
-# station_density_grid) + the 12-entry r8 block + the front 33 of the
-# 45-entry r10 block; one more round then refreshes the remainder.
+# fingerprint_generic_orders; 3 re-queues: trigram_index_search,
+# station_density_grid, nearest_station_within_radius) + the 12-entry
+# r8 block + the front 32 of the 45-entry r10 block; one more round
+# then refreshes the remainder.
 _LAST_VERIFIED = {
     # --- last green in r08 ---
     **dict.fromkeys([
@@ -161,7 +162,11 @@ _LAST_VERIFIED = {
         "join_full_outer_nation_presence", "join_left_order_counts",
         "join_semi_active_customers", "join_star_revenue",
         "json_extract_props", "lineage_projection", "minmax_downsample",
-        "multimodal_features", "nearest_station_within_radius",
+        # nearest_station_within_radius REMOVED mid-r14 (_blocked_nearest
+        # gained the optional hot_cells salted path; the registry default
+        # is the unchanged plain join, but the touched-code protocol
+        # re-queues it regardless): re-enters the sample front.
+        "multimodal_features",
         "pivot_status_matrix", "png_decode_features",
         "presentation_format", "rollup_totals", "salted_join_cms",
         "set_except_nations", "set_intersect_nations", "set_union_nations",

@@ -3258,3 +3258,53 @@ def test_trigram_posting_append_equals_rebuild(spark, tmp_path):
     got_incr = search(spark.read.parquet(incr))
     assert got_whole == got_incr
     assert [r[0] for r in got_whole] == [1, 3, 5]
+
+
+def test_blocked_nearest_salted_hot_cells_row_identical(spark):
+    """The module docstring's 'a hot cell is a dense city, the
+    salted-join remedy composes' claim, made code-real (r14): routing
+    the cell join through salted_join with detect_hot_cells must return
+    EXACTLY the plain blocked join's nearest set on a fixture with one
+    deliberately hot cell — and the salted plan must actually salt
+    (the composite __salt key present, no cartesian)."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.spatial import (
+        _blocked_nearest,
+        detect_hot_cells,
+    )
+    from weather_database_system_spark.plans import formatted_plan
+
+    R = 10
+    # one dense city cell (cell 0,0: 60 customers) + sparse elsewhere
+    dense = [(i, 2 + i % 7, 3 + (i * 3) % 7) for i in range(60)]
+    sparse = [(100 + i, 25 + 11 * i, 37 + 13 * i) for i in range(8)]
+    cust = spark.createDataFrame(
+        dense + sparse, "c_custkey long, lat long, lon long"
+    )
+    st = spark.createDataFrame(
+        [(1, 5, 5), (2, 8, 1), (3, 30, 40), (4, 47, 61), (5, 70, 90)],
+        "s_suppkey long, slat long, slon long",
+    )
+    hot = detect_hot_cells(cust, R, min_count=30)
+    assert hot.count() == 1  # exactly the dense city's cell
+
+    plain = {tuple(r) for r in _blocked_nearest(cust, st, R).collect()}
+    salted_df = _blocked_nearest(cust, st, R, hot_cells=hot)
+    salted = {tuple(r) for r in salted_df.collect()}
+    assert salted == plain
+    assert len(plain) > 0
+    plan = formatted_plan(salted_df)
+    assert "__salt" in plan
+    assert "CartesianProduct" not in plan
+
+    # detector safety contract: an EMPTY and an EVERY-cell hot set both
+    # stay row-identical (wrong detection costs balance, never rows)
+    empty = detect_hot_cells(cust, R, min_count=10**9)
+    every = detect_hot_cells(cust, R, min_count=1)
+    assert {
+        tuple(r) for r in _blocked_nearest(cust, st, R, hot_cells=empty).collect()
+    } == plain
+    assert {
+        tuple(r) for r in _blocked_nearest(cust, st, R, hot_cells=every).collect()
+    } == plain

@@ -79,12 +79,49 @@ def nearest_station_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("c_custkey")
 
 
-def _blocked_nearest(cust: DataFrame, st: DataFrame, radius: int) -> DataFrame:
+def detect_hot_cells(
+    points: DataFrame, radius: int, min_count: int
+) -> DataFrame:
+    """Hot spatial cells by fact-side occupancy — the spatial instance
+    of the hot-key detector: cells whose point count reaches
+    ``min_count``, keyed by the PACKED cell string ``salted_join``
+    consumes. Same safety contract as every hot-key set fed to
+    salted_join: wrong/approximate detection costs balance, never rows.
+    ``points`` must carry (lat, lon). One map-side-combined aggregate on
+    the bounded cell key; at 100 TB this is the density-grid rollup the
+    dashboard already computes, reused as the skew detector."""
+    return (
+        points.groupBy(
+            F.concat_ws(
+                ",",
+                F.floor(F.col("lat") / radius),
+                F.floor(F.col("lon") / radius),
+            ).alias("__cell")
+        )
+        .count()
+        .filter(F.col("count") >= min_count)
+        .select("__cell")
+    )
+
+
+def _blocked_nearest(
+    cust: DataFrame,
+    st: DataFrame,
+    radius: int,
+    hot_cells: DataFrame | None = None,
+) -> DataFrame:
     """Library body of the grid-blocked nearest join over any
     (c_custkey, lat, lon) / (s_suppkey, slat, slon) integer-point
     frames. Boundary semantics pytest-pinned: inclusive at dist² = R²,
     diagonal-at-(R,R) excluded, cell-edge points covered, equidistant
-    ties broken by s_suppkey."""
+    ties broken by s_suppkey.
+
+    ``hot_cells`` (optional, a __cell-keyed frame from
+    ``detect_hot_cells``): routes the cell equi-join through
+    ``salted_join`` so a dense city's cell scatters over N_SALTS
+    reducers — the composition the module docstring promises, pinned
+    row-identical to the plain path in tests/test_plans.py. None (the
+    registry default) keeps the plain two-column cell join."""
     cust = cust.select(
         "*",
         F.floor(F.col("lat") / radius).alias("cx"),
@@ -104,12 +141,30 @@ def _blocked_nearest(cust: DataFrame, st: DataFrame, radius: int) -> DataFrame:
         (F.floor(F.col("slat") / radius) + F.col("o.dx")).alias("cx"),
         (F.floor(F.col("slon") / radius) + F.col("o.dy")).alias("cy"),
     )
+    if hot_cells is None:
+        joined = cust.join(st, ["cx", "cy"])
+    else:
+        from weather_database_system_spark.operators.scale import salted_join
+
+        def packed(df: DataFrame) -> DataFrame:
+            return df.withColumn(
+                "__cell", F.concat_ws(",", "cx", "cy")
+            ).drop("cx", "cy")
+
+        # fact side = customers (the dense-city side); salt scatters a
+        # hot cell's customers, station replicas multiply only for the
+        # hot cells — identical rows to the plain join by salted_join's
+        # identity guarantee
+        joined = salted_join(
+            packed(cust), packed(st), "__cell", hot_cells,
+            F.xxhash64("c_custkey"),
+        ).drop("__cell")
     d2 = (
         (F.col("lat") - F.col("slat")) * (F.col("lat") - F.col("slat"))
         + (F.col("lon") - F.col("slon")) * (F.col("lon") - F.col("slon"))
     )
     pairs = (
-        cust.join(st, ["cx", "cy"])
+        joined
         .select("c_custkey", "s_suppkey", d2.alias("dist2"))
         .filter(F.col("dist2") <= radius * radius)
     )
