@@ -656,3 +656,80 @@ def test_streaming_fingerprint_partials_merge_to_batch_digests(spark, tmp_path):
         for r in table_fingerprint(spark, SF_SMOKE).collect()
     }
     assert merged == single
+
+
+def test_streaming_trigram_index_maintenance(spark, tmp_path):
+    """STREAMING maintenance of the prebuilt trigram posting index: docs
+    arrive as micro-batches and each foreachBatch blind-appends its
+    postings via append_trigram_postings — the ingest loop a 100 TB
+    text-search deployment actually runs (no read-modify-write; the
+    disjoint-doc_id mergeability test_extensions pins in batch form).
+    Asserts the streamed index answers the registry needle's search
+    identically to a one-shot build over the same corpus, and that an
+    availableNow restart from the same checkpoint appends nothing twice
+    (exactly-once: posting count stable)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.textan import (
+        TRIGRAM_NEEDLE,
+        _needle_tris,
+        _verify_contains,
+        append_trigram_postings,
+        build_trigram_postings,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    src = str(tmp_path / "docs_src")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    idx_stream = str(tmp_path / "postings_stream")
+    idx_oneshot = str(tmp_path / "postings_oneshot")
+
+    schema = spark.read.parquet(src).schema
+
+    def handle(batch_df, batch_id):
+        append_trigram_postings(batch_df, idx_stream)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", str(tmp_path / "ckpt_trigram"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run()
+    build_trigram_postings(docs, idx_oneshot)
+
+    def search(path):
+        postings = spark.read.parquet(path)
+        tris = _needle_tris(TRIGRAM_NEEDLE)
+        cand = (
+            postings.filter(F.col("tri").isin(tris))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") == len(tris))
+            .select("doc_id")
+        )
+        return sorted(
+            tuple(r)
+            for r in _verify_contains(docs, cand, TRIGRAM_NEEDLE).collect()
+        )
+
+    got_stream, got_oneshot = search(idx_stream), search(idx_oneshot)
+    assert got_stream == got_oneshot
+    assert len(got_stream) > 0  # the needle has real matches at SF_SMOKE
+    n_postings = spark.read.parquet(idx_stream).count()
+    assert n_postings == spark.read.parquet(idx_oneshot).count()
+    # restart from the same checkpoint: drained stream, zero re-appends
+    run()
+    assert spark.read.parquet(idx_stream).count() == n_postings
