@@ -3308,3 +3308,21 @@ def test_blocked_nearest_salted_hot_cells_row_identical(spark):
     assert {
         tuple(r) for r in _blocked_nearest(cust, st, R, hot_cells=every).collect()
     } == plain
+
+
+def test_density_grid_nonneg_guard_actually_fires(spark):
+    """The signed-coordinate guard must EVALUATE, not just exist: the
+    first version put assert_true in its own dropped column and Catalyst
+    column-pruned it into a no-op (verified empirically, r14). The guard
+    is now fused into the consumed slat expression — a negative
+    coordinate must raise, a valid frame must aggregate normally."""
+    import pytest
+
+    from weather_database_system_spark.operators.spatial import _density_grid
+
+    bad = spark.createDataFrame([(5, 7), (-3, 7)], "slat long, slon long")
+    with pytest.raises(Exception, match="negative coordinate"):
+        _density_grid(bad).collect()
+    ok = spark.createDataFrame([(5, 7), (3, 7)], "slat long, slon long")
+    rows = _density_grid(ok).collect()
+    assert len(rows) == 1 and rows[0]["n_stations"] == 2

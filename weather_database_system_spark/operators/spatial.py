@@ -190,17 +190,31 @@ def station_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     toward zero on negatives in some versions while floor rounds down,
     so a signed-coordinate extension MUST switch the oracle to
     ``floor(slat / RADIUS)`` explicitly. Self-enforced below: a negative
-    coordinate fails the query rather than silently diverging."""
-    st = _station_points(spark, sf_dir).select(
-        F.assert_true(
-            (F.col("slat") >= 0) & (F.col("slon") >= 0),
+    coordinate fails the query rather than silently diverging. The
+    assert is threaded through the USED slat expression — an assert in
+    its own dropped column gets column-pruned by Catalyst and never
+    evaluates (found by probing the first version of this guard; pytest
+    pins that this one actually fires on a negative coordinate)."""
+    return _density_grid(_station_points(spark, sf_dir))
+
+
+def _density_grid(points: DataFrame) -> DataFrame:
+    """Library body of the density rollup over any (slat, slon) frame,
+    with the non-negativity guard fused into the consumed slat column."""
+    nonneg = F.assert_true(
+        (F.col("slat") >= 0) & (F.col("slon") >= 0),
+        F.lit(
             "station_density_grid: negative coordinate — the // vs "
             "floor(/) oracle equivalence only holds for non-negative "
-            "values; update the oracle before extending the domain",
-        ).alias("__nonneg"),
-        "slat",
+            "values; update the oracle before extending the domain"
+        ),
+    )
+    st = points.select(
+        # assert_true yields NULL on success, so this IS slat — with the
+        # guard un-prunably fused into a column the aggregate consumes
+        F.when(nonneg.isNull(), F.col("slat")).alias("slat"),
         "slon",
-    ).drop("__nonneg")
+    )
     return (
         st.groupBy(
             F.floor(F.col("slat") / RADIUS).alias("cx"),
