@@ -1113,6 +1113,26 @@ def test_table_fingerprint_single_scan_no_sort_of_rows(spark):
     assert shuffle_count(df) <= 2  # 32-key agg exchange + 32-row sort
 
 
+def test_fingerprint_generic_orders_same_one_pass_shape(spark):
+    """The generic library path must keep the yardstick's plan shape —
+    ONE orders scan, map-side-combined bounded-key aggregate, no Join,
+    no row-level sort — the per-type canonicalization is pure projection
+    work inside the same stage."""
+    import re
+
+    from weather_database_system_spark.operators.scale import (
+        fingerprint_generic_orders,
+    )
+    from weather_database_system_spark.plans import formatted_plan, shuffle_count
+
+    df = fingerprint_generic_orders(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*orders", plan)) == 1
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert shuffle_count(df) <= 2
+
+
 def test_frequent_best_customer_revenue_filters_before_join(spark):
     """The DS-Q23 shape must filter BOTH fact-join inputs before the
     orderkey shuffle: the frequent-part set semi-joins the pruned
