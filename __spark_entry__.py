@@ -57,12 +57,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # Groups now: r8=12 (the last r8-green entries — the stalest rows in
 # the registry, first in line this round per the r13 VERDICT task #1),
 # r10=45, r11=48, r12=47, r13=47 after the three mid-round removals
-# noted inline below. The r14 sample (first 50) = 6 unmapped (3 new r14
+# noted inline below. The r14 sample (first 50) = 7 unmapped (4 new r14
 # queries: trigram_search_prebuilt, ann_ivf_prebuilt,
-# fingerprint_generic_orders; 3 re-queues: trigram_index_search,
-# station_density_grid, nearest_station_within_radius) + the 12-entry
-# r8 block + the front 32 of the 45-entry r10 block; one more round
-# then refreshes the remainder.
+# ann_ivf_prebuilt_nprobe, fingerprint_generic_orders; 3 re-queues:
+# trigram_index_search, station_density_grid,
+# nearest_station_within_radius) + the 12-entry r8 block + the front 31
+# of the 45-entry r10 block; one more round then refreshes the
+# remainder.
 _LAST_VERIFIED = {
     # --- last green in r08 ---
     **dict.fromkeys([

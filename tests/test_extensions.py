@@ -3326,3 +3326,59 @@ def test_density_grid_nonneg_guard_actually_fires(spark):
     ok = spark.createDataFrame([(5, 7), (3, 7)], "slat long, slon long")
     rows = _density_grid(ok).collect()
     assert len(rows) == 1 and rows[0]["n_stations"] == 2
+
+
+def test_trigram_posting_compaction_preserves_search(spark, tmp_path):
+    """compact_trigram_postings must be a row-preserving layout rewrite:
+    after several appended generations, compaction reduces the file
+    count back to one generation while every search result and the
+    total posting multiset stay identical."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.textan import (
+        _needle_tris,
+        _verify_contains,
+        append_trigram_postings,
+        build_trigram_postings,
+        compact_trigram_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "spark join fast"),
+            (2, "en", "no match here"),
+            (3, "en", "a spark join and another spark join"),
+            (4, "fr", "spark and join separately"),
+            (5, "en", "tail spark join"),
+            (6, "en", "late arrival spark join"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_trigram_postings(docs.filter("doc_id <= 2"), idx)
+    append_trigram_postings(docs.filter("doc_id in (3, 4)"), idx)
+    append_trigram_postings(docs.filter("doc_id >= 5"), idx)
+    n_files_appended = len(glob.glob(f"{idx}/*.parquet"))
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(idx).collect()
+    )
+
+    compact_trigram_postings(spark, idx)
+    assert len(glob.glob(f"{idx}/*.parquet")) < n_files_appended
+    after = sorted(tuple(r) for r in spark.read.parquet(idx).collect())
+    assert after == before  # row-preserving rewrite
+
+    needle = "spark join"
+    tris = _needle_tris(needle)
+    postings = spark.read.parquet(idx)
+    cand = (
+        postings.filter(F.col("tri").isin(tris))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") == len(tris))
+        .select("doc_id")
+    )
+    got = [r.doc_id for r in _verify_contains(docs, cand, needle).collect()]
+    assert got == [1, 3, 5, 6]

@@ -651,6 +651,67 @@ def ann_ivf_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_prebuilt_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-cell probing against the STORED IVF index — the deployment
+    form with the recall knob every production IVF exposes (FAISS
+    nprobe), completing the prebuilt pair exactly as
+    ann_ivf_kmeans_nprobe completes the in-query pair. Routing: each
+    query's NPROBE nearest stored centroids from the same one-expression
+    array_sort-and-slice the in-query variant uses (lexicographic (d²,
+    cell) structs — the argmin's tie-break); the probed (query, cell)
+    pairs broadcast against the cell-partitioned assignments directory,
+    so a probe reads NPROBE/K of the index by directory and dynamic
+    partition pruning skips the rest. Output identical to
+    ann_ivf_kmeans_nprobe (same deterministic training, stored and
+    read back loss-free), so the same widened-probe-CTE oracle replays
+    it; recall(nprobe=2) ≥ recall(nprobe=1) is pinned for the in-query
+    twin and transfers verbatim (identical outputs)."""
+    from weather_database_system_spark.session import scratch_path
+
+    path = scratch_path("ivf_index", sf_dir)
+    build_ivf_index(spark, sf_dir, path)
+
+    cents = sorted(
+        (int(r["cell"]), list(r["emb"]))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    assigned = spark.read.parquet(f"{path}/assignments")
+
+    vecs = _emb_double(spark, sf_dir).select(
+        "vec_id", "emb", F.sqrt(_dot_dec(F.col("emb"), F.col("emb"))).alias("nrm")
+    )
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "emb")
+    qcells = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(_cell_entries_expr(cents)), 1, NPROBE),
+                lambda e: e["cell"],
+            )
+        ).alias("cell"),
+    )
+
+    qv, cv = vecs.alias("qv"), vecs.alias("cv")
+    cos = _dot_dec(F.col("qv.emb"), F.col("cv.emb")) / (
+        F.col("qv.nrm") * F.col("cv.nrm")
+    )
+    wk = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        F.broadcast(qcells)
+        .join(assigned.alias("m"), "cell")
+        .select("query_id", F.col("m.vec_id").alias("neighbor_id"))
+        .join(qv, F.col("query_id") == F.col("qv.vec_id"))
+        .join(cv, F.col("neighbor_id") == F.col("cv.vec_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "rank", "neighbor_id", _fr(F.col("cos"), 6).alias("cosine")
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 PQ_M = 4        # subspaces (EMB_DIMS / PQ_SUBDIM)
 PQ_SUBDIM = 16  # dims per subspace
 PQ_K = 16       # codewords per subspace codebook
@@ -1757,6 +1818,7 @@ ORACLE: dict[str, str] = {
     # oracle proves the index round-trip (train -> parquet -> route ->
     # probe -> re-rank) loses nothing
     "ann_ivf_prebuilt": _sql_ann_ivf_kmeans(),
+    "ann_ivf_prebuilt_nprobe": _sql_ann_ivf_kmeans(nprobe=NPROBE),
     "embedding_near_dup_lsh": _sql_near_dup_lsh(),
     "ann_brute_force": f"""
         WITH long AS ({_SQL_LONG}),
@@ -1883,6 +1945,7 @@ QUERIES = {
     "ann_ivf_kmeans": ann_ivf_kmeans,
     "ann_ivf_kmeans_nprobe": ann_ivf_kmeans_nprobe,
     "ann_ivf_prebuilt": ann_ivf_prebuilt,
+    "ann_ivf_prebuilt_nprobe": ann_ivf_prebuilt_nprobe,
     # registry surface for the float-ADC path: replayable per-query spine
     # + pinned quantization-error / gain claims; the raw PQ plan stays
     # importable (bench would time it; numpy replay pytest pins it)

@@ -950,11 +950,8 @@ def _posting_frame(docs: DataFrame) -> DataFrame:
     by ``tri`` so each parquet file covers a tight trigram range —
     file/row-group min-max statistics then prune an ``IN (needle
     trigrams)`` probe to the few files actually holding those lists."""
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    return (
+    return _posting_frame_from(
         docs.select("doc_id", F.explode(F.array_distinct(_tri_arr())).alias("tri"))
-        .repartitionByRange(n_part, "tri")
-        .sortWithinPartitions("tri", "doc_id")
     )
 
 
@@ -978,6 +975,37 @@ def append_trigram_postings(docs: DataFrame, path: str) -> None:
     precedent) restores the single-generation layout without touching
     correctness."""
     _posting_frame(docs).write.mode("append").parquet(path)
+
+
+def compact_trigram_postings(spark: SparkSession, path: str) -> None:
+    """Maintenance pass restoring the single-generation layout after
+    ``append_trigram_postings`` batches: read every generation, rewrite
+    once range-partitioned + tri-sorted (each file again covers one
+    tight trigram range, so min-max pruning is back to build-time
+    quality), and swap the directory. Search results are unchanged by
+    construction — compaction is a row-preserving rewrite
+    (pytest-pinned) — only pruning improves. The local-FS swap here is
+    delete-and-rename; a 100 TB deployment swaps a manifest/metastore
+    pointer instead, same plan shape (one range shuffle of the index —
+    index bytes, never corpus bytes)."""
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + "__compacting"
+    _posting_frame_from(spark.read.parquet(path)).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def _posting_frame_from(postings: DataFrame) -> DataFrame:
+    """Range-partition + sort an existing (doc_id, tri) posting frame —
+    the layout half of ``_posting_frame`` without the trigram extract."""
+    n_part = postings.sparkSession.sparkContext.defaultParallelism
+    return postings.repartitionByRange(n_part, "tri").sortWithinPartitions(
+        "tri", "doc_id"
+    )
 
 
 def trigram_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
