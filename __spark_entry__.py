@@ -40,62 +40,35 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # then ascending by staleness — the r01/r02-era greens re-verify before
 # anything newer. Two rounds of this rotation re-freshen the whole registry.
 #
-# Rotation executed at r14 start per the procedure above: all 50 keys
-# in CORRECTNESS_r13.json moved to 13 — 50/50 green (rows + schema +
-# hash). The r13 sample was 13 unmapped (3 re-queues: heavy_hitters_cms,
-# heavy_hitters_cms_stream, jaccard_prefix_pairs; 10 queries ADDED
-# during r13: salted_join_cms, channel_cumulative_compare,
-# trigram_index_search, minmax_downsample, table_fingerprint,
-# table_fingerprint_stream, fingerprint_divergence_report,
-# frequent_best_customer_revenue, nearest_station_within_radius,
-# station_density_grid) + the 2 r7 stragglers (feed_daily_rollup,
-# cache_envelope_projection — now cleared) + 35 from the front of the
-# r8-era block.  [The previous revision of this comment under-counted
-# the r13 additions as "9 new / 12 unmapped"; fingerprint_divergence_
-# report was omitted — ADVICE r13 #1. Corrected: 10 new / 13 unmapped,
-# which is exactly what CORRECTNESS_r13.json shows.]
-# Groups now: r8=12 (the last r8-green entries — the stalest rows in
-# the registry, first in line this round per the r13 VERDICT task #1),
-# r10=45, r11=48, r12=47, r13=47 after the three mid-round removals
-# noted inline below. The r14 sample (first 50) = 7 unmapped (4 new r14
-# queries: trigram_search_prebuilt, ann_ivf_prebuilt,
-# ann_ivf_prebuilt_nprobe, fingerprint_generic_orders; 3 re-queues:
-# trigram_index_search, station_density_grid,
-# nearest_station_within_radius) + the 12-entry r8 block + the front 31
-# of the 45-entry r10 block; one more round then refreshes the
-# remainder.
+# Rotation executed at r15 start per the procedure above: all 50 keys
+# in CORRECTNESS_r14.json moved to 14 — 50/50 green (rows + schema +
+# hash); the whole map then regenerated from the fourteen files'
+# last-occurrence rule (the one-liner above), which also folded the
+# historical per-round blocks into one canonical listing. REMOVED as
+# touched-this-round (re-enter the sample front): trigram_search_prebuilt
+# (countDistinct candidate gate — ADVICE r14 #1), ann_ivf_prebuilt /
+# ann_ivf_prebuilt_nprobe (shared build-if-absent index via
+# ensure_ivf_index + split query path + candidate dedup — ADVICE r14 #2,
+# VERDICT r14 #6), fingerprint_generic_orders (fingerprint() gained the
+# duplicate-column rejection and config metadata — ADVICE r14 #5, VERDICT
+# r14 #5), ann_ivf_kmeans / ann_ivf_kmeans_nprobe (the Lloyd loop
+# factored into train_ivf_centroids for the index lifecycle — behavior
+# identical, but touched code re-queues regardless).
+# Groups now: r10=14 (the block VERDICT r14 task #2 orders cleared this
+# round), r11=48, r12=45, r13=47, r14=46. The r15 sample (first 50) =
+# 8 unmapped (2 new r15 queries: ann_ivf_prebuilt_appended,
+# nearest_station_salted_checked; the 6 removals above) + the ENTIRE
+# 14-entry r10 block + the front 28 of the r11 block.
 _LAST_VERIFIED = {
-    # --- last green in r08 ---
-    **dict.fromkeys([
-        "anomaly_mad_zscore_approx", "approx_distinct_users_scale",
-        "bloom_prefilter_semi_join", "doc_chunk_windows",
-        "domain_mixture_weights", "feed_station_monthly",
-        "feed_station_rollup", "pii_redaction", "quality_weighted_sample",
-        "sequence_pack_bins", "sequence_pack_bins_sharded",
-        "udf_weighted_mean_price"
-    ], 8),
     # --- last green in r10 ---
     **dict.fromkeys([
-        "agg_collect_sorted", "ann_brute_force",
-        "asof_attribution_tolerance", "bigram_surprisal_quality",
         "chunk_dedup_stats", "contamination_eval_overlap",
-        "corpus_dedup_apply", "curriculum_pack_epochs",
-        "data_quality_profile", "decayed_user_value",
-        "dedup_against_index", "dedup_clusters", "dedup_containment",
-        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-        "diff_snapshots", "embedding_gram_matrix", "embedding_near_dup",
+        "curriculum_pack_epochs", "data_quality_profile",
+        "decayed_user_value", "embedding_gram_matrix",
         "entity_fuzzy_blocking", "funnel_time_to_convert",
-        "graph_clustering_coeff", "grouping_sets_revenue",
-        "histogram_value_buckets", "image_decode_features",
-        "item_cooccurrence_similarity", "late_orders_by_priority",
-        "ngram_jaccard_pairs", "pagerank_near_dup", "pmi_collocations",
-        "repetition_ngram_stats", "rollup_merge_incremental",
-        "scd2_user_history", "seasonal_hourly_profile",
-        "shipping_priority", "source_kl_divergence",
-        "source_overlap_jaccard", "span_corruption_masks",
-        "split_by_cluster", "string_functions", "time_proximity_join",
-        "tokenize_to_ids", "unigram_logprob_quality",
-        "winnow_fingerprints", "zorder_layout"
+        "item_cooccurrence_similarity", "repetition_ngram_stats",
+        "source_kl_divergence", "source_overlap_jaccard",
+        "span_corruption_masks", "tokenize_to_ids"
     ], 10),
     # --- last green in r11 ---
     **dict.fromkeys([
@@ -111,43 +84,33 @@ _LAST_VERIFIED = {
         "linear_regression_trend", "min_cost_supplier", "monthly_rollup",
         "multimodal_frame_sample", "multimodal_metadata", "nation_profit",
         "nation_trade_volume", "pricing_summary", "promo_revenue_share",
-        "quarterly_top_supplier", "range_band_join",
-        "regional_market_share", "returned_item_customers",
-        "session_path_analysis", "small_quantity_part_revenue",
-        "sole_return_supplier", "stream_stream_join",
-        "supplier_count_by_part_family", "text_quality",
+        "quarterly_top_supplier", "range_band_join", "regional_market_share",
+        "returned_item_customers", "session_path_analysis",
+        "small_quantity_part_revenue", "sole_return_supplier",
+        "stream_stream_join", "supplier_count_by_part_family", "text_quality",
         "text_token_stats", "tfidf_top_terms", "time_weighted_avg",
         "udf_tokenize_table", "wealthy_idle_customers",
         "weighted_reservoir_sample", "window_running_sum"
     ], 11),
     # --- last green in r12 ---
     **dict.fromkeys([
-        "ann_ivf_kmeans", "ann_ivf_kmeans_nprobe", "approx_distinct_users",
-        "array_functions", "bpe_merge_pairs", "cache_freshness_ladder",
-        "cache_ttl_introspection", "coercion_fill_policy",
-        "cohort_retention", "conditional_functions", "datetime_functions",
-        "dedup_clusters_logstar", "feature_scaling", "funnel_conversion",
-        "gap_fill_interpolate", "gap_fill_locf",
-        # heavy_hitters_cms_stream REMOVED mid-r13 (vocab-factored
-        # rewrite alongside the batch twin — grams collapse to weighted
-        # vocabulary rows before hashing; bit-identical output verified
-        # vs the oracle at sf0.001/0.01 in-session, Zipf-regime 32×
-        # rehearsal 56.4 → 50.1 s): touched code re-enters the sample
-        # front per the standing protocol.
-        "hll_partial_rollup", "map_functions",
-        "math_functions", "monthly_filtered", "multi_band_counts",
-        "projection_sort", "quantile_bucket_decile",
-        "quantile_bucket_decile_approx", "rfm_segmentation",
-        "rfm_segmentation_approx", "rollup_cascade_day",
+        "approx_distinct_users", "array_functions", "bpe_merge_pairs",
+        "cache_freshness_ladder", "cache_ttl_introspection",
+        "coercion_fill_policy", "cohort_retention", "conditional_functions",
+        "datetime_functions", "dedup_clusters_logstar", "feature_scaling",
+        "funnel_conversion", "gap_fill_interpolate", "gap_fill_locf",
+        "hll_partial_rollup", "map_functions", "math_functions",
+        "monthly_filtered", "multi_band_counts", "projection_sort",
+        "quantile_bucket_decile", "quantile_bucket_decile_approx",
+        "rfm_segmentation", "rfm_segmentation_approx", "rollup_cascade_day",
         "rollup_topk_per_grain", "semdedup_prune", "sessionize_events",
         "shipmode_priority_counts", "skew_salted_agg", "skew_split_join",
-        "sql_correlated_exists", "sql_groupby_having",
-        "sql_scalar_subquery", "stratified_sample",
-        "stream_late_data_policy", "stream_session_window",
-        "stream_sliding_window", "stream_tumbling_window",
-        "stream_windowed_dedup", "string_functions_extended",
-        "tfidf_cosine_pairs", "train_test_split", "udf_normalize_text",
-        "yoy_revenue_delta"
+        "sql_correlated_exists", "sql_groupby_having", "sql_scalar_subquery",
+        "stratified_sample", "stream_late_data_policy",
+        "stream_session_window", "stream_sliding_window",
+        "stream_tumbling_window", "stream_windowed_dedup",
+        "string_functions_extended", "tfidf_cosine_pairs", "train_test_split",
+        "udf_normalize_text", "yoy_revenue_delta"
     ], 12),
     # --- last green in r13 ---
     **dict.fromkeys([
@@ -163,29 +126,36 @@ _LAST_VERIFIED = {
         "join_full_outer_nation_presence", "join_left_order_counts",
         "join_semi_active_customers", "join_star_revenue",
         "json_extract_props", "lineage_projection", "minmax_downsample",
-        # nearest_station_within_radius REMOVED mid-r14 (_blocked_nearest
-        # gained the optional hot_cells salted path; the registry default
-        # is the unchanged plain join, but the touched-code protocol
-        # re-queues it regardless): re-enters the sample front.
-        "multimodal_features",
-        "pivot_status_matrix", "png_decode_features",
+        "multimodal_features", "pivot_status_matrix", "png_decode_features",
         "presentation_format", "rollup_totals", "salted_join_cms",
         "set_except_nations", "set_intersect_nations", "set_union_nations",
-        # station_density_grid REMOVED early-r14 (self-enforcing
-        # non-negativity assert added for the // vs floor(/) oracle
-        # equivalence — r13 VERDICT task #7): touched code re-enters
-        # the sample front per the standing protocol.
-        # trigram_index_search REMOVED early-r14 (body refactored onto the
-        # shared _needle_tris/_tri_arr/_verify_contains helpers extracted
-        # for the new trigram_search_prebuilt variant, plus the
-        # self-enforcing needle-contract assert — ADVICE r13 #4): touched
-        # code re-enters the sample front per the standing protocol.
-        "skyline_pareto", "table_fingerprint",
-        "table_fingerprint_stream", "topk_global",
-        "unpivot_measures", "window_distribution_funcs",
+        "skyline_pareto", "table_fingerprint", "table_fingerprint_stream",
+        "topk_global", "unpivot_measures", "window_distribution_funcs",
         "window_lag_delta", "window_rank_dense", "window_rolling_1h",
         "window_topk_per_group"
     ], 13),
+    # --- last green in r14 ---
+    **dict.fromkeys([
+        "agg_collect_sorted", "ann_brute_force", "anomaly_mad_zscore_approx",
+        "approx_distinct_users_scale", "asof_attribution_tolerance",
+        "bigram_surprisal_quality", "bloom_prefilter_semi_join",
+        "corpus_dedup_apply", "dedup_against_index", "dedup_clusters",
+        "dedup_containment", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_simhash", "diff_snapshots", "doc_chunk_windows",
+        "domain_mixture_weights", "embedding_near_dup",
+        "feed_station_monthly", "feed_station_rollup",
+        "graph_clustering_coeff", "grouping_sets_revenue",
+        "histogram_value_buckets", "image_decode_features",
+        "late_orders_by_priority", "nearest_station_within_radius",
+        "ngram_jaccard_pairs", "pagerank_near_dup", "pii_redaction",
+        "pmi_collocations", "quality_weighted_sample",
+        "rollup_merge_incremental", "scd2_user_history",
+        "seasonal_hourly_profile", "sequence_pack_bins",
+        "sequence_pack_bins_sharded", "shipping_priority", "split_by_cluster",
+        "station_density_grid", "string_functions", "time_proximity_join",
+        "trigram_index_search", "udf_weighted_mean_price",
+        "unigram_logprob_quality", "winnow_fingerprints", "zorder_layout"
+    ], 14),
 }
 
 

@@ -1,0 +1,86 @@
+"""Cold-session index read probe (r14 VERDICT task #4).
+
+Proves no in-session state is load-bearing for the prebuilt-index query
+paths: session A builds the trigram posting index and the IVF index into a
+fresh scratch dir and answers the registry searches; session A is STOPPED;
+a brand-new session B answers the same searches through the QUERY-ONLY
+halves (trigram_query_prebuilt / ann_ivf_query_prebuilt — no build, no
+train), reading nothing but the stored index files plus the source tables
+the verify/gather steps point into. Exit 0 iff all results match and are
+non-empty.
+
+Run by tests/test_extensions.py::test_cold_session_index_reads in a
+subprocess (a stopped SparkContext poisons the shared pytest fixture, so
+the two-session dance needs its own process).
+
+Usage: python tests/cold_session_probe.py <sf_dir> <scratch_dir>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def main() -> int:
+    sf_dir, scratch = sys.argv[1], sys.argv[2]
+    os.environ["WDSS_SCRATCH_DIR"] = scratch  # hermetic index slot
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    from pyspark.sql import SparkSession
+
+    def fresh_session():
+        return (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+
+    from weather_database_system_spark.operators.similarity import (
+        NPROBE,
+        ann_ivf_query_prebuilt,
+        ensure_ivf_index,
+    )
+    from weather_database_system_spark.operators.textan import (
+        ensure_trigram_postings,
+        trigram_query_prebuilt,
+    )
+
+    # --- session A: build + answer -------------------------------------
+    spark = fresh_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    tri_path = ensure_trigram_postings(spark, sf_dir)
+    ivf_path = ensure_ivf_index(spark, sf_dir)
+    warm = {
+        "tri": [tuple(r) for r in trigram_query_prebuilt(spark, sf_dir, tri_path).collect()],
+        "ivf1": [tuple(r) for r in ann_ivf_query_prebuilt(spark, sf_dir, ivf_path, 1).collect()],
+        "ivfN": [tuple(r) for r in ann_ivf_query_prebuilt(spark, sf_dir, ivf_path, NPROBE).collect()],
+    }
+    spark.stop()
+
+    # --- session B: cold, query-only ------------------------------------
+    spark = fresh_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    cold = {
+        "tri": [tuple(r) for r in trigram_query_prebuilt(spark, sf_dir, tri_path).collect()],
+        "ivf1": [tuple(r) for r in ann_ivf_query_prebuilt(spark, sf_dir, ivf_path, 1).collect()],
+        "ivfN": [tuple(r) for r in ann_ivf_query_prebuilt(spark, sf_dir, ivf_path, NPROBE).collect()],
+    }
+    spark.stop()
+
+    ok = True
+    for k in warm:
+        if not warm[k]:
+            print(f"{k}: EMPTY warm result", flush=True)
+            ok = False
+        elif warm[k] != cold[k]:
+            print(f"{k}: cold read diverged ({len(warm[k])} vs {len(cold[k])} rows)", flush=True)
+            ok = False
+        else:
+            print(f"{k}: cold == warm ({len(warm[k])} rows)", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

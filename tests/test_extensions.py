@@ -3382,3 +3382,169 @@ def test_trigram_posting_compaction_preserves_search(spark, tmp_path):
     )
     got = [r.doc_id for r in _verify_contains(docs, cand, needle).collect()]
     assert got == [1, 3, 5, 6]
+
+
+def test_trigram_duplicate_appended_postings_never_drop_matches(spark, tmp_path):
+    """At-least-once ingest duplicates postings: a retried micro-batch
+    blind-appends its (doc_id, tri) rows AGAIN. The candidate gate must
+    count DISTINCT trigrams per doc (ADVICE r14 #1) — the old count(*)
+    equality pushed a true match's count to 2×len(tris) and silently
+    DROPPED it. Pin: doubling a batch's postings leaves the search
+    result identical to the clean index."""
+    from weather_database_system_spark.operators.textan import (
+        TRIGRAM_NEEDLE,
+        append_trigram_postings,
+        build_trigram_postings,
+        trigram_query_prebuilt,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    sf = SF_SMOKE
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "postings_dup")
+    build_trigram_postings(docs, idx)
+    baseline = sorted(
+        tuple(r) for r in trigram_query_prebuilt(spark, sf, idx).collect()
+    )
+    assert len(baseline) > 0
+    # retry storm: the first half of the corpus appends AGAIN — every
+    # match in it would fail the old equality gate
+    append_trigram_postings(docs.filter("doc_id % 2 = 0"), idx)
+    got = sorted(
+        tuple(r) for r in trigram_query_prebuilt(spark, sf, idx).collect()
+    )
+    assert got == baseline
+
+
+def _ivf_fixture_vecs(spark, n=40, dims=8):
+    """Deterministic (vec_id, emb array<double>) fixture: integer-grid
+    embeddings so Lloyd/argmin arithmetic is exact."""
+    rows = [
+        (i, [float((i * (d + 3) + d * d) % 17 - 8) for d in range(dims)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, emb array<double>")
+
+
+def test_ivf_append_equals_bulk_add_base_trained(spark, tmp_path):
+    """The FAISS train-then-add contract (r14 VERDICT task #1), in its
+    REAL deployment shape: the quantizer is trained on the BASE corpus
+    only, new vectors arrive later. append_ivf_vectors must answer
+    every probe identically to a bulk add of the union against the SAME
+    stored centroids — assignment is a pure function of (emb, stored
+    centroids), so append ≡ bulk-add exactly (per-cell candidate sets
+    AND the stored assignment rows)."""
+    from weather_database_system_spark.operators.similarity import (
+        _assign_cells,
+        _write_ivf_assignments,
+        _write_ivf_centroids,
+        append_ivf_vectors,
+        read_ivf_centroids,
+        train_ivf_centroids,
+    )
+
+    vecs = _ivf_fixture_vecs(spark)
+    base, batch = vecs.filter("vec_id < 30"), vecs.filter("vec_id >= 30")
+    cents = train_ivf_centroids(base)
+
+    appended = str(tmp_path / "ivf_appended")
+    _write_ivf_centroids(spark, cents, appended)
+    _write_ivf_assignments(_assign_cells(base, cents), appended)
+    append_ivf_vectors(spark, batch, appended)
+
+    bulk = str(tmp_path / "ivf_bulk")
+    _write_ivf_centroids(spark, cents, bulk)
+    _write_ivf_assignments(_assign_cells(vecs, cents), bulk)
+
+    assert read_ivf_centroids(spark, appended) == read_ivf_centroids(spark, bulk)
+    a = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{appended}/assignments").collect()
+    )
+    b = sorted(
+        tuple(r) for r in spark.read.parquet(f"{bulk}/assignments").collect()
+    )
+    assert a == b and len(a) == 40
+
+
+def test_ivf_duplicate_append_and_compaction(spark, tmp_path):
+    """IVF twin of the trigram duplicate-postings pin plus compaction,
+    on the REAL registry query path: (1) a retried append (existing
+    vectors blind-appended again) must leave ann_ivf_query_prebuilt's
+    results unchanged — the query dedups probed candidates on
+    (query_id, neighbor_id) before ranking, else a duplicate would
+    occupy two of the top-3 ranks; (2) compact_ivf_assignments is
+    row-preserving (multiset identical, duplicates included) and does
+    not grow the file count; (3) search results are unchanged by
+    compaction."""
+    import glob
+
+    from weather_database_system_spark.operators.dedup import _emb_double
+    from weather_database_system_spark.operators.similarity import (
+        N_QUERIES,
+        ann_ivf_query_prebuilt,
+        append_ivf_vectors,
+        build_ivf_index,
+        compact_ivf_assignments,
+    )
+
+    path = str(tmp_path / "ivf_dup")
+    build_ivf_index(spark, SF_SMOKE, path)
+    clean = [
+        tuple(r) for r in ann_ivf_query_prebuilt(spark, SF_SMOKE, path).collect()
+    ]
+    assert len(clean) > 0
+    n_rows = spark.read.parquet(f"{path}/assignments").count()
+
+    # the retry storm: half the candidate set appends AGAIN
+    retry = (
+        _emb_double(spark, SF_SMOKE)
+        .filter(f"vec_id >= {N_QUERIES} and vec_id % 2 = 0")
+        .select("vec_id", "emb")
+    )
+    append_ivf_vectors(spark, retry, path)
+    dup_rows = spark.read.parquet(f"{path}/assignments").count()
+    assert dup_rows == n_rows + retry.count()  # blind append, no merge
+    got = [
+        tuple(r) for r in ann_ivf_query_prebuilt(spark, SF_SMOKE, path).collect()
+    ]
+    assert got == clean  # candidate dedup makes duplicates harmless
+
+    files_before = len(glob.glob(f"{path}/assignments/cell=*/*.parquet"))
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/assignments").collect()
+    )
+    compact_ivf_assignments(spark, path)
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/assignments").collect()
+    )
+    assert after == before  # row-preserving, duplicates included
+    files_after = len(glob.glob(f"{path}/assignments/cell=*/*.parquet"))
+    assert files_after <= files_before
+    got2 = [
+        tuple(r) for r in ann_ivf_query_prebuilt(spark, SF_SMOKE, path).collect()
+    ]
+    assert got2 == clean
+
+
+def test_cold_session_index_reads(tmp_path):
+    """The stored indexes must be the ONLY load-bearing state for the
+    prebuilt query paths (r14 VERDICT task #4): a subprocess builds the
+    trigram + IVF indexes in one SparkSession, STOPS it, and answers the
+    registry searches from a brand-new session through the query-only
+    halves — reading the index files cold. Subprocess because a stopped
+    SparkContext would poison the shared pytest fixture. Asserts all
+    three cold reads (trigram, IVF single-probe, IVF nprobe) match the
+    warm results and are non-empty."""
+    import subprocess
+    import sys
+
+    probe = os.path.join(os.path.dirname(__file__), "cold_session_probe.py")
+    res = subprocess.run(
+        [sys.executable, probe, SF_SMOKE, str(tmp_path / "scratch")],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert res.returncode == 0, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr[-2000:]}"
+    assert res.stdout.count("cold == warm") == 3, res.stdout

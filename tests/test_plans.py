@@ -1183,3 +1183,43 @@ def test_nearest_station_blocked_join_no_cartesian(spark):
     assert len(re.findall(r"Location:.*supplier", plan)) == 1
     assert "Generate" in plan  # the 3x3 neighborhood explode
     assert len(re.findall(r"^\s*(?:\+-|:-)?\s*Window \(\d+\)", plan, re.M)) == 1
+
+
+def test_nearest_station_salted_checked_claims_and_salt(spark):
+    """The salted-spatial registry entry (r14 VERDICT task #3) must keep
+    the salted_join_cms_checked shape: the composite __salt key survives
+    into the physical plan (the hot-cell split actually routes through
+    salted_join), the 1-row identity claim rides the sanctioned
+    broadcast-nested-loop attachment, the claim attribute is computed in
+    the plan rather than constant-folded, and no CartesianProduct
+    appears anywhere."""
+    from weather_database_system_spark.operators.spatial import (
+        nearest_station_salted_checked,
+    )
+    from weather_database_system_spark.plans import formatted_plan
+
+    df = nearest_station_salted_checked(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "__salt" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "salted_identity_ok" in plan
+
+
+def test_ann_ivf_prebuilt_appended_reads_only_its_index(spark):
+    """The appended-index entry must stay index-probed like its one-shot
+    twin: the query half reads the ivf_index_appended slot's assignments
+    exactly once and never scans the base ivf_index slot — the appended
+    generations are served through the same cell-partitioned directory,
+    not a union with a second index."""
+    import re
+
+    from weather_database_system_spark.operators.similarity import (
+        ann_ivf_prebuilt_appended,
+    )
+    from weather_database_system_spark.plans import formatted_plan
+
+    df = ann_ivf_prebuilt_appended(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*ivf_index_appended", plan)) == 1
+    assert "CartesianProduct" not in plan

@@ -764,3 +764,49 @@ def test_fingerprint_contract_rejections(spark):
     fa = {(r.bucket, r.checksum) for r in fingerprint(a).collect()}
     fb = {(r.bucket, r.checksum) for r in fingerprint(b).collect()}
     assert fa != fb
+
+
+def test_fingerprint_config_guards(spark):
+    """ADVICE r14 #5 + VERDICT r14 task #5, self-enforcing: (1) a
+    duplicated column list is rejected (it digests a DIFFERENT virtual
+    table — two replicas with differently-duplicated lists would report
+    false divergence); (2) merge_fingerprints refuses digests produced
+    under different configurations (bucket count / column list / null
+    sentinel — carried as column metadata, surviving parquet
+    round-trips) and digests that never came from fingerprint();
+    (3) same-config digests still merge, including after a parquet
+    round-trip."""
+    import pytest
+
+    from weather_database_system_spark.operators.scale import (
+        fingerprint,
+        merge_fingerprints,
+    )
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+    with pytest.raises(ValueError, match="duplicate columns"):
+        fingerprint(df, ["id", "id"])
+
+    f8, f16 = fingerprint(df, buckets=8), fingerprint(df, buckets=16)
+    with pytest.raises(ValueError, match="different configurations"):
+        merge_fingerprints(f8, f16)
+    with pytest.raises(ValueError, match="different configurations"):
+        merge_fingerprints(fingerprint(df, ["id"]), fingerprint(df, ["s"]))
+    handmade = spark.createDataFrame(
+        [(0, 1, 1)], "bucket bigint, n_rows long, checksum long"
+    )
+    with pytest.raises(ValueError, match="no fingerprint config"):
+        merge_fingerprints(f8, handmade)
+
+    merged = merge_fingerprints(f8, fingerprint(df, buckets=8))
+    assert merged.count() <= 8
+    # the config survives a parquet round-trip, so stored shard digests
+    # from different runs remain mergeable (and still guarded)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        f8.write.mode("overwrite").parquet(f"{td}/d8")
+        back = spark.read.parquet(f"{td}/d8")
+        assert merge_fingerprints(back, f8).count() <= 8
+        with pytest.raises(ValueError, match="different configurations"):
+            merge_fingerprints(back, f16)

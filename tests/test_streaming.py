@@ -733,3 +733,74 @@ def test_streaming_trigram_index_maintenance(spark, tmp_path):
     # restart from the same checkpoint: drained stream, zero re-appends
     run()
     assert spark.read.parquet(idx_stream).count() == n_postings
+
+
+def test_streaming_ivf_index_maintenance(spark, tmp_path):
+    """STREAMING maintenance of the prebuilt IVF index (r14 VERDICT task
+    #1, completing the lifecycle): the quantizer trains ONCE on the base
+    corpus; new embedding vectors then arrive as micro-batches and each
+    foreachBatch assigns them to the STORED centroids and blind-appends
+    into the cell directories via append_ivf_vectors — the FAISS add()
+    loop a 100 TB vector store actually runs (no retraining, no
+    read-modify-write). Asserts the streamed index holds exactly the
+    assignment rows a bulk add of the union produces (same stored
+    centroids ⇒ identical cells), and that an availableNow restart from
+    the same checkpoint appends nothing twice (exactly-once: assignment
+    count stable)."""
+    from weather_database_system_spark.operators.dedup import _emb_double
+    from weather_database_system_spark.operators.similarity import (
+        N_QUERIES,
+        _assign_cells,
+        _write_ivf_assignments,
+        _write_ivf_centroids,
+        append_ivf_vectors,
+        read_ivf_centroids,
+        train_ivf_centroids,
+    )
+
+    vecs = _emb_double(spark, SF_SMOKE).select("vec_id", "emb")
+    cand = vecs.filter(f"vec_id >= {N_QUERIES}")
+    base, arriving = cand.filter("vec_id % 3 != 0"), cand.filter("vec_id % 3 = 0")
+    cents = train_ivf_centroids(base)
+
+    streamed = str(tmp_path / "ivf_streamed")
+    _write_ivf_centroids(spark, cents, streamed)
+    _write_ivf_assignments(_assign_cells(base, cents), streamed)
+
+    src = str(tmp_path / "vec_src")
+    arriving.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def handle(batch_df, batch_id):
+        append_ivf_vectors(batch_df.sparkSession, batch_df, streamed)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", str(tmp_path / "ckpt_ivf"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run()
+
+    bulk = str(tmp_path / "ivf_bulk")
+    _write_ivf_centroids(spark, cents, bulk)
+    _write_ivf_assignments(_assign_cells(cand, cents), bulk)
+
+    assert read_ivf_centroids(spark, streamed) == read_ivf_centroids(spark, bulk)
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(f"{streamed}/assignments").collect()
+    )
+    want = sorted(
+        tuple(r) for r in spark.read.parquet(f"{bulk}/assignments").collect()
+    )
+    assert got == want and len(got) == cand.count()
+    # restart from the same checkpoint: drained stream, zero re-appends
+    run()
+    assert spark.read.parquet(f"{streamed}/assignments").count() == len(got)

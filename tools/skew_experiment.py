@@ -153,13 +153,21 @@ def main() -> None:
             distribution is scheduling-independent: a 1024-executor
             cluster's plain-join tail ≈ max_rows × per-row cost while
             everything else finishes in one wave."""
-            # AQE coalescing merges tiny shuffle partitions (and is ON in
-            # the timed runs — the deployable config); disable it just for
-            # the profile so partition ids reflect the REQUESTED reducer
-            # fan-out, i.e. what 1024 distinct executors would each get.
-            key = "spark.sql.adaptive.coalescePartitions.enabled"
-            old = spark.conf.get(key, "true")
-            spark.conf.set(key, "false")
+            # AQE coalescing merges tiny shuffle partitions AND AQE
+            # skew-join splitting carves up the hot partition (both ON in
+            # the timed runs — the deployable config); disable both just
+            # for the profile so partition ids reflect the REQUESTED
+            # reducer fan-out, i.e. what 1024 distinct executors would
+            # each get with no runtime re-plan. Leaving skew-join on
+            # understated plain_max_reducer_rows — the very number the
+            # docstring claims is scheduling-independent (ADVICE r14 #4).
+            keys = (
+                "spark.sql.adaptive.coalescePartitions.enabled",
+                "spark.sql.adaptive.skewJoin.enabled",
+            )
+            old = {k: spark.conf.get(k, "true") for k in keys}
+            for k in keys:
+                spark.conf.set(k, "false")
             try:
                 pc = (
                     join_df.select(F.spark_partition_id().alias("__p"))
@@ -171,7 +179,8 @@ def main() -> None:
                     F.expr("percentile(count, 0.5)").alias("med"),
                 ).collect()[0]
             finally:
-                spark.conf.set(key, old)
+                for k, v in old.items():
+                    spark.conf.set(k, v)
             return int(row["mx"]), float(row["med"])
 
         tp, ts = best_of(plain), best_of(salted)

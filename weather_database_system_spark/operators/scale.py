@@ -525,12 +525,31 @@ def fingerprint(
     missing = [n for n in names if n not in by_name]
     if missing:
         raise ValueError(f"fingerprint: columns not in frame: {missing}")
+    if len(set(names)) != len(names):
+        # a repeated column double-renders into the canonical string —
+        # a digest of a DIFFERENT virtual table that still looks
+        # plausible; two replicas passing differently-duplicated lists
+        # would report false divergence (r14 VERDICT task #5)
+        raise ValueError(
+            "fingerprint: duplicate columns in cols: "
+            f"{sorted({n for n in names if names.count(n) > 1})}"
+        )
     if buckets < 1:
         raise ValueError("fingerprint: buckets must be >= 1")
     canon = F.concat_ws(
         "|", *[_fp_canonical_cell(n, by_name[n], null_sentinel) for n in names]
     )
     rv = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    # the digest CONFIG rides the bucket column's metadata (survives
+    # select/union/parquet round-trips): merge_fingerprints refuses to
+    # combine digests produced under different configurations, where
+    # unionByName would otherwise succeed and yield a plausible-looking
+    # but meaningless comparison table (ADVICE r14 #5)
+    fp_meta = {
+        "fp_buckets": buckets,
+        "fp_cols": names,
+        "fp_null_sentinel": null_sentinel,
+    }
     return (
         df.select(F.pmod(rv, F.lit(buckets)).alias("bucket"), rv.alias("rv"))
         .groupBy("bucket")
@@ -540,6 +559,11 @@ def fingerprint(
             .cast("long")
             .alias("checksum"),
         )
+        .select(
+            F.col("bucket").alias("bucket", metadata=fp_meta),
+            "n_rows",
+            "checksum",
+        )
     )
 
 
@@ -548,9 +572,35 @@ def merge_fingerprints(*parts: DataFrame) -> DataFrame:
     of the union, without touching rows: counts add, checksums add
     modulo 2^61−1 ((a mod M + b mod M) mod M = (a+b) mod M). The sum
     runs in decimal(28,0), so any realistic shard count stays exact
-    before the final mod."""
+    before the final mod.
+
+    Refuses digests produced under DIFFERENT configurations (bucket
+    count, column list, null sentinel — carried in the bucket column's
+    metadata by ``fingerprint``): mismatched digests would merge into a
+    plausible-looking table whose rows mean nothing, producing a false
+    divergence (or false agreement) report — the exact failure the tool
+    exists to detect (ADVICE r14 #5). Digest tables that never came
+    from ``fingerprint`` (no metadata) are rejected for the same
+    reason."""
     if not parts:
         raise ValueError("merge_fingerprints: need at least one digest table")
+    configs = []
+    for i, p in enumerate(parts):
+        meta = dict(p.schema["bucket"].metadata or {})
+        if "fp_buckets" not in meta:
+            raise ValueError(
+                f"merge_fingerprints: part {i} carries no fingerprint "
+                "config metadata — only fingerprint() outputs (or their "
+                "parquet round-trips) are mergeable"
+            )
+        configs.append(meta)
+    if any(c != configs[0] for c in configs[1:]):
+        raise ValueError(
+            "merge_fingerprints: parts were produced under different "
+            f"configurations: {configs[0]} vs "
+            f"{next(c for c in configs if c != configs[0])} — digests "
+            "are only comparable per (buckets, cols, null_sentinel)"
+        )
     allp = parts[0]
     for p in parts[1:]:
         allp = allp.unionByName(p)

@@ -176,6 +176,55 @@ def _blocked_nearest(
     )
 
 
+HOT_CELL_MIN = 4  # cells with ≥4 customers get salted (test-SF-tuned)
+
+
+def nearest_station_salted_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked registry form of the SALTED spatial composition
+    (r14 VERDICT task #3, following the ``salted_join_cms_checked``
+    pattern at scale.py): the same nearest-station-within-R question,
+    but with hot cells detected by ``detect_hot_cells`` (occupancy ≥
+    HOT_CELL_MIN) routing the cell equi-join through ``salted_join`` —
+    a dense city's cell scatters over N_SALTS reducers instead of
+    melting one. The output spine IS the existing nearest-station
+    result computed FROM the salted join's rows, plus the engine-decided
+    claim ``salted_identity_ok`` = the salted result's row set equals
+    the plain blocked join's (anti-joined both ways — rows are unique
+    per c_custkey, so set equality is row identity). The oracle is the
+    same UNREWRITTEN brute-force cross join + argmin with the claim
+    pinned TRUE, so a hash match proves BOTH rewrites (grid blocking AND
+    salting) lose nothing, end-to-end. The identity audit is a
+    test-SF-only yardstick (a second blocked join + two anti-joins); a
+    100 TB pass runs the salted path bare — ``salted_join``'s identity
+    guarantee holds for ANY detector output, pytest-pinned."""
+    from weather_database_system_spark.session import track_persisted
+
+    cust = _cust_points(spark, sf_dir)
+    st = _station_points(spark, sf_dir)
+    hot = detect_hot_cells(cust, RADIUS, HOT_CELL_MIN)
+    salted = track_persisted(
+        _blocked_nearest(cust, st, RADIUS, hot_cells=hot).persist()
+    )
+    plain = _blocked_nearest(cust, st, RADIUS)
+    on = ["c_custkey", "s_suppkey", "dist2"]
+    a_po = plain.join(salted, on, "left_anti").agg(
+        F.count("*").alias("n_only_plain")
+    )
+    a_so = salted.join(plain, on, "left_anti").agg(
+        F.count("*").alias("n_only_salted")
+    )
+    claims = a_po.crossJoin(F.broadcast(a_so)).select(
+        ((F.col("n_only_plain") == 0) & (F.col("n_only_salted") == 0))
+        .cast("int")
+        .alias("salted_identity_ok")
+    )
+    return (
+        salted.crossJoin(F.broadcast(claims))
+        .select("c_custkey", "s_suppkey", "dist2", "salted_identity_ok")
+        .orderBy("c_custkey")
+    )
+
+
 def station_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-occupancy rollup over the station grid: points per cell plus
     the cell's bounding extents — the density map that (a) feeds
@@ -267,6 +316,28 @@ ORACLE: dict[str, str] = {
         FROM ranked WHERE rn = 1
         ORDER BY c_custkey
     """,
+    # same brute-force replay as nearest_station_within_radius; the
+    # engine-decided identity claim (salted rows ≡ plain rows) is pinned
+    # TRUE — a hash match proves grid blocking AND salting lose nothing
+    "nearest_station_salted_checked": f"""
+        WITH c AS ({_SQL_CUST}), s AS ({_SQL_ST}),
+        pairs AS (
+            SELECT c_custkey, s_suppkey,
+                   (lat - slat) * (lat - slat)
+                   + (lon - slon) * (lon - slon) AS dist2
+            FROM c, s
+            WHERE (lat - slat) * (lat - slat)
+                  + (lon - slon) * (lon - slon) <= {RADIUS * RADIUS}
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY c_custkey ORDER BY dist2, s_suppkey) AS rn
+            FROM pairs
+        )
+        SELECT c_custkey, s_suppkey, dist2, 1 AS salted_identity_ok
+        FROM ranked WHERE rn = 1
+        ORDER BY c_custkey
+    """,
     "station_density_grid": f"""
         WITH s AS ({_SQL_ST})
         SELECT slat // {RADIUS} AS cx, slon // {RADIUS} AS cy,
@@ -281,5 +352,6 @@ ORACLE: dict[str, str] = {
 
 QUERIES = {
     "nearest_station_within_radius": nearest_station_within_radius,
+    "nearest_station_salted_checked": nearest_station_salted_checked,
     "station_density_grid": station_density_grid,
 }

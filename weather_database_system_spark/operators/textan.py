@@ -965,16 +965,27 @@ def build_trigram_postings(docs: DataFrame, path: str) -> None:
 def append_trigram_postings(docs: DataFrame, path: str) -> None:
     """Incremental ingest for the posting index: a NEW batch's postings
     BLIND-APPEND as their own tri-sorted file generation. Because the
-    index rows are (doc_id, tri) and batch doc_ids are disjoint from
-    history, no merge or read-modify-write is ever needed — the same
-    blind-append mergeability the fingerprint partials rely on
-    (pytest-pinned: build(batch₁) + append(batch₂) answers every search
-    identically to build(batch₁ ∪ batch₂)). Pruning degrades gracefully,
-    one tri-range file generation per appended batch; a periodic
-    compaction pass (the pipeline/maintenance.compact_partitioned
-    precedent) restores the single-generation layout without touching
-    correctness."""
+    index rows are (doc_id, tri), no merge or read-modify-write is ever
+    needed — the same blind-append mergeability the fingerprint partials
+    rely on (pytest-pinned: build(batch₁) + append(batch₂) answers every
+    search identically to build(batch₁ ∪ batch₂)). A retried at-least-once
+    batch (foreachBatch replay) duplicates its (doc_id, tri) rows; the
+    query gate counts DISTINCT trigrams per doc (ADVICE r14 #1), so
+    duplicated postings never change results — only bytes. Pruning
+    degrades gracefully, one tri-range file generation per appended
+    batch; ``compact_trigram_postings`` restores the single-generation
+    layout without touching correctness. Appending invalidates the
+    build-once marker (the index is no longer a pure build of the marked
+    source), so ``ensure_trigram_postings`` would rebuild this slot."""
+    import os
+
     _posting_frame(docs).write.mode("append").parquet(path)
+    from weather_database_system_spark.session import INDEX_MARKER
+
+    try:
+        os.remove(os.path.join(path, INDEX_MARKER))
+    except OSError:
+        pass
 
 
 def compact_trigram_postings(spark: SparkSession, path: str) -> None:
@@ -984,19 +995,25 @@ def compact_trigram_postings(spark: SparkSession, path: str) -> None:
     tight trigram range, so min-max pruning is back to build-time
     quality), and swap the directory. Search results are unchanged by
     construction — compaction is a row-preserving rewrite
-    (pytest-pinned) — only pruning improves. The local-FS swap here is
-    delete-and-rename; a 100 TB deployment swaps a manifest/metastore
-    pointer instead, same plan shape (one range shuffle of the index —
-    index bytes, never corpus bytes)."""
+    (pytest-pinned) — only pruning improves. The swap renames the old
+    generation aside before promoting the new one (session.swap_dir —
+    ADVICE r14 #3), so a crash mid-swap leaves a recoverable
+    ``__old`` generation, never zero generations; a 100 TB deployment
+    swaps a manifest/metastore pointer instead, same plan shape (one
+    range shuffle of the index — index bytes, never corpus bytes)."""
     import os
     import shutil
+
+    from weather_database_system_spark.session import INDEX_MARKER, swap_dir
 
     tmp = path.rstrip("/") + "__compacting"
     _posting_frame_from(spark.read.parquet(path)).write.mode(
         "overwrite"
     ).parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    marker = os.path.join(path, INDEX_MARKER)
+    if os.path.exists(marker):  # row-preserving rewrite keeps validity
+        shutil.copy2(marker, os.path.join(tmp, INDEX_MARKER))
+    swap_dir(path, tmp)
 
 
 def _posting_frame_from(postings: DataFrame) -> DataFrame:
@@ -1022,21 +1039,71 @@ def trigram_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ|posting list(needle trigram)| + |candidates| verify reads, not
     corpus bytes — the pg_trgm economics. Same provable-superset
     semantics as the fused form: every true match contains all needle
-    trigrams, so the count-all-present gate never drops a match and the
-    contains-verify makes the result exact (the DuckDB oracle replays
-    the unindexed full-scan LIKE; the hash match proves exactness
-    end-to-end). Reference parity: extension surface (the reference has
-    no text search); cf. pg_trgm (PostgreSQL contrib) for the public
-    algorithm."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    trigrams, so the all-distinct-trigrams-present gate never drops a
+    match and the contains-verify makes the result exact (the DuckDB
+    oracle replays the unindexed full-scan LIKE; the hash match proves
+    exactness end-to-end). The build runs at most once per (source,
+    config) — ``ensure_trigram_postings``'s marker makes repeated calls
+    (and the cold fresh-session read, pytest-pinned) reuse the stored
+    files instead of rewriting them under a still-lazy sibling plan
+    (ADVICE r14 #2). Reference parity: extension surface (the reference
+    has no text search); cf. pg_trgm (PostgreSQL contrib) for the
+    public algorithm."""
+    path = ensure_trigram_postings(spark, sf_dir)
+    return trigram_query_prebuilt(spark, sf_dir, path)
+
+
+TRIGRAM_INDEX_ALGO = 1  # bump on any posting-layout/semantics change
+
+
+def ensure_trigram_postings(spark: SparkSession, sf_dir: str) -> str:
+    """Build the posting index for ``sf_dir``'s documents table IF its
+    stored generation is absent or stale (marker mismatch: algo version
+    or source file signature changed), else reuse it untouched. Returns
+    the index path. The skip path is what lets every prebuilt consumer
+    in one sweep — and a later cold session — share ONE build."""
+    from weather_database_system_spark.session import (
+        index_is_current,
+        source_signature,
+        write_index_marker,
+    )
+
     path = _trigram_index_path(sf_dir)
-    build_trigram_postings(docs, path)
+    meta = {
+        "kind": "trigram_postings",
+        "algo": TRIGRAM_INDEX_ALGO,
+        "source": source_signature(sf_dir, "documents"),
+    }
+    if not index_is_current(path, meta):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        build_trigram_postings(docs, path)
+        write_index_marker(path, meta)
+    return path
+
+
+def trigram_query_prebuilt(
+    spark: SparkSession, sf_dir: str, path: str | None = None
+) -> DataFrame:
+    """QUERY-ONLY half of the prebuilt search: reads the stored posting
+    lists at ``path`` (default: the sf_dir slot) plus candidate docs —
+    never builds, so a fresh session holding nothing but the index files
+    answers it (pytest-pinned cold read). The candidate gate counts
+    DISTINCT trigrams per doc: stored postings may legitimately carry
+    duplicates after at-least-once streaming appends (a retried
+    micro-batch blind-appends its batch twice), and a count(*) gate
+    would push a true match's count past the equality and silently DROP
+    it (ADVICE r14 #1). countDistinct over ≤ |needle trigrams| values
+    per doc is the same cost class (partial aggregation on (doc_id,
+    tri) pairs already pruned by the IN filter)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    if path is None:
+        path = _trigram_index_path(sf_dir)
     postings = spark.read.parquet(path)
     tris = _needle_tris(TRIGRAM_NEEDLE)
     cand = (
         postings.filter(F.col("tri").isin(tris))
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_tris"))
+        .agg(F.countDistinct("tri").alias("n_tris"))
         .filter(F.col("n_tris") == len(tris))
         .select("doc_id")
     )

@@ -118,3 +118,81 @@ def release_persisted() -> int:
         except Exception:
             pass  # session already stopped
     return n
+
+
+# --- build-once index lifecycle --------------------------------------------
+#
+# Stored indexes (trigram postings, IVF centroids+assignments) are built
+# ONCE per (source, config) and then shared: by the two registry variants
+# that probe the same index, by repeated sweeps in one process, and by
+# fresh sessions (the cold-read pytest). The marker file records WHAT the
+# index was built from; a matching marker means "reuse", anything else
+# means "rebuild". This removes the r14 hazard (ADVICE r14 #2) where a
+# second build-with-overwrite deleted parquet files under the first
+# call's still-lazy plan — a matching marker skips the rewrite entirely.
+
+INDEX_MARKER = "_WDSS_INDEX_META.json"
+
+
+def source_signature(sf_dir: str, table: str) -> dict:
+    """Cheap identity of a source table: per-file (relpath, size, mtime_ns)
+    under ``{sf_dir}/{table}.parquet`` (file or directory). Any rewrite of
+    the source changes the signature and invalidates dependent indexes —
+    a stat walk, never a data scan."""
+    root = os.path.join(sf_dir, f"{table}.parquet")
+    files = []
+    if os.path.isdir(root):
+        for dirpath, _, names in os.walk(root):
+            for n in sorted(names):
+                p = os.path.join(dirpath, n)
+                st = os.stat(p)
+                files.append([os.path.relpath(p, root), st.st_size, st.st_mtime_ns])
+    else:
+        st = os.stat(root)
+        files.append([table, st.st_size, st.st_mtime_ns])
+    return {"table": table, "files": files}
+
+
+def index_is_current(path: str, meta: dict) -> bool:
+    """True iff ``path`` holds an index whose marker equals ``meta``
+    exactly (algo version, config constants, source signature)."""
+    import json
+
+    marker = os.path.join(path, INDEX_MARKER)
+    try:
+        with open(marker, encoding="utf-8") as fh:
+            return json.load(fh) == meta
+    except (OSError, ValueError):
+        return False
+
+
+def write_index_marker(path: str, meta: dict) -> None:
+    """Stamp a freshly built index as current (write-temp-then-rename so a
+    crash mid-write never leaves a plausible half marker)."""
+    import json
+
+    marker = os.path.join(path, INDEX_MARKER)
+    tmp = marker + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    os.replace(tmp, marker)
+
+
+def swap_dir(live: str, tmp: str) -> None:
+    """Replace directory ``live`` with ``tmp`` the recoverable way
+    (ADVICE r14 #3): rename the old generation ASIDE first (live →
+    live__old), then tmp → live, then delete live__old — a crash between
+    the renames leaves a recoverable generation at live__old instead of
+    NO index. Requires live and tmp on the same filesystem (os.rename
+    semantics) — point WDSS_SCRATCH_DIR at one volume. The swap is not
+    atomic for concurrent readers (a reader can observe the brief
+    no-live-dir window between the two renames); a 100 TB deployment
+    swaps a manifest/metastore pointer instead, same plan shape."""
+    import shutil
+
+    old = live.rstrip("/") + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(live, old)
+    os.rename(tmp, live)
+    shutil.rmtree(old)
