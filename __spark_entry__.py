@@ -56,9 +56,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # identical, but touched code re-queues regardless).
 # Groups now: r10=14 (the block VERDICT r14 task #2 orders cleared this
 # round), r11=48, r12=45, r13=47, r14=46. The r15 sample (first 50) =
-# 8 unmapped (2 new r15 queries: ann_ivf_prebuilt_appended,
-# nearest_station_salted_checked; the 6 removals above) + the ENTIRE
-# 14-entry r10 block + the front 28 of the r11 block.
+# 9 unmapped (3 new r15 queries: ann_ivf_prebuilt_appended,
+# nearest_station_salted_checked, dedup_against_index_prebuilt; the 6
+# removals above) + the ENTIRE 14-entry r10 block + the front 27 of
+# the r11 block.
 _LAST_VERIFIED = {
     # --- last green in r10 ---
     **dict.fromkeys([

@@ -37,6 +37,10 @@ def main() -> int:
             .getOrCreate()
         )
 
+    from weather_database_system_spark.operators.dedup import (
+        dedup_against_index_prebuilt,
+        ensure_dedup_index,
+    )
     from weather_database_system_spark.operators.similarity import (
         NPROBE,
         ann_ivf_query_prebuilt,
@@ -47,26 +51,27 @@ def main() -> int:
         trigram_query_prebuilt,
     )
 
+    def answers(spark, tri_path, ivf_path, ddp_path):
+        return {
+            "tri": [tuple(r) for r in trigram_query_prebuilt(spark, sf_dir, tri_path).collect()],
+            "ivf1": [tuple(r) for r in ann_ivf_query_prebuilt(spark, sf_dir, ivf_path, 1).collect()],
+            "ivfN": [tuple(r) for r in ann_ivf_query_prebuilt(spark, sf_dir, ivf_path, NPROBE).collect()],
+            "ddp": [tuple(r) for r in dedup_against_index_prebuilt(spark, sf_dir, ddp_path).collect()],
+        }
+
     # --- session A: build + answer -------------------------------------
     spark = fresh_session()
     spark.sparkContext.setLogLevel("ERROR")
     tri_path = ensure_trigram_postings(spark, sf_dir)
     ivf_path = ensure_ivf_index(spark, sf_dir)
-    warm = {
-        "tri": [tuple(r) for r in trigram_query_prebuilt(spark, sf_dir, tri_path).collect()],
-        "ivf1": [tuple(r) for r in ann_ivf_query_prebuilt(spark, sf_dir, ivf_path, 1).collect()],
-        "ivfN": [tuple(r) for r in ann_ivf_query_prebuilt(spark, sf_dir, ivf_path, NPROBE).collect()],
-    }
+    ddp_path = ensure_dedup_index(spark, sf_dir)
+    warm = answers(spark, tri_path, ivf_path, ddp_path)
     spark.stop()
 
     # --- session B: cold, query-only ------------------------------------
     spark = fresh_session()
     spark.sparkContext.setLogLevel("ERROR")
-    cold = {
-        "tri": [tuple(r) for r in trigram_query_prebuilt(spark, sf_dir, tri_path).collect()],
-        "ivf1": [tuple(r) for r in ann_ivf_query_prebuilt(spark, sf_dir, ivf_path, 1).collect()],
-        "ivfN": [tuple(r) for r in ann_ivf_query_prebuilt(spark, sf_dir, ivf_path, NPROBE).collect()],
-    }
+    cold = answers(spark, tri_path, ivf_path, ddp_path)
     spark.stop()
 
     ok = True

@@ -3534,8 +3534,8 @@ def test_cold_session_index_reads(tmp_path):
     registry searches from a brand-new session through the query-only
     halves — reading the index files cold. Subprocess because a stopped
     SparkContext would poison the shared pytest fixture. Asserts all
-    three cold reads (trigram, IVF single-probe, IVF nprobe) match the
-    warm results and are non-empty."""
+    four cold reads (trigram, IVF single-probe, IVF nprobe, dedup probe)
+    match the warm results and are non-empty."""
     import subprocess
     import sys
 
@@ -3547,4 +3547,104 @@ def test_cold_session_index_reads(tmp_path):
         timeout=300,
     )
     assert res.returncode == 0, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr[-2000:]}"
-    assert res.stdout.count("cold == warm") == 3, res.stdout
+    assert res.stdout.count("cold == warm") == 4, res.stdout
+
+
+def test_dedup_index_append_equals_rebuild(spark, tmp_path):
+    """The stored dedup index must be blind-append exact, like the
+    trigram postings: build(part A) + append(part B) holds row-for-row
+    the same digests and band signatures as build(A UNION B) — both
+    tables are pure per-doc functions — and answers the prebuilt probe
+    identically."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.dedup import (
+        append_dedup_index,
+        build_dedup_index,
+        dedup_against_index_prebuilt,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    evens = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+
+    whole = str(tmp_path / "idx_whole")
+    incr = str(tmp_path / "idx_incr")
+    build_dedup_index(evens, whole)
+    build_dedup_index(evens.filter(F.pmod("doc_id", F.lit(4)) == 0), incr)
+    append_dedup_index(evens.filter(F.pmod("doc_id", F.lit(4)) == 2), incr)
+
+    for sub in ("digests", "bands"):
+        a = sorted(
+            tuple(r) for r in spark.read.parquet(f"{whole}/{sub}").collect()
+        )
+        b = sorted(
+            tuple(r) for r in spark.read.parquet(f"{incr}/{sub}").collect()
+        )
+        assert a == b and len(a) > 0
+
+    got_whole = [
+        tuple(r)
+        for r in dedup_against_index_prebuilt(spark, SF_SMOKE, whole).collect()
+    ]
+    got_incr = [
+        tuple(r)
+        for r in dedup_against_index_prebuilt(spark, SF_SMOKE, incr).collect()
+    ]
+    assert got_whole == got_incr and len(got_whole) > 0
+
+
+def test_dedup_index_duplicate_append_and_compaction(spark, tmp_path):
+    """At-least-once ingest on the dedup index: re-appending an already
+    ingested batch duplicates stored rows, and the prebuilt probe must
+    return identical verdicts — the band-side distinct restores
+    exactly-once semantics before the bucket cap (an inflated count(*)
+    would otherwise push true buckets over BAND_BUCKET_CAP and silently
+    flip near_dup verdicts to unique), and min() aggregates absorb
+    duplicate matches. compact_dedup_index is then row-preserving
+    (duplicates included) and leaves the probe unchanged."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.dedup import (
+        append_dedup_index,
+        build_dedup_index,
+        compact_dedup_index,
+        dedup_against_index_prebuilt,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    evens = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    idx = str(tmp_path / "idx_dup")
+    build_dedup_index(evens, idx)
+    clean = [
+        tuple(r)
+        for r in dedup_against_index_prebuilt(spark, SF_SMOKE, idx).collect()
+    ]
+    assert any(r[1] != "unique" for r in clean)  # real matches at SF_SMOKE
+
+    # retry storm: half the index ingests AGAIN
+    append_dedup_index(evens.filter(F.pmod("doc_id", F.lit(4)) == 0), idx)
+    got = [
+        tuple(r)
+        for r in dedup_against_index_prebuilt(spark, SF_SMOKE, idx).collect()
+    ]
+    assert got == clean
+
+    before = {
+        sub: sorted(
+            tuple(r) for r in spark.read.parquet(f"{idx}/{sub}").collect()
+        )
+        for sub in ("digests", "bands")
+    }
+    compact_dedup_index(spark, idx)
+    for sub in ("digests", "bands"):
+        after = sorted(
+            tuple(r) for r in spark.read.parquet(f"{idx}/{sub}").collect()
+        )
+        assert after == before[sub]
+    got2 = [
+        tuple(r)
+        for r in dedup_against_index_prebuilt(spark, SF_SMOKE, idx).collect()
+    ]
+    assert got2 == clean

@@ -182,6 +182,9 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
         "important_part_value",     # 1-row (total, n_parts) threshold
                                     # broadcast over the per-part
                                     # aggregate (the Q11 HAVING scalar)
+        "nearest_station_salted_checked",  # 1-row identity claim broadcast
+                                           # (r15 checked wrapper — the
+                                           # salted_join_cms shape)
     }
     for name, fn in em.queries().items():
         plan = formatted_plan(fn(spark, SF_SMOKE))
@@ -1222,4 +1225,23 @@ def test_ann_ivf_prebuilt_appended_reads_only_its_index(spark):
     df = ann_ivf_prebuilt_appended(spark, SF_SMOKE)
     plan = formatted_plan(df)
     assert len(re.findall(r"Location:.*ivf_index_appended", plan)) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_against_index_prebuilt_reads_stored_index(spark):
+    """The prebuilt dedup probe must be index-shaped: both stored tables
+    (digests + bands) arrive from the dedup_index parquet slot — exactly
+    two index scan locations — and no cartesian appears. The corpus-wide
+    signature recompute of the in-query form is absent: md5/signature
+    work exists only on the (persisted, delta-sized) batch side."""
+    import re
+
+    from weather_database_system_spark.operators.dedup import (
+        dedup_against_index_prebuilt,
+    )
+    from weather_database_system_spark.plans import formatted_plan
+
+    df = dedup_against_index_prebuilt(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*dedup_index", plan)) == 2
     assert "CartesianProduct" not in plan

@@ -771,6 +771,227 @@ def dedup_against_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEDUP_INDEX_ALGO = 1  # bump on any digest/band layout or semantics change
+
+
+def build_dedup_index(docs: DataFrame, path: str) -> None:
+    """Build the stored dedup index ONCE — the ingest-side state
+    ``dedup_against_index``'s docstring says the in-query signature
+    recompute 'stands in for': BOTH probe tables persisted as parquet,
+    ``digests/`` (doc_id, dg) range-partitioned and sorted by dg, and
+    ``bands/`` (doc_id, band, bsig) range-partitioned and sorted by
+    (band, bsig) — each file covers a tight key range so the probe
+    joins shuffle index rows that arrive pre-clustered by their join
+    key. Same lifecycle as the trigram/IVF indexes: write once, grow by
+    ``append_dedup_index``, restore layout by ``compact_dedup_index``."""
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    (
+        docs.select("doc_id", F.md5("text").alias("dg"))
+        .repartitionByRange(n_part, "dg")
+        .sortWithinPartitions("dg", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/digests")
+    )
+    (
+        _md5_signatures(docs, n_part)
+        .select("doc_id", _band_explode())
+        .select("doc_id", "bb.band", "bb.bsig")
+        .repartitionByRange(n_part, "band", "bsig")
+        .sortWithinPartitions("band", "bsig", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/bands")
+    )
+
+
+def append_dedup_index(docs: DataFrame, path: str) -> None:
+    """Incremental ingest for the dedup index: a NEW batch's digests and
+    band signatures BLIND-APPEND as their own sorted file generations —
+    both tables are pure per-doc functions, so no merge or
+    read-modify-write ever happens (the trigram-postings mergeability).
+    A retried at-least-once batch duplicates rows; the prebuilt query
+    path distincts stored band rows before the bucket cap and resolves
+    matches with min() aggregates, so duplicates never change results
+    (pytest-pinned) — only bytes, until compaction. Appending drops the
+    build-once marker (the index is no longer a pure build of the
+    marked source)."""
+    import os
+
+    from weather_database_system_spark.session import INDEX_MARKER
+
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    (
+        docs.select("doc_id", F.md5("text").alias("dg"))
+        .repartitionByRange(n_part, "dg")
+        .sortWithinPartitions("dg", "doc_id")
+        .write.mode("append")
+        .parquet(f"{path}/digests")
+    )
+    (
+        _md5_signatures(docs, n_part)
+        .select("doc_id", _band_explode())
+        .select("doc_id", "bb.band", "bb.bsig")
+        .repartitionByRange(n_part, "band", "bsig")
+        .sortWithinPartitions("band", "bsig", "doc_id")
+        .write.mode("append")
+        .parquet(f"{path}/bands")
+    )
+    try:
+        os.remove(os.path.join(path, INDEX_MARKER))
+    except OSError:
+        pass
+
+
+def compact_dedup_index(spark: SparkSession, path: str) -> None:
+    """Maintenance pass restoring the single-generation sorted layout of
+    both index tables after ``append_dedup_index`` batches, via the
+    recoverable rename-aside swap (session.swap_dir). Row-preserving —
+    duplicates from retried appends included (the query path owns
+    duplicate-safety, compaction owns layout) — so search results are
+    unchanged by construction."""
+    from weather_database_system_spark.session import swap_dir
+
+    n_part = spark.sparkContext.defaultParallelism
+    for sub, keys in (("digests", ["dg"]), ("bands", ["band", "bsig"])):
+        live, tmp = f"{path}/{sub}", f"{path}/{sub}__compacting"
+        (
+            spark.read.parquet(live)
+            .repartitionByRange(n_part, *keys)
+            .sortWithinPartitions(*keys, "doc_id")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        swap_dir(live, tmp)
+
+
+def ensure_dedup_index(spark: SparkSession, sf_dir: str) -> str:
+    """Marker-gated build of the registry's dedup index slot: the INDEX
+    side is the even-doc_id half of the corpus (matching
+    ``dedup_against_index``'s split), populated through the REAL
+    lifecycle — bulk build of doc_id % 4 == 0, then one
+    ``append_dedup_index`` ingest batch of doc_id % 4 == 2 — and
+    stamped AFTER the append so the marker asserts the full recorded
+    two-generation state. Repeated calls (sweeps, the nprobe-style
+    twins, cold sessions) reuse it untouched."""
+    from weather_database_system_spark.session import (
+        index_is_current,
+        scratch_path,
+        source_signature,
+        write_index_marker,
+    )
+
+    path = scratch_path("dedup_index", sf_dir)
+    meta = {
+        "kind": "dedup_index",
+        "algo": DEDUP_INDEX_ALGO,
+        "n_hashes": N_HASHES,
+        "n_bands": N_BANDS,
+        "split": "even; build %4==0, append %4==2",
+        "source": source_signature(sf_dir, "documents"),
+    }
+    if not index_is_current(path, meta):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        build_dedup_index(docs.filter(F.pmod("doc_id", F.lit(4)) == 0), path)
+        append_dedup_index(docs.filter(F.pmod("doc_id", F.lit(4)) == 2), path)
+        write_index_marker(path, meta)
+    return path
+
+
+def dedup_against_index_prebuilt(
+    spark: SparkSession, sf_dir: str, path: str | None = None
+) -> DataFrame:
+    """The 100 TB deployment form of ``dedup_against_index`` (r15,
+    completing the stored-index trio with trigram postings and IVF):
+    the corpus index — content digests AND banded MinHash signatures —
+    is BUILT ONCE (here through the real build-then-append lifecycle,
+    see ensure_dedup_index) and the QUERY recomputes signatures for the
+    ARRIVING BATCH ONLY (odd doc_ids), probing the stored tables with
+    the same two keyed equi-joins. The in-query form's corpus-wide md5
+    signature pipeline is absent from this plan — index docs are never
+    re-shingled, re-hashed, or even re-read as text (plan-pinned: the
+    only md5/signature work sits on the batch side; index rows come
+    from the dedup_index parquet) — so query cost is
+    |batch|·signature + probe joins against index bytes, never corpus
+    bytes.
+
+    Duplicate-safety for at-least-once appends: stored band rows pass
+    through ONE distinct on (doc_id, band, bsig) before the bucket-cap
+    count and the pair probe (restoring exactly-once semantics from
+    at-least-once storage — same cost class as the cap's own count
+    aggregate, index-bytes-sized), and both match resolutions are min()
+    aggregates; digests need no distinct (min() alone absorbs
+    duplicates). The bucket cap counts the batch+index union, exactly
+    like the in-query form, so the DuckDB oracle — the identical SQL as
+    ``dedup_against_index`` — replays this end-to-end and the hash
+    match proves the stored round-trip loses nothing. At 100 TB the
+    union-sized cap count is the one index-wide aggregate in the plan;
+    a deployment maintains per-bucket counts as index metadata instead
+    (the fingerprint-partials pattern) — noted, not needed at test SF.
+
+    ``path`` (tests): probe an explicit index slot instead of the
+    marker-gated registry one."""
+    if path is None:
+        path = ensure_dedup_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    batch = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+
+    idx_dg = spark.read.parquet(f"{path}/digests")
+    idx_bands = spark.read.parquet(f"{path}/bands").dropDuplicates(
+        ["doc_id", "band", "bsig"]
+    )
+
+    bat_dg = track_persisted(
+        batch.select("doc_id", F.md5("text").alias("dg")).persist()
+    )
+    exact = (
+        bat_dg.join(idx_dg.select(F.col("dg"), F.col("doc_id").alias("m")), "dg")
+        .groupBy("doc_id")
+        .agg(F.min("m").alias("exact_match"))
+    )
+
+    bat_bands = (
+        _md5_signatures(batch, n_part)
+        .select("doc_id", _band_explode())
+        .select("doc_id", "bb.band", "bb.bsig")
+    )
+    # persisted for the same reason the in-query form persists its band
+    # table (it feeds the cap count plus BOTH sides of the pair probe):
+    # without it the index parquet would re-scan once per consumer
+    all_bands = track_persisted(
+        bat_bands.unionByName(idx_bands).persist()
+    )
+    capped = _cap_band_buckets(all_bands)
+    is_batch = F.pmod("doc_id", F.lit(2)) == 1
+    near = (
+        capped.filter(is_batch)
+        .join(
+            capped.filter(~is_batch).select(
+                F.col("band"), F.col("bsig"), F.col("doc_id").alias("m")
+            ),
+            ["band", "bsig"],
+        )
+        .groupBy("doc_id")
+        .agg(F.min("m").alias("near_match"))
+    )
+
+    status = (
+        F.when(F.col("exact_match").isNotNull(), "exact_dup")
+        .when(F.col("near_match").isNotNull(), "near_dup")
+        .otherwise("unique")
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            status.alias("status"),
+            F.coalesce("exact_match", "near_match").alias("matched_doc_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting + local clustering coefficient (Watts-Strogatz)
     over the near-dup similarity graph: per document, its degree, the
@@ -1940,6 +2161,11 @@ ORACLE["dedup_minhash_lsh_fast"] = f"""
     ORDER BY doc_a, doc_b
 """
 
+# the prebuilt-index variant answers the SAME question from the stored
+# digests + band signatures; the identical in-query-form oracle proves the
+# index round-trip (build -> append -> parquet -> probe) loses nothing
+ORACLE["dedup_against_index_prebuilt"] = ORACLE["dedup_against_index"]
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1960,6 +2186,7 @@ QUERIES = {
     "jaccard_prefix_pairs": jaccard_prefix_pairs,
     "dedup_containment": dedup_containment,
     "dedup_against_index": dedup_against_index,
+    "dedup_against_index_prebuilt": dedup_against_index_prebuilt,
     "graph_clustering_coeff": graph_clustering_coeff,
     "embedding_near_dup": embedding_near_dup,
 }
