@@ -56,10 +56,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # identical, but touched code re-queues regardless).
 # Groups now: r10=14 (the block VERDICT r14 task #2 orders cleared this
 # round), r11=48, r12=45, r13=47, r14=46. The r15 sample (first 50) =
-# 9 unmapped (3 new r15 queries: ann_ivf_prebuilt_appended,
-# nearest_station_salted_checked, dedup_against_index_prebuilt; the 6
-# removals above) + the ENTIRE 14-entry r10 block + the front 27 of
-# the r11 block.
+# 10 unmapped (4 new r15 queries: ann_ivf_prebuilt_appended,
+# nearest_station_salted_checked, dedup_against_index_prebuilt,
+# ann_pq_prebuilt; 6 removals above plus ann_product_quantization —
+# its body was factored onto the shared train/encode/qtable/ADC
+# helpers for the stored-PQ lifecycle, behavior identical, but touched
+# code re-queues regardless) + the ENTIRE 14-entry r10 block + the
+# front 26 of the r11 block.
 _LAST_VERIFIED = {
     # --- last green in r10 ---
     **dict.fromkeys([
@@ -74,7 +77,7 @@ _LAST_VERIFIED = {
     # --- last green in r11 ---
     **dict.fromkeys([
         "ann_ivf_label", "ann_lsh_fixedpoint", "ann_lsh_hyperplane",
-        "ann_product_quantization", "asof_attribution", "bm25_search",
+        "asof_attribution", "bm25_search",
         "changepoint_mean_shift", "corpus_curation", "correlation_matrix",
         "customer_order_distribution", "dedup_clusters_fast",
         "dedup_minhash_lsh_fast", "discount_elimination_revenue",

@@ -3534,8 +3534,8 @@ def test_cold_session_index_reads(tmp_path):
     registry searches from a brand-new session through the query-only
     halves — reading the index files cold. Subprocess because a stopped
     SparkContext would poison the shared pytest fixture. Asserts all
-    four cold reads (trigram, IVF single-probe, IVF nprobe, dedup probe)
-    match the warm results and are non-empty."""
+    five cold reads (trigram, IVF single-probe, IVF nprobe, dedup probe,
+    PQ ADC) match the warm results and are non-empty."""
     import subprocess
     import sys
 
@@ -3547,7 +3547,7 @@ def test_cold_session_index_reads(tmp_path):
         timeout=300,
     )
     assert res.returncode == 0, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr[-2000:]}"
-    assert res.stdout.count("cold == warm") == 4, res.stdout
+    assert res.stdout.count("cold == warm") == 5, res.stdout
 
 
 def test_dedup_index_append_equals_rebuild(spark, tmp_path):
@@ -3646,5 +3646,108 @@ def test_dedup_index_duplicate_append_and_compaction(spark, tmp_path):
     got2 = [
         tuple(r)
         for r in dedup_against_index_prebuilt(spark, SF_SMOKE, idx).collect()
+    ]
+    assert got2 == clean
+
+
+def test_pq_append_equals_bulk_encode_base_trained(spark, tmp_path):
+    """FAISS IndexPQ train-then-add, in the real deployment shape:
+    codebooks trained on the BASE corpus only, new vectors encoded
+    later with the STORED books. append_pq_codes must hold row-for-row
+    the codes a bulk encode of the union produces — encoding is a pure
+    deterministic function of (emb, books) — and answer ADC probes
+    identically."""
+    from weather_database_system_spark.operators.dedup import _emb_double
+    from weather_database_system_spark.operators.similarity import (
+        N_QUERIES,
+        _write_pq_codebooks,
+        _write_pq_codes,
+        ann_pq_query_prebuilt,
+        append_pq_codes,
+        encode_pq_codes,
+        read_pq_books,
+        train_pq_books,
+    )
+
+    cand = (
+        _emb_double(spark, SF_SMOKE)
+        .filter(f"vec_id >= {N_QUERIES}")
+        .select("vec_id", "emb")
+    )
+    base, batch = cand.filter("vec_id % 3 != 0"), cand.filter("vec_id % 3 = 0")
+    books = train_pq_books(base)
+
+    appended = str(tmp_path / "pq_appended")
+    _write_pq_codebooks(spark, books, appended)
+    _write_pq_codes(encode_pq_codes(base, books), appended)
+    append_pq_codes(spark, batch, appended)
+
+    bulk = str(tmp_path / "pq_bulk")
+    _write_pq_codebooks(spark, books, bulk)
+    _write_pq_codes(encode_pq_codes(cand, books), bulk)
+
+    assert read_pq_books(spark, appended) == read_pq_books(spark, bulk)
+    a = sorted(
+        tuple(r) for r in spark.read.parquet(f"{appended}/codes").collect()
+    )
+    b = sorted(tuple(r) for r in spark.read.parquet(f"{bulk}/codes").collect())
+    assert a == b and len(a) > 0
+
+    got_a = [
+        tuple(r)
+        for r in ann_pq_query_prebuilt(spark, SF_SMOKE, appended).collect()
+    ]
+    got_b = [
+        tuple(r) for r in ann_pq_query_prebuilt(spark, SF_SMOKE, bulk).collect()
+    ]
+    assert got_a == got_b and len(got_a) > 0
+
+
+def test_pq_duplicate_append_and_compaction(spark, tmp_path):
+    """The sharpest duplicate hazard of the four stored indexes: a
+    duplicated (vec_id, m, code) row would DOUBLE that subspace's
+    contribution to the ADC sum and corrupt the ranking outright (not
+    just drop or double-rank a row). Pin that the query path's
+    (vec_id, m) distinct makes a retried append harmless, and that
+    compact_pq_codes is row-preserving and leaves the probe unchanged."""
+    from weather_database_system_spark.operators.dedup import _emb_double
+    from weather_database_system_spark.operators.similarity import (
+        N_QUERIES,
+        ann_pq_query_prebuilt,
+        append_pq_codes,
+        build_pq_index,
+        compact_pq_codes,
+    )
+
+    path = str(tmp_path / "pq_dup")
+    build_pq_index(spark, SF_SMOKE, path)
+    clean = [
+        tuple(r) for r in ann_pq_query_prebuilt(spark, SF_SMOKE, path).collect()
+    ]
+    assert len(clean) > 0
+    n = spark.read.parquet(f"{path}/codes").count()
+
+    retry = (
+        _emb_double(spark, SF_SMOKE)
+        .filter(f"vec_id >= {N_QUERIES} and vec_id % 2 = 0")
+        .select("vec_id", "emb")
+    )
+    append_pq_codes(spark, retry, path)
+    assert spark.read.parquet(f"{path}/codes").count() > n  # blind append
+    got = [
+        tuple(r) for r in ann_pq_query_prebuilt(spark, SF_SMOKE, path).collect()
+    ]
+    assert got == clean
+
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/codes").collect()
+    )
+    compact_pq_codes(spark, path)
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/codes").collect()
+    )
+    assert after == before
+    got2 = [
+        tuple(r) for r in ann_pq_query_prebuilt(spark, SF_SMOKE, path).collect()
     ]
     assert got2 == clean

@@ -136,6 +136,8 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
         "semdedup_prune",       # same broadcast-K Lloyd assignment passes
         "ann_product_quantization",  # PQ_K=16 codeword rows broadcast per
                                      # subspace (same Lloyd assignment shape)
+        "ann_pq_prebuilt",      # same: M·K stored codebook rows broadcast
+                                # (ADC qtable) + 1-row claims broadcast
         "embedding_near_dup",   # exact baseline; REFUSES >MAX_EXACT_VECTORS
                                 # (test_extensions guard test) — LSH is the
                                 # canonical scale path
@@ -1244,4 +1246,27 @@ def test_dedup_against_index_prebuilt_reads_stored_index(spark):
     df = dedup_against_index_prebuilt(spark, SF_SMOKE)
     plan = formatted_plan(df)
     assert len(re.findall(r"Location:.*dedup_index", plan)) == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_pq_query_prebuilt_reads_codes_not_floats(spark):
+    """The stored-PQ query half must price at index bytes: exactly one
+    scan of the pq_index codes table (codebooks are collected KB-scale
+    driver state, not a plan node) and exactly one embeddings scan — the
+    N_QUERIES query vectors. The candidate corpus's raw floats appear
+    nowhere: scoring runs entirely on (vec_id, m, code) ints against the
+    broadcast ADC table."""
+    import re
+
+    from weather_database_system_spark.operators.similarity import (
+        ann_pq_query_prebuilt,
+        ensure_pq_index,
+    )
+    from weather_database_system_spark.plans import formatted_plan
+
+    path = ensure_pq_index(spark, SF_SMOKE)
+    df = ann_pq_query_prebuilt(spark, SF_SMOKE, path)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*pq_index", plan)) == 1
+    assert len(re.findall(r"Location:.*embeddings", plan)) == 1
     assert "CartesianProduct" not in plan
