@@ -3751,3 +3751,46 @@ def test_pq_duplicate_append_and_compaction(spark, tmp_path):
         tuple(r) for r in ann_pq_query_prebuilt(spark, SF_SMOKE, path).collect()
     ]
     assert got2 == clean
+
+
+def test_index_marker_and_swap_dir_contracts(tmp_path):
+    """Unit pins for the build-once index plumbing (no Spark needed):
+    (1) marker round-trip — index_is_current is True only for the EXACT
+    meta that was stamped; any field change, a missing marker, or a
+    corrupt marker all read as stale (rebuild, never serve wrong);
+    (2) swap_dir promotes tmp to live and removes both tmp and the
+    set-aside old generation; a pre-existing stale __old leftover (a
+    prior crash) is cleared rather than tripping the swap."""
+    import json
+
+    from weather_database_system_spark.session import (
+        INDEX_MARKER,
+        index_is_current,
+        swap_dir,
+        write_index_marker,
+    )
+
+    idx = tmp_path / "idx"
+    idx.mkdir()
+    meta = {"kind": "t", "algo": 1, "source": {"files": [["a", 1, 2]]}}
+    assert not index_is_current(str(idx), meta)  # no marker yet
+    write_index_marker(str(idx), meta)
+    assert index_is_current(str(idx), meta)
+    assert not index_is_current(str(idx), {**meta, "algo": 2})
+    assert not index_is_current(
+        str(idx), {**meta, "source": {"files": [["a", 1, 3]]}}
+    )
+    (idx / INDEX_MARKER).write_text("{corrupt")
+    assert not index_is_current(str(idx), meta)
+
+    live, tmp = tmp_path / "live", tmp_path / "tmpgen"
+    live.mkdir(), tmp.mkdir()
+    (live / "old.txt").write_text("old")
+    (tmp / "new.txt").write_text("new")
+    stale_old = tmp_path / "live__old"
+    stale_old.mkdir()
+    (stale_old / "crashed.txt").write_text("leftover")
+    swap_dir(str(live), str(tmp))
+    assert (live / "new.txt").read_text() == "new"
+    assert not (live / "old.txt").exists()
+    assert not tmp.exists() and not stale_old.exists()

@@ -804,3 +804,145 @@ def test_streaming_ivf_index_maintenance(spark, tmp_path):
     # restart from the same checkpoint: drained stream, zero re-appends
     run()
     assert spark.read.parquet(f"{streamed}/assignments").count() == len(got)
+
+
+def test_streaming_dedup_index_maintenance(spark, tmp_path):
+    """STREAMING maintenance of the stored dedup index: ingested docs
+    arrive as micro-batches and each foreachBatch blind-appends its
+    digests + band signatures via append_dedup_index — the ingest loop
+    of a continuously-deduplicating pipeline (new deltas then probe the
+    stored tables, never re-cluster the corpus). Asserts the streamed
+    index holds exactly the rows a one-shot build produces and answers
+    the prebuilt probe identically, and that an availableNow restart
+    from the same checkpoint appends nothing twice."""
+    from weather_database_system_spark.operators.dedup import (
+        append_dedup_index,
+        build_dedup_index,
+        dedup_against_index_prebuilt,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    evens = docs.filter("doc_id % 2 = 0")
+
+    src = str(tmp_path / "docs_src")
+    evens.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    streamed = str(tmp_path / "ddx_streamed")
+    oneshot = str(tmp_path / "ddx_oneshot")
+
+    def handle(batch_df, batch_id):
+        append_dedup_index(batch_df, streamed)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", str(tmp_path / "ckpt_ddx"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run()
+    build_dedup_index(evens, oneshot)
+    counts = {}
+    for sub in ("digests", "bands"):
+        a = sorted(
+            tuple(r) for r in spark.read.parquet(f"{streamed}/{sub}").collect()
+        )
+        b = sorted(
+            tuple(r) for r in spark.read.parquet(f"{oneshot}/{sub}").collect()
+        )
+        assert a == b and len(a) > 0
+        counts[sub] = len(a)
+    got = [
+        tuple(r)
+        for r in dedup_against_index_prebuilt(spark, SF_SMOKE, streamed).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in dedup_against_index_prebuilt(spark, SF_SMOKE, oneshot).collect()
+    ]
+    assert got == want and len(got) > 0
+    # restart from the same checkpoint: drained stream, zero re-appends
+    run()
+    for sub in ("digests", "bands"):
+        assert spark.read.parquet(f"{streamed}/{sub}").count() == counts[sub]
+
+
+def test_streaming_pq_index_maintenance(spark, tmp_path):
+    """STREAMING maintenance of the stored PQ index: codebooks train once
+    on the base corpus; new vectors arrive as micro-batches and each
+    foreachBatch encodes them with the STORED books and blind-appends
+    their codes via append_pq_codes — the FAISS add() loop. Asserts the
+    streamed code store equals a bulk encode of the union row-for-row
+    (encoding is a pure function of (emb, books)), the ADC probe answers
+    identically, and an availableNow restart appends nothing twice."""
+    from weather_database_system_spark.operators.dedup import _emb_double
+    from weather_database_system_spark.operators.similarity import (
+        N_QUERIES,
+        _write_pq_codebooks,
+        _write_pq_codes,
+        ann_pq_query_prebuilt,
+        append_pq_codes,
+        encode_pq_codes,
+        train_pq_books,
+    )
+
+    cand = (
+        _emb_double(spark, SF_SMOKE)
+        .filter(f"vec_id >= {N_QUERIES}")
+        .select("vec_id", "emb")
+    )
+    base, arriving = cand.filter("vec_id % 3 != 0"), cand.filter("vec_id % 3 = 0")
+    books = train_pq_books(base)
+
+    streamed = str(tmp_path / "pq_streamed")
+    _write_pq_codebooks(spark, books, streamed)
+    _write_pq_codes(encode_pq_codes(base, books), streamed)
+
+    src = str(tmp_path / "vec_src")
+    arriving.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def handle(batch_df, batch_id):
+        append_pq_codes(batch_df.sparkSession, batch_df, streamed)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", str(tmp_path / "ckpt_pq"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run()
+
+    bulk = str(tmp_path / "pq_bulk")
+    _write_pq_codebooks(spark, books, bulk)
+    _write_pq_codes(encode_pq_codes(cand, books), bulk)
+
+    a = sorted(
+        tuple(r) for r in spark.read.parquet(f"{streamed}/codes").collect()
+    )
+    b = sorted(tuple(r) for r in spark.read.parquet(f"{bulk}/codes").collect())
+    assert a == b and len(a) > 0
+    got = [
+        tuple(r)
+        for r in ann_pq_query_prebuilt(spark, SF_SMOKE, streamed).collect()
+    ]
+    want = [
+        tuple(r) for r in ann_pq_query_prebuilt(spark, SF_SMOKE, bulk).collect()
+    ]
+    assert got == want and len(got) > 0
+    run()
+    assert spark.read.parquet(f"{streamed}/codes").count() == len(a)
