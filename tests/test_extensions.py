@@ -3794,3 +3794,138 @@ def test_index_marker_and_swap_dir_contracts(tmp_path):
     assert (live / "new.txt").read_text() == "new"
     assert not (live / "old.txt").exists()
     assert not tmp.exists() and not stale_old.exists()
+
+
+def test_manifest_generation_contracts(tmp_path):
+    """Unit pins for the manifest-managed generation layer (r15 — the
+    atomic-pointer swap the 100 TB deployment story promised, no Spark
+    needed): (1) generation numbering is monotone and never reuses a
+    crashed half-written directory's number; (2) promote is an atomic
+    pointer flip that keeps EXACTLY the previous live generation as the
+    reader-grace window and prunes everything older; (3) resolve
+    recovery: a lost/corrupt manifest falls back to the newest STAMPED
+    generation (a crash can only lose the O(1) pointer write, never a
+    promoted generation); a pre-manifest flat layout resolves to the
+    slot itself; an empty slot to None."""
+    import os
+
+    from weather_database_system_spark.session import (
+        INDEX_MANIFEST,
+        INDEX_MARKER,
+        new_generation_path,
+        promote_generation,
+        resolve_generation,
+        write_index_marker,
+    )
+
+    slot = str(tmp_path / "slot")
+    assert resolve_generation(slot) is None  # nothing built
+
+    g1 = new_generation_path(slot)
+    assert os.path.basename(g1) == "gen-0001"
+    os.makedirs(g1)
+    write_index_marker(g1, {"v": 1})
+    assert promote_generation(slot, g1) == g1
+    assert resolve_generation(slot) == g1
+
+    # crashed half-written generation: created but never promoted —
+    # the next builder supersedes its number instead of reusing it
+    g_crash = new_generation_path(slot)
+    assert os.path.basename(g_crash) == "gen-0002"
+    os.makedirs(g_crash)
+
+    g3 = new_generation_path(slot)
+    assert os.path.basename(g3) == "gen-0003"
+    os.makedirs(g3)
+    write_index_marker(g3, {"v": 3})
+    promote_generation(slot, g3)
+    assert resolve_generation(slot) == g3
+    assert os.path.isdir(g1)  # previous LIVE generation survives (grace)
+    assert not os.path.isdir(g_crash)  # never-live junk is pruned
+
+    g4 = os.path.join(slot, "gen-0004")
+    os.makedirs(g4)
+    write_index_marker(g4, {"v": 4})
+    promote_generation(slot, g4)
+    assert os.path.isdir(g3) and not os.path.isdir(g1)  # grace = ONE gen
+
+    # recovery: corrupt manifest → newest stamped generation (g4)
+    with open(os.path.join(slot, INDEX_MANIFEST), "w", encoding="utf-8") as fh:
+        fh.write("{corrupt")
+    assert resolve_generation(slot) == g4
+    # manifest pointing at a deleted generation → same stamped fallback
+    with open(os.path.join(slot, INDEX_MANIFEST), "w", encoding="utf-8") as fh:
+        fh.write('{"generation": "gen-9999"}')
+    assert resolve_generation(slot) == g4
+
+    # legacy flat layout (pre-manifest): index files at the slot root
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    write_index_marker(flat, {"v": 0})
+    assert resolve_generation(flat) == flat
+    assert os.path.isfile(os.path.join(flat, INDEX_MARKER))
+
+
+def test_index_rebuild_never_disturbs_readers(spark, tmp_path, monkeypatch):
+    """The atomicity guarantee the manifest layer exists for (r15):
+    a reader that resolved the live generation BEFORE a rebuild or a
+    compaction keeps answering from its (immutable) generation directory
+    while the promote lands — no FileNotFound window, which the in-place
+    swap_dir could not guarantee concurrent readers. Pin the full cycle
+    on the trigram index over a mutable source: build → hold a LAZY plan
+    over gen-0001 → source changes → ensure rebuilds and promotes
+    gen-0002 → the stale plan still collects (grace window) and a fresh
+    resolve answers from the new generation; one more promote prunes
+    gen-0001."""
+    import os
+    import shutil
+
+    from weather_database_system_spark.operators.textan import (
+        append_trigram_postings,
+        compact_trigram_postings,
+        ensure_trigram_postings,
+        trigram_query_prebuilt,
+    )
+    from weather_database_system_spark.session import resolve_generation
+    from weather_database_system_spark.sources.star import load_table
+
+    # mutable sf_dir: the smoke documents table copied somewhere writable
+    sf_mut = str(tmp_path / "sf")
+    os.makedirs(sf_mut)
+    src = os.path.join(SF_SMOKE, "documents.parquet")
+    dst = os.path.join(sf_mut, "documents.parquet")
+    (shutil.copytree if os.path.isdir(src) else shutil.copy2)(src, dst)
+    monkeypatch.setenv("WDSS_SCRATCH_DIR", str(tmp_path / "scratch"))
+
+    p1 = ensure_trigram_postings(spark, sf_mut)
+    assert os.path.basename(p1) == "gen-0001"
+    stale_reader = spark.read.parquet(p1)  # resolved pre-rebuild, lazy
+    baseline = sorted(
+        tuple(r) for r in trigram_query_prebuilt(spark, sf_mut, p1).collect()
+    )
+    assert baseline
+
+    # source "changes" (mtime bump flips the signature) → rebuild
+    os.utime(dst if os.path.isfile(dst) else os.path.join(dst, os.listdir(dst)[0]))
+    p2 = ensure_trigram_postings(spark, sf_mut)
+    assert os.path.basename(p2) == "gen-0002" and p2 != p1
+    assert os.path.isdir(p1)  # grace window: old generation intact
+    assert stale_reader.count() > 0  # in-flight reader undisturbed
+    assert sorted(
+        tuple(r) for r in trigram_query_prebuilt(spark, sf_mut, p1).collect()
+    ) == baseline  # old generation still answers identically
+    assert sorted(
+        tuple(r) for r in trigram_query_prebuilt(spark, sf_mut).collect()
+    ) == baseline  # default path resolves the NEW live generation
+
+    # a compaction promote is equally reader-safe — and prunes gen-0001
+    docs = load_table(spark, sf_mut, "documents").select("doc_id", "text")
+    append_trigram_postings(docs.filter("doc_id % 5 = 0"), p2)
+    reader_g2 = spark.read.parquet(p2)
+    p3 = compact_trigram_postings(spark, p2)
+    assert os.path.basename(p3) == "gen-0003"
+    assert os.path.isdir(p2) and not os.path.isdir(p1)
+    assert reader_g2.count() > 0  # reader of the compacted-away gen OK
+    assert sorted(
+        tuple(r) for r in trigram_query_prebuilt(spark, sf_mut, p3).collect()
+    ) == baseline  # duplicates from the append stay harmless post-compact

@@ -841,26 +841,29 @@ def append_dedup_index(docs: DataFrame, path: str) -> None:
         pass
 
 
-def compact_dedup_index(spark: SparkSession, path: str) -> None:
-    """Maintenance pass restoring the single-generation sorted layout of
-    both index tables after ``append_dedup_index`` batches, via the
-    recoverable rename-aside swap (session.swap_dir). Row-preserving —
-    duplicates from retried appends included (the query path owns
-    duplicate-safety, compaction owns layout) — so search results are
-    unchanged by construction."""
-    from weather_database_system_spark.session import swap_dir
+def compact_dedup_index(spark: SparkSession, path: str) -> str:
+    """Maintenance pass restoring the single-file-generation sorted
+    layout of both index tables after ``append_dedup_index`` batches.
+    Row-preserving — duplicates from retried appends included (the query
+    path owns duplicate-safety, compaction owns layout) — so search
+    results are unchanged by construction. Manifest-managed slots
+    promote an atomic pointer (in-flight readers keep their generation);
+    explicit flat directories swap in place
+    (session.compact_into_generation). Returns the live index path."""
+    from weather_database_system_spark.session import compact_into_generation
 
-    n_part = spark.sparkContext.defaultParallelism
-    for sub, keys in (("digests", ["dg"]), ("bands", ["band", "bsig"])):
-        live, tmp = f"{path}/{sub}", f"{path}/{sub}__compacting"
-        (
-            spark.read.parquet(live)
-            .repartitionByRange(n_part, *keys)
-            .sortWithinPartitions(*keys, "doc_id")
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        swap_dir(live, tmp)
+    def rewrite(dst: str) -> None:
+        n_part = spark.sparkContext.defaultParallelism
+        for sub, keys in (("digests", ["dg"]), ("bands", ["band", "bsig"])):
+            (
+                spark.read.parquet(f"{path}/{sub}")
+                .repartitionByRange(n_part, *keys)
+                .sortWithinPartitions(*keys, "doc_id")
+                .write.mode("overwrite")
+                .parquet(f"{dst}/{sub}")
+            )
+
+    return compact_into_generation(path, rewrite)
 
 
 def ensure_dedup_index(spark: SparkSession, sf_dir: str) -> str:
@@ -873,13 +876,11 @@ def ensure_dedup_index(spark: SparkSession, sf_dir: str) -> str:
     two-generation state. Repeated calls (sweeps, the nprobe-style
     twins, cold sessions) reuse it untouched."""
     from weather_database_system_spark.session import (
-        index_is_current,
+        ensure_index,
         scratch_path,
         source_signature,
-        write_index_marker,
     )
 
-    path = scratch_path("dedup_index", sf_dir)
     meta = {
         "kind": "dedup_index",
         "algo": DEDUP_INDEX_ALGO,
@@ -888,12 +889,13 @@ def ensure_dedup_index(spark: SparkSession, sf_dir: str) -> str:
         "split": "even; build %4==0, append %4==2",
         "source": source_signature(sf_dir, "documents"),
     }
-    if not index_is_current(path, meta):
+
+    def _build(gen: str) -> None:
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        build_dedup_index(docs.filter(F.pmod("doc_id", F.lit(4)) == 0), path)
-        append_dedup_index(docs.filter(F.pmod("doc_id", F.lit(4)) == 2), path)
-        write_index_marker(path, meta)
-    return path
+        build_dedup_index(docs.filter(F.pmod("doc_id", F.lit(4)) == 0), gen)
+        append_dedup_index(docs.filter(F.pmod("doc_id", F.lit(4)) == 2), gen)
+
+    return ensure_index(scratch_path("dedup_index", sf_dir), meta, _build)
 
 
 def dedup_against_index_prebuilt(

@@ -622,19 +622,19 @@ def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the IVF index for ``sf_dir``'s embeddings IF its stored
     generation is absent or stale (marker mismatch: algo version, config
     constants, or source file signature changed), else reuse it
-    untouched. Returns the index path. Shared by BOTH prebuilt registry
-    variants, so one sweep trains Lloyd once instead of twice (r14
-    VERDICT task #6) — and the skip path removes the ADVICE r14 #2
+    untouched. Returns the live generation path. Shared by BOTH prebuilt
+    registry variants, so one sweep trains Lloyd once instead of twice
+    (r14 VERDICT task #6) — and the skip path removes the ADVICE r14 #2
     hazard where the second build's overwrite deleted parquet files
-    under the first call's still-lazy plan."""
+    under the first call's still-lazy plan. A rebuild writes a NEW
+    generation and atomically promotes the slot's manifest pointer
+    (session.ensure_index), never disturbing readers of the old one."""
     from weather_database_system_spark.session import (
-        index_is_current,
+        ensure_index,
         scratch_path,
         source_signature,
-        write_index_marker,
     )
 
-    path = scratch_path("ivf_index", sf_dir)
     meta = {
         "kind": "ivf_index",
         "algo": IVF_INDEX_ALGO,
@@ -643,10 +643,11 @@ def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
         "n_queries": N_QUERIES,
         "source": source_signature(sf_dir, "embeddings"),
     }
-    if not index_is_current(path, meta):
-        build_ivf_index(spark, sf_dir, path)
-        write_index_marker(path, meta)
-    return path
+    return ensure_index(
+        scratch_path("ivf_index", sf_dir),
+        meta,
+        lambda gen: build_ivf_index(spark, sf_dir, gen),
+    )
 
 
 def append_ivf_vectors(spark: SparkSession, vecs: DataFrame, path: str) -> None:
@@ -680,26 +681,31 @@ def append_ivf_vectors(spark: SparkSession, vecs: DataFrame, path: str) -> None:
         pass
 
 
-def compact_ivf_assignments(spark: SparkSession, path: str) -> None:
+def compact_ivf_assignments(spark: SparkSession, path: str) -> str:
     """Maintenance pass restoring the one-file-generation-per-cell layout
-    after ``append_ivf_vectors`` batches: read every generation, rewrite
-    once repartitioned by cell, and swap the assignments directory via
-    the recoverable rename-aside (session.swap_dir). Row-preserving by
-    construction — search results unchanged (pytest-pinned) — only file
-    counts shrink. The top-level index marker (outside assignments/) is
-    untouched: compaction never changes what the index answers."""
-    from weather_database_system_spark.session import swap_dir
+    after ``append_ivf_vectors`` batches: read every appended file
+    generation, rewrite once repartitioned by cell, and swap. Row-
+    preserving by construction — search results unchanged (pytest-pinned)
+    — only file counts shrink, and only assignment bytes shuffle (the
+    KB-scale centroids are carried over verbatim). Manifest-managed
+    slots get an atomic pointer promote (in-flight readers keep their
+    generation); explicit flat directories swap in place
+    (session.compact_into_generation). Returns the live index path."""
+    import shutil
 
-    live = f"{path}/assignments"
-    tmp = f"{path}/assignments__compacting"
-    (
-        spark.read.parquet(live)
-        .repartition("cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(tmp)
-    )
-    swap_dir(live, tmp)
+    from weather_database_system_spark.session import compact_into_generation
+
+    def rewrite(dst: str) -> None:
+        shutil.copytree(f"{path}/centroids", f"{dst}/centroids")
+        (
+            spark.read.parquet(f"{path}/assignments")
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{dst}/assignments")
+        )
+
+    return compact_into_generation(path, rewrite)
 
 
 def ann_ivf_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -744,10 +750,11 @@ def ann_ivf_query_prebuilt(
     candidate would otherwise occupy two of the top-3 ranks — the IVF
     instance of the trigram gate fix (ADVICE r14 #1). The dedup runs on
     probe-sized rows (nprobe/K of the index), never the corpus."""
-    from weather_database_system_spark.session import scratch_path
+    from weather_database_system_spark.session import resolve_generation, scratch_path
 
     if path is None:
-        path = scratch_path("ivf_index", sf_dir)
+        slot = scratch_path("ivf_index", sf_dir)
+        path = resolve_generation(slot) or slot
     cents = read_ivf_centroids(spark, path)
     assigned = spark.read.parquet(f"{path}/assignments")
 
@@ -857,13 +864,11 @@ def ann_ivf_prebuilt_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL recorded lifecycle, not just the bulk build), and repeated
     calls reuse it instead of retraining Lloyd per sweep."""
     from weather_database_system_spark.session import (
-        index_is_current,
+        ensure_index,
         scratch_path,
         source_signature,
-        write_index_marker,
     )
 
-    path = scratch_path("ivf_index_appended", sf_dir)
     meta = {
         "kind": "ivf_index_appended",
         "algo": IVF_INDEX_ALGO,
@@ -873,17 +878,19 @@ def ann_ivf_prebuilt_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_queries": N_QUERIES,
         "source": source_signature(sf_dir, "embeddings"),
     }
-    if not index_is_current(path, meta):
+
+    def _build(gen: str) -> None:
         _, cand, assigned, cents = _train_ivf(spark, sf_dir)
-        _write_ivf_centroids(spark, cents, path)
+        _write_ivf_centroids(spark, cents, gen)
         is_batch = (
             F.pmod(F.col("vec_id"), F.lit(IVF_APPEND_MOD)) == IVF_APPEND_MOD - 1
         )
-        _write_ivf_assignments(assigned.filter(~is_batch), path)
+        _write_ivf_assignments(assigned.filter(~is_batch), gen)
         append_ivf_vectors(
-            spark, cand.filter(is_batch).select("vec_id", "emb"), path
+            spark, cand.filter(is_batch).select("vec_id", "emb"), gen
         )
-        write_index_marker(path, meta)
+
+    path = ensure_index(scratch_path("ivf_index_appended", sf_dir), meta, _build)
     return ann_ivf_query_prebuilt(spark, sf_dir, path, nprobe=1)
 
 
@@ -1242,21 +1249,28 @@ def append_pq_codes(spark: SparkSession, vecs: DataFrame, path: str) -> None:
         pass
 
 
-def compact_pq_codes(spark: SparkSession, path: str) -> None:
+def compact_pq_codes(spark: SparkSession, path: str) -> str:
     """Row-preserving layout restore for the codes table after appended
-    generations, via the recoverable rename-aside swap."""
-    from weather_database_system_spark.session import swap_dir
+    file generations (codebooks — KB-scale — carried over verbatim).
+    Manifest-managed slots promote an atomic pointer; explicit flat
+    directories swap in place (session.compact_into_generation).
+    Returns the live index path."""
+    import shutil
 
-    live, tmp = f"{path}/codes", f"{path}/codes__compacting"
-    n_part = spark.sparkContext.defaultParallelism
-    (
-        spark.read.parquet(live)
-        .repartitionByRange(n_part, "vec_id")
-        .sortWithinPartitions("vec_id", "m")
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
-    swap_dir(live, tmp)
+    from weather_database_system_spark.session import compact_into_generation
+
+    def rewrite(dst: str) -> None:
+        shutil.copytree(f"{path}/codebooks", f"{dst}/codebooks")
+        n_part = spark.sparkContext.defaultParallelism
+        (
+            spark.read.parquet(f"{path}/codes")
+            .repartitionByRange(n_part, "vec_id")
+            .sortWithinPartitions("vec_id", "m")
+            .write.mode("overwrite")
+            .parquet(f"{dst}/codes")
+        )
+
+    return compact_into_generation(path, rewrite)
 
 
 def ensure_pq_index(spark: SparkSession, sf_dir: str) -> str:
@@ -1266,13 +1280,11 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> str:
     ``append_pq_codes`` ingest batch of the rest — stamped AFTER the
     append so the marker asserts the recorded two-generation state."""
     from weather_database_system_spark.session import (
-        index_is_current,
+        ensure_index,
         scratch_path,
         source_signature,
-        write_index_marker,
     )
 
-    path = scratch_path("pq_index", sf_dir)
     meta = {
         "kind": "pq_index",
         "algo": PQ_INDEX_ALGO,
@@ -1284,7 +1296,8 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> str:
         "n_queries": N_QUERIES,
         "source": source_signature(sf_dir, "embeddings"),
     }
-    if not index_is_current(path, meta):
+
+    def _build(gen: str) -> None:
         vecs = _emb_double(spark, sf_dir)
         cand = track_persisted(
             vecs.filter(F.col("vec_id") >= N_QUERIES)
@@ -1293,12 +1306,12 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> str:
             .persist()
         )
         books = train_pq_books(cand)
-        _write_pq_codebooks(spark, books, path)
+        _write_pq_codebooks(spark, books, gen)
         is_batch = F.pmod("vec_id", F.lit(PQ_APPEND_MOD)) == PQ_APPEND_MOD - 1
-        _write_pq_codes(encode_pq_codes(cand.filter(~is_batch), books), path)
-        append_pq_codes(spark, cand.filter(is_batch), path)
-        write_index_marker(path, meta)
-    return path
+        _write_pq_codes(encode_pq_codes(cand.filter(~is_batch), books), gen)
+        append_pq_codes(spark, cand.filter(is_batch), gen)
+
+    return ensure_index(scratch_path("pq_index", sf_dir), meta, _build)
 
 
 def ann_pq_query_prebuilt(
@@ -1313,10 +1326,11 @@ def ann_pq_query_prebuilt(
     appends would otherwise double that subspace's distance contribution
     (duplicated code values are identical — encoding is deterministic —
     so the distinct loses nothing)."""
-    from weather_database_system_spark.session import scratch_path
+    from weather_database_system_spark.session import resolve_generation, scratch_path
 
     if path is None:
-        path = scratch_path("pq_index", sf_dir)
+        slot = scratch_path("pq_index", sf_dir)
+        path = resolve_generation(slot) or slot
     books = read_pq_books(spark, path)
     codes = spark.read.parquet(f"{path}/codes").dropDuplicates(["vec_id", "m"])
     q = _emb_double(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).select(

@@ -988,32 +988,27 @@ def append_trigram_postings(docs: DataFrame, path: str) -> None:
         pass
 
 
-def compact_trigram_postings(spark: SparkSession, path: str) -> None:
-    """Maintenance pass restoring the single-generation layout after
-    ``append_trigram_postings`` batches: read every generation, rewrite
-    once range-partitioned + tri-sorted (each file again covers one
-    tight trigram range, so min-max pruning is back to build-time
-    quality), and swap the directory. Search results are unchanged by
-    construction — compaction is a row-preserving rewrite
-    (pytest-pinned) — only pruning improves. The swap renames the old
-    generation aside before promoting the new one (session.swap_dir —
-    ADVICE r14 #3), so a crash mid-swap leaves a recoverable
-    ``__old`` generation, never zero generations; a 100 TB deployment
-    swaps a manifest/metastore pointer instead, same plan shape (one
-    range shuffle of the index — index bytes, never corpus bytes)."""
-    import os
-    import shutil
+def compact_trigram_postings(spark: SparkSession, path: str) -> str:
+    """Maintenance pass restoring the single-file-generation layout after
+    ``append_trigram_postings`` batches: read every appended file
+    generation, rewrite once range-partitioned + tri-sorted (each file
+    again covers one tight trigram range, so min-max pruning is back to
+    build-time quality), and swap. Search results are unchanged by
+    construction — compaction is a row-preserving rewrite (pytest-pinned)
+    — only pruning improves, and only index bytes shuffle, never corpus
+    bytes. The swap goes through session.compact_into_generation: a
+    manifest-managed slot gets an atomic pointer promote (in-flight
+    readers keep their generation — the 100 TB shape, r15); an explicit
+    flat directory gets the recoverable in-place rename-aside (ADVICE
+    r14 #3). Returns the live path after compaction."""
+    from weather_database_system_spark.session import compact_into_generation
 
-    from weather_database_system_spark.session import INDEX_MARKER, swap_dir
+    def rewrite(dst: str) -> None:
+        _posting_frame_from(spark.read.parquet(path)).write.mode(
+            "overwrite"
+        ).parquet(dst)
 
-    tmp = path.rstrip("/") + "__compacting"
-    _posting_frame_from(spark.read.parquet(path)).write.mode(
-        "overwrite"
-    ).parquet(tmp)
-    marker = os.path.join(path, INDEX_MARKER)
-    if os.path.exists(marker):  # row-preserving rewrite keeps validity
-        shutil.copy2(marker, os.path.join(tmp, INDEX_MARKER))
-    swap_dir(path, tmp)
+    return compact_into_generation(path, rewrite)
 
 
 def _posting_frame_from(postings: DataFrame) -> DataFrame:
@@ -1058,27 +1053,26 @@ TRIGRAM_INDEX_ALGO = 1  # bump on any posting-layout/semantics change
 
 def ensure_trigram_postings(spark: SparkSession, sf_dir: str) -> str:
     """Build the posting index for ``sf_dir``'s documents table IF its
-    stored generation is absent or stale (marker mismatch: algo version
+    live generation is absent or stale (marker mismatch: algo version
     or source file signature changed), else reuse it untouched. Returns
-    the index path. The skip path is what lets every prebuilt consumer
-    in one sweep — and a later cold session — share ONE build."""
-    from weather_database_system_spark.session import (
-        index_is_current,
-        source_signature,
-        write_index_marker,
-    )
+    the live generation path. The skip path is what lets every prebuilt
+    consumer in one sweep — and a later cold session — share ONE build;
+    a rebuild writes a NEW generation and atomically promotes the slot's
+    manifest pointer (session.ensure_index), so readers of the previous
+    generation are never disturbed."""
+    from weather_database_system_spark.session import ensure_index, source_signature
 
-    path = _trigram_index_path(sf_dir)
     meta = {
         "kind": "trigram_postings",
         "algo": TRIGRAM_INDEX_ALGO,
         "source": source_signature(sf_dir, "documents"),
     }
-    if not index_is_current(path, meta):
+
+    def _build(gen: str) -> None:
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        build_trigram_postings(docs, path)
-        write_index_marker(path, meta)
-    return path
+        build_trigram_postings(docs, gen)
+
+    return ensure_index(_trigram_index_path(sf_dir), meta, _build)
 
 
 def trigram_query_prebuilt(
@@ -1097,7 +1091,10 @@ def trigram_query_prebuilt(
     tri) pairs already pruned by the IN filter)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     if path is None:
-        path = _trigram_index_path(sf_dir)
+        from weather_database_system_spark.session import resolve_generation
+
+        slot = _trigram_index_path(sf_dir)
+        path = resolve_generation(slot) or slot
     postings = spark.read.parquet(path)
     tris = _needle_tris(TRIGRAM_NEEDLE)
     cand = (

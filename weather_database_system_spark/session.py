@@ -186,8 +186,10 @@ def swap_dir(live: str, tmp: str) -> None:
     NO index. Requires live and tmp on the same filesystem (os.rename
     semantics) — point WDSS_SCRATCH_DIR at one volume. The swap is not
     atomic for concurrent readers (a reader can observe the brief
-    no-live-dir window between the two renames); a 100 TB deployment
-    swaps a manifest/metastore pointer instead, same plan shape."""
+    no-live-dir window between the two renames); manifest-managed slots
+    (the ensure_*/compact_* lifecycle below) close that window with an
+    atomic pointer promote — swap_dir remains the in-place path for
+    explicit flat directories (tests, ad-hoc indexes)."""
     import shutil
 
     old = live.rstrip("/") + "__old"
@@ -196,3 +198,154 @@ def swap_dir(live: str, tmp: str) -> None:
     os.rename(live, old)
     os.rename(tmp, live)
     shutil.rmtree(old)
+
+
+# --- manifest-managed generations ------------------------------------------
+#
+# The atomicity story swap_dir cannot give concurrent readers, made real
+# (r15): an index SLOT (one scratch_path dir) holds numbered generation
+# directories ``gen-0001, gen-0002, …`` plus a manifest file naming the
+# live one. Builders write a COMPLETE new generation beside the live one,
+# then promote it with a single atomic os.replace of the manifest — a
+# reader resolves the pointer once and keeps reading its (immutable,
+# append-only) generation directory; it either sees the old index or the
+# new one, never a half-swapped or missing one. The previous live
+# generation survives exactly one promote (the reader-grace window for
+# in-flight lazy plans); the promote after that prunes it. This is the
+# Iceberg/Delta snapshot-pointer shape reduced to one JSON file — on a
+# real deployment the pointer lives in a metastore/manifest list, same
+# plan shape, same economics (promotes move O(1) metadata, never index
+# bytes). Grace window = ONE generation: deployments whose queries can
+# outlive two promotes size the retention accordingly.
+
+INDEX_MANIFEST = "_WDSS_MANIFEST.json"
+
+
+def resolve_generation(slot: str) -> str | None:
+    """Live generation directory of a manifest-managed index slot, or
+    None if nothing is built. Recovery order: (1) the manifest's pointer
+    if it names an existing directory; (2) manifest lost/corrupt but
+    generation dirs present → the newest STAMPED generation (a crash
+    can only lose the O(1) pointer write, never a promoted generation);
+    (3) a pre-manifest flat layout (index files at the slot root) → the
+    slot itself, so existing stored indexes keep answering until their
+    next rebuild migrates them."""
+    import json
+
+    try:
+        with open(os.path.join(slot, INDEX_MANIFEST), encoding="utf-8") as fh:
+            p = os.path.join(slot, json.load(fh)["generation"])
+        if os.path.isdir(p):
+            return p
+    except (OSError, ValueError, KeyError, TypeError):
+        pass
+    gens = sorted(_generation_dirs(slot), reverse=True)
+    for g in gens:
+        if os.path.isfile(os.path.join(slot, g, INDEX_MARKER)):
+            return os.path.join(slot, g)
+    if gens:
+        return os.path.join(slot, gens[0])
+    if os.path.isdir(slot) and os.listdir(slot):
+        return slot  # legacy flat layout
+    return None
+
+
+def _generation_dirs(slot: str) -> list[str]:
+    try:
+        names = os.listdir(slot)
+    except OSError:
+        return []
+    return [
+        n
+        for n in names
+        if n.startswith("gen-")
+        and n[4:].isdigit()
+        and os.path.isdir(os.path.join(slot, n))
+    ]
+
+
+def new_generation_path(slot: str) -> str:
+    """Path for the next generation directory of ``slot`` (not created):
+    max existing number + 1, so a crashed half-written generation is
+    simply left behind and superseded, never reused."""
+    os.makedirs(slot, exist_ok=True)
+    nxt = max((int(n[4:]) for n in _generation_dirs(slot)), default=0) + 1
+    return os.path.join(slot, f"gen-{nxt:04d}")
+
+
+def promote_generation(slot: str, gen_dir: str) -> str:
+    """Atomically point the slot's manifest at ``gen_dir`` (write-temp +
+    os.replace — readers see the old generation or the new one, never a
+    gap), then prune every other generation EXCEPT the one that was live
+    at promote time (the reader-grace window). Returns ``gen_dir``."""
+    import json
+    import shutil
+
+    prev = resolve_generation(slot)
+    manifest = os.path.join(slot, INDEX_MANIFEST)
+    tmp = manifest + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"generation": os.path.basename(gen_dir)}, fh)
+    os.replace(tmp, manifest)
+    keep = {os.path.basename(gen_dir)}
+    if prev is not None and prev != slot:
+        keep.add(os.path.basename(prev))
+    for n in _generation_dirs(slot):
+        if n not in keep:
+            shutil.rmtree(os.path.join(slot, n), ignore_errors=True)
+    return gen_dir
+
+
+def ensure_index(slot: str, meta: dict, build) -> str:
+    """The shared build-once contract for every stored index (trigram
+    postings, IVF, dedup, PQ): resolve the slot's live generation; if
+    its marker equals ``meta`` exactly, reuse it untouched; else call
+    ``build(gen_path)`` to write a COMPLETE new generation, stamp it,
+    and atomically promote the pointer. Concurrent readers of the old
+    generation are never disturbed (it survives one promote); a stale
+    pre-manifest flat layout is cleared and rebuilt in manifest form."""
+    import shutil
+
+    live = resolve_generation(slot)
+    if live is not None and index_is_current(live, meta):
+        return live
+    if live == slot:  # stale legacy flat layout: migrate to manifest form
+        shutil.rmtree(slot, ignore_errors=True)
+    gen = new_generation_path(slot)
+    build(gen)
+    write_index_marker(gen, meta)
+    return promote_generation(slot, gen)
+
+
+def compact_into_generation(path: str, rewrite) -> str:
+    """Shared compaction swap used by every ``compact_*``: if ``path`` is
+    a manifest-managed generation (``slot/gen-NNNN``), write the
+    compacted layout as a NEW generation via ``rewrite(new_dir)``, carry
+    the marker over (compaction is row-preserving — validity is
+    unchanged), and atomically promote — in-flight readers of the old
+    generation keep working, which in-place swap_dir cannot guarantee.
+    Otherwise (an explicit flat directory) ``rewrite`` a ``__compacting``
+    sibling and swap in place. Returns the live path after compaction."""
+    import shutil
+
+    slot = os.path.dirname(path.rstrip("/"))
+    base = os.path.basename(path.rstrip("/"))
+    managed = (
+        base.startswith("gen-")
+        and base[4:].isdigit()
+        and os.path.isfile(os.path.join(slot, INDEX_MANIFEST))
+    )
+    if managed:
+        gen = new_generation_path(slot)
+        rewrite(gen)
+        marker = os.path.join(path, INDEX_MARKER)
+        if os.path.isfile(marker):
+            shutil.copy2(marker, os.path.join(gen, INDEX_MARKER))
+        return promote_generation(slot, gen)
+    tmp = path.rstrip("/") + "__compacting"
+    rewrite(tmp)
+    marker = os.path.join(path, INDEX_MARKER)
+    if os.path.isfile(marker):
+        shutil.copy2(marker, os.path.join(tmp, INDEX_MARKER))
+    swap_dir(path, tmp)
+    return path
