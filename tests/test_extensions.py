@@ -3929,3 +3929,50 @@ def test_index_rebuild_never_disturbs_readers(spark, tmp_path, monkeypatch):
     assert sorted(
         tuple(r) for r in trigram_query_prebuilt(spark, sf_mut, p3).collect()
     ) == baseline  # duplicates from the append stay harmless post-compact
+
+
+def test_slot_handles_survive_promotes(spark, tmp_path, monkeypatch):
+    """Ingest loops hold the SLOT path, never a generation dir (the
+    manifest layer's writer contract): append/compact/query called with
+    the slot re-resolve the live pointer per call, so a long-running
+    stream keeps landing its batches in the CURRENT generation across
+    compaction promotes — appending via a captured generation path would
+    instead write into the grace generation, and the next promote would
+    silently prune those rows."""
+    import os
+
+    from weather_database_system_spark.operators.textan import (
+        append_trigram_postings,
+        compact_trigram_postings,
+        ensure_trigram_postings,
+        trigram_query_prebuilt,
+    )
+    from weather_database_system_spark.session import scratch_path, slot_live
+    from weather_database_system_spark.sources.star import load_table
+
+    monkeypatch.setenv("WDSS_SCRATCH_DIR", str(tmp_path / "scratch"))
+    sf = SF_SMOKE
+    g1 = ensure_trigram_postings(spark, sf)
+    slot = os.path.dirname(g1)
+    assert slot_live(slot) == g1  # the slot handle resolves to live
+
+    baseline = sorted(
+        tuple(r) for r in trigram_query_prebuilt(spark, sf, slot).collect()
+    )
+    assert baseline  # querying BY SLOT answers from the live generation
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    append_trigram_postings(docs.filter("doc_id % 3 = 0"), slot)  # by slot
+    n_g1 = spark.read.parquet(g1).count()
+
+    g2 = compact_trigram_postings(spark, slot)  # maintenance by slot too
+    assert g2 != g1 and os.path.basename(g2) == "gen-0002"
+    assert spark.read.parquet(g2).count() == n_g1  # append was captured
+
+    # post-promote ingest through the SAME slot handle lands in gen-0002
+    append_trigram_postings(docs.filter("doc_id % 3 = 1"), slot)
+    assert spark.read.parquet(g2).count() > n_g1
+    assert spark.read.parquet(g1).count() == n_g1  # grace gen untouched
+    assert sorted(
+        tuple(r) for r in trigram_query_prebuilt(spark, sf, slot).collect()
+    ) == baseline  # duplicate postings stay harmless throughout

@@ -1,0 +1,158 @@
+"""Stored-index economics: measure build-once vs query-many for all four
+index families (trigram postings, IVF, dedup, PQ), the numbers behind the
+"queries price at index bytes, not corpus bytes" claim.
+
+Per family, three timings on one warm session:
+- in-query form: the registry operator that recomputes the index inside
+  the query (the gate-hermetic form the oracle replays);
+- build-once:    ensure_* into a HERMETIC scratch slot (so the cost is a
+  real cold build, manifest promote included);
+- prebuilt query: the query-only half reading the stored generation
+  (first call + repeat, to show the warm floor).
+
+The per-query win is in_query / prebuilt_first; the build amortizes after
+build / (in_query - prebuilt) queries. With ``--multiples`` the corpus is
+grown with the scale_rehearsal generators (same distribution at every
+point) to show the RATIO growing with corpus size: the in-query form
+re-signatures / re-trains O(corpus) per query while the prebuilt
+numerator stays batch- or probe-sized.
+
+Usage:
+  python tools/index_economics.py [--sf-dir /root/testdata/sf0.1]
+      [--families trigram,ivf,dedup,pq] [--multiples 4,16]
+Prints a markdown table for NOTES.md plus one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _timed(fn) -> float:
+    from weather_database_system_spark.session import release_persisted
+
+    t0 = time.perf_counter()
+    fn().count()
+    dt = time.perf_counter() - t0
+    release_persisted()
+    return dt
+
+
+def measure_family(spark, family: str, sf_dir: str) -> dict:
+    from weather_database_system_spark.operators import dedup, similarity, textan
+
+    forms = {
+        "trigram": (
+            lambda: textan.trigram_index_search(spark, sf_dir),
+            lambda: textan.ensure_trigram_postings(spark, sf_dir),
+            lambda p: textan.trigram_query_prebuilt(spark, sf_dir, p),
+        ),
+        "ivf": (
+            lambda: similarity.ann_ivf_kmeans(spark, sf_dir),
+            lambda: similarity.ensure_ivf_index(spark, sf_dir),
+            lambda p: similarity.ann_ivf_query_prebuilt(spark, sf_dir, p),
+        ),
+        "dedup": (
+            lambda: dedup.dedup_against_index(spark, sf_dir),
+            lambda: dedup.ensure_dedup_index(spark, sf_dir),
+            lambda p: dedup.dedup_against_index_prebuilt(spark, sf_dir, p),
+        ),
+        "pq": (
+            lambda: similarity.ann_product_quantization(spark, sf_dir),
+            lambda: similarity.ensure_pq_index(spark, sf_dir),
+            lambda p: similarity.ann_pq_query_prebuilt(spark, sf_dir, p),
+        ),
+    }
+    in_query_fn, ensure_fn, query_fn = forms[family]
+
+    in_query = _timed(in_query_fn)
+    t0 = time.perf_counter()
+    path = ensure_fn()
+    build = time.perf_counter() - t0
+    first = _timed(lambda: query_fn(path))
+    repeat = _timed(lambda: query_fn(path))
+    win = in_query / first if first else float("inf")
+    saved = in_query - first
+    amortize = build / saved if saved > 0 else float("inf")
+    return {
+        "family": family,
+        "in_query_s": round(in_query, 2),
+        "build_s": round(build, 2),
+        "prebuilt_s": round(first, 2),
+        "prebuilt_repeat_s": round(repeat, 2),
+        "win_x": round(win, 2),
+        "amortize_after_queries": round(amortize, 1),
+    }
+
+
+def grown_sf_dir(m: int, scratch: str) -> str:
+    """Distribution-matched documents + embeddings at m× the sf0.1 row
+    counts (scale_rehearsal generators — /root/testdata untouched)."""
+    from tools.scale_rehearsal import (
+        BASE_DOCS,
+        BASE_VECS,
+        gen_documents,
+        gen_embeddings,
+    )
+
+    out = os.path.join(scratch, f"m{m}")
+    os.makedirs(out, exist_ok=True)
+    gen_documents(BASE_DOCS * m, seed=m, out_dir=out)
+    gen_embeddings(BASE_VECS * m, seed=m, out_dir=out)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--families", default="trigram,ivf,dedup,pq")
+    ap.add_argument("--multiples", default="",
+                    help="grow the corpus m× per point instead of --sf-dir")
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    args = ap.parse_args()
+
+    scratch = tempfile.mkdtemp(prefix="wdss_index_econ_")
+    os.environ["WDSS_SCRATCH_DIR"] = os.path.join(scratch, "slots")
+
+    from weather_database_system_spark.session import get_spark
+
+    spark = get_spark(cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    points = (
+        [("sf", args.sf_dir)]
+        if not args.multiples
+        else [(f"{m}x", grown_sf_dir(int(m), scratch))
+              for m in args.multiples.split(",")]
+    )
+    rows = []
+    for label, sf_dir in points:
+        for family in args.families.split(","):
+            r = {"point": label, **measure_family(spark, family, sf_dir)}
+            rows.append(r)
+            print(r, flush=True)
+
+    print("\n| point | family | in-query s | build s | prebuilt s (repeat) "
+          "| win | amortize after |")
+    print("|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['point']} | {r['family']} | {r['in_query_s']} "
+              f"| {r['build_s']} | {r['prebuilt_s']} ({r['prebuilt_repeat_s']}) "
+              f"| {r['win_x']}x | {r['amortize_after_queries']} |")
+    print(json.dumps({"metric": "index_economics", "rows": rows}))
+    spark.stop()
+    shutil.rmtree(scratch, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -33,9 +33,17 @@ def main() -> int:
     con = duckdb.connect()
     register_duck_views(con, sf_dir)
     queries, oracles = em.queries(), em.oracle_sql()
+    from weather_database_system_spark.session import release_persisted
+
     fails = []
     for name in sorted(queries):
         spdf = queries[name](spark, sf_dir).toPandas()
+        # the engine's persisted-intermediate contract: the sweep owner
+        # releases between queries, else 200+ queries' cached blocks
+        # accumulate in the vanilla session's default driver heap (a
+        # full-registry replay OOM'd at ~quarter depth without this; the
+        # driver's own 50-query gate never reaches that depth)
+        release_persisted()
         if name not in oracles:
             print(f"{name}: rows-only ({len(spdf)})")
             continue

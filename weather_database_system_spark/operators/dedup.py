@@ -813,11 +813,14 @@ def append_dedup_index(docs: DataFrame, path: str) -> None:
     matches with min() aggregates, so duplicates never change results
     (pytest-pinned) — only bytes, until compaction. Appending drops the
     build-once marker (the index is no longer a pure build of the
-    marked source)."""
+    marked source). Ingest loops pass the SLOT path: every call
+    re-resolves the live generation (session.slot_live), so appends keep
+    landing in the current generation across compaction promotes."""
     import os
 
-    from weather_database_system_spark.session import INDEX_MARKER
+    from weather_database_system_spark.session import INDEX_MARKER, slot_live
 
+    path = slot_live(path)
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     (
         docs.select("doc_id", F.md5("text").alias("dg"))
@@ -849,8 +852,14 @@ def compact_dedup_index(spark: SparkSession, path: str) -> str:
     results are unchanged by construction. Manifest-managed slots
     promote an atomic pointer (in-flight readers keep their generation);
     explicit flat directories swap in place
-    (session.compact_into_generation). Returns the live index path."""
-    from weather_database_system_spark.session import compact_into_generation
+    (session.compact_into_generation). Accepts a slot path (re-resolved
+    to the live generation). Returns the live index path."""
+    from weather_database_system_spark.session import (
+        compact_into_generation,
+        slot_live,
+    )
+
+    path = slot_live(path)
 
     def rewrite(dst: str) -> None:
         n_part = spark.sparkContext.defaultParallelism
@@ -930,9 +939,13 @@ def dedup_against_index_prebuilt(
     (the fingerprint-partials pattern) — noted, not needed at test SF.
 
     ``path`` (tests): probe an explicit index slot instead of the
-    marker-gated registry one."""
+    marker-gated registry one (a slot path re-resolves to its live
+    generation per call — session.slot_live)."""
+    from weather_database_system_spark.session import slot_live
+
     if path is None:
         path = ensure_dedup_index(spark, sf_dir)
+    path = slot_live(path)
     docs = load_table(spark, sf_dir, "documents")
     n_part = spark.sparkContext.defaultParallelism
     batch = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)

@@ -666,11 +666,15 @@ def append_ivf_vectors(spark: SparkSession, vecs: DataFrame, path: str) -> None:
     index is no longer a pure build of the marked source), so
     ``ensure_ivf_index`` would rebuild that slot. At 100 TB this is the
     only ingest shape that works: one argmin projection over the batch
-    + K directory appends — index bytes, never a corpus retrain."""
+    + K directory appends — index bytes, never a corpus retrain. Ingest
+    loops pass the SLOT path: every call re-resolves the live generation
+    (session.slot_live), so appends keep landing in the current
+    generation across compaction promotes."""
     import os
 
-    from weather_database_system_spark.session import INDEX_MARKER
+    from weather_database_system_spark.session import INDEX_MARKER, slot_live
 
+    path = slot_live(path)
     cents = read_ivf_centroids(spark, path)
     _write_ivf_assignments(
         _assign_cells(vecs.select("vec_id", "emb"), cents), path, mode="append"
@@ -690,10 +694,16 @@ def compact_ivf_assignments(spark: SparkSession, path: str) -> str:
     KB-scale centroids are carried over verbatim). Manifest-managed
     slots get an atomic pointer promote (in-flight readers keep their
     generation); explicit flat directories swap in place
-    (session.compact_into_generation). Returns the live index path."""
+    (session.compact_into_generation). Accepts a slot path (re-resolved
+    to the live generation). Returns the live index path."""
     import shutil
 
-    from weather_database_system_spark.session import compact_into_generation
+    from weather_database_system_spark.session import (
+        compact_into_generation,
+        slot_live,
+    )
+
+    path = slot_live(path)
 
     def rewrite(dst: str) -> None:
         shutil.copytree(f"{path}/centroids", f"{dst}/centroids")
@@ -750,11 +760,11 @@ def ann_ivf_query_prebuilt(
     candidate would otherwise occupy two of the top-3 ranks — the IVF
     instance of the trigram gate fix (ADVICE r14 #1). The dedup runs on
     probe-sized rows (nprobe/K of the index), never the corpus."""
-    from weather_database_system_spark.session import resolve_generation, scratch_path
+    from weather_database_system_spark.session import scratch_path, slot_live
 
-    if path is None:
-        slot = scratch_path("ivf_index", sf_dir)
-        path = resolve_generation(slot) or slot
+    path = slot_live(
+        path if path is not None else scratch_path("ivf_index", sf_dir)
+    )
     cents = read_ivf_centroids(spark, path)
     assigned = spark.read.parquet(f"{path}/assignments")
 
@@ -1234,11 +1244,13 @@ def append_pq_codes(spark: SparkSession, vecs: DataFrame, path: str) -> None:
     duplicated row would otherwise DOUBLE its subspace's distance
     contribution and corrupt the ranking — the sharpest duplicate
     hazard of the four stored indexes, pytest-pinned). Appending drops
-    the build-once marker."""
+    the build-once marker. Ingest loops pass the SLOT path: every call
+    re-resolves the live generation (session.slot_live)."""
     import os
 
-    from weather_database_system_spark.session import INDEX_MARKER
+    from weather_database_system_spark.session import INDEX_MARKER, slot_live
 
+    path = slot_live(path)
     books = read_pq_books(spark, path)
     _write_pq_codes(
         encode_pq_codes(vecs.select("vec_id", "emb"), books), path, mode="append"
@@ -1254,10 +1266,16 @@ def compact_pq_codes(spark: SparkSession, path: str) -> str:
     file generations (codebooks — KB-scale — carried over verbatim).
     Manifest-managed slots promote an atomic pointer; explicit flat
     directories swap in place (session.compact_into_generation).
-    Returns the live index path."""
+    Accepts a slot path (re-resolved to the live generation). Returns
+    the live index path."""
     import shutil
 
-    from weather_database_system_spark.session import compact_into_generation
+    from weather_database_system_spark.session import (
+        compact_into_generation,
+        slot_live,
+    )
+
+    path = slot_live(path)
 
     def rewrite(dst: str) -> None:
         shutil.copytree(f"{path}/codebooks", f"{dst}/codebooks")
@@ -1326,11 +1344,11 @@ def ann_pq_query_prebuilt(
     appends would otherwise double that subspace's distance contribution
     (duplicated code values are identical — encoding is deterministic —
     so the distinct loses nothing)."""
-    from weather_database_system_spark.session import resolve_generation, scratch_path
+    from weather_database_system_spark.session import scratch_path, slot_live
 
-    if path is None:
-        slot = scratch_path("pq_index", sf_dir)
-        path = resolve_generation(slot) or slot
+    path = slot_live(
+        path if path is not None else scratch_path("pq_index", sf_dir)
+    )
     books = read_pq_books(spark, path)
     codes = spark.read.parquet(f"{path}/codes").dropDuplicates(["vec_id", "m"])
     q = _emb_double(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).select(

@@ -976,9 +976,15 @@ def append_trigram_postings(docs: DataFrame, path: str) -> None:
     batch; ``compact_trigram_postings`` restores the single-generation
     layout without touching correctness. Appending invalidates the
     build-once marker (the index is no longer a pure build of the marked
-    source), so ``ensure_trigram_postings`` would rebuild this slot."""
+    source), so ``ensure_trigram_postings`` would rebuild this slot.
+    Ingest loops pass the SLOT path: every call re-resolves the live
+    generation (session.slot_live), so appends keep landing in the
+    current generation across compaction promotes."""
     import os
 
+    from weather_database_system_spark.session import slot_live
+
+    path = slot_live(path)
     _posting_frame(docs).write.mode("append").parquet(path)
     from weather_database_system_spark.session import INDEX_MARKER
 
@@ -1000,8 +1006,14 @@ def compact_trigram_postings(spark: SparkSession, path: str) -> str:
     manifest-managed slot gets an atomic pointer promote (in-flight
     readers keep their generation — the 100 TB shape, r15); an explicit
     flat directory gets the recoverable in-place rename-aside (ADVICE
-    r14 #3). Returns the live path after compaction."""
-    from weather_database_system_spark.session import compact_into_generation
+    r14 #3). Accepts a slot path (re-resolved to the live generation).
+    Returns the live path after compaction."""
+    from weather_database_system_spark.session import (
+        compact_into_generation,
+        slot_live,
+    )
+
+    path = slot_live(path)
 
     def rewrite(dst: str) -> None:
         _posting_frame_from(spark.read.parquet(path)).write.mode(
@@ -1090,11 +1102,9 @@ def trigram_query_prebuilt(
     per doc is the same cost class (partial aggregation on (doc_id,
     tri) pairs already pruned by the IN filter)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    if path is None:
-        from weather_database_system_spark.session import resolve_generation
+    from weather_database_system_spark.session import slot_live
 
-        slot = _trigram_index_path(sf_dir)
-        path = resolve_generation(slot) or slot
+    path = slot_live(path if path is not None else _trigram_index_path(sf_dir))
     postings = spark.read.parquet(path)
     tris = _needle_tris(TRIGRAM_NEEDLE)
     cand = (

@@ -217,6 +217,17 @@ def swap_dir(live: str, tmp: str) -> None:
 # plan shape, same economics (promotes move O(1) metadata, never index
 # bytes). Grace window = ONE generation: deployments whose queries can
 # outlive two promotes size the retention accordingly.
+#
+# Writer contract: maintenance (rebuild, compaction) and ingest (append)
+# are SINGLE-WRITER serialized per slot — the standard LSM/table-format
+# commit assumption. An append that races a compaction's read-then-promote
+# can land between the compactor's scan and its promote and miss the new
+# generation; a lock/commit-log serializes that on a real deployment.
+# Long-lived INGEST loops must hold the SLOT, not a generation dir
+# (slot_live re-resolves the pointer per call) — a stream that captured a
+# generation path would otherwise keep appending into the grace
+# generation after a compaction promotes, and the next promote would
+# prune those rows.
 
 INDEX_MANIFEST = "_WDSS_MANIFEST.json"
 
@@ -248,6 +259,20 @@ def resolve_generation(slot: str) -> str | None:
     if os.path.isdir(slot) and os.listdir(slot):
         return slot  # legacy flat layout
     return None
+
+
+def slot_live(path: str) -> str:
+    """If ``path`` is a manifest-managed SLOT, return its live generation
+    — so ingest loops, query paths, and maintenance passes may hold the
+    stable slot path and have every call re-resolve the pointer (the
+    only handle that stays valid across promotes). A generation dir or
+    an explicit flat directory passes through unchanged (builders must
+    target the exact under-construction generation, never the pointer)."""
+    if os.path.isfile(os.path.join(path, INDEX_MANIFEST)):
+        live = resolve_generation(path)
+        if live is not None:
+            return live
+    return path
 
 
 def _generation_dirs(slot: str) -> list[str]:
