@@ -584,7 +584,13 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     learned cell IS a directory and a probe reads only its own files —
     the physical-partitioning promise in ann_ivf_kmeans's docstring made
     literal). Doubles round-trip parquet exactly, so a query routed via
-    the stored centroids lands in the same cell as the in-query trainer."""
+    the stored centroids lands in the same cell as the in-query trainer.
+
+    Sizing at scale: K_CELLS is a test-SF constant here; a deployment
+    sizes K ∝ √N (the FAISS rule) so cells stay bounded — measured in
+    tools/index_economics.py --multiples, a FIXED K lets the per-cell
+    gather/re-rank grow with the corpus and erode the stored-index win
+    (3.2× at 4× corpus → 1.25× at 16×), which bounded cells prevent."""
     _, _, assigned, cents = _train_ivf(spark, sf_dir)
     _write_ivf_centroids(spark, cents, path)
     _write_ivf_assignments(assigned, path)
