@@ -77,7 +77,10 @@ _LAST_VERIFIED = {
     # --- last green in r11 ---
     **dict.fromkeys([
         "ann_ivf_label", "ann_lsh_fixedpoint", "ann_lsh_hyperplane",
-        "asof_attribution", "bm25_search",
+        "asof_attribution",
+        # bm25_search REMOVED mid-r15 (touched: scoring tail factored onto
+        # the shared _bm25_rank for the stored-index form — behavior
+        # identical, but touched code re-queues regardless)
         "changepoint_mean_shift", "corpus_curation", "correlation_matrix",
         "customer_order_distribution", "dedup_clusters_fast",
         "dedup_minhash_lsh_fast", "discount_elimination_revenue",

@@ -49,17 +49,20 @@ def main() -> int:
         ensure_pq_index,
     )
     from weather_database_system_spark.operators.textan import (
+        bm25_query_prebuilt,
+        ensure_bm25_index,
         ensure_trigram_postings,
         trigram_query_prebuilt,
     )
 
-    def answers(spark, tri_path, ivf_path, ddp_path, pq_path):
+    def answers(spark, tri_path, ivf_path, ddp_path, pq_path, bm_path):
         return {
             "tri": [tuple(r) for r in trigram_query_prebuilt(spark, sf_dir, tri_path).collect()],
             "ivf1": [tuple(r) for r in ann_ivf_query_prebuilt(spark, sf_dir, ivf_path, 1).collect()],
             "ivfN": [tuple(r) for r in ann_ivf_query_prebuilt(spark, sf_dir, ivf_path, NPROBE).collect()],
             "ddp": [tuple(r) for r in dedup_against_index_prebuilt(spark, sf_dir, ddp_path).collect()],
             "pq": [tuple(r) for r in ann_pq_query_prebuilt(spark, sf_dir, pq_path).collect()],
+            "bm25": [tuple(r) for r in bm25_query_prebuilt(spark, sf_dir, bm_path).collect()],
         }
 
     # --- session A: build + answer -------------------------------------
@@ -69,13 +72,14 @@ def main() -> int:
     ivf_path = ensure_ivf_index(spark, sf_dir)
     ddp_path = ensure_dedup_index(spark, sf_dir)
     pq_path = ensure_pq_index(spark, sf_dir)
-    warm = answers(spark, tri_path, ivf_path, ddp_path, pq_path)
+    bm_path = ensure_bm25_index(spark, sf_dir)
+    warm = answers(spark, tri_path, ivf_path, ddp_path, pq_path, bm_path)
     spark.stop()
 
     # --- session B: cold, query-only ------------------------------------
     spark = fresh_session()
     spark.sparkContext.setLogLevel("ERROR")
-    cold = answers(spark, tri_path, ivf_path, ddp_path, pq_path)
+    cold = answers(spark, tri_path, ivf_path, ddp_path, pq_path, bm_path)
     spark.stop()
 
     ok = True

@@ -3547,7 +3547,7 @@ def test_cold_session_index_reads(tmp_path):
         timeout=300,
     )
     assert res.returncode == 0, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr[-2000:]}"
-    assert res.stdout.count("cold == warm") == 5, res.stdout
+    assert res.stdout.count("cold == warm") == 6, res.stdout
 
 
 def test_dedup_index_append_equals_rebuild(spark, tmp_path):
@@ -3929,6 +3929,73 @@ def test_index_rebuild_never_disturbs_readers(spark, tmp_path, monkeypatch):
     assert sorted(
         tuple(r) for r in trigram_query_prebuilt(spark, sf_mut, p3).collect()
     ) == baseline  # duplicates from the append stay harmless post-compact
+
+
+def test_bm25_index_lifecycle(spark, tmp_path):
+    """The fifth stored-index family (r15). BM25 is the one whose scores
+    depend on CORPUS-GLOBAL statistics (N, avgdl, df) that change with
+    every ingest batch — the design derives all three at query time from
+    index bytes, so: (1) build(batch1) + append(batch2) answers EXACTLY
+    like build(union) — not approximately, the stats see the union either
+    way; (2) a retried at-least-once append leaves results unchanged
+    (postings dedup on (doc_id, term), doclens on doc_id, BEFORE any
+    statistic — a duplicated doclen row would otherwise inflate N/avgdl
+    and shift every score); (3) compaction is row-preserving for both
+    tables and leaves the ranking unchanged."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.textan import (
+        append_bm25_docs,
+        bm25_query_prebuilt,
+        bm25_search,
+        build_bm25_index,
+        compact_bm25_index,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    sf = SF_SMOKE
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    whole = str(tmp_path / "bm25_whole")
+    incr = str(tmp_path / "bm25_incr")
+    build_bm25_index(docs, whole)
+    build_bm25_index(docs.filter(F.pmod("doc_id", F.lit(2)) == 0), incr)
+    append_bm25_docs(docs.filter(F.pmod("doc_id", F.lit(2)) == 1), incr)
+
+    expected = sorted(tuple(r) for r in bm25_search(spark, sf).collect())
+    assert len(expected) > 0
+    got_whole = sorted(
+        tuple(r) for r in bm25_query_prebuilt(spark, sf, whole).collect()
+    )
+    got_incr = sorted(
+        tuple(r) for r in bm25_query_prebuilt(spark, sf, incr).collect()
+    )
+    assert got_whole == expected  # stored round-trip == in-query form
+    assert got_incr == expected   # append == rebuild, stats included
+
+    # retry storm: half the corpus ingests AGAIN (duplicated postings
+    # AND doclens rows — the N/avgdl inflation hazard)
+    append_bm25_docs(docs.filter(F.pmod("doc_id", F.lit(2)) == 0), incr)
+    got_dup = sorted(
+        tuple(r) for r in bm25_query_prebuilt(spark, sf, incr).collect()
+    )
+    assert got_dup == expected
+
+    before = {
+        sub: sorted(
+            tuple(r) for r in spark.read.parquet(f"{incr}/{sub}").collect()
+        )
+        for sub in ("postings", "doclens")
+    }
+    compact_bm25_index(spark, incr)
+    for sub in ("postings", "doclens"):
+        after = sorted(
+            tuple(r) for r in spark.read.parquet(f"{incr}/{sub}").collect()
+        )
+        assert after == before[sub]  # row-preserving, duplicates included
+    assert sorted(
+        tuple(r) for r in bm25_query_prebuilt(spark, sf, incr).collect()
+    ) == expected
 
 
 def test_slot_handles_survive_promotes(spark, tmp_path, monkeypatch):

@@ -1040,6 +1040,36 @@ def test_trigram_search_prebuilt_reads_index_not_corpus(spark):
         assert cols <= {"doc_id", "lang", "text", "tri"}
 
 
+def test_bm25_prebuilt_reads_only_index_bytes(spark):
+    """The stored-BM25 query (r15, the fifth stored-index family) is the
+    strongest index-priced shape of the five: ZERO corpus scans — no
+    documents location, no tokenize/explode anywhere in the plan — the
+    query-term posting lists arrive via a parquet In(term,...)
+    PushedFilter against the term-sorted postings files, and N/avgdl/df
+    are aggregates of index tables (doclens + pruned postings)."""
+    import re
+
+    from weather_database_system_spark.operators.textan import bm25_prebuilt
+    from weather_database_system_spark.plans import (
+        formatted_plan,
+        pushed_filters,
+        read_schema_columns,
+    )
+
+    df = bm25_prebuilt(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*documents", plan)) == 0  # zero corpus
+    # 3 index scans: postings twice (the tf join side AND the df
+    # aggregate — both pruned to posting-list bytes by the pushed IN)
+    # plus doclens once for the 1-row N/avgdl stats
+    assert len(re.findall(r"Location:.*bm25_index", plan)) == 3
+    assert "CartesianProduct" not in plan
+    assert "explode" not in plan.lower()  # tokenize is a BUILD-time cost
+    assert any(f.startswith("In(term") for f in pushed_filters(df))
+    for cols in read_schema_columns(df):
+        assert cols <= {"doc_id", "term", "tf", "dl"}
+
+
 def test_ann_ivf_prebuilt_probes_index_by_partition(spark):
     """The prebuilt IVF query must price at index bytes: assignments come
     from the stored cell-partitioned index (exactly ONE ivf_index scan,

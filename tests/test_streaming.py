@@ -735,6 +735,64 @@ def test_streaming_trigram_index_maintenance(spark, tmp_path):
     assert spark.read.parquet(idx_stream).count() == n_postings
 
 
+def test_streaming_bm25_index_maintenance(spark, tmp_path):
+    """STREAMING maintenance of the stored BM25 index (the fifth stored
+    family): docs arrive as micro-batches and each foreachBatch
+    blind-appends postings + doclens via append_bm25_docs — the Lucene
+    soft-commit ingest loop. BM25 is the family whose scores depend on
+    corpus-global stats (N, avgdl, df); they are derived at query time
+    from index bytes, so the streamed multi-generation index must rank
+    EXACTLY like a one-shot build over the same corpus. Also pins the
+    availableNow restart appending nothing twice (doclens row count
+    stable — a re-append would inflate N and shift every score)."""
+    from weather_database_system_spark.operators.textan import (
+        append_bm25_docs,
+        bm25_query_prebuilt,
+        build_bm25_index,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    idx_stream = str(tmp_path / "bm25_stream")
+    idx_oneshot = str(tmp_path / "bm25_oneshot")
+    schema = spark.read.parquet(src).schema
+
+    def handle(batch_df, batch_id):
+        append_bm25_docs(batch_df, idx_stream)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", str(tmp_path / "ckpt_bm25"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run()
+    build_bm25_index(docs, idx_oneshot)
+
+    got_stream = sorted(
+        tuple(r) for r in bm25_query_prebuilt(spark, SF_SMOKE, idx_stream).collect()
+    )
+    got_oneshot = sorted(
+        tuple(r) for r in bm25_query_prebuilt(spark, SF_SMOKE, idx_oneshot).collect()
+    )
+    assert got_stream == got_oneshot
+    assert len(got_stream) > 0
+    n_doclens = spark.read.parquet(f"{idx_stream}/doclens").count()
+    assert n_doclens == spark.read.parquet(f"{idx_oneshot}/doclens").count()
+    # restart from the same checkpoint: drained stream, zero re-appends
+    run()
+    assert spark.read.parquet(f"{idx_stream}/doclens").count() == n_doclens
+
+
 def test_streaming_ivf_index_maintenance(spark, tmp_path):
     """STREAMING maintenance of the prebuilt IVF index (r14 VERDICT task
     #1, completing the lifecycle): the quantizer trains ONCE on the base

@@ -70,6 +70,11 @@ def measure_family(spark, family: str, sf_dir: str) -> dict:
             lambda: similarity.ensure_pq_index(spark, sf_dir),
             lambda p: similarity.ann_pq_query_prebuilt(spark, sf_dir, p),
         ),
+        "bm25": (
+            lambda: textan.bm25_search(spark, sf_dir),
+            lambda: textan.ensure_bm25_index(spark, sf_dir),
+            lambda p: textan.bm25_query_prebuilt(spark, sf_dir, p),
+        ),
     }
     in_query_fn, ensure_fn, query_fn = forms[family]
 
@@ -113,7 +118,7 @@ def grown_sf_dir(m: int, scratch: str) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--families", default="trigram,ivf,dedup,pq")
+    ap.add_argument("--families", default="trigram,ivf,dedup,pq,bm25")
     ap.add_argument("--multiples", default="",
                     help="grow the corpus m× per point instead of --sf-dir")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))

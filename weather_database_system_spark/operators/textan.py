@@ -274,6 +274,16 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = terms.groupBy("doc_id", "term").agg(
         F.count("*").alias("tf"), F.first("dl").alias("dl")
     )
+    return _bm25_rank(tf, stats)
+
+
+def _bm25_rank(tf: DataFrame, stats: DataFrame) -> DataFrame:
+    """Shared BM25 scoring tail over a (doc_id, term, tf, dl) posting
+    frame (already query-sparse) plus a 1-row (n_docs, avgdl) stats
+    frame — factored so the in-query and stored-index forms score with
+    the IDENTICAL expression tree and stay bit-identical under the same
+    oracle. df is a |query|-row aggregate of the posting frame; the
+    final top-k is TakeOrdered, never a global sort."""
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf6 = _fr(
         F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)), 6
@@ -296,6 +306,195 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         F.row_number().over(w).cast("int").alias("rank"), "doc_id", "bm25"
     ).orderBy("rank")
+
+
+def _bm25_index_path(sf_dir: str) -> str:
+    from weather_database_system_spark.session import scratch_path
+
+    return scratch_path("bm25_index", sf_dir)
+
+
+def _bm25_base(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl, toks) — the one tokenize pass both index tables and
+    the in-query form derive from (single-tokenizer contract)."""
+    return docs.select("doc_id", _tokens(F.col("text")).alias("toks")).select(
+        "doc_id", F.size("toks").alias("dl"), "toks"
+    )
+
+
+def _write_bm25_tables(base: DataFrame, path: str, mode: str) -> None:
+    """Write/append BOTH index tables from one tokenize pass:
+    ``postings/`` (term, doc_id, tf, dl — Lucene postings with the
+    doc-length norm denormalized onto the row, range-partitioned and
+    term-sorted so a query's ``term IN (...)`` prunes to the few files
+    holding those posting lists) and ``doclens/`` (doc_id, dl — one row
+    per doc INCLUDING zero-match docs, because N and avgdl are corpus
+    statistics, not match statistics)."""
+    n_part = base.sparkSession.sparkContext.defaultParallelism
+    b = base.persist()
+    try:
+        (
+            b.select("doc_id", "dl")
+            .repartitionByRange(n_part, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode(mode)
+            .parquet(f"{path}/doclens")
+        )
+        (
+            b.select("doc_id", "dl", F.explode("toks").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+            .repartitionByRange(n_part, "term")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode(mode)
+            .parquet(f"{path}/postings")
+        )
+    finally:
+        b.unpersist()
+
+
+def build_bm25_index(docs: DataFrame, path: str) -> None:
+    """Build the Lucene-style BM25 index ONCE — full-vocabulary postings
+    (the index cannot know future queries) plus the doc-length table.
+    Everything score-relevant that is GLOBAL (N, avgdl, df) is computed
+    at query time FROM INDEX BYTES, which is what makes the append story
+    exact (see append_bm25_docs)."""
+    _write_bm25_tables(_bm25_base(docs), path, mode="overwrite")
+
+
+def append_bm25_docs(docs: DataFrame, path: str) -> None:
+    """Incremental ingest for the BM25 index: a NEW batch's postings and
+    doc lengths BLIND-APPEND as their own sorted file generations — both
+    tables are pure per-doc functions, so no merge or read-modify-write
+    ever happens. The subtlety vs the other four index families: BM25
+    scores depend on CORPUS-GLOBAL statistics (N, avgdl, df) that change
+    with every append — a stored-score or stored-df design would go
+    stale on ingest. Here df is aggregated at query time from the PRUNED
+    posting lists (|query|-term-sized) and N/avgdl from the doclens
+    table (doc-count-sized) — all index bytes — so append ≡ rebuild
+    EXACTLY, by construction (pytest-pinned). A retried at-least-once
+    batch duplicates rows; the query path dedups (doc_id, term) postings
+    and doc_id doclens before any statistic, so duplicates never change
+    results (pytest-pinned) — only bytes, until compaction. Appending
+    drops the build-once marker. Ingest loops pass the SLOT path: every
+    call re-resolves the live generation (session.slot_live)."""
+    import os
+
+    from weather_database_system_spark.session import INDEX_MARKER, slot_live
+
+    path = slot_live(path)
+    _write_bm25_tables(_bm25_base(docs), path, mode="append")
+    try:
+        os.remove(os.path.join(path, INDEX_MARKER))
+    except OSError:
+        pass
+
+
+def compact_bm25_index(spark: SparkSession, path: str) -> str:
+    """Row-preserving layout restore for both BM25 index tables after
+    appended file generations. Manifest-managed slots promote an atomic
+    pointer; explicit flat directories swap in place
+    (session.compact_into_generation). Returns the live index path."""
+    from weather_database_system_spark.session import (
+        compact_into_generation,
+        slot_live,
+    )
+
+    path = slot_live(path)
+
+    def rewrite(dst: str) -> None:
+        n_part = spark.sparkContext.defaultParallelism
+        for sub, keys in (("doclens", ["doc_id"]), ("postings", ["term", "doc_id"])):
+            (
+                spark.read.parquet(f"{path}/{sub}")
+                .repartitionByRange(n_part, keys[0])
+                .sortWithinPartitions(*keys)
+                .write.mode("overwrite")
+                .parquet(f"{dst}/{sub}")
+            )
+
+    return compact_into_generation(path, rewrite)
+
+
+BM25_INDEX_ALGO = 1  # bump on any posting-layout/semantics change
+BM25_APPEND_MOD = 4  # doc_id % MOD == MOD-1 arrives as the ingest batch
+
+
+def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
+    """Marker-gated build of the registry's BM25 index slot, through the
+    REAL lifecycle: bulk build of doc_id % 4 != 3, then one
+    ``append_bm25_docs`` ingest batch of the rest — stamped AFTER the
+    append so the marker asserts the recorded two-generation state.
+    Because every global statistic is query-time-derived from index
+    bytes, the two-generation index answers bit-identically to a
+    one-shot build of the full corpus (the property the oracle then
+    proves end-to-end)."""
+    from weather_database_system_spark.session import ensure_index, source_signature
+
+    meta = {
+        "kind": "bm25_index",
+        "algo": BM25_INDEX_ALGO,
+        "append_mod": BM25_APPEND_MOD,
+        "source": source_signature(sf_dir, "documents"),
+    }
+
+    def _build(gen: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        is_batch = F.pmod("doc_id", F.lit(BM25_APPEND_MOD)) == BM25_APPEND_MOD - 1
+        build_bm25_index(docs.filter(~is_batch), gen)
+        append_bm25_docs(docs.filter(is_batch), gen)
+
+    return ensure_index(_bm25_index_path(sf_dir), meta, _build)
+
+
+def bm25_query_prebuilt(
+    spark: SparkSession, sf_dir: str, path: str | None = None
+) -> DataFrame:
+    """QUERY-ONLY half of stored-BM25 search: posting lists for the
+    query terms arrive via a parquet ``In(term, ...)`` PushedFilter
+    against the term-sorted postings files; N and avgdl are a 1-row
+    aggregate of the doclens table; df a |query|-row aggregate of the
+    pruned postings. NOTHING reads the corpus — zero documents scans,
+    no tokenize/explode anywhere in the plan (plan-pinned), the
+    strongest index-priced shape of the five stored families: query
+    cost is Σ|posting list(query term)| + |index docs| doclens rows.
+    Duplicate-append safety: postings dedup on (doc_id, term) and
+    doclens on doc_id BEFORE any statistic — a duplicated posting row
+    would otherwise inflate df and a duplicated doclen row N/avgdl,
+    shifting every score (pytest-pinned retry storm)."""
+    from weather_database_system_spark.session import slot_live
+
+    path = slot_live(path if path is not None else _bm25_index_path(sf_dir))
+    tf = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("term").isin(*BM25_QUERY))
+        .dropDuplicates(["doc_id", "term"])
+        .select("doc_id", "term", "tf", "dl")
+    )
+    stats = (
+        spark.read.parquet(f"{path}/doclens")
+        .dropDuplicates(["doc_id"])
+        .agg(F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    )
+    return _bm25_rank(tf, stats)
+
+
+def bm25_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-index deployment form of BM25 ranked retrieval (r15,
+    the FIFTH stored-index family after trigram postings, IVF, dedup,
+    and PQ — and the proof the lifecycle machinery is a reusable
+    abstraction, not four hand-builds): the inverted index is built once
+    through the real bulk-build + appended-ingest-batch lifecycle
+    (ensure_bm25_index) and the query reads ONLY index bytes. Output is
+    bit-identical to ``bm25_search`` — same tokenizer, same tf/df/stats
+    values, same shared scoring tail (_bm25_rank) — so the same DuckDB
+    oracle (full-corpus tokenize + score replay) proves the stored
+    round-trip, the append, and the query-time statistics derivation
+    lose nothing, end to end. Reference parity: extension surface (the
+    reference has no ranked retrieval); cf. Robertson & Zaragoza 2009 /
+    Apache Lucene for the public algorithm and index shape."""
+    path = ensure_bm25_index(spark, sf_dir)
+    return bm25_query_prebuilt(spark, sf_dir, path)
 
 
 SURPRISAL_KEEP_MAX = 8.0  # mean-surprisal bar for the keep flag (nats)
@@ -1282,6 +1481,10 @@ ORACLE: dict[str, str] = {
         FROM agg
         ORDER BY bm25 DESC, doc_id
         LIMIT {BM25_TOP_K}
+        -- bm25_prebuilt reuses this SQL verbatim: the stored-index form is
+        -- bit-identical to bm25_search by construction (shared tokenizer,
+        -- query-time stats from index bytes, shared scoring tail), so the
+        -- unindexed full-corpus replay proves the round-trip loses nothing
     """,
     "text_token_stats": f"""
         WITH d AS ({_SQL_TOKS})
@@ -1469,6 +1672,10 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+# the stored-index form must answer bit-identically to the in-query form;
+# replaying the UNINDEXED SQL against it proves the round-trip is loss-free
+ORACLE["bm25_prebuilt"] = ORACLE["bm25_search"]
+
 QUERIES = {
     "trigram_index_search": trigram_index_search,
     "trigram_search_prebuilt": trigram_search_prebuilt,
@@ -1481,6 +1688,7 @@ QUERIES = {
     "tfidf_cosine_pairs": tfidf_cosine_pairs,
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_search": bm25_search,
+    "bm25_prebuilt": bm25_prebuilt,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "lang_id_stopword": lang_id_stopword,
