@@ -3931,6 +3931,68 @@ def test_index_rebuild_never_disturbs_readers(spark, tmp_path, monkeypatch):
     ) == baseline  # duplicates from the append stay harmless post-compact
 
 
+def test_index_catalog_and_snapshot_reads(spark, tmp_path, monkeypatch):
+    """Ops surface for the manifest layer: index_catalog inventories
+    every slot (kind, algo, live generation, retained count, bytes)
+    with NO SparkSession; list_generations exposes the retained grace
+    generation, whose path is a SNAPSHOT READ — querying it answers the
+    previous index state even after a compaction promoted a new one."""
+    import os
+
+    from weather_database_system_spark.operators.textan import (
+        append_bm25_docs,
+        bm25_query_prebuilt,
+        compact_bm25_index,
+        ensure_bm25_index,
+        ensure_trigram_postings,
+    )
+    from weather_database_system_spark.session import (
+        index_catalog,
+        list_generations,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    scratch = str(tmp_path / "scratch")
+    monkeypatch.setenv("WDSS_SCRATCH_DIR", scratch)
+    ensure_trigram_postings(spark, SF_SMOKE)
+    bm = ensure_bm25_index(spark, SF_SMOKE)
+
+    cat = {r["kind"]: r for r in index_catalog(scratch)}
+    assert set(cat) == {"trigram_postings", "bm25_index"}
+    assert cat["bm25_index"]["live_generation"] == "gen-0001"
+    assert cat["bm25_index"]["n_generations"] == 1
+    assert cat["bm25_index"]["live_bytes"] > 0
+
+    baseline = sorted(
+        tuple(r) for r in bm25_query_prebuilt(spark, SF_SMOKE, bm).collect()
+    )
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    append_bm25_docs(docs.filter("doc_id % 2 = 0"), bm)  # duplicates half
+    bm2 = compact_bm25_index(spark, bm)
+
+    slot = os.path.dirname(bm2)
+    gens = list_generations(slot)
+    assert [g["generation"] for g in gens] == ["gen-0001", "gen-0002"]
+    assert [g["live"] for g in gens] == [False, True]
+    # the retained grace generation IS a snapshot read: the pre-append
+    # index state still answers from its immutable directory
+    snap = sorted(
+        tuple(r) for r in bm25_query_prebuilt(spark, SF_SMOKE, bm).collect()
+    )
+    assert snap == baseline
+    # catalog reflects the promote: live generation advanced, both
+    # generations retained; kind is None because the APPEND dropped the
+    # build-once marker (the index is no longer a pure build of the
+    # marked source) and row-preserving compaction rightly carries that
+    # unstamped state forward — the catalog surfaces exactly this
+    row = next(
+        r for r in index_catalog(scratch) if r["slot"] == os.path.basename(slot)
+    )
+    assert row["kind"] is None
+    assert row["live_generation"] == "gen-0002"
+    assert row["n_generations"] == 2
+
+
 def test_bm25_index_lifecycle(spark, tmp_path):
     """The fifth stored-index family (r15). BM25 is the one whose scores
     depend on CORPUS-GLOBAL statistics (N, avgdl, df) that change with

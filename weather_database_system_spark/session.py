@@ -321,6 +321,82 @@ def promote_generation(slot: str, gen_dir: str) -> str:
     return gen_dir
 
 
+def list_generations(slot: str) -> list[dict]:
+    """Every retained generation of a slot, oldest first: name, live
+    flag, stamped flag (has a marker), total bytes, file count. The
+    retained non-live generation is the reader-grace window — passing
+    its path to any query-only half is a snapshot read of the previous
+    index state (generations are immutable; the Iceberg time-travel
+    shape limited to the retention window)."""
+    live = resolve_generation(slot)
+    out = []
+    for name in sorted(_generation_dirs(slot)):
+        p = os.path.join(slot, name)
+        n_bytes = n_files = 0
+        for dirpath, _, names in os.walk(p):
+            for f in names:
+                n_files += 1
+                n_bytes += os.stat(os.path.join(dirpath, f)).st_size
+        out.append(
+            {
+                "generation": name,
+                "live": p == live,
+                "stamped": os.path.isfile(os.path.join(p, INDEX_MARKER)),
+                "bytes": n_bytes,
+                "files": n_files,
+            }
+        )
+    return out
+
+
+def index_catalog(scratch: str | None = None) -> list[dict]:
+    """Inventory of every stored-index slot under the scratch root (the
+    ops surface for the five index families): slot name, index kind +
+    algo version from the live marker (None for an appended-unstamped
+    generation), live generation, retained generation count, and total
+    live bytes. Pure filesystem — no SparkSession needed, so a
+    maintenance cron can run it without executors."""
+    import json
+
+    scratch = scratch or os.environ.get(
+        "WDSS_SCRATCH_DIR",
+        os.path.normpath(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                         "spark-warehouse")
+        ),
+    )
+    out = []
+    try:
+        slots = sorted(os.listdir(scratch))
+    except OSError:
+        return out
+    for name in slots:
+        slot = os.path.join(scratch, name)
+        live = resolve_generation(slot)
+        if live is None:
+            continue
+        kind = algo = None
+        try:
+            with open(os.path.join(live, INDEX_MARKER), encoding="utf-8") as fh:
+                meta = json.load(fh)
+            kind, algo = meta.get("kind"), meta.get("algo")
+        except (OSError, ValueError):
+            pass
+        gens = list_generations(slot)
+        live_row = next((g for g in gens if g["live"]), None)
+        out.append(
+            {
+                "slot": name,
+                "kind": kind,
+                "algo": algo,
+                "live_generation": os.path.basename(live),
+                "n_generations": len(gens) or 1,  # legacy flat = 1
+                "live_bytes": live_row["bytes"] if live_row else None,
+            }
+        )
+    return out
+
+
 def ensure_index(slot: str, meta: dict, build) -> str:
     """The shared build-once contract for every stored index (trigram
     postings, IVF, dedup, PQ): resolve the slot's live generation; if
