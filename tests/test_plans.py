@@ -158,6 +158,8 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
                                     # count folded into the lazy plan)
         "tfidf_top_terms",          # same 1-row n_docs broadcast
         "bm25_search",              # 1-row (N, avgdl) corpus-stats broadcast
+        "bm25_prebuilt",            # same 1-row stats broadcast, derived
+                                    # from the doclens index table
         "heavy_hitters_cms",        # 1-row total-count broadcast (N for the
                                     # CM overshoot-bound claim)
         "heavy_hitters_cms_stream",  # same 1-row N broadcast + 1-row
