@@ -160,6 +160,8 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
         "bm25_search",              # 1-row (N, avgdl) corpus-stats broadcast
         "bm25_prebuilt",            # same 1-row stats broadcast, derived
                                     # from the doclens index table
+        "dsir_importance_weights",  # 1-row (R, T) totals broadcast onto
+                                    # the B-row hashed-bucket table
         "heavy_hitters_cms",        # 1-row total-count broadcast (N for the
                                     # CM overshoot-bound claim)
         "heavy_hitters_cms_stream",  # same 1-row N broadcast + 1-row

@@ -347,3 +347,55 @@ def test_weighted_reservoir_plan_is_take_ordered(spark):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert shuffle_count(df) == 0, "reservoir selection must not shuffle the corpus"
+
+
+def test_dsir_weights_separate_target_from_offtarget(spark, tmp_path):
+    """DSIR semantic grounding (the property the oracle hash cannot
+    check): on a corpus with two cleanly separated vocabularies, every
+    target-language doc must score a POSITIVE log importance weight and
+    every off-target doc a NEGATIVE one — its features live in buckets
+    the target distribution barely touches. Also pins the aggregate
+    direction on the real smoke corpus (mean target weight strictly
+    above mean off-target weight — the inequality importance resampling
+    exists to create)."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.trainprep import (
+        dsir_importance_weights,
+    )
+
+    # synthetic: disjoint vocabularies, several docs per side
+    rows = []
+    for i in range(8):
+        rows.append((i, "en", " ".join(f"alpha{j % 5}" for j in range(i + 3)), "s0", 1))
+    for i in range(8, 16):
+        rows.append((i, "zh", " ".join(f"omega{j % 5}" for j in range(i - 4)), "s1", 1))
+    sf_syn = str(tmp_path / "sf_syn")
+    import os
+
+    os.makedirs(sf_syn)
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, source string, n_chars long"
+    ).write.parquet(f"{sf_syn}/documents.parquet")
+
+    got = {r.doc_id: r for r in dsir_importance_weights(spark, sf_syn).collect()}
+    assert len(got) == 16
+    for i in range(8):
+        assert got[i].log_weight > 0 and got[i].keep, got[i]
+    for i in range(8, 16):
+        assert got[i].log_weight < 0 and not got[i].keep, got[i]
+
+    # real smoke corpus: aggregate separation
+    real = dsir_importance_weights(spark, SF_SMOKE).join(
+        __import__(
+            "weather_database_system_spark.sources.star", fromlist=["load_table"]
+        ).load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang"),
+        "doc_id",
+    )
+    means = {
+        r["is_t"]: r["m"]
+        for r in real.groupBy((F.col("lang") == "en").alias("is_t"))
+        .agg(F.avg("log_weight").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]

@@ -471,6 +471,94 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_BUCKETS = 256       # hashed-feature space (the DSIR state bound)
+DSIR_TARGET_LANG = "en"  # self-contained stand-in for the target corpus
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169 — Data
+    Selection via Importance Resampling): score every document by its
+    log importance weight log(p_target/p_raw) under two hashed-n-gram
+    bag-of-words models — the public method behind targeted pre-training
+    mixes (select web data that looks like the target domain). Features
+    are unigrams ∪ bigrams hashed into DSIR_BUCKETS buckets (the paper's
+    dimensionality bound: distribution state is B rows NO MATTER how
+    large the vocabulary grows — the whole reason this scales to 100 TB
+    where a vocabulary-keyed model would not); the target distribution
+    is the DSIR_TARGET_LANG slice (a self-contained stand-in for the
+    paper's separate target corpus), the raw distribution the full
+    corpus; both add-one smoothed over the B buckets. keep =
+    (log_weight > 0): the doc looks more target- than raw-like.
+
+    Shape at 100 TB: ONE gram explode (corpus-sized, map-side) → bucket
+    via md5-hash (JVM codegen, no Python) → (a) a B-row distribution
+    aggregate carrying BOTH models in one pass (count + conditional
+    count), (b) a (doc, bucket) count with map-side combine (≤B rows per
+    doc). Scoring joins (doc, bucket) counts against the B-row broadcast
+    log-ratio table and sums per doc — no vocabulary-sized state
+    anywhere, no second corpus pass.
+
+    Determinism: the log argument is the exact-integer ratio
+    ((ct+1)·(R+B)) / ((cr+1)·(T+B)) — all products < 2^53, so both
+    engines form the identical double before ln (the source_kl recipe);
+    per-bucket log-ratios floor-round to 6 decimals, per-doc sums
+    accumulate n·lr6 in DECIMAL (order-independent), the weight rounds
+    to 4, and the keep flag compares the ROUNDED value."""
+    from weather_database_system_spark.session import track_persisted
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    # persisted: feats feeds the distribution aggregate (twice, via tot)
+    # AND the per-doc bucket counts — without the cache each consumer
+    # re-runs the corpus-sized gram explode (3 scans measured); cached,
+    # ONE tokenize+hash pass serves all three (caller releases via
+    # release_persisted, the package persist contract)
+    feats = track_persisted(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.concat(toks, _grams(toks, 2))).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast(
+                    "bigint"
+                ),
+                F.lit(DSIR_BUCKETS),
+            ).alias("bucket"),
+        )
+        .persist()
+    )
+    dist = feats.groupBy("bucket").agg(
+        F.count("*").alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("ct"),
+    )
+    tot = dist.agg(F.sum("cr").alias("r"), F.sum("ct").alias("t"))
+    ratio = ((F.col("ct") + 1) * (F.col("r") + DSIR_BUCKETS)).cast("double") / (
+        (F.col("cr") + 1) * (F.col("t") + DSIR_BUCKETS)
+    )
+    lr = (
+        dist.crossJoin(F.broadcast(tot))
+        .select("bucket", _fr(F.log(ratio), 6).alias("lr6"))
+    )
+    nb = feats.groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
+    return (
+        nb.join(F.broadcast(lr), "bucket")
+        .select("doc_id", "n", (F.col("n") * F.col("lr6")).cast("decimal(30,10)").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("int").alias("n_feats"),
+            _fr(F.sum("s").cast("double"), 4).alias("log_weight"),
+        )
+        .withColumn("keep", F.col("log_weight") > 0.0)
+        .orderBy("doc_id")
+    )
+
+
 def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-shift quantification: KL(source ‖ corpus) over unigram
     distributions — how far each data source's token distribution sits from
@@ -936,6 +1024,45 @@ def duplicate_span_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "dsir_importance_weights": f"""
+        WITH d AS ({_SQL_TOKS}),
+        feats AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)
+                       % {DSIR_BUCKETS} AS bucket
+            FROM (
+                SELECT doc_id, lang,
+                       unnest(list_concat(toks, {_sql_grams(2)})) AS g
+                FROM d
+            )
+        ),
+        dist AS (
+            SELECT bucket, count(*) AS cr,
+                   sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS ct
+            FROM feats GROUP BY 1
+        ),
+        tot AS (SELECT sum(cr) AS r, sum(ct) AS t FROM dist),
+        lr AS (
+            SELECT bucket,
+                   {_sql_fr(
+                       f"ln(CAST((ct + 1) * (r + {DSIR_BUCKETS}) AS DOUBLE)"
+                       f" / ((cr + 1) * (t + {DSIR_BUCKETS})))", 6)} AS lr6
+            FROM dist, tot
+        ),
+        nb AS (SELECT doc_id, bucket, count(*) AS n FROM feats GROUP BY 1, 2),
+        scored AS (
+            SELECT doc_id, n, CAST(n * lr6 AS DECIMAL(30,10)) AS s
+            FROM nb JOIN lr USING (bucket)
+        ),
+        agg AS (
+            SELECT doc_id, CAST(sum(n) AS INT) AS n_feats,
+                   {_sql_fr('CAST(sum(s) AS DOUBLE)', 4)} AS log_weight
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_feats, log_weight, log_weight > 0.0 AS keep
+        FROM agg
+        ORDER BY doc_id
+    """,
     # the UNREWRITTEN BPE pair count: explode every token OCCURRENCE into
     # its character pairs (corpus-sized) — matching the engine's
     # vocab-frequency-factored form proves the Sennrich rewrite
@@ -1311,6 +1438,7 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "dsir_importance_weights": dsir_importance_weights,
     "span_corruption_masks": span_corruption_masks,
     "curriculum_pack_epochs": curriculum_pack_epochs,
     "tokenize_to_ids": tokenize_to_ids,
