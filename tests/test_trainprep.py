@@ -399,3 +399,28 @@ def test_dsir_weights_separate_target_from_offtarget(spark, tmp_path):
         .collect()
     }
     assert means[True] > means[False]
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    """The defining property of temperature sampling with α < 1: the
+    tempered distribution sits strictly BETWEEN the natural mixture and
+    uniform — every below-average source is upsampled (factor > 1),
+    every above-average source damped (factor < 1), shares still sum to
+    1, and the ordering of sources by share is preserved (flattening
+    never reorders)."""
+    from weather_database_system_spark.operators.trainprep import (
+        source_temperature_mix,
+    )
+
+    rows = source_temperature_mix(spark, SF_SMOKE).collect()
+    assert len(rows) > 1
+    uniform = 1.0 / len(rows)
+    assert abs(sum(r.tempered_share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        if r.natural_share < uniform - 1e-6:
+            assert r.upsample_factor > 1.0, r
+        elif r.natural_share > uniform + 1e-6:
+            assert r.upsample_factor < 1.0, r
+    by_nat = sorted(rows, key=lambda r: (r.natural_share, r.source))
+    by_temp = sorted(rows, key=lambda r: (r.tempered_share, r.source))
+    assert [r.source for r in by_nat] == [r.source for r in by_temp]

@@ -376,6 +376,52 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+MIX_ALPHA = 0.3  # the mT5/XLM-R exponent: q_s ∝ p_s^α (α<1 flattens)
+
+
+def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling (Conneau & Lample 2019 §3.1;
+    mT5, Xue et al. 2021 §3.2 — the standard multilingual/multi-source
+    mixing rule): tempered share q_s ∝ p_s^α with α = MIX_ALPHA < 1,
+    which flattens the natural mixture — low-resource sources are
+    upsampled, dominant ones damped — without going all the way to
+    domain_mixture_weights' uniform target. Emits, per source: the
+    natural token share, the tempered share, and the effective
+    upsampling factor q/p a sampler applies.
+
+    100 TB shape: identical to domain_mixture_weights — ONE map-side-
+    combined |domains|-key aggregate; all share arithmetic runs on the
+    |domains|-row result (unpartitioned windows bounded by domain
+    cardinality, never corpus-sized).
+
+    Determinism: p_s divides exact BIGINT token counts (identical
+    doubles in both engines); p^α floor-rounds to 6 BEFORE the
+    normalizing sum, which accumulates in DECIMAL over the rounded
+    values (order-independent — a double window-sum would be
+    addition-order-dependent across engines); the final shares and
+    factors are rounded divisions of already-rounded values."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(_tokens(F.col("text")))).alias("n_tokens")
+    )
+    wall = W.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(wall)
+    t6 = _fr(F.pow(p, MIX_ALPHA), 6)
+    tempered = per.select(
+        "source", "n_tokens", _fr(p, 6).alias("natural_share"),
+        t6.cast("decimal(20,6)").alias("t"),
+    )
+    tot = F.sum("t").over(wall).cast("double")
+    q6 = _fr(F.col("t").cast("double") / tot, 6)
+    return tempered.select(
+        "source",
+        "n_tokens",
+        "natural_share",
+        q6.alias("tempered_share"),
+        _fr(q6 / F.col("natural_share"), 4).alias("upsample_factor"),
+    ).orderBy("source")
+
+
 QUALITY_P_FLOOR = 0.05  # minimum keep probability: every doc stays sampleable
 
 
@@ -1063,6 +1109,32 @@ ORACLE: dict[str, str] = {
         FROM agg
         ORDER BY doc_id
     """,
+    "source_temperature_mix": f"""
+        WITH per AS (
+            SELECT source,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        shares AS (
+            SELECT source, n_tokens,
+                   {_sql_fr("CAST(n_tokens AS DOUBLE) / (sum(n_tokens) OVER ())", 6)}
+                       AS natural_share,
+                   CAST({_sql_fr(
+                       f"pow(CAST(n_tokens AS DOUBLE) / (sum(n_tokens) OVER ()), {MIX_ALPHA})",
+                       6)} AS DECIMAL(20,6)) AS t
+            FROM per
+        ),
+        q AS (
+            SELECT source, n_tokens, natural_share,
+                   {_sql_fr("CAST(t AS DOUBLE) / CAST(sum(t) OVER () AS DOUBLE)", 6)}
+                       AS tempered_share
+            FROM shares
+        )
+        SELECT source, n_tokens, natural_share, tempered_share,
+               {_sql_fr("tempered_share / natural_share", 4)} AS upsample_factor
+        FROM q
+        ORDER BY source
+    """,
     # the UNREWRITTEN BPE pair count: explode every token OCCURRENCE into
     # its character pairs (corpus-sized) — matching the engine's
     # vocab-frequency-factored form proves the Sennrich rewrite
@@ -1439,6 +1511,7 @@ ORACLE: dict[str, str] = {
 
 QUERIES = {
     "dsir_importance_weights": dsir_importance_weights,
+    "source_temperature_mix": source_temperature_mix,
     "span_corruption_masks": span_corruption_masks,
     "curriculum_pack_epochs": curriculum_pack_epochs,
     "tokenize_to_ids": tokenize_to_ids,
