@@ -3865,6 +3865,16 @@ def test_manifest_generation_contracts(tmp_path):
     assert resolve_generation(flat) == flat
     assert os.path.isfile(os.path.join(flat, INDEX_MARKER))
 
+    # mkdir is the claim: a racing builder that already created the next
+    # number forces the claimer onto the one after — two processes can
+    # never build into the same generation directory
+    from weather_database_system_spark.session import claim_new_generation
+
+    os.makedirs(os.path.join(slot, "gen-0005"))  # the "other process"
+    claimed = claim_new_generation(slot)
+    assert os.path.basename(claimed) == "gen-0006"
+    assert os.path.isdir(claimed)  # claim creates (atomically owns) it
+
 
 def test_index_rebuild_never_disturbs_readers(spark, tmp_path, monkeypatch):
     """The atomicity guarantee the manifest layer exists for (r15):

@@ -298,6 +298,27 @@ def new_generation_path(slot: str) -> str:
     return os.path.join(slot, f"gen-{nxt:04d}")
 
 
+def claim_new_generation(slot: str) -> str:
+    """Atomically CLAIM the next generation directory: mkdir is the
+    claim, so two processes racing the same build-if-absent (two sweeps,
+    two cold sessions hitting one scratch volume) can never write into
+    the same generation — the loser sees FileExistsError and claims the
+    next number. Both then build equivalent generations and promote;
+    last promote wins, the other becomes the grace generation, and the
+    content is identical (builds are deterministic functions of the
+    marked source), so the race is benign END TO END, not just avoided
+    at the directory level. The single-writer contract still governs
+    append-vs-compaction — this claim only serializes generation
+    CREATION, the one cross-process touchpoint build-if-absent has."""
+    while True:
+        gen = new_generation_path(slot)
+        try:
+            os.makedirs(gen)
+            return gen
+        except FileExistsError:
+            continue  # lost the race — claim the next number
+
+
 def promote_generation(slot: str, gen_dir: str) -> str:
     """Atomically point the slot's manifest at ``gen_dir`` (write-temp +
     os.replace — readers see the old generation or the new one, never a
@@ -412,7 +433,7 @@ def ensure_index(slot: str, meta: dict, build) -> str:
         return live
     if live == slot:  # stale legacy flat layout: migrate to manifest form
         shutil.rmtree(slot, ignore_errors=True)
-    gen = new_generation_path(slot)
+    gen = claim_new_generation(slot)
     build(gen)
     write_index_marker(gen, meta)
     return promote_generation(slot, gen)
@@ -437,7 +458,7 @@ def compact_into_generation(path: str, rewrite) -> str:
         and os.path.isfile(os.path.join(slot, INDEX_MANIFEST))
     )
     if managed:
-        gen = new_generation_path(slot)
+        gen = claim_new_generation(slot)
         rewrite(gen)
         marker = os.path.join(path, INDEX_MARKER)
         if os.path.isfile(marker):
