@@ -56,16 +56,16 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # identical, but touched code re-queues regardless).
 # Groups now: r10=14 (the block VERDICT r14 task #2 orders cleared this
 # round), r11=46, r12=45, r13=47, r14=46. The r15 sample (first 50) =
-# 15 unmapped (7 new r15 queries: ann_ivf_prebuilt_appended,
+# 16 unmapped (8 new r15 queries: ann_ivf_prebuilt_appended,
 # nearest_station_salted_checked, dedup_against_index_prebuilt,
 # ann_pq_prebuilt, bm25_prebuilt, dsir_importance_weights,
-# source_temperature_mix; 6 removals above plus
+# source_temperature_mix, vocab_growth_curve; 6 removals above plus
 # ann_product_quantization — its body was factored onto the shared
 # train/encode/qtable/ADC helpers for the stored-PQ lifecycle — and
 # bm25_search, whose scoring tail was factored onto the shared
 # _bm25_rank for the stored-index form; behavior identical in both,
 # but touched code re-queues regardless) + the ENTIRE 14-entry r10
-# block + the front 21 of the r11 block.
+# block + the front 20 of the r11 block.
 _LAST_VERIFIED = {
     # --- last green in r10 ---
     **dict.fromkeys([

@@ -162,6 +162,8 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
                                     # from the doclens index table
         "dsir_importance_weights",  # 1-row (R, T) totals broadcast onto
                                     # the B-row hashed-bucket table
+        "vocab_growth_curve",       # 1-row (min, max) doc_id bounds
+                                    # broadcast for bucket assignment
         "heavy_hitters_cms",        # 1-row total-count broadcast (N for the
                                     # CM overshoot-bound claim)
         "heavy_hitters_cms_stream",  # same 1-row N broadcast + 1-row

@@ -424,3 +424,41 @@ def test_temperature_mix_flattens_toward_uniform(spark):
     by_nat = sorted(rows, key=lambda r: (r.natural_share, r.source))
     by_temp = sorted(rows, key=lambda r: (r.tempered_share, r.source))
     assert [r.source for r in by_nat] == [r.source for r in by_temp]
+
+
+def test_vocab_growth_curve_exact_on_constructed_corpus(spark, tmp_path):
+    """Grounding on a corpus with a KNOWN growth curve: 100 docs, doc i
+    holds tokens {t0 .. t_{i//10}} — one brand-new type appears every 10
+    docs, everything else is re-treading. With 50 buckets of 2 docs
+    each, the curve must show cum_vocab == 1 + bucket//5 at every bucket
+    (a new type lands exactly every 5th bucket) and new_types == 0
+    everywhere else; cumulative tokens must equal the exact running
+    token count. All-integer output — any drift is a real bug, not
+    float noise."""
+    import os
+
+    from weather_database_system_spark.operators.trainprep import (
+        VOCAB_CURVE_BUCKETS,
+        vocab_growth_curve,
+    )
+
+    assert VOCAB_CURVE_BUCKETS == 50  # the arithmetic below assumes it
+    rows = []
+    for i in range(100):
+        toks = [f"t{j}" for j in range(i // 10 + 1)]
+        rows.append((i, "en", " ".join(toks), "s0", 1))
+    sf_syn = str(tmp_path / "sf_syn")
+    os.makedirs(sf_syn)
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, source string, n_chars long"
+    ).write.parquet(f"{sf_syn}/documents.parquet")
+
+    got = {r.bucket: r for r in vocab_growth_curve(spark, sf_syn).collect()}
+    assert len(got) == 50  # 2 docs per bucket, every bucket occupied
+    run_tokens = 0
+    for b in range(50):
+        run_tokens += sum(i // 10 + 1 for i in (2 * b, 2 * b + 1))
+        r = got[b]
+        assert r.cum_tokens == run_tokens, (b, r)
+        assert r.cum_vocab == 1 + b // 5, (b, r)
+        assert r.new_types == (1 if b % 5 == 0 else 0), (b, r)

@@ -376,6 +376,72 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+VOCAB_CURVE_BUCKETS = 50  # curve resolution: bounded window state, any SF
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth diagnostic: cumulative distinct
+    vocabulary vs cumulative tokens over the corpus in doc_id order —
+    the curve that tells a tokenizer/dedup pipeline whether vocabulary
+    is still growing (fresh content arriving) or saturating (the corpus
+    is re-treading itself; more data buys fewer new types). Emitted at
+    VOCAB_CURVE_BUCKETS ordered doc-id buckets.
+
+    Shape at 100 TB: the naive form (cumulative DISTINCT over a
+    corpus-ordered window) is unshardable; this one never windows the
+    corpus — each term aggregates to its FIRST bucket (vocab-bounded
+    min-agg), new-type counts and token sums aggregate per bucket
+    (K rows), and the only window runs over the K-row bucket table.
+    Bucket assignment is pure integer arithmetic from a 1-row
+    (min, max) doc_id broadcast — no sort, no corpus window, map-side
+    everywhere.
+
+    Determinism: every emitted value is an exact integer (counts and
+    integer-division bucket ids) — no floats anywhere, so the DuckDB
+    replay is definitionally hash-exact."""
+    from weather_database_system_spark.session import track_persisted
+
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+    d = track_persisted(
+        docs.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(
+                f"CAST((doc_id - mn) * {VOCAB_CURVE_BUCKETS}"
+                f" DIV (mx - mn + 1) AS INT)"
+            ).alias("bucket"),
+            _tokens(F.col("text")).alias("toks"),
+        )
+        .persist()
+    )
+    per = d.groupBy("bucket").agg(
+        F.sum(F.size("toks")).alias("toks_in_bucket")
+    )
+    firstb = (
+        d.select("bucket", F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("new_types"))
+    )
+    wk = W.orderBy("bucket")  # K-row window — bounded, never corpus-sized
+    return (
+        per.join(firstb, "bucket", "left")
+        .select(
+            "bucket",
+            "toks_in_bucket",
+            F.coalesce(F.col("new_types"), F.lit(0)).alias("new_types"),
+        )
+        .select(
+            "bucket",
+            F.sum("toks_in_bucket").over(wk).cast("long").alias("cum_tokens"),
+            F.col("new_types").cast("long").alias("new_types"),
+            F.sum("new_types").over(wk).cast("long").alias("cum_vocab"),
+        )
+        .orderBy("bucket")
+    )
+
+
 MIX_ALPHA = 0.3  # the mT5/XLM-R exponent: q_s ∝ p_s^α (α<1 flattens)
 
 
@@ -1109,6 +1175,33 @@ ORACLE: dict[str, str] = {
         FROM agg
         ORDER BY doc_id
     """,
+    "vocab_growth_curve": f"""
+        WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+        d AS (
+            SELECT CAST((doc_id - mn) * {VOCAB_CURVE_BUCKETS}
+                        // (mx - mn + 1) AS INT) AS bucket,
+                   string_split(text, ' ') AS toks
+            FROM documents, b
+        ),
+        per AS (
+            SELECT bucket, CAST(sum(len(toks)) AS BIGINT) AS toks_in_bucket
+            FROM d GROUP BY 1
+        ),
+        firstb AS (
+            SELECT term, min(bucket) AS bucket
+            FROM (SELECT bucket, unnest(toks) AS term FROM d)
+            GROUP BY term
+        ),
+        newt AS (SELECT bucket, count(*) AS new_types FROM firstb GROUP BY 1)
+        SELECT p.bucket,
+               CAST(sum(p.toks_in_bucket) OVER (ORDER BY p.bucket) AS BIGINT)
+                   AS cum_tokens,
+               CAST(coalesce(n.new_types, 0) AS BIGINT) AS new_types,
+               CAST(sum(coalesce(n.new_types, 0)) OVER (ORDER BY p.bucket)
+                   AS BIGINT) AS cum_vocab
+        FROM per p LEFT JOIN newt n USING (bucket)
+        ORDER BY p.bucket
+    """,
     "source_temperature_mix": f"""
         WITH per AS (
             SELECT source,
@@ -1512,6 +1605,7 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "dsir_importance_weights": dsir_importance_weights,
     "source_temperature_mix": source_temperature_mix,
+    "vocab_growth_curve": vocab_growth_curve,
     "span_corruption_masks": span_corruption_masks,
     "curriculum_pack_epochs": curriculum_pack_epochs,
     "tokenize_to_ids": tokenize_to_ids,

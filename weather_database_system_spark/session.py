@@ -237,10 +237,17 @@ def resolve_generation(slot: str) -> str | None:
     None if nothing is built. Recovery order: (1) the manifest's pointer
     if it names an existing directory; (2) manifest lost/corrupt but
     generation dirs present → the newest STAMPED generation (a crash
-    can only lose the O(1) pointer write, never a promoted generation);
-    (3) a pre-manifest flat layout (index files at the slot root) → the
-    slot itself, so existing stored indexes keep answering until their
-    next rebuild migrates them."""
+    can only lose the O(1) pointer write, never a promoted generation).
+    Stamped-first is a deliberate trade-off: with the pointer gone, an
+    unstamped newest generation is indistinguishable from a crashed
+    half-build, and silently serving a possibly-incomplete index is
+    worse than serving the stale-but-complete stamped predecessor (an
+    appended — hence unstamped — index recovered this way loses its
+    post-build appends until the next rebuild; marker-gated consumers
+    rebuild on the mismatch anyway). (3) A pre-manifest flat layout
+    (index files at the slot root) → the slot itself, so existing
+    stored indexes keep answering until their next rebuild migrates
+    them."""
     import json
 
     try:
