@@ -4115,3 +4115,11 @@ def test_slot_handles_survive_promotes(spark, tmp_path, monkeypatch):
     assert sorted(
         tuple(r) for r in trigram_query_prebuilt(spark, sf, slot).collect()
     ) == baseline  # duplicate postings stay harmless throughout
+
+    # a STALE generation handle must fail loudly on compaction: rewriting
+    # the grace generation and promoting it would silently REVERT the
+    # index to pre-promote content (publish old data as live)
+    import pytest
+
+    with pytest.raises(ValueError, match="non-live generation"):
+        compact_trigram_postings(spark, g1)

@@ -465,6 +465,18 @@ def compact_into_generation(path: str, rewrite) -> str:
         and os.path.isfile(os.path.join(slot, INDEX_MANIFEST))
     )
     if managed:
+        # refuse to compact a NON-LIVE generation: rewriting the grace
+        # generation and promoting it would silently REVERT the index to
+        # its pre-promote content (every row appended since would vanish
+        # from the live view) — a stale handle must fail loudly, not
+        # publish old data. Callers hold the slot (slot_live) or the
+        # path ensure_* just returned.
+        live = resolve_generation(slot)
+        if live is None or os.path.realpath(path) != os.path.realpath(live):
+            raise ValueError(
+                f"refusing to compact non-live generation {path!r}; "
+                f"live is {live!r} — pass the slot or the live path"
+            )
         gen = claim_new_generation(slot)
         rewrite(gen)
         marker = os.path.join(path, INDEX_MARKER)
