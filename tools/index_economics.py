@@ -2,16 +2,20 @@
 index families (trigram postings, IVF, dedup, PQ), the numbers behind the
 "queries price at index bytes, not corpus bytes" claim.
 
-Per family, three timings on one warm session:
-- in-query form: the registry operator that recomputes the index inside
-  the query (the gate-hermetic form the oracle replays);
-- build-once:    ensure_* into a HERMETIC scratch slot (so the cost is a
-  real cold build, manifest promote included);
-- prebuilt query: the query-only half reading the stored generation
-  (first call + repeat, to show the warm floor).
+Per family, on one warm session: the in-query form (first + repeat), the
+build-once into a HERMETIC scratch slot (real cold build, manifest
+promote included), and the prebuilt query-only half (first + repeat).
 
-The per-query win is in_query / prebuilt_first; the build amortizes after
-build / (in_query - prebuilt) queries. With ``--multiples`` the corpus is
+The per-query win is REPEAT-vs-REPEAT (warm-vs-warm): comparing a cold
+in-query first run against a warm prebuilt repeat credits JVM/codegen/
+file-listing warm-up to the index. The warm comparison also surfaces the
+honest scale story: families whose in-query form is fixed-cost-floored
+at the test SF (dedup, bm25 — sub-second warm) show win ≈ 1 HERE, and
+their case rests on the plan-pinned index-priced shape (query cost =
+index bytes, not corpus bytes) that only pays off at real corpus sizes;
+the compute-heavy families (trigram, IVF, PQ) show real warm wins even
+at test SF. The build amortizes after build / (in_query - prebuilt)
+queries. With ``--multiples`` the corpus is
 grown with the scale_rehearsal generators (same distribution at every
 point) to show the RATIO growing with corpus size: the in-query form
 re-signatures / re-trains O(corpus) per query while the prebuilt
@@ -78,18 +82,26 @@ def measure_family(spark, family: str, sf_dir: str) -> dict:
     }
     in_query_fn, ensure_fn, query_fn = forms[family]
 
+    # BOTH forms get a first + repeat timing, and the headline win is
+    # repeat-vs-repeat: comparing a cold in-query first run against a
+    # warm prebuilt repeat inflates the light families' wins with JVM /
+    # codegen / file-listing warm-up that has nothing to do with the
+    # index (measured: dedup "2.7x" cold-vs-warm collapsed to 0.9x
+    # warm-vs-warm at sf0.1 — the honest number at this scale)
     in_query = _timed(in_query_fn)
+    in_query_rep = _timed(in_query_fn)
     t0 = time.perf_counter()
     path = ensure_fn()
     build = time.perf_counter() - t0
     first = _timed(lambda: query_fn(path))
     repeat = _timed(lambda: query_fn(path))
-    win = in_query / first if first else float("inf")
-    saved = in_query - first
+    win = in_query_rep / repeat if repeat else float("inf")
+    saved = in_query_rep - repeat
     amortize = build / saved if saved > 0 else float("inf")
     return {
         "family": family,
         "in_query_s": round(in_query, 2),
+        "in_query_repeat_s": round(in_query_rep, 2),
         "build_s": round(build, 2),
         "prebuilt_s": round(first, 2),
         "prebuilt_repeat_s": round(repeat, 2),
@@ -146,11 +158,12 @@ def main() -> int:
             rows.append(r)
             print(r, flush=True)
 
-    print("\n| point | family | in-query s | build s | prebuilt s (repeat) "
-          "| win | amortize after |")
+    print("\n| point | family | in-query s (repeat) | build s "
+          "| prebuilt s (repeat) | win (warm-vs-warm) | amortize after |")
     print("|---|---|---|---|---|---|---|")
     for r in rows:
-        print(f"| {r['point']} | {r['family']} | {r['in_query_s']} "
+        print(f"| {r['point']} | {r['family']} "
+              f"| {r['in_query_s']} ({r['in_query_repeat_s']}) "
               f"| {r['build_s']} | {r['prebuilt_s']} ({r['prebuilt_repeat_s']}) "
               f"| {r['win_x']}x | {r['amortize_after_queries']} |")
     print(json.dumps({"metric": "index_economics", "rows": rows}))
