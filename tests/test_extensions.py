@@ -3802,11 +3802,18 @@ def test_manifest_generation_contracts(tmp_path):
     needed): (1) generation numbering is monotone and never reuses a
     crashed half-written directory's number; (2) promote is an atomic
     pointer flip that keeps EXACTLY the previous live generation as the
-    reader-grace window and prunes everything older; (3) resolve
-    recovery: a lost/corrupt manifest falls back to the newest STAMPED
-    generation (a crash can only lose the O(1) pointer write, never a
-    promoted generation); a pre-manifest flat layout resolves to the
-    slot itself; an empty slot to None."""
+    reader-grace window and prunes every OLDER STAMPED generation —
+    UNSTAMPED generations are never pruned by promote (ADVICE r15 #1: an
+    unstamped dir may be a concurrent builder's in-flight write;
+    rmtree'ing it mid-build would let that builder stamp and promote a
+    partially-deleted, corrupt-but-marked index), they are reclaimed by
+    the age-gated sweep_stale_generations instead; (3) resolve recovery:
+    a lost/corrupt manifest falls back to the newest STAMPED generation
+    (a crash can only lose the O(1) pointer write, never a promoted
+    generation) and to None when only unstamped — possibly half-built —
+    generations exist (ADVICE r15 #2: forcing a rebuild beats silently
+    serving a maybe-incomplete index); a pre-manifest flat layout
+    resolves to the slot itself; an empty slot to None."""
     import os
 
     from weather_database_system_spark.session import (
@@ -3841,7 +3848,19 @@ def test_manifest_generation_contracts(tmp_path):
     promote_generation(slot, g3)
     assert resolve_generation(slot) == g3
     assert os.path.isdir(g1)  # previous LIVE generation survives (grace)
-    assert not os.path.isdir(g_crash)  # never-live junk is pruned
+    # the unstamped dir is NOT pruned by promote — it may be a concurrent
+    # builder's in-flight generation (ADVICE r15 #1) ...
+    assert os.path.isdir(g_crash)
+    # ... it is reclaimed by the age-gated sweep instead — but only once
+    # old enough to be a certainly-abandoned half-build, and the sweep
+    # never touches the live or any stamped generation
+    from weather_database_system_spark.session import sweep_stale_generations
+
+    assert sweep_stale_generations(slot) == []  # too young: in-flight?
+    assert os.path.isdir(g_crash)
+    assert sweep_stale_generations(slot, max_age_s=0.0) == ["gen-0002"]
+    assert not os.path.isdir(g_crash)
+    assert os.path.isdir(g1) and os.path.isdir(g3)  # stamped+live kept
 
     g4 = os.path.join(slot, "gen-0004")
     os.makedirs(g4)
@@ -3857,6 +3876,36 @@ def test_manifest_generation_contracts(tmp_path):
     with open(os.path.join(slot, INDEX_MANIFEST), "w", encoding="utf-8") as fh:
         fh.write('{"generation": "gen-9999"}')
     assert resolve_generation(slot) == g4
+
+    # APPENDED generations stay stamped (r16, VERDICT r15 task #5): the
+    # chained append marker keeps the generation eligible for manifest-
+    # loss recovery — previously an append DELETED the marker, so this
+    # exact recovery silently reverted to the pre-append ancestor g3
+    from weather_database_system_spark.session import (
+        append_index_marker,
+        index_is_current,
+        read_index_marker,
+    )
+
+    append_index_marker(g4, {"batch": "b-001", "rows": 7})
+    append_index_marker(g4, {"batch": "b-002"})
+    assert resolve_generation(slot) == g4  # recovery keeps the appends
+    # ... but ensure_*'s currency check still reads it as stale (append
+    # staleness semantics unchanged vs the old marker-delete)
+    assert not index_is_current(g4, {"v": 4})
+    base, n_appends = read_index_marker(g4)
+    assert base == {"v": 4} and n_appends == 2
+
+    # unstamped-ONLY slot → None (ADVICE r15 #2): with the pointer gone,
+    # an unstamped generation is indistinguishable from a crashed
+    # half-build — force a rebuild instead of serving it
+    slot2 = str(tmp_path / "slot2")
+    os.makedirs(os.path.join(slot2, "gen-0001"))
+    with open(
+        os.path.join(slot2, "gen-0001", "part-0.parquet"), "w"
+    ) as fh:
+        fh.write("x")
+    assert resolve_generation(slot2) is None
 
     # legacy flat layout (pre-manifest): index files at the slot root
     flat = str(tmp_path / "flat")
@@ -3874,6 +3923,175 @@ def test_manifest_generation_contracts(tmp_path):
     claimed = claim_new_generation(slot)
     assert os.path.basename(claimed) == "gen-0006"
     assert os.path.isdir(claimed)  # claim creates (atomically owns) it
+
+
+def test_slot_writer_lease_contracts(tmp_path):
+    """The single-writer MECHANISM (r16, VERDICT r15 task #4 — replacing
+    the documented-only contract): mkdir of <slot>/_WDSS_LEASE is the
+    atomic claim. Pins: (1) acquire/release round-trip with owner
+    metadata; (2) a held lease makes a second writer WAIT and proceed
+    once released (serialization); (3) a bounded wait that expires
+    raises SlotBusyError (fail-loud, never a silent interleave); (4) a
+    lease older than the TTL is a crashed writer and is taken over; (5)
+    the lease root is the SLOT for both the slot path and its generation
+    dirs — an append into gen-N and a compaction promoting gen-N+1 must
+    contend on ONE lease, or the mechanism guards nothing."""
+    import json
+    import os
+    import threading
+    import time
+
+    import pytest as _pytest
+
+    from weather_database_system_spark.session import (
+        INDEX_LEASE,
+        INDEX_MANIFEST,
+        SlotBusyError,
+        _lease_root,
+        slot_writer_lease,
+    )
+
+    slot = str(tmp_path / "slot")
+    os.makedirs(os.path.join(slot, "gen-0001"))
+    with open(os.path.join(slot, INDEX_MANIFEST), "w", encoding="utf-8") as fh:
+        json.dump({"generation": "gen-0001"}, fh)
+
+    # (5) one lease root for slot and every generation dir under it
+    assert _lease_root(slot) == slot
+    assert _lease_root(os.path.join(slot, "gen-0001")) == slot
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    assert _lease_root(flat) == flat
+
+    # (1) round-trip
+    lease_dir = os.path.join(slot, INDEX_LEASE)
+    with slot_writer_lease(slot, "unit") as root:
+        assert root == slot and os.path.isdir(lease_dir)
+        with open(os.path.join(lease_dir, "owner.json"), encoding="utf-8") as fh:
+            owner = json.load(fh)
+        assert owner["pid"] == os.getpid() and owner["purpose"] == "unit"
+    assert not os.path.isdir(lease_dir)  # released
+
+    # (2) serialization: holder releases after 0.4 s; waiter (entered via
+    # the GENERATION path — same root) acquires strictly after
+    order = []
+
+    def holder():
+        with slot_writer_lease(slot, "compact"):
+            order.append(("acquired", "compact"))
+            time.sleep(0.4)
+            order.append(("releasing", "compact"))
+
+    t = threading.Thread(target=holder)
+    t.start()
+    time.sleep(0.1)  # let the holder win the lease
+    with slot_writer_lease(os.path.join(slot, "gen-0001"), "append", wait_s=10):
+        order.append(("acquired", "append"))
+    t.join()
+    assert order == [
+        ("acquired", "compact"),
+        ("releasing", "compact"),
+        ("acquired", "append"),
+    ]
+
+    # (3) fail-loud: bounded wait expires while held
+    os.mkdir(lease_dir)  # a foreign holder
+    try:
+        with _pytest.raises(SlotBusyError, match="lease-held"):
+            with slot_writer_lease(slot, "append", wait_s=0.3, ttl_s=3600):
+                pass
+        assert os.path.isdir(lease_dir)  # foreign lease untouched
+        # (4) ... but once past the TTL it's a crashed writer: take over
+        old = time.time() - 7200
+        os.utime(lease_dir, (old, old))
+        with slot_writer_lease(slot, "takeover", wait_s=0.3, ttl_s=3600):
+            assert os.path.isdir(lease_dir)  # now OURS (recreated)
+        assert not os.path.isdir(lease_dir)
+    finally:
+        import shutil
+
+        shutil.rmtree(lease_dir, ignore_errors=True)
+
+
+def test_append_vs_compaction_lease_serializes(spark, tmp_path, monkeypatch):
+    """End-to-end pin for VERDICT r15 task #4's done-criterion: a
+    compaction racing an append either SERIALIZES or RAISES — appended
+    rows are never silently dropped between a compactor's scan and its
+    promote. A simulated in-flight compaction (the lease held with the
+    compactor's purpose) blocks a concurrent ``append_bm25_docs``:
+    with a short bounded wait the append fails loudly (SlotBusyError);
+    with a generous wait it parks until the compactor releases, then
+    lands in the post-compaction LIVE generation — the exact rows a
+    silent interleave would have lost — and the prebuilt query sees the
+    union."""
+    import threading
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.textan import (
+        append_bm25_docs,
+        bm25_query_prebuilt,
+        bm25_search,
+        build_bm25_index,
+        compact_bm25_index,
+    )
+    from weather_database_system_spark.session import (
+        SlotBusyError,
+        ensure_index,
+        slot_writer_lease,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    sf = SF_SMOKE
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    slot = str(tmp_path / "bm25_slot")
+    ensure_index(
+        slot,
+        {"kind": "bm25_index", "test": "lease-race"},
+        lambda gen: build_bm25_index(
+            docs.filter(F.pmod("doc_id", F.lit(2)) == 0), gen
+        ),
+    )
+    odd = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+
+    # fail-loud half: the bounded wait expires while the compactor holds
+    with slot_writer_lease(slot, "compact_bm25"):
+        monkeypatch.setenv("WDSS_LEASE_WAIT_S", "0.3")
+        with _pytest.raises(SlotBusyError):
+            append_bm25_docs(odd, slot)
+        monkeypatch.delenv("WDSS_LEASE_WAIT_S")
+
+    # serialize half: hold the lease (the compactor's read-then-promote
+    # window — compact_bm25_index takes the lease itself, so the window
+    # is simulated rather than nested, which would self-deadlock), park
+    # an append behind it, run the REAL compaction's promote effect by
+    # releasing, and watch the append land in the post-release live
+    # generation instead of interleaving
+    import time
+
+    appended = threading.Event()
+
+    def parked_append():
+        append_bm25_docs(odd, slot)  # default wait: parks on the lease
+        appended.set()
+
+    with slot_writer_lease(slot, "compact_bm25"):
+        t = threading.Thread(target=parked_append)
+        t.start()
+        time.sleep(0.5)
+        assert not appended.is_set()  # append is parked, not interleaved
+    t.join(timeout=60)
+    assert appended.is_set()  # released → append proceeded
+    compact_bm25_index(spark, slot)  # real compaction serializes after
+
+    # the appended rows are IN the live index: prebuilt == in-query form
+    # over the full corpus
+    expected = sorted(tuple(r) for r in bm25_search(spark, sf).collect())
+    got = sorted(
+        tuple(r) for r in bm25_query_prebuilt(spark, sf, slot).collect()
+    )
+    assert got == expected
 
 
 def test_index_rebuild_never_disturbs_readers(spark, tmp_path, monkeypatch):
@@ -3991,16 +4209,27 @@ def test_index_catalog_and_snapshot_reads(spark, tmp_path, monkeypatch):
     )
     assert snap == baseline
     # catalog reflects the promote: live generation advanced, both
-    # generations retained; kind is None because the APPEND dropped the
-    # build-once marker (the index is no longer a pure build of the
-    # marked source) and row-preserving compaction rightly carries that
-    # unstamped state forward — the catalog surfaces exactly this
+    # generations retained; the append CHAINED onto the build stamp
+    # (r16 — previously it deleted the marker and the catalog lost the
+    # kind), so the catalog surfaces the BASE build meta plus the append
+    # count, carried forward by row-preserving compaction
     row = next(
         r for r in index_catalog(scratch) if r["slot"] == os.path.basename(slot)
     )
-    assert row["kind"] is None
+    assert row["kind"] == "bm25_index"
+    assert row["appends"] == 1
     assert row["live_generation"] == "gen-0002"
     assert row["n_generations"] == 2
+
+    # ADVICE r15 #3: non-index scratch dirs (warehouse tables, rehearsal
+    # data) are NOT listed as slots — a manifest, gen-NNNN subdirs, or a
+    # root index marker is required
+    os.makedirs(os.path.join(scratch, "not_an_index", "data"))
+    with open(
+        os.path.join(scratch, "not_an_index", "data", "p.parquet"), "w"
+    ) as fh:
+        fh.write("x")
+    assert "not_an_index" not in {r["slot"] for r in index_catalog(scratch)}
 
 
 def test_bm25_index_lifecycle(spark, tmp_path):

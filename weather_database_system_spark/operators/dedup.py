@@ -811,37 +811,40 @@ def append_dedup_index(docs: DataFrame, path: str) -> None:
     A retried at-least-once batch duplicates rows; the prebuilt query
     path distincts stored band rows before the bucket cap and resolves
     matches with min() aggregates, so duplicates never change results
-    (pytest-pinned) — only bytes, until compaction. Appending drops the
-    build-once marker (the index is no longer a pure build of the
-    marked source). Ingest loops pass the SLOT path: every call
-    re-resolves the live generation (session.slot_live), so appends keep
-    landing in the current generation across compaction promotes."""
-    import os
-
-    from weather_database_system_spark.session import INDEX_MARKER, slot_live
-
-    path = slot_live(path)
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    (
-        docs.select("doc_id", F.md5("text").alias("dg"))
-        .repartitionByRange(n_part, "dg")
-        .sortWithinPartitions("dg", "doc_id")
-        .write.mode("append")
-        .parquet(f"{path}/digests")
+    (pytest-pinned) — only bytes, until compaction. Appending chains an
+    append event onto the generation's stamp (session.append_index_marker
+    — ensure_* still reads the index as stale, but manifest-loss
+    recovery resolves to the index WITH its appends) and runs under the
+    slot writer lease (append vs compaction serializes or fails loudly,
+    never silently drops rows). Ingest loops pass the SLOT path: every
+    call re-resolves the live generation (session.slot_live), so appends
+    keep landing in the current generation across compaction promotes."""
+    from weather_database_system_spark.session import (
+        append_index_marker,
+        slot_live,
+        slot_writer_lease,
     )
-    (
-        _md5_signatures(docs, n_part)
-        .select("doc_id", _band_explode())
-        .select("doc_id", "bb.band", "bb.bsig")
-        .repartitionByRange(n_part, "band", "bsig")
-        .sortWithinPartitions("band", "bsig", "doc_id")
-        .write.mode("append")
-        .parquet(f"{path}/bands")
-    )
-    try:
-        os.remove(os.path.join(path, INDEX_MARKER))
-    except OSError:
-        pass
+
+    with slot_writer_lease(path, "append_dedup"):
+        live = slot_live(path)
+        n_part = docs.sparkSession.sparkContext.defaultParallelism
+        (
+            docs.select("doc_id", F.md5("text").alias("dg"))
+            .repartitionByRange(n_part, "dg")
+            .sortWithinPartitions("dg", "doc_id")
+            .write.mode("append")
+            .parquet(f"{live}/digests")
+        )
+        (
+            _md5_signatures(docs, n_part)
+            .select("doc_id", _band_explode())
+            .select("doc_id", "bb.band", "bb.bsig")
+            .repartitionByRange(n_part, "band", "bsig")
+            .sortWithinPartitions("band", "bsig", "doc_id")
+            .write.mode("append")
+            .parquet(f"{live}/bands")
+        )
+        append_index_marker(live)
 
 
 def compact_dedup_index(spark: SparkSession, path: str) -> str:
@@ -857,22 +860,27 @@ def compact_dedup_index(spark: SparkSession, path: str) -> str:
     from weather_database_system_spark.session import (
         compact_into_generation,
         slot_live,
+        slot_writer_lease,
     )
 
-    path = slot_live(path)
+    with slot_writer_lease(path, "compact_dedup"):
+        live = slot_live(path)
 
-    def rewrite(dst: str) -> None:
-        n_part = spark.sparkContext.defaultParallelism
-        for sub, keys in (("digests", ["dg"]), ("bands", ["band", "bsig"])):
-            (
-                spark.read.parquet(f"{path}/{sub}")
-                .repartitionByRange(n_part, *keys)
-                .sortWithinPartitions(*keys, "doc_id")
-                .write.mode("overwrite")
-                .parquet(f"{dst}/{sub}")
-            )
+        def rewrite(dst: str) -> None:
+            n_part = spark.sparkContext.defaultParallelism
+            for sub, keys in (
+                ("digests", ["dg"]),
+                ("bands", ["band", "bsig"]),
+            ):
+                (
+                    spark.read.parquet(f"{live}/{sub}")
+                    .repartitionByRange(n_part, *keys)
+                    .sortWithinPartitions(*keys, "doc_id")
+                    .write.mode("overwrite")
+                    .parquet(f"{dst}/{sub}")
+                )
 
-    return compact_into_generation(path, rewrite)
+        return compact_into_generation(live, rewrite)
 
 
 def ensure_dedup_index(spark: SparkSession, sf_dir: str) -> str:

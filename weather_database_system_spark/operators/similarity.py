@@ -668,27 +668,33 @@ def append_ivf_vectors(spark: SparkSession, vecs: DataFrame, path: str) -> None:
     quantizer, exactly (pytest-pinned, incl. search results); a retried
     at-least-once batch duplicates rows, which the query path's
     candidate dedup makes harmless (results unchanged — bytes only,
-    until compaction). Appending invalidates the build-once marker (the
-    index is no longer a pure build of the marked source), so
-    ``ensure_ivf_index`` would rebuild that slot. At 100 TB this is the
-    only ingest shape that works: one argmin projection over the batch
-    + K directory appends — index bytes, never a corpus retrain. Ingest
-    loops pass the SLOT path: every call re-resolves the live generation
-    (session.slot_live), so appends keep landing in the current
-    generation across compaction promotes."""
-    import os
-
-    from weather_database_system_spark.session import INDEX_MARKER, slot_live
-
-    path = slot_live(path)
-    cents = read_ivf_centroids(spark, path)
-    _write_ivf_assignments(
-        _assign_cells(vecs.select("vec_id", "emb"), cents), path, mode="append"
+    until compaction). Appending chains an append event onto the
+    generation's stamp (session.append_index_marker — r16 unification
+    of the old IVF marker-delete with the other families: ensure_* still
+    reads the index as stale, so ``ensure_ivf_index`` would rebuild the
+    slot, but manifest-loss recovery resolves to the index WITH its
+    appends) and runs under the slot writer lease (append vs compaction
+    serializes or fails loudly, never silently drops rows). At 100 TB
+    this is the only ingest shape that works: one argmin projection over
+    the batch + K directory appends — index bytes, never a corpus
+    retrain. Ingest loops pass the SLOT path: every call re-resolves the
+    live generation (session.slot_live), so appends keep landing in the
+    current generation across compaction promotes."""
+    from weather_database_system_spark.session import (
+        append_index_marker,
+        slot_live,
+        slot_writer_lease,
     )
-    try:
-        os.remove(os.path.join(path, INDEX_MARKER))
-    except OSError:
-        pass
+
+    with slot_writer_lease(path, "append_ivf"):
+        live = slot_live(path)
+        cents = read_ivf_centroids(spark, live)
+        _write_ivf_assignments(
+            _assign_cells(vecs.select("vec_id", "emb"), cents),
+            live,
+            mode="append",
+        )
+        append_index_marker(live)
 
 
 def compact_ivf_assignments(spark: SparkSession, path: str) -> str:
@@ -707,21 +713,23 @@ def compact_ivf_assignments(spark: SparkSession, path: str) -> str:
     from weather_database_system_spark.session import (
         compact_into_generation,
         slot_live,
+        slot_writer_lease,
     )
 
-    path = slot_live(path)
+    with slot_writer_lease(path, "compact_ivf"):
+        live = slot_live(path)
 
-    def rewrite(dst: str) -> None:
-        shutil.copytree(f"{path}/centroids", f"{dst}/centroids")
-        (
-            spark.read.parquet(f"{path}/assignments")
-            .repartition("cell")
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(f"{dst}/assignments")
-        )
+        def rewrite(dst: str) -> None:
+            shutil.copytree(f"{live}/centroids", f"{dst}/centroids")
+            (
+                spark.read.parquet(f"{live}/assignments")
+                .repartition("cell")
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(f"{dst}/assignments")
+            )
 
-    return compact_into_generation(path, rewrite)
+        return compact_into_generation(live, rewrite)
 
 
 def ann_ivf_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1249,22 +1257,28 @@ def append_pq_codes(spark: SparkSession, vecs: DataFrame, path: str) -> None:
     prebuilt query path distincts (vec_id, m) before the ADC sum (a
     duplicated row would otherwise DOUBLE its subspace's distance
     contribution and corrupt the ranking — the sharpest duplicate
-    hazard of the four stored indexes, pytest-pinned). Appending drops
-    the build-once marker. Ingest loops pass the SLOT path: every call
-    re-resolves the live generation (session.slot_live)."""
-    import os
-
-    from weather_database_system_spark.session import INDEX_MARKER, slot_live
-
-    path = slot_live(path)
-    books = read_pq_books(spark, path)
-    _write_pq_codes(
-        encode_pq_codes(vecs.select("vec_id", "emb"), books), path, mode="append"
+    hazard of the four stored indexes, pytest-pinned). Appending chains
+    an append event onto the generation's stamp
+    (session.append_index_marker: ensure_* still reads it as stale, but
+    manifest-loss recovery keeps the appends) and runs under the slot
+    writer lease (append vs compaction serializes or fails loudly).
+    Ingest loops pass the SLOT path: every call re-resolves the live
+    generation (session.slot_live)."""
+    from weather_database_system_spark.session import (
+        append_index_marker,
+        slot_live,
+        slot_writer_lease,
     )
-    try:
-        os.remove(os.path.join(path, INDEX_MARKER))
-    except OSError:
-        pass
+
+    with slot_writer_lease(path, "append_pq"):
+        live = slot_live(path)
+        books = read_pq_books(spark, live)
+        _write_pq_codes(
+            encode_pq_codes(vecs.select("vec_id", "emb"), books),
+            live,
+            mode="append",
+        )
+        append_index_marker(live)
 
 
 def compact_pq_codes(spark: SparkSession, path: str) -> str:
@@ -1279,22 +1293,24 @@ def compact_pq_codes(spark: SparkSession, path: str) -> str:
     from weather_database_system_spark.session import (
         compact_into_generation,
         slot_live,
+        slot_writer_lease,
     )
 
-    path = slot_live(path)
+    with slot_writer_lease(path, "compact_pq"):
+        live = slot_live(path)
 
-    def rewrite(dst: str) -> None:
-        shutil.copytree(f"{path}/codebooks", f"{dst}/codebooks")
-        n_part = spark.sparkContext.defaultParallelism
-        (
-            spark.read.parquet(f"{path}/codes")
-            .repartitionByRange(n_part, "vec_id")
-            .sortWithinPartitions("vec_id", "m")
-            .write.mode("overwrite")
-            .parquet(f"{dst}/codes")
-        )
+        def rewrite(dst: str) -> None:
+            shutil.copytree(f"{live}/codebooks", f"{dst}/codebooks")
+            n_part = spark.sparkContext.defaultParallelism
+            (
+                spark.read.parquet(f"{live}/codes")
+                .repartitionByRange(n_part, "vec_id")
+                .sortWithinPartitions("vec_id", "m")
+                .write.mode("overwrite")
+                .parquet(f"{dst}/codes")
+            )
 
-    return compact_into_generation(path, rewrite)
+        return compact_into_generation(live, rewrite)
 
 
 def ensure_pq_index(spark: SparkSession, sf_dir: str) -> str:

@@ -376,18 +376,24 @@ def append_bm25_docs(docs: DataFrame, path: str) -> None:
     batch duplicates rows; the query path dedups (doc_id, term) postings
     and doc_id doclens before any statistic, so duplicates never change
     results (pytest-pinned) — only bytes, until compaction. Appending
-    drops the build-once marker. Ingest loops pass the SLOT path: every
-    call re-resolves the live generation (session.slot_live)."""
-    import os
+    chains an append event onto the generation's stamp
+    (session.append_index_marker): ensure_* still reads it as stale,
+    but manifest-loss recovery resolves to the index WITH its appends.
+    Runs under the slot writer lease — an append serializes behind (or
+    fails loudly against) a concurrent compaction, never silently lands
+    in a generation the compactor is about to supersede. Ingest loops
+    pass the SLOT path: every call re-resolves the live generation
+    (session.slot_live) inside the lease."""
+    from weather_database_system_spark.session import (
+        append_index_marker,
+        slot_live,
+        slot_writer_lease,
+    )
 
-    from weather_database_system_spark.session import INDEX_MARKER, slot_live
-
-    path = slot_live(path)
-    _write_bm25_tables(_bm25_base(docs), path, mode="append")
-    try:
-        os.remove(os.path.join(path, INDEX_MARKER))
-    except OSError:
-        pass
+    with slot_writer_lease(path, "append_bm25"):
+        live = slot_live(path)
+        _write_bm25_tables(_bm25_base(docs), live, mode="append")
+        append_index_marker(live)
 
 
 def compact_bm25_index(spark: SparkSession, path: str) -> str:
@@ -398,22 +404,27 @@ def compact_bm25_index(spark: SparkSession, path: str) -> str:
     from weather_database_system_spark.session import (
         compact_into_generation,
         slot_live,
+        slot_writer_lease,
     )
 
-    path = slot_live(path)
+    with slot_writer_lease(path, "compact_bm25"):
+        live = slot_live(path)
 
-    def rewrite(dst: str) -> None:
-        n_part = spark.sparkContext.defaultParallelism
-        for sub, keys in (("doclens", ["doc_id"]), ("postings", ["term", "doc_id"])):
-            (
-                spark.read.parquet(f"{path}/{sub}")
-                .repartitionByRange(n_part, keys[0])
-                .sortWithinPartitions(*keys)
-                .write.mode("overwrite")
-                .parquet(f"{dst}/{sub}")
-            )
+        def rewrite(dst: str) -> None:
+            n_part = spark.sparkContext.defaultParallelism
+            for sub, keys in (
+                ("doclens", ["doc_id"]),
+                ("postings", ["term", "doc_id"]),
+            ):
+                (
+                    spark.read.parquet(f"{live}/{sub}")
+                    .repartitionByRange(n_part, keys[0])
+                    .sortWithinPartitions(*keys)
+                    .write.mode("overwrite")
+                    .parquet(f"{dst}/{sub}")
+                )
 
-    return compact_into_generation(path, rewrite)
+        return compact_into_generation(live, rewrite)
 
 
 BM25_INDEX_ALGO = 1  # bump on any posting-layout/semantics change
@@ -1173,24 +1184,24 @@ def append_trigram_postings(docs: DataFrame, path: str) -> None:
     duplicated postings never change results — only bytes. Pruning
     degrades gracefully, one tri-range file generation per appended
     batch; ``compact_trigram_postings`` restores the single-generation
-    layout without touching correctness. Appending invalidates the
-    build-once marker (the index is no longer a pure build of the marked
-    source), so ``ensure_trigram_postings`` would rebuild this slot.
+    layout without touching correctness. Appending chains an append
+    event onto the generation's stamp (session.append_index_marker —
+    ensure_* still reads the index as stale, but manifest-loss recovery
+    keeps the appends) and runs under the slot writer lease (append vs
+    compaction serializes or fails loudly, never silently drops rows).
     Ingest loops pass the SLOT path: every call re-resolves the live
-    generation (session.slot_live), so appends keep landing in the
-    current generation across compaction promotes."""
-    import os
+    generation (session.slot_live) inside the lease, so appends keep
+    landing in the current generation across compaction promotes."""
+    from weather_database_system_spark.session import (
+        append_index_marker,
+        slot_live,
+        slot_writer_lease,
+    )
 
-    from weather_database_system_spark.session import slot_live
-
-    path = slot_live(path)
-    _posting_frame(docs).write.mode("append").parquet(path)
-    from weather_database_system_spark.session import INDEX_MARKER
-
-    try:
-        os.remove(os.path.join(path, INDEX_MARKER))
-    except OSError:
-        pass
+    with slot_writer_lease(path, "append_trigram"):
+        live = slot_live(path)
+        _posting_frame(docs).write.mode("append").parquet(live)
+        append_index_marker(live)
 
 
 def compact_trigram_postings(spark: SparkSession, path: str) -> str:
@@ -1210,16 +1221,18 @@ def compact_trigram_postings(spark: SparkSession, path: str) -> str:
     from weather_database_system_spark.session import (
         compact_into_generation,
         slot_live,
+        slot_writer_lease,
     )
 
-    path = slot_live(path)
+    with slot_writer_lease(path, "compact_trigram"):
+        live = slot_live(path)
 
-    def rewrite(dst: str) -> None:
-        _posting_frame_from(spark.read.parquet(path)).write.mode(
-            "overwrite"
-        ).parquet(dst)
+        def rewrite(dst: str) -> None:
+            _posting_frame_from(spark.read.parquet(live)).write.mode(
+                "overwrite"
+            ).parquet(dst)
 
-    return compact_into_generation(path, rewrite)
+        return compact_into_generation(live, rewrite)
 
 
 def _posting_frame_from(postings: DataFrame) -> DataFrame:

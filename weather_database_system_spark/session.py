@@ -178,6 +178,66 @@ def write_index_marker(path: str, meta: dict) -> None:
     os.replace(tmp, marker)
 
 
+def append_index_marker(path: str, note: dict | None = None) -> None:
+    """Re-stamp a generation after an append with a CHAINED marker
+    ``{"base": <prior stamp>, "appends": [<event>, ...]}`` — the r16
+    replacement for the delete-the-marker convention every ``append_*``
+    used through r15 (and the unification of the IVF marker-delete vs
+    unstamped-generation divergence). Two properties, both load-bearing:
+
+    - The chained marker never equals any pure build meta, so
+      ``ensure_*``'s ``index_is_current`` reads the generation as stale
+      exactly as the old marker-delete did — append staleness semantics
+      are unchanged.
+    - The generation stays STAMPED, so the manifest-loss recovery path
+      (``resolve_generation``: "newest stamped generation") resolves to
+      the generation WITH its appends instead of silently reverting to
+      a pre-append ancestor — previously an appended (hence unstamped)
+      newest generation lost every post-build append on that path.
+
+    ``note`` is recorded verbatim in the append event (batch ids, row
+    counts — whatever the ingest loop knows); a wall-clock stamp is
+    added for ops traceability. Chaining onto an unstamped generation
+    records ``base: null`` (the ensure-build flow appends into a claimed
+    generation BEFORE stamping it; the final full-lifecycle stamp then
+    overwrites this)."""
+    import json
+    import time
+
+    marker = os.path.join(path, INDEX_MARKER)
+    try:
+        with open(marker, encoding="utf-8") as fh:
+            cur = json.load(fh)
+    except (OSError, ValueError):
+        cur = None
+    if isinstance(cur, dict) and set(("base", "appends")) <= set(cur):
+        base, appends = cur["base"], list(cur["appends"])
+    else:
+        base, appends = cur, []
+    appends.append({"at_ns": time.time_ns(), **(note or {})})
+    tmp = marker + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"base": base, "appends": appends}, fh, sort_keys=True)
+    os.replace(tmp, marker)
+
+
+def read_index_marker(path: str) -> tuple[dict | None, int]:
+    """(build meta, append count) of a generation's stamp: a plain build
+    marker reads as (meta, 0), a chained append marker as (base, n),
+    no/corrupt marker as (None, 0)."""
+    import json
+
+    try:
+        with open(os.path.join(path, INDEX_MARKER), encoding="utf-8") as fh:
+            cur = json.load(fh)
+    except (OSError, ValueError):
+        return None, 0
+    if isinstance(cur, dict) and set(("base", "appends")) <= set(cur):
+        base = cur["base"] if isinstance(cur["base"], dict) else None
+        return base, len(cur["appends"])
+    return (cur if isinstance(cur, dict) else None), 0
+
+
 def swap_dir(live: str, tmp: str) -> None:
     """Replace directory ``live`` with ``tmp`` the recoverable way
     (ADVICE r14 #3): rename the old generation ASIDE first (live →
@@ -220,9 +280,12 @@ def swap_dir(live: str, tmp: str) -> None:
 #
 # Writer contract: maintenance (rebuild, compaction) and ingest (append)
 # are SINGLE-WRITER serialized per slot — the standard LSM/table-format
-# commit assumption. An append that races a compaction's read-then-promote
-# can land between the compactor's scan and its promote and miss the new
-# generation; a lock/commit-log serializes that on a real deployment.
+# commit assumption, and since r16 a MECHANISM, not just a contract:
+# every append_* and compact_* runs under slot_writer_lease (mkdir-claimed
+# per-slot lease with bounded wait and stale-lease takeover), so an append
+# racing a compaction's read-then-promote either serializes behind it or
+# fails loudly with SlotBusyError — never lands between the compactor's
+# scan and its promote to be silently pruned.
 # Long-lived INGEST loops must hold the SLOT, not a generation dir
 # (slot_live re-resolves the pointer per call) — a stream that captured a
 # generation path would otherwise keep appending into the grace
@@ -237,17 +300,17 @@ def resolve_generation(slot: str) -> str | None:
     None if nothing is built. Recovery order: (1) the manifest's pointer
     if it names an existing directory; (2) manifest lost/corrupt but
     generation dirs present → the newest STAMPED generation (a crash
-    can only lose the O(1) pointer write, never a promoted generation).
-    Stamped-first is a deliberate trade-off: with the pointer gone, an
-    unstamped newest generation is indistinguishable from a crashed
-    half-build, and silently serving a possibly-incomplete index is
-    worse than serving the stale-but-complete stamped predecessor (an
-    appended — hence unstamped — index recovered this way loses its
-    post-build appends until the next rebuild; marker-gated consumers
-    rebuild on the mismatch anyway). (3) A pre-manifest flat layout
-    (index files at the slot root) → the slot itself, so existing
-    stored indexes keep answering until their next rebuild migrates
-    them."""
+    can only lose the O(1) pointer write, never a promoted generation;
+    appended generations stay stamped via the chained append marker, so
+    this resolves to the index WITH its appends). Stamped-only is a
+    deliberate policy (ADVICE r15 #2): with the pointer gone, an
+    unstamped generation is indistinguishable from a crashed half-build,
+    and silently serving a possibly-incomplete index is worse than
+    forcing a rebuild — a slot holding ONLY unstamped generations
+    resolves to None, and ``ensure_*`` rebuilds it. (3) A pre-manifest
+    flat layout (index files at the slot root) → the slot itself, so
+    existing stored indexes keep answering until their next rebuild
+    migrates them."""
     import json
 
     try:
@@ -262,10 +325,12 @@ def resolve_generation(slot: str) -> str | None:
         if os.path.isfile(os.path.join(slot, g, INDEX_MARKER)):
             return os.path.join(slot, g)
     if gens:
-        return os.path.join(slot, gens[0])
-    if os.path.isdir(slot) and os.listdir(slot):
-        return slot  # legacy flat layout
-    return None
+        return None  # only unstamped (possibly half-built) generations
+    try:
+        entries = [e for e in os.listdir(slot) if e != INDEX_MANIFEST]
+    except OSError:
+        return None
+    return slot if entries else None  # legacy flat layout
 
 
 def slot_live(path: str) -> str:
@@ -326,11 +391,112 @@ def claim_new_generation(slot: str) -> str:
             continue  # lost the race — claim the next number
 
 
+INDEX_LEASE = "_WDSS_LEASE"  # underscore prefix: invisible to Spark readers
+
+
+class SlotBusyError(RuntimeError):
+    """Another writer holds the slot's lease and the bounded wait
+    expired — the fail-loud half of the single-writer mechanism."""
+
+
+def _lease_root(path: str) -> str:
+    """The directory the writer lease lives in: the SLOT for manifest-
+    managed paths (whether the caller passed the slot itself or one of
+    its generation dirs — one lease must cover every generation of a
+    slot, or an append into gen-N and a compaction promoting gen-N+1
+    would hold 'different' leases), else the flat directory itself."""
+    p = path.rstrip("/")
+    if os.path.isfile(os.path.join(p, INDEX_MANIFEST)):
+        return p
+    parent = os.path.dirname(p)
+    if os.path.isfile(os.path.join(parent, INDEX_MANIFEST)):
+        return parent
+    return p
+
+
+def slot_writer_lease(path: str, purpose: str = "write",
+                      wait_s: float | None = None,
+                      ttl_s: float | None = None):
+    """Per-slot single-writer LEASE (r16, VERDICT r15 task #4 — the
+    mechanism behind the previously documented-only contract): mkdir of
+    ``<slot>/_WDSS_LEASE`` is the atomic claim (the claim_new_generation
+    precedent), an ``owner.json`` inside records pid/purpose/time for
+    ops. A second writer waits up to ``wait_s`` (default 120 s, env
+    WDSS_LEASE_WAIT_S) polling for release — so an append racing a
+    compaction SERIALIZES behind it — and then raises SlotBusyError —
+    so a pathological overlap FAILS LOUDLY instead of silently dropping
+    the appended rows between a compactor's scan and its promote. A
+    lease older than ``ttl_s`` (default 3600 s, env WDSS_LEASE_TTL_S)
+    is a crashed writer and is taken over. Used as a context manager by
+    every ``append_*`` and ``compact_*``; builds stay serialized by
+    claim_new_generation's mkdir instead (racing build-if-absent is
+    benign end to end — both produce equivalent generations — and must
+    not deadlock against the append an ensure-build performs inside its
+    own claimed generation)."""
+    import contextlib
+    import json
+    import shutil
+    import time
+
+    wait_s = float(
+        os.environ.get("WDSS_LEASE_WAIT_S", 120.0) if wait_s is None else wait_s
+    )
+    ttl_s = float(
+        os.environ.get("WDSS_LEASE_TTL_S", 3600.0) if ttl_s is None else ttl_s
+    )
+
+    @contextlib.contextmanager
+    def _ctx():
+        root = _lease_root(path)
+        os.makedirs(root, exist_ok=True)
+        lease = os.path.join(root, INDEX_LEASE)
+        deadline = time.monotonic() + wait_s
+        while True:
+            try:
+                os.mkdir(lease)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.stat(lease).st_mtime
+                except OSError:
+                    continue  # holder released between mkdir and stat — retry
+                if age > ttl_s:
+                    # crashed writer: take the lease over (rmtree + retry;
+                    # a concurrent takeover race is settled by the mkdir)
+                    shutil.rmtree(lease, ignore_errors=True)
+                    continue
+                if time.monotonic() >= deadline:
+                    raise SlotBusyError(
+                        f"slot {root!r} is lease-held by another writer "
+                        f"(age {age:.1f}s, ttl {ttl_s}s) and wait_s="
+                        f"{wait_s} expired — append/compact must be "
+                        f"single-writer per slot"
+                    )
+                time.sleep(min(0.1, max(wait_s, 0.01)))
+        try:
+            with open(os.path.join(lease, "owner.json"), "w",
+                      encoding="utf-8") as fh:
+                json.dump({"pid": os.getpid(), "purpose": purpose,
+                           "at": time.time()}, fh)
+            yield root
+        finally:
+            shutil.rmtree(lease, ignore_errors=True)
+
+    return _ctx()
+
+
 def promote_generation(slot: str, gen_dir: str) -> str:
     """Atomically point the slot's manifest at ``gen_dir`` (write-temp +
     os.replace — readers see the old generation or the new one, never a
-    gap), then prune every other generation EXCEPT the one that was live
-    at promote time (the reader-grace window). Returns ``gen_dir``."""
+    gap), then prune every other STAMPED generation EXCEPT the one that
+    was live at promote time (the reader-grace window). UNSTAMPED
+    generations are never pruned here (ADVICE r15 #1): an unstamped
+    directory may be a concurrent builder's claimed, still-writing
+    generation — rmtree'ing it mid-write and letting that builder stamp
+    and promote the partially-deleted result would publish a corrupt
+    index with a valid marker. Abandoned unstamped generations (crashed
+    half-builds) are reclaimed by the age-gated
+    ``sweep_stale_generations`` instead. Returns ``gen_dir``."""
     import json
     import shutil
 
@@ -344,9 +510,41 @@ def promote_generation(slot: str, gen_dir: str) -> str:
     if prev is not None and prev != slot:
         keep.add(os.path.basename(prev))
     for n in _generation_dirs(slot):
-        if n not in keep:
+        if n not in keep and os.path.isfile(
+            os.path.join(slot, n, INDEX_MARKER)
+        ):
             shutil.rmtree(os.path.join(slot, n), ignore_errors=True)
     return gen_dir
+
+
+def sweep_stale_generations(slot: str, max_age_s: float = 24 * 3600) -> list[str]:
+    """Age-gated reclaim of abandoned UNSTAMPED generations — the cleanup
+    half of promote_generation's never-prune-unstamped rule. A generation
+    with no marker that hasn't been written to for ``max_age_s`` is a
+    crashed or abandoned half-build (any live builder would have written
+    files — bumping the mtime — or stamped it by then); remove it. The
+    live generation and every stamped generation are never touched.
+    Returns the removed generation names. Maintenance crons call this
+    beside index_catalog; the default age is far beyond any real build
+    duration, so a concurrent in-flight build is never at risk."""
+    import shutil
+    import time
+
+    live = resolve_generation(slot)
+    removed = []
+    now = time.time()
+    for n in _generation_dirs(slot):
+        p = os.path.join(slot, n)
+        if p == live or os.path.isfile(os.path.join(p, INDEX_MARKER)):
+            continue
+        try:
+            age = now - os.stat(p).st_mtime
+        except OSError:
+            continue
+        if age > max_age_s:
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(n)
+    return removed
 
 
 def list_generations(slot: str) -> list[dict]:
@@ -377,15 +575,39 @@ def list_generations(slot: str) -> list[dict]:
     return out
 
 
+def snapshot_generation(slot: str) -> str | None:
+    """Path of the retained NON-LIVE generation — the reader-grace
+    window surfaced as a snapshot read (r16, VERDICT r15 task #7):
+    generations are immutable once superseded, so querying this path
+    answers the index state as of the PREVIOUS promote — Iceberg-style
+    time travel limited to the one-generation retention window. Prefers
+    the newest stamped non-live generation (an unstamped sibling may be
+    a concurrent in-flight build, not history); None when the slot
+    holds no retained snapshot."""
+    live = resolve_generation(slot)
+    others = [
+        os.path.join(slot, n)
+        for n in sorted(_generation_dirs(slot))
+        if os.path.join(slot, n) != live
+    ]
+    for p in reversed(others):
+        if os.path.isfile(os.path.join(p, INDEX_MARKER)):
+            return p
+    return None
+
+
 def index_catalog(scratch: str | None = None) -> list[dict]:
     """Inventory of every stored-index slot under the scratch root (the
     ops surface for the five index families): slot name, index kind +
-    algo version from the live marker (None for an appended-unstamped
-    generation), live generation, retained generation count, and total
-    live bytes. Pure filesystem — no SparkSession needed, so a
-    maintenance cron can run it without executors."""
-    import json
-
+    algo version from the live marker's build meta (chained append
+    markers surface their BASE build meta plus the append count), live
+    generation, retained generation count, and total live bytes. Only
+    directories that are actually index slots are listed — a manifest,
+    gen-NNNN subdirectories, or a root index marker (legacy flat) is
+    required (ADVICE r15 #3: unrelated scratch dirs — warehouse tables,
+    rehearsal data — previously polluted the inventory as kind=None
+    slots). Pure filesystem — no SparkSession needed, so a maintenance
+    cron can run it without executors."""
     scratch = scratch or os.environ.get(
         "WDSS_SCRATCH_DIR",
         os.path.normpath(
@@ -400,23 +622,26 @@ def index_catalog(scratch: str | None = None) -> list[dict]:
         return out
     for name in slots:
         slot = os.path.join(scratch, name)
+        if not os.path.isdir(slot):
+            continue
+        if not (
+            os.path.isfile(os.path.join(slot, INDEX_MANIFEST))
+            or _generation_dirs(slot)
+            or os.path.isfile(os.path.join(slot, INDEX_MARKER))
+        ):
+            continue  # not an index slot — warehouse/rehearsal scratch
         live = resolve_generation(slot)
         if live is None:
             continue
-        kind = algo = None
-        try:
-            with open(os.path.join(live, INDEX_MARKER), encoding="utf-8") as fh:
-                meta = json.load(fh)
-            kind, algo = meta.get("kind"), meta.get("algo")
-        except (OSError, ValueError):
-            pass
+        meta, n_appends = read_index_marker(live)
         gens = list_generations(slot)
         live_row = next((g for g in gens if g["live"]), None)
         out.append(
             {
                 "slot": name,
-                "kind": kind,
-                "algo": algo,
+                "kind": (meta or {}).get("kind"),
+                "algo": (meta or {}).get("algo"),
+                "appends": n_appends,
                 "live_generation": os.path.basename(live),
                 "n_generations": len(gens) or 1,  # legacy flat = 1
                 "live_bytes": live_row["bytes"] if live_row else None,
