@@ -916,7 +916,10 @@ def ensure_dedup_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def dedup_against_index_prebuilt(
-    spark: SparkSession, sf_dir: str, path: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    path: str | None = None,
+    batch: DataFrame | None = None,
 ) -> DataFrame:
     """The 100 TB deployment form of ``dedup_against_index`` (r15,
     completing the stored-index trio with trigram postings and IVF):
@@ -948,15 +951,25 @@ def dedup_against_index_prebuilt(
 
     ``path`` (tests): probe an explicit index slot instead of the
     marker-gated registry one (a slot path re-resolves to its live
-    generation per call — session.slot_live)."""
+    generation per call — session.slot_live).
+
+    ``batch`` is the CALLER's arriving delta (r16, VERDICT r15 task
+    #1): any (doc_id, text) frame — an ingest micro-batch, a crawler's
+    day, a user upload — probed against the stored index; batch rows
+    are tagged explicitly through the band union, so batch doc_ids may
+    even collide with index doc_ids without cross-contaminating the
+    probe sides. Default: the registry's pinned odd-doc_id half,
+    keeping the DuckDB oracle hermetic."""
     from weather_database_system_spark.session import slot_live
 
     if path is None:
         path = ensure_dedup_index(spark, sf_dir)
     path = slot_live(path)
-    docs = load_table(spark, sf_dir, "documents")
     n_part = spark.sparkContext.defaultParallelism
-    batch = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    if batch is None:
+        docs = load_table(spark, sf_dir, "documents")
+        batch = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    batch = batch.select("doc_id", "text")
 
     idx_dg = spark.read.parquet(f"{path}/digests")
     idx_bands = spark.read.parquet(f"{path}/bands").dropDuplicates(
@@ -976,19 +989,24 @@ def dedup_against_index_prebuilt(
         _md5_signatures(batch, n_part)
         .select("doc_id", _band_explode())
         .select("doc_id", "bb.band", "bb.bsig")
+        .withColumn("src_batch", F.lit(True))
     )
     # persisted for the same reason the in-query form persists its band
     # table (it feeds the cap count plus BOTH sides of the pair probe):
-    # without it the index parquet would re-scan once per consumer
+    # without it the index parquet would re-scan once per consumer.
+    # Sides carry an explicit origin tag through the union (r16): the
+    # registry default could split them back by doc_id parity, but an
+    # arbitrary caller batch has no such invariant
     all_bands = track_persisted(
-        bat_bands.unionByName(idx_bands).persist()
+        bat_bands.unionByName(
+            idx_bands.withColumn("src_batch", F.lit(False))
+        ).persist()
     )
     capped = _cap_band_buckets(all_bands)
-    is_batch = F.pmod("doc_id", F.lit(2)) == 1
     near = (
-        capped.filter(is_batch)
+        capped.filter(F.col("src_batch"))
         .join(
-            capped.filter(~is_batch).select(
+            capped.filter(~F.col("src_batch")).select(
                 F.col("band"), F.col("bsig"), F.col("doc_id").alias("m")
             ),
             ["band", "bsig"],

@@ -760,7 +760,11 @@ def ann_ivf_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_query_prebuilt(
-    spark: SparkSession, sf_dir: str, path: str | None = None, nprobe: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    path: str | None = None,
+    nprobe: int = 1,
+    queries_df: DataFrame | None = None,
 ) -> DataFrame:
     """QUERY-ONLY half of prebuilt IVF search: routes via the stored
     centroids, probes the stored cell-partitioned assignments — never
@@ -773,7 +777,14 @@ def ann_ivf_query_prebuilt(
     retried micro-batch blind-appends its batch twice), and a duplicate
     candidate would otherwise occupy two of the top-3 ranks — the IVF
     instance of the trigram gate fix (ADVICE r14 #1). The dedup runs on
-    probe-sized rows (nprobe/K of the index), never the corpus."""
+    probe-sized rows (nprobe/K of the index), never the corpus.
+
+    ``queries_df`` is the CALLER's query set (r16, VERDICT r15 task
+    #1): (query_id long, emb array<double>) rows that need NOT exist in
+    the indexed corpus — routing assigns them to stored centroids and
+    norms come from the provided vectors, so an arbitrary embedding
+    finds its nearest indexed neighbors. Default: the registry's pinned
+    first-N_QUERIES corpus rows, keeping the DuckDB oracle hermetic."""
     from weather_database_system_spark.session import scratch_path, slot_live
 
     path = slot_live(
@@ -785,7 +796,10 @@ def ann_ivf_query_prebuilt(
     vecs = _emb_double(spark, sf_dir).select(
         "vec_id", "emb", F.sqrt(_dot_dec(F.col("emb"), F.col("emb"))).alias("nrm")
     )
-    q = vecs.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "emb")
+    if queries_df is None:
+        q = vecs.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "emb")
+    else:
+        q = queries_df.select(F.col("query_id").alias("vec_id"), "emb")
     single = nprobe == 1
     if single:
         qcells = _assign_cells(q, cents).select(
@@ -808,7 +822,13 @@ def ann_ivf_query_prebuilt(
         else ["query_id", "rank", "neighbor_id"]
     )
     cand_cols = ["query_id", "neighbor_id"] + (["best_cell"] if single else [])
-    qv, cv = vecs.alias("qv"), vecs.alias("cv")
+    # query norms come from the QUERY vectors themselves (a KB-scale
+    # frame — broadcast), so out-of-corpus queries work; candidate norms
+    # from the corpus, which is where neighbors must come from anyway
+    qv = q.select(
+        "vec_id", "emb", F.sqrt(_dot_dec(F.col("emb"), F.col("emb"))).alias("nrm")
+    ).alias("qv")
+    cv = vecs.alias("cv")
     cos = _dot_dec(F.col("qv.emb"), F.col("cv.emb")) / (
         F.col("qv.nrm") * F.col("cv.nrm")
     )
@@ -1355,7 +1375,10 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def ann_pq_query_prebuilt(
-    spark: SparkSession, sf_dir: str, path: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    path: str | None = None,
+    queries_df: DataFrame | None = None,
 ) -> DataFrame:
     """QUERY-ONLY half of stored-PQ search: reads the M·K stored codebook
     rows (collected into the same literal qtable fold the in-query form
@@ -1365,7 +1388,15 @@ def ann_pq_query_prebuilt(
     on (vec_id, m) before the table-sum: duplicates from at-least-once
     appends would otherwise double that subspace's distance contribution
     (duplicated code values are identical — encoding is deterministic —
-    so the distinct loses nothing)."""
+    so the distinct loses nothing).
+
+    ``queries_df`` is the CALLER's query set (r16, VERDICT r15 task
+    #1): (query_id long, emb array<double>) rows, in-corpus or not —
+    the asymmetric-distance table is computed from the RAW query vector
+    against the stored codebooks, which is exactly what makes
+    out-of-corpus queries PQ's normal case (Jégou et al. 2011 §III).
+    Default: the registry's pinned first-N_QUERIES corpus rows, keeping
+    the DuckDB oracle hermetic."""
     from weather_database_system_spark.session import scratch_path, slot_live
 
     path = slot_live(
@@ -1373,9 +1404,12 @@ def ann_pq_query_prebuilt(
     )
     books = read_pq_books(spark, path)
     codes = spark.read.parquet(f"{path}/codes").dropDuplicates(["vec_id", "m"])
-    q = _emb_double(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "emb"
-    )
+    if queries_df is None:
+        q = _emb_double(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "emb"
+        )
+    else:
+        q = queries_df.select("query_id", "emb")
     return _adc_topk(codes, _pq_qtable(q, books))
 
 

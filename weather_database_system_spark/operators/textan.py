@@ -238,11 +238,19 @@ BM25_QUERY = ("hash", "join", "stream")
 BM25_TOP_K = 20
 
 
-def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked retrieval (Robertson/Lucene form) for a fixed query —
-    the full-text-search scoring surface next to tfidf_top_terms'
-    keyword extraction: score(d) = Σ_t idf(t) · tf·(k1+1) /
+def bm25_search(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] | list[str] | None = None,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Lucene form) — the full-text-
+    search scoring surface next to tfidf_top_terms' keyword extraction:
+    score(d) = Σ_t idf(t) · tf·(k1+1) /
     (tf + k1·(1 − b + b·dl/avgdl)), idf = ln(1 + (N − df + ½)/(df + ½)).
+    ``terms`` is the caller's query (default: the registry's pinned
+    ``BM25_QUERY``, keeping the DuckDB oracle hermetic); it is the
+    in-query twin of ``bm25_query_prebuilt(terms=...)`` and the
+    equality of the two on arbitrary terms is pytest-pinned.
 
     Shape at 100 TB: the term filter lands right after the explode, so the
     posting stream is |query|-sparse from the first stage; tf is a
@@ -255,6 +263,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: idf and each term score floor-round to 6 decimals, and the
     per-doc sum accumulates in DECIMAL — float addition order never touches
     the ranking key (ties break by doc_id)."""
+    terms_t = tuple(terms) if terms is not None else BM25_QUERY
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).select(
         "doc_id", F.size("toks").alias("dl"), "toks"
@@ -268,10 +277,10 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
 
-    terms = base.select("doc_id", "dl", F.explode("toks").alias("term")).filter(
-        F.col("term").isin(*BM25_QUERY)
+    posting = base.select("doc_id", "dl", F.explode("toks").alias("term")).filter(
+        F.col("term").isin(*terms_t)
     )
-    tf = terms.groupBy("doc_id", "term").agg(
+    tf = posting.groupBy("doc_id", "term").agg(
         F.count("*").alias("tf"), F.first("dl").alias("dl")
     )
     return _bm25_rank(tf, stats)
@@ -459,7 +468,10 @@ def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def bm25_query_prebuilt(
-    spark: SparkSession, sf_dir: str, path: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    path: str | None = None,
+    terms: tuple[str, ...] | list[str] | None = None,
 ) -> DataFrame:
     """QUERY-ONLY half of stored-BM25 search: posting lists for the
     query terms arrive via a parquet ``In(term, ...)`` PushedFilter
@@ -472,13 +484,21 @@ def bm25_query_prebuilt(
     Duplicate-append safety: postings dedup on (doc_id, term) and
     doclens on doc_id BEFORE any statistic — a duplicated posting row
     would otherwise inflate df and a duplicated doclen row N/avgdl,
-    shifting every score (pytest-pinned retry storm)."""
+    shifting every score (pytest-pinned retry storm).
+
+    ``terms`` is the CALLER's query (r16, VERDICT r15 task #1 — the
+    first thing a real user does with a search index is ask their own
+    question); the registry wrapper binds the pinned ``BM25_QUERY`` so
+    its DuckDB oracle stays hermetic. Any term set rides the same
+    pushed ``In`` filter — query cost scales with the chosen terms'
+    posting lists, never the index."""
     from weather_database_system_spark.session import slot_live
 
+    terms = tuple(terms) if terms is not None else BM25_QUERY
     path = slot_live(path if path is not None else _bm25_index_path(sf_dir))
     tf = (
         spark.read.parquet(f"{path}/postings")
-        .filter(F.col("term").isin(*BM25_QUERY))
+        .filter(F.col("term").isin(*terms))
         .dropDuplicates(["doc_id", "term"])
         .select("doc_id", "term", "tf", "dl")
     )
@@ -1300,7 +1320,10 @@ def ensure_trigram_postings(spark: SparkSession, sf_dir: str) -> str:
 
 
 def trigram_query_prebuilt(
-    spark: SparkSession, sf_dir: str, path: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    path: str | None = None,
+    needle: str | None = None,
 ) -> DataFrame:
     """QUERY-ONLY half of the prebuilt search: reads the stored posting
     lists at ``path`` (default: the sf_dir slot) plus candidate docs —
@@ -1312,13 +1335,21 @@ def trigram_query_prebuilt(
     would push a true match's count past the equality and silently DROP
     it (ADVICE r14 #1). countDistinct over ≤ |needle trigrams| values
     per doc is the same cost class (partial aggregation on (doc_id,
-    tri) pairs already pruned by the IN filter)."""
+    tri) pairs already pruned by the IN filter).
+
+    ``needle`` is the CALLER's substring query (r16, VERDICT r15 task
+    #1); the registry wrapper binds the pinned ``TRIGRAM_NEEDLE`` so
+    its unindexed-LIKE DuckDB oracle stays hermetic. Any needle (≥3
+    chars — shorter has no trigram to probe, exactly pg_trgm's
+    contract) rides the same pushed ``In(tri, ...)`` probe + contains
+    verify."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     from weather_database_system_spark.session import slot_live
 
+    needle = needle if needle is not None else TRIGRAM_NEEDLE
     path = slot_live(path if path is not None else _trigram_index_path(sf_dir))
     postings = spark.read.parquet(path)
-    tris = _needle_tris(TRIGRAM_NEEDLE)
+    tris = _needle_tris(needle)
     cand = (
         postings.filter(F.col("tri").isin(tris))
         .groupBy("doc_id")
@@ -1326,7 +1357,7 @@ def trigram_query_prebuilt(
         .filter(F.col("n_tris") == len(tris))
         .select("doc_id")
     )
-    return _verify_contains(docs, cand, TRIGRAM_NEEDLE)
+    return _verify_contains(docs, cand, needle)
 
 
 _SQL_TOKS = "SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents"
