@@ -263,3 +263,47 @@ def test_dedup_prebuilt_answers_arbitrary_batch(spark):
     assert _rows(dedup_against_index_prebuilt(spark, SF_SMOKE, idx)) == _rows(
         dedup_against_index_prebuilt(spark, SF_SMOKE, idx, batch=odd)
     )
+
+
+def test_ivf_sqrt_cell_sizing(spark, tmp_path):
+    """K ∝ √N IVF cell sizing (r16, VERDICT r15 task #2 — the FAISS
+    nlist rule): ivf_cell_count floors at the pinned constant and grows
+    as round(coef·√N); a build with k_cells=None (the deployment
+    default) trains √N centroids from the candidate count and the
+    prebuilt query answers over the finer geometry; the registry path
+    (ensure_ivf_index default) keeps exactly K_CELLS so its DuckDB
+    Lloyd replay is untouched."""
+    from weather_database_system_spark.operators.similarity import (
+        IVF_K_MIN,
+        K_CELLS,
+        N_QUERIES,
+        ann_ivf_query_prebuilt,
+        build_ivf_index,
+        ensure_ivf_index,
+        ivf_cell_count,
+        read_ivf_centroids,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    assert ivf_cell_count(0) == IVF_K_MIN
+    assert ivf_cell_count(K_CELLS**2) == K_CELLS  # boundary: √(K²) = K
+    assert ivf_cell_count(100) == max(IVF_K_MIN, 10)
+    assert ivf_cell_count(1_000_000) == 1000
+
+    path = str(tmp_path / "ivf_sqrt")
+    build_ivf_index(spark, SF_SMOKE, path)  # k_cells=None → √N sizing
+    n_cand = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") >= N_QUERIES)
+        .count()
+    )
+    cents = read_ivf_centroids(spark, path)
+    # Lloyd may drop cells that lose all members, never add any
+    assert K_CELLS < len(cents) <= ivf_cell_count(n_cand)
+
+    got = ann_ivf_query_prebuilt(spark, SF_SMOKE, path).collect()
+    assert len(got) > 0  # the finer geometry answers end-to-end
+
+    # the registry slot still trains the PINNED K (oracle untouched)
+    reg = read_ivf_centroids(spark, ensure_ivf_index(spark, SF_SMOKE))
+    assert len(reg) <= K_CELLS

@@ -61,7 +61,10 @@ def measure_family(spark, family: str, sf_dir: str) -> dict:
         ),
         "ivf": (
             lambda: similarity.ann_ivf_kmeans(spark, sf_dir),
-            lambda: similarity.ensure_ivf_index(spark, sf_dir),
+            # deployment geometry: K ∝ √N cell sizing (r16) — the fixed
+            # test-SF K eroded the stored win to 1.25x at 16x corpus
+            # growth because each probe gathered a linearly-growing cell
+            lambda: similarity.ensure_ivf_index(spark, sf_dir, k_cells=None),
             lambda p: similarity.ann_ivf_query_prebuilt(spark, sf_dir, p),
         ),
         "dedup": (

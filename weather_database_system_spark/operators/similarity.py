@@ -509,14 +509,35 @@ def _train_ivf(spark: SparkSession, sf_dir: str):
     return vecs, cand, assigned, cents
 
 
-def train_ivf_centroids(cand: DataFrame) -> list[tuple[int, list[float]]]:
+IVF_K_MIN = K_CELLS   # cell-count floor = the pinned test-SF constant
+IVF_CELL_COEF = 1.0   # K = max(IVF_K_MIN, round(coef·√N))
+
+
+def ivf_cell_count(n: int) -> int:
+    """K ∝ √N cell sizing — the FAISS nlist rule (r16, VERDICT r15 task
+    #2). With K fixed, cells grow linearly with the corpus and the
+    per-probe gather/re-rank erodes the stored-index win (measured in
+    tools/index_economics.py --multiples: 3.2× at 4× corpus → 1.25× at
+    16× at the fixed test-SF K); K ∝ √N keeps |cell| ≈ √N/coef so probe
+    cost AND routing cost grow as √N, the balance point. The registry
+    slots pin ``k_cells=K_CELLS`` instead so their DuckDB Lloyd replays
+    are untouched."""
+    import math
+
+    return max(IVF_K_MIN, int(round(IVF_CELL_COEF * math.sqrt(max(n, 0)))))
+
+
+def train_ivf_centroids(
+    cand: DataFrame, k_cells: int = K_CELLS
+) -> list[tuple[int, list[float]]]:
     """Frame-level deterministic Lloyd trainer over any (vec_id, emb)
-    candidate frame: K_CELLS lowest-vec_id init, KMEANS_ITERS rounds
-    advancing in pairs (two per materialization — r6 verdict #3).
-    Factored out of ``_train_ivf`` so the index lifecycle can train a
-    quantizer on ANY sample (the FAISS train() contract) — e.g. the
-    base corpus before incremental ``append_ivf_vectors`` batches."""
-    init = sorted(cand.orderBy("vec_id").limit(K_CELLS).collect(),
+    candidate frame: ``k_cells`` lowest-vec_id init (default: the pinned
+    registry constant), KMEANS_ITERS rounds advancing in pairs (two per
+    materialization — r6 verdict #3). Factored out of ``_train_ivf`` so
+    the index lifecycle can train a quantizer on ANY sample (the FAISS
+    train() contract) — e.g. the base corpus before incremental
+    ``append_ivf_vectors`` batches."""
+    init = sorted(cand.orderBy("vec_id").limit(k_cells).collect(),
                   key=lambda r: r["vec_id"])
     cents = [(cell, list(r["emb"])) for cell, r in enumerate(init)]
     dims = len(cents[0][1])
@@ -575,7 +596,9 @@ def ann_ivf_kmeans_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def build_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, path: str, k_cells: int | None = None
+) -> None:
     """Build the IVF index ONCE (the ingest-side cost every production
     vector store amortizes — FAISS train()+add()): run the shared
     deterministic Lloyd trainer and persist BOTH halves of the index —
@@ -586,12 +609,24 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     literal). Doubles round-trip parquet exactly, so a query routed via
     the stored centroids lands in the same cell as the in-query trainer.
 
-    Sizing at scale: K_CELLS is a test-SF constant here; a deployment
-    sizes K ∝ √N (the FAISS rule) so cells stay bounded — measured in
-    tools/index_economics.py --multiples, a FIXED K lets the per-cell
-    gather/re-rank grow with the corpus and erode the stored-index win
-    (3.2× at 4× corpus → 1.25× at 16×), which bounded cells prevent."""
-    _, _, assigned, cents = _train_ivf(spark, sf_dir)
+    Sizing at scale (r16, VERDICT r15 task #2): ``k_cells=None`` — the
+    deployment default — sizes K = max(IVF_K_MIN, round(coef·√N)) from
+    the candidate count (the FAISS nlist rule, ``ivf_cell_count``), so
+    cells stay √N-bounded instead of growing linearly with the corpus;
+    measured at 16× corpus growth the fixed-K win had eroded to 1.25×
+    and √N-sizing restores it (tools/index_economics.py --multiples,
+    NOTES r16). The registry slot pins ``k_cells=K_CELLS`` via
+    ``ensure_ivf_index`` so its DuckDB Lloyd replay is untouched."""
+    vecs = _emb_double(spark, sf_dir).select("vec_id", "emb")
+    cand = track_persisted(
+        vecs.filter(F.col("vec_id") >= N_QUERIES)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .persist()
+    )
+    if k_cells is None:
+        k_cells = ivf_cell_count(cand.count())
+    cents = train_ivf_centroids(cand, k_cells)
+    assigned = _assign_cells(cand, cents).select("vec_id", "cell")
     _write_ivf_centroids(spark, cents, path)
     _write_ivf_assignments(assigned, path)
 
@@ -624,7 +659,9 @@ def read_ivf_centroids(spark: SparkSession, path: str) -> list[tuple[int, list[f
 IVF_INDEX_ALGO = 1  # bump on any training/layout/semantics change
 
 
-def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+def ensure_ivf_index(
+    spark: SparkSession, sf_dir: str, k_cells: int | None = K_CELLS
+) -> str:
     """Build the IVF index for ``sf_dir``'s embeddings IF its stored
     generation is absent or stale (marker mismatch: algo version, config
     constants, or source file signature changed), else reuse it
@@ -634,7 +671,14 @@ def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     hazard where the second build's overwrite deleted parquet files
     under the first call's still-lazy plan. A rebuild writes a NEW
     generation and atomically promotes the slot's manifest pointer
-    (session.ensure_index), never disturbing readers of the old one."""
+    (session.ensure_index), never disturbing readers of the old one.
+
+    ``k_cells`` defaults to the PINNED registry constant so the DuckDB
+    Lloyd replay is untouched; ``k_cells=None`` selects √N sizing
+    (``ivf_cell_count`` — the deployment geometry, used by
+    tools/index_economics.py) and lives in its OWN slot: sharing the
+    registry slot would make the two configurations endlessly rebuild
+    over each other's marker."""
     from weather_database_system_spark.session import (
         ensure_index,
         scratch_path,
@@ -644,15 +688,21 @@ def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     meta = {
         "kind": "ivf_index",
         "algo": IVF_INDEX_ALGO,
-        "k_cells": K_CELLS,
+        "k_cells": "sqrt" if k_cells is None else k_cells,
+        "coef": IVF_CELL_COEF if k_cells is None else None,
         "iters": KMEANS_ITERS,
         "n_queries": N_QUERIES,
         "source": source_signature(sf_dir, "embeddings"),
     }
+    if k_cells == K_CELLS:
+        meta.pop("coef")  # keep the pinned registry meta EXACTLY as r15's
+    slot = "ivf_index" if k_cells == K_CELLS else (
+        f"ivf_index_k{k_cells}" if k_cells is not None else "ivf_index_sqrt"
+    )
     return ensure_index(
-        scratch_path("ivf_index", sf_dir),
+        scratch_path(slot, sf_dir),
         meta,
-        lambda gen: build_ivf_index(spark, sf_dir, gen),
+        lambda gen: build_ivf_index(spark, sf_dir, gen, k_cells=k_cells),
     )
 
 
