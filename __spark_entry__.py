@@ -40,67 +40,39 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # then ascending by staleness — the r01/r02-era greens re-verify before
 # anything newer. Two rounds of this rotation re-freshen the whole registry.
 #
-# Rotation executed at r15 start per the procedure above: all 50 keys
-# in CORRECTNESS_r14.json moved to 14 — 50/50 green (rows + schema +
-# hash); the whole map then regenerated from the fourteen files'
-# last-occurrence rule (the one-liner above), which also folded the
-# historical per-round blocks into one canonical listing. REMOVED as
-# touched-this-round (re-enter the sample front): trigram_search_prebuilt
-# (countDistinct candidate gate — ADVICE r14 #1), ann_ivf_prebuilt /
-# ann_ivf_prebuilt_nprobe (shared build-if-absent index via
-# ensure_ivf_index + split query path + candidate dedup — ADVICE r14 #2,
-# VERDICT r14 #6), fingerprint_generic_orders (fingerprint() gained the
-# duplicate-column rejection and config metadata — ADVICE r14 #5, VERDICT
-# r14 #5), ann_ivf_kmeans / ann_ivf_kmeans_nprobe (the Lloyd loop
-# factored into train_ivf_centroids for the index lifecycle — behavior
-# identical, but touched code re-queues regardless).
-# Groups now: r10=14 (the block VERDICT r14 task #2 orders cleared this
-# round), r11=46, r12=45, r13=47, r14=46. The r15 sample (first 50) =
-# 16 unmapped (8 new r15 queries: ann_ivf_prebuilt_appended,
-# nearest_station_salted_checked, dedup_against_index_prebuilt,
-# ann_pq_prebuilt, bm25_prebuilt, dsir_importance_weights,
-# source_temperature_mix, vocab_growth_curve; 6 removals above plus
-# ann_product_quantization — its body was factored onto the shared
-# train/encode/qtable/ADC helpers for the stored-PQ lifecycle — and
-# bm25_search, whose scoring tail was factored onto the shared
-# _bm25_rank for the stored-index form; behavior identical in both,
-# but touched code re-queues regardless) + the ENTIRE 14-entry r10
-# block + the front 20 of the r11 block.
+# Rotation executed at r16 start per the procedure above: all 50 keys
+# in CORRECTNESS_r15.json moved to 15 — 50/50 green (rows + schema +
+# hash); the whole map then regenerated from the fifteen files'
+# last-occurrence rule (the one-liner above). REMOVED as
+# touched-this-round (re-enter the sample front): bm25_search /
+# bm25_prebuilt (terms parameterization of the query halves — VERDICT
+# r15 task #1), trigram_search_prebuilt (needle parameterization),
+# ann_ivf_prebuilt / ann_ivf_prebuilt_nprobe / ann_ivf_prebuilt_appended
+# (queries_df parameterization + query-norm derivation from the caller's
+# vectors + build_ivf_index k_cells restructure + lease-guarded
+# append), ann_pq_prebuilt (queries_df parameterization),
+# dedup_against_index_prebuilt (arbitrary-batch parameterization with
+# origin-tagged band union + lease-guarded append), ann_ivf_kmeans /
+# ann_ivf_kmeans_nprobe / ann_ivf_label (train_ivf_centroids gained the
+# k_cells parameter — behavior identical at the pinned default, but
+# touched code re-queues regardless).
+# Groups now: r11=25, r12=45, r13=47, r14=46, r15=40. The r16 sample
+# (first 50) = the 11 removals above + any new r16 entries + the ENTIRE
+# 25-entry r11 block + the front of the r12 block — after the r16
+# driver pass nothing is older than r12 (VERDICT r15 task #3).
 _LAST_VERIFIED = {
-    # --- last green in r10 ---
-    **dict.fromkeys([
-        "chunk_dedup_stats", "contamination_eval_overlap",
-        "curriculum_pack_epochs", "data_quality_profile",
-        "decayed_user_value", "embedding_gram_matrix",
-        "entity_fuzzy_blocking", "funnel_time_to_convert",
-        "item_cooccurrence_similarity", "repetition_ngram_stats",
-        "source_kl_divergence", "source_overlap_jaccard",
-        "span_corruption_masks", "tokenize_to_ids"
-    ], 10),
     # --- last green in r11 ---
     **dict.fromkeys([
-        "ann_ivf_label", "ann_lsh_fixedpoint", "ann_lsh_hyperplane",
-        "asof_attribution",
-        # bm25_search REMOVED mid-r15 (touched: scoring tail factored onto
-        # the shared _bm25_rank for the stored-index form — behavior
-        # identical, but touched code re-queues regardless)
+        "ann_lsh_fixedpoint", "ann_lsh_hyperplane", "asof_attribution",
         "changepoint_mean_shift", "corpus_curation", "correlation_matrix",
-        "customer_order_distribution", "dedup_clusters_fast",
-        "dedup_minhash_lsh_fast", "discount_elimination_revenue",
-        "disjunctive_brand_revenue", "duplicate_span_extraction",
-        "embedding_near_dup_lsh", "embedding_pca_project",
-        "excess_share_suppliers", "important_part_value",
-        "jpeg_decode_features", "lang_id_stopword", "large_volume_orders",
-        "linear_regression_trend", "min_cost_supplier", "monthly_rollup",
-        "multimodal_frame_sample", "multimodal_metadata", "nation_profit",
-        "nation_trade_volume", "pricing_summary", "promo_revenue_share",
-        "quarterly_top_supplier", "range_band_join", "regional_market_share",
-        "returned_item_customers", "session_path_analysis",
-        "small_quantity_part_revenue", "sole_return_supplier",
-        "stream_stream_join", "supplier_count_by_part_family", "text_quality",
-        "text_token_stats", "tfidf_top_terms", "time_weighted_avg",
-        "udf_tokenize_table", "wealthy_idle_customers",
-        "weighted_reservoir_sample", "window_running_sum"
+        "dedup_clusters_fast", "dedup_minhash_lsh_fast",
+        "duplicate_span_extraction", "embedding_near_dup_lsh",
+        "embedding_pca_project", "jpeg_decode_features", "lang_id_stopword",
+        "linear_regression_trend", "multimodal_frame_sample",
+        "multimodal_metadata", "range_band_join", "session_path_analysis",
+        "stream_stream_join", "text_quality", "text_token_stats",
+        "tfidf_top_terms", "time_weighted_avg", "udf_tokenize_table",
+        "weighted_reservoir_sample"
     ], 11),
     # --- last green in r12 ---
     **dict.fromkeys([
@@ -166,6 +138,28 @@ _LAST_VERIFIED = {
         "trigram_index_search", "udf_weighted_mean_price",
         "unigram_logprob_quality", "winnow_fingerprints", "zorder_layout"
     ], 14),
+    # --- last green in r15 ---
+    **dict.fromkeys([
+        "ann_product_quantization", "chunk_dedup_stats",
+        "contamination_eval_overlap", "curriculum_pack_epochs",
+        "customer_order_distribution", "data_quality_profile",
+        "decayed_user_value", "discount_elimination_revenue",
+        "disjunctive_brand_revenue", "dsir_importance_weights",
+        "embedding_gram_matrix", "entity_fuzzy_blocking",
+        "excess_share_suppliers", "fingerprint_generic_orders",
+        "funnel_time_to_convert", "important_part_value",
+        "item_cooccurrence_similarity", "large_volume_orders",
+        "min_cost_supplier", "monthly_rollup", "nation_profit",
+        "nation_trade_volume", "nearest_station_salted_checked",
+        "pricing_summary", "promo_revenue_share", "quarterly_top_supplier",
+        "regional_market_share", "repetition_ngram_stats",
+        "returned_item_customers", "small_quantity_part_revenue",
+        "sole_return_supplier", "source_kl_divergence",
+        "source_overlap_jaccard", "source_temperature_mix",
+        "span_corruption_masks", "supplier_count_by_part_family",
+        "tokenize_to_ids", "vocab_growth_curve", "wealthy_idle_customers",
+        "window_running_sum"
+    ], 15),
 }
 
 
