@@ -213,11 +213,47 @@ def _cell_entries_from(ids, vals, col):
     )
 
 
+IVF_LITERAL_ROUTER_MAX = 64  # cells; beyond this the centroid set rides a
+# 1-row broadcast instead of a Python literal: F.lit of a nested
+# K×dims array converts per-element over Py4J — measured 4.7 s of pure
+# DRIVER time at K=179×64 (r16), which single-handedly erased the √N
+# stored-index win the sizing rule exists to deliver. createDataFrame
+# batches the same values through the pickle serializer in ~100 ms, and
+# the sanctioned 1-row-anchor BNLJ (the _lloyd_two_rounds round-2 shape)
+# feeds them to the SAME _cell_entries_from fold — executor math, tie
+# break, and results are bit-identical; only the transport differs. The
+# pinned registry geometry (K_CELLS=8) stays on the literal path so its
+# plan pins (single ivf_index scan, no extra BNLJ) hold byte-for-byte.
+
+
+def _centroid_row_of(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Driver-side centroid list as a 1-row (ids, vals) broadcast anchor
+    — the large-K transport (see IVF_LITERAL_ROUTER_MAX)."""
+    cs = sorted(cents)
+    return spark.createDataFrame(
+        [([c for c, _ in cs], [v for _, v in cs])],
+        "ids array<int>, vals array<array<double>>",
+    )
+
+
 def _assign_cells(cand: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
     """Nearest-centroid assignment as a pure projection (see
     _cell_argmin_expr). ``cents`` is the bounded driver-side centroid list —
-    K rows, the same centroids-as-driver-state shape as MLlib KMeans."""
-    return cand.select("vec_id", "emb", _cell_argmin_expr(cents).alias("cell"))
+    K rows, the same centroids-as-driver-state shape as MLlib KMeans.
+    Past IVF_LITERAL_ROUTER_MAX cells the centroids ride a 1-row
+    broadcast anchor instead of a literal (same fold, same results)."""
+    if len(cents) <= IVF_LITERAL_ROUTER_MAX:
+        return cand.select(
+            "vec_id", "emb", _cell_argmin_expr(cents).alias("cell")
+        )
+    anchor = _centroid_row_of(cand.sparkSession, cents)
+    return cand.crossJoin(F.broadcast(anchor)).select(
+        "vec_id",
+        "emb",
+        F.array_min(
+            _cell_entries_from(F.col("ids"), F.col("vals"), F.col("emb"))
+        )["cell"].alias("cell"),
+    )
 
 
 def _lloyd_round(
@@ -843,9 +879,7 @@ def ann_ivf_query_prebuilt(
     cents = read_ivf_centroids(spark, path)
     assigned = spark.read.parquet(f"{path}/assignments")
 
-    vecs = _emb_double(spark, sf_dir).select(
-        "vec_id", "emb", F.sqrt(_dot_dec(F.col("emb"), F.col("emb"))).alias("nrm")
-    )
+    vecs = _emb_double(spark, sf_dir).select("vec_id", "emb")
     if queries_df is None:
         q = vecs.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "emb")
     else:
@@ -855,12 +889,32 @@ def ann_ivf_query_prebuilt(
         qcells = _assign_cells(q, cents).select(
             F.col("vec_id").alias("query_id"), F.col("cell")
         )
-    else:
+    elif len(cents) <= IVF_LITERAL_ROUTER_MAX:
         qcells = q.select(
             F.col("vec_id").alias("query_id"),
             F.explode(
                 F.transform(
                     F.slice(F.array_sort(_cell_entries_expr(cents)), 1, nprobe),
+                    lambda e: e["cell"],
+                )
+            ).alias("cell"),
+        )
+    else:  # large-K transport: same entries fold off a 1-row broadcast
+        qcells = q.crossJoin(
+            F.broadcast(_centroid_row_of(spark, cents))
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            _cell_entries_from(
+                                F.col("ids"), F.col("vals"), F.col("emb")
+                            )
+                        ),
+                        1,
+                        nprobe,
+                    ),
                     lambda e: e["cell"],
                 )
             ).alias("cell"),
@@ -874,13 +928,15 @@ def ann_ivf_query_prebuilt(
     cand_cols = ["query_id", "neighbor_id"] + (["best_cell"] if single else [])
     # query norms come from the QUERY vectors themselves (a KB-scale
     # frame — broadcast), so out-of-corpus queries work; candidate norms
-    # from the corpus, which is where neighbors must come from anyway
-    qv = q.select(
-        "vec_id", "emb", F.sqrt(_dot_dec(F.col("emb"), F.col("emb"))).alias("nrm")
-    ).alias("qv")
+    # are computed AFTER the gather, on probe-sized rows only — a
+    # pre-join nrm projection priced a corpus-wide decimal fold into
+    # every probe (measured ~2 s of the adaptive-K probe at 16× corpus,
+    # r16; same doubles either way: sqrt(dec) per side, then multiply)
+    qv = q.alias("qv")
     cv = vecs.alias("cv")
     cos = _dot_dec(F.col("qv.emb"), F.col("cv.emb")) / (
-        F.col("qv.nrm") * F.col("cv.nrm")
+        F.sqrt(_dot_dec(F.col("qv.emb"), F.col("qv.emb")))
+        * F.sqrt(_dot_dec(F.col("cv.emb"), F.col("cv.emb")))
     )
     wk = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
