@@ -4232,6 +4232,63 @@ def test_index_catalog_and_snapshot_reads(spark, tmp_path, monkeypatch):
     assert "not_an_index" not in {r["slot"] for r in index_catalog(scratch)}
 
 
+def test_bm25_prebuilt_snapshot_time_travel(spark, tmp_path, monkeypatch):
+    """The snapshot-read registry entry (r16, VERDICT r15 task #7):
+    (1) first call creates the two-generation state once (ensure-build +
+    row-preserving compaction) and answers the pinned BM25 question from
+    the RETAINED pre-compaction generation, claim snapshot_equals_live=1;
+    (2) repeat calls reuse the state — no generation churn; (3) a
+    post-snapshot append of NEW docs diverges the LIVE read (corpus
+    stats shift) while the snapshot generation's bytes and answer stay
+    immutable — read directly, because the registry wrapper's ensure
+    would treat the appended index as stale and rebuild (the append
+    staleness contract)."""
+    from weather_database_system_spark.operators.textan import (
+        append_bm25_docs,
+        bm25_prebuilt_snapshot,
+        bm25_query_prebuilt,
+        bm25_search,
+    )
+    from weather_database_system_spark.session import (
+        _generation_dirs,
+        scratch_path,
+        slot_live,
+        snapshot_generation,
+    )
+
+    monkeypatch.setenv("WDSS_SCRATCH_DIR", str(tmp_path / "scratch"))
+    got = bm25_prebuilt_snapshot(spark, SF_SMOKE).collect()
+    spine = sorted((r.rank, r.doc_id, r.bm25) for r in got)
+    expected = sorted(tuple(r) for r in bm25_search(spark, SF_SMOKE).collect())
+    assert spine == expected  # snapshot answers the same pinned question
+    assert got and all(r.snapshot_equals_live == 1 for r in got)
+
+    slot = scratch_path("bm25_index", SF_SMOKE)
+    assert sorted(_generation_dirs(slot)) == ["gen-0001", "gen-0002"]
+    got2 = bm25_prebuilt_snapshot(spark, SF_SMOKE).collect()
+    assert sorted(_generation_dirs(slot)) == ["gen-0001", "gen-0002"]
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, got))
+
+    # diverge live: append NEW docs carrying query terms (N/avgdl/df all
+    # shift; duplicate docs would be absorbed by the query-path dedup)
+    new_docs = spark.createDataFrame(
+        [(1_000_001, "hash join stream hash join stream stream")],
+        "doc_id long, text string",
+    )
+    append_bm25_docs(new_docs, slot)
+    snap = snapshot_generation(slot)
+    snap_rows = sorted(
+        tuple(r) for r in bm25_query_prebuilt(spark, SF_SMOKE, snap).collect()
+    )
+    live_rows = sorted(
+        tuple(r)
+        for r in bm25_query_prebuilt(spark, SF_SMOKE, slot_live(slot)).collect()
+    )
+    assert snap_rows == expected  # immutable: pre-append state preserved
+    assert live_rows != snap_rows  # live took the append
+    assert any(r[1] == 1_000_001 for r in live_rows)
+
+
 def test_bm25_index_lifecycle(spark, tmp_path):
     """The fifth stored-index family (r15). BM25 is the one whose scores
     depend on CORPUS-GLOBAL statistics (N, avgdl, df) that change with

@@ -528,6 +528,58 @@ def bm25_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_query_prebuilt(spark, sf_dir, path)
 
 
+def bm25_prebuilt_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT read of the stored BM25 index (r16, VERDICT r15 task #7
+    — the grace-generation time travel ``session.snapshot_generation``
+    supports, surfaced as a registry query): generations are immutable
+    once superseded, so querying the retained NON-LIVE generation
+    answers the index state as of the previous promote — Iceberg-style
+    time travel bounded by the one-generation retention window. The
+    two-generation state is created once through the REAL maintenance
+    path: ensure-build, then a row-preserving compaction whose promote
+    retains the pre-compaction generation as the snapshot (gated on the
+    snapshot's absence, so repeat calls and sweeps reuse the state).
+    Because compaction preserves rows, the snapshot's answer equals the
+    live answer — pinned by the engine-decided claim
+    ``snapshot_equals_live`` (anti-joined both ways, the salted-join
+    claim idiom), so the same in-query DuckDB oracle with the claim
+    pinned TRUE proves end-to-end that the retained generation is a
+    faithful, readable snapshot. A post-snapshot APPEND diverges live
+    from snapshot without touching the snapshot's bytes
+    (pytest-pinned)."""
+    import os
+
+    from weather_database_system_spark.session import (
+        slot_live,
+        snapshot_generation,
+    )
+
+    live = ensure_bm25_index(spark, sf_dir)
+    slot = os.path.dirname(live.rstrip("/"))
+    if snapshot_generation(slot) is None:
+        compact_bm25_index(spark, slot)
+    snap = snapshot_generation(slot)
+    snap_df = bm25_query_prebuilt(spark, sf_dir, snap)
+    live_df = bm25_query_prebuilt(spark, sf_dir, slot_live(slot))
+    on = ["rank", "doc_id", "bm25"]
+    a_sl = snap_df.join(live_df, on, "left_anti").agg(
+        F.count("*").alias("n_only_snap")
+    )
+    a_ls = live_df.join(snap_df, on, "left_anti").agg(
+        F.count("*").alias("n_only_live")
+    )
+    claims = a_sl.crossJoin(F.broadcast(a_ls)).select(
+        ((F.col("n_only_snap") == 0) & (F.col("n_only_live") == 0))
+        .cast("int")
+        .alias("snapshot_equals_live")
+    )
+    return (
+        snap_df.crossJoin(F.broadcast(claims))
+        .select("rank", "doc_id", "bm25", "snapshot_equals_live")
+        .orderBy("rank")
+    )
+
+
 SURPRISAL_KEEP_MAX = 8.0  # mean-surprisal bar for the keep flag (nats)
 
 
@@ -1719,6 +1771,14 @@ ORACLE: dict[str, str] = {
 # the stored-index form must answer bit-identically to the in-query form;
 # replaying the UNINDEXED SQL against it proves the round-trip is loss-free
 ORACLE["bm25_prebuilt"] = ORACLE["bm25_search"]
+# the snapshot read answers from the RETAINED pre-compaction generation;
+# compaction is row-preserving, so the same in-query oracle replays it and
+# the engine-decided snapshot==live claim is pinned TRUE (salted-join idiom)
+ORACLE["bm25_prebuilt_snapshot"] = (
+    "SELECT *, 1 AS snapshot_equals_live FROM ("
+    + ORACLE["bm25_search"]
+    + ") bm25_snapshot_base"
+)
 
 QUERIES = {
     "trigram_index_search": trigram_index_search,
@@ -1733,6 +1793,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_search": bm25_search,
     "bm25_prebuilt": bm25_prebuilt,
+    "bm25_prebuilt_snapshot": bm25_prebuilt_snapshot,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "lang_id_stopword": lang_id_stopword,
