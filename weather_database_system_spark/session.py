@@ -379,9 +379,10 @@ def claim_new_generation(slot: str) -> str:
     last promote wins, the other becomes the grace generation, and the
     content is identical (builds are deterministic functions of the
     marked source), so the race is benign END TO END, not just avoided
-    at the directory level. The single-writer contract still governs
-    append-vs-compaction — this claim only serializes generation
-    CREATION, the one cross-process touchpoint build-if-absent has."""
+    at the directory level. Append-vs-compaction is serialized by
+    slot_writer_lease (a mechanism since r16, not a contract) — this
+    claim only serializes generation CREATION, the one cross-process
+    touchpoint build-if-absent has."""
     while True:
         gen = new_generation_path(slot)
         try:
