@@ -178,3 +178,47 @@ def test_cli_compact_collapses_station_partitions(spark, tmp_path, capsys):
     assert out["files_before"] == files_before
     assert out["files_after"] == 4  # the per-partition floor
     assert spark.read.parquet(dst).count() == 600
+
+
+def test_cli_index_ops_inventory_and_sweep(tmp_path, capsys):
+    """The stored-index maintenance CLI (r16): inventories slots from a
+    hermetic scratch root WITHOUT building a SparkSession, and --sweep
+    reclaims only age-expired UNSTAMPED generations — the cleanup half
+    of promote's never-prune-unstamped rule (ADVICE r15 #1)."""
+    import json as _json
+    import os
+
+    from weather_database_system_spark.session import (
+        INDEX_MANIFEST,
+        write_index_marker,
+    )
+
+    scratch = tmp_path / "scratch"
+    slot = scratch / "trigram_postings_test"
+    live = slot / "gen-0001"
+    os.makedirs(live)
+    write_index_marker(str(live), {"kind": "trigram_postings", "algo": 2})
+    (slot / INDEX_MANIFEST).write_text(_json.dumps({"generation": "gen-0001"}))
+    crash = slot / "gen-0002"  # unstamped: an abandoned half-build
+    os.makedirs(crash)
+    (scratch / "not_an_index").mkdir()  # must NOT be listed
+
+    code, out = _run(capsys, ["index-ops", "--scratch", str(scratch)])
+    assert code == 0
+    assert [s["slot"] for s in out["slots"]] == ["trigram_postings_test"]
+    row = out["slots"][0]
+    assert row["kind"] == "trigram_postings" and row["algo"] == 2
+    assert row["live_generation"] == "gen-0001"
+    assert "swept" not in out
+
+    # young unstamped generation survives the default age gate ...
+    code, out = _run(capsys, ["index-ops", "--scratch", str(scratch), "--sweep"])
+    assert code == 0 and out["swept"] == {}
+    assert crash.is_dir()
+    # ... and is reclaimed once past it; live + stamped stay untouched
+    code, out = _run(capsys, [
+        "index-ops", "--scratch", str(scratch), "--sweep", "--max-age-s", "0",
+    ])
+    assert code == 0
+    assert out["swept"] == {"trigram_postings_test": ["gen-0002"]}
+    assert not crash.is_dir() and live.is_dir()

@@ -177,6 +177,40 @@ def _cmd_diagnostics(args: argparse.Namespace) -> int:
     return 1 if any(s["status"] == "error" for s in steps) else 0
 
 
+def _cmd_index_ops(args: argparse.Namespace) -> int:
+    """Stored-index maintenance surface (r16): inventory every slot
+    (kind, algo, appends, live generation, bytes) and optionally reclaim
+    abandoned UNSTAMPED generations past the age gate — the cleanup half
+    of promote's never-prune-unstamped rule (ADVICE r15 #1). Pure
+    filesystem: no SparkSession is ever built, so a cron can run it on
+    a box with no executors."""
+    import os
+
+    from weather_database_system_spark.session import (
+        index_catalog,
+        scratch_root,
+        sweep_stale_generations,
+    )
+
+    root = scratch_root(args.scratch)
+    catalog = index_catalog(root)
+    swept: dict[str, list[str]] = {}
+    if args.sweep:
+        for row in catalog:
+            removed = sweep_stale_generations(
+                os.path.join(root, row["slot"]), max_age_s=args.max_age_s
+            )
+            if removed:
+                swept[row["slot"]] = removed
+    print(
+        json.dumps(
+            {"scratch": root, "slots": catalog}
+            | ({"swept": swept} if args.sweep else {})
+        )
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m weather_database_system_spark",
@@ -268,6 +302,22 @@ def build_parser() -> argparse.ArgumentParser:
     dg.add_argument("--warehouse", required=True)
     dg.add_argument("--city", default="Stockton")
     dg.set_defaults(func=_cmd_diagnostics)
+
+    io_ = sub.add_parser(
+        "index-ops",
+        help="stored-index inventory (+ optional age-gated sweep of "
+        "abandoned unstamped generations); pure filesystem, no Spark",
+    )
+    io_.add_argument(
+        "--scratch", default=None, help="scratch root (default: WDSS_SCRATCH_DIR)"
+    )
+    io_.add_argument(
+        "--sweep",
+        action="store_true",
+        help="reclaim unstamped generations older than --max-age-s",
+    )
+    io_.add_argument("--max-age-s", type=float, default=24 * 3600)
+    io_.set_defaults(func=_cmd_index_ops)
     return p
 
 

@@ -73,16 +73,12 @@ def get_spark(app_name: str = "weather_database_system_spark",
 # it degrades gracefully (MEMORY_AND_DISK evicts under pressure) but a
 # registry-wide sweep should not accumulate dead cached blocks.
 
-def scratch_path(kind: str, sf_dir: str) -> str:
-    """Deterministic scratch location for build-once artifacts (posting
-    indexes, IVF assignments): keyed by the source dir so repeated runs
-    OVERWRITE their own slot instead of accumulating, unique per (kind,
-    source) so families never collide. Defaults to the repo-local
-    spark-warehouse area; deployments point WDSS_SCRATCH_DIR at a real
-    scratch volume."""
-    import hashlib
-
-    scratch = os.environ.get(
+def scratch_root(scratch: str | None = None) -> str:
+    """The stored-index scratch volume: an explicit argument, else
+    WDSS_SCRATCH_DIR, else the repo-local spark-warehouse area. One
+    resolver shared by scratch_path, index_catalog, and the index-ops
+    CLI so every surface agrees on where the slots live."""
+    return scratch or os.environ.get(
         "WDSS_SCRATCH_DIR",
         os.path.normpath(
             os.path.join(
@@ -92,8 +88,19 @@ def scratch_path(kind: str, sf_dir: str) -> str:
             )
         ),
     )
+
+
+def scratch_path(kind: str, sf_dir: str) -> str:
+    """Deterministic scratch location for build-once artifacts (posting
+    indexes, IVF assignments): keyed by the source dir so repeated runs
+    OVERWRITE their own slot instead of accumulating, unique per (kind,
+    source) so families never collide. Defaults to the repo-local
+    spark-warehouse area; deployments point WDSS_SCRATCH_DIR at a real
+    scratch volume."""
+    import hashlib
+
     tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12]
-    return os.path.join(scratch, f"{kind}_{tag}")
+    return os.path.join(scratch_root(), f"{kind}_{tag}")
 
 
 _TRACKED: list = []
@@ -609,13 +616,7 @@ def index_catalog(scratch: str | None = None) -> list[dict]:
     rehearsal data — previously polluted the inventory as kind=None
     slots). Pure filesystem — no SparkSession needed, so a maintenance
     cron can run it without executors."""
-    scratch = scratch or os.environ.get(
-        "WDSS_SCRATCH_DIR",
-        os.path.normpath(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                         "spark-warehouse")
-        ),
-    )
+    scratch = scratch_root(scratch)
     out = []
     try:
         slots = sorted(os.listdir(scratch))
