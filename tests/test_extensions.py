@@ -4001,8 +4001,26 @@ def test_slot_writer_lease_contracts(tmp_path):
             with slot_writer_lease(slot, "append", wait_s=0.3, ttl_s=3600):
                 pass
         assert os.path.isdir(lease_dir)  # foreign lease untouched
-        # (4) ... but once past the TTL it's a crashed writer: take over
+        # (4a) past the TTL but the owner pid is ALIVE on this host: a
+        # long-running writer, NOT a crash — takeover is refused (the
+        # silent-interleave guard) and the bounded wait fails loudly
         old = time.time() - 7200
+        with open(os.path.join(lease_dir, "owner.json"), "w",
+                  encoding="utf-8") as fh:
+            json.dump({"pid": os.getpid(), "purpose": "long-compact"}, fh)
+        os.utime(lease_dir, (old, old))
+        with _pytest.raises(SlotBusyError):
+            with slot_writer_lease(slot, "steal", wait_s=0.3, ttl_s=3600):
+                pass
+        assert os.path.isdir(lease_dir)  # the live writer keeps its lease
+        # (4b) owner pid DEAD → crashed writer: take over
+        import subprocess
+
+        child = subprocess.Popen(["true"])
+        child.wait()  # child.pid is now a real, certainly-dead pid
+        with open(os.path.join(lease_dir, "owner.json"), "w",
+                  encoding="utf-8") as fh:
+            json.dump({"pid": child.pid, "purpose": "crashed"}, fh)
         os.utime(lease_dir, (old, old))
         with slot_writer_lease(slot, "takeover", wait_s=0.3, ttl_s=3600):
             assert os.path.isdir(lease_dir)  # now OURS (recreated)

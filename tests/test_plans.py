@@ -138,6 +138,8 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
                                      # subspace (same Lloyd assignment shape)
         "ann_pq_prebuilt",      # same: M·K stored codebook rows broadcast
                                 # (ADC qtable) + 1-row claims broadcast
+        "bm25_prebuilt_snapshot",  # 1-row snapshot==live claims broadcast
+                                   # (the salted-join claim idiom, r16)
         "embedding_near_dup",   # exact baseline; REFUSES >MAX_EXACT_VECTORS
                                 # (test_extensions guard test) — LSH is the
                                 # canonical scale path

@@ -407,6 +407,30 @@ class SlotBusyError(RuntimeError):
     expired — the fail-loud half of the single-writer mechanism."""
 
 
+def _lease_owner_alive(lease: str) -> bool:
+    """True iff the lease's owner.json names a pid that is alive on THIS
+    host — the guard that keeps TTL takeover from stealing a
+    legitimately long same-host writer's lease mid-write. Unreadable or
+    missing owner metadata reads as not-alive (a crashed writer can
+    leave a bare lease dir); a pid running on another host is invisible
+    here, which errs toward takeover exactly as the plain TTL rule
+    always did for remote writers."""
+    import json
+
+    try:
+        with open(os.path.join(lease, "owner.json"), encoding="utf-8") as fh:
+            pid = int(json.load(fh)["pid"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return False
+    try:
+        os.kill(pid, 0)
+        return True
+    except PermissionError:
+        return True  # exists but owned by another user — alive
+    except OSError:
+        return False
+
+
 def _lease_root(path: str) -> str:
     """The directory the writer lease lives in: the SLOT for manifest-
     managed paths (whether the caller passed the slot itself or one of
@@ -435,7 +459,16 @@ def slot_writer_lease(path: str, purpose: str = "write",
     so a pathological overlap FAILS LOUDLY instead of silently dropping
     the appended rows between a compactor's scan and its promote. A
     lease older than ``ttl_s`` (default 3600 s, env WDSS_LEASE_TTL_S)
-    is a crashed writer and is taken over. Used as a context manager by
+    is a crashed writer and is taken over — UNLESS its owner.json names
+    a pid still alive on THIS host (os.kill(pid, 0)): a legitimately
+    long writer (a multi-hour compaction at real scale) must not have
+    its lease stolen mid-write, which would recreate the exact silent
+    interleave the lease exists to prevent. Same-host liveness is the
+    strong signal; on a shared (NFS-class) scratch the pid is only
+    meaningful on the owner's host, so a remote crash recovers via the
+    TTL while a remote LONG writer must raise WDSS_LEASE_TTL_S —
+    erring toward SlotBusyError (fail loud) over takeover (silent
+    corruption). Used as a context manager by
     every ``append_*`` and ``compact_*``; builds stay serialized by
     claim_new_generation's mkdir instead (racing build-if-absent is
     benign end to end — both produce equivalent generations — and must
@@ -468,7 +501,7 @@ def slot_writer_lease(path: str, purpose: str = "write",
                     age = time.time() - os.stat(lease).st_mtime
                 except OSError:
                     continue  # holder released between mkdir and stat — retry
-                if age > ttl_s:
+                if age > ttl_s and not _lease_owner_alive(lease):
                     # crashed writer: take the lease over (rmtree + retry;
                     # a concurrent takeover race is settled by the mkdir)
                     shutil.rmtree(lease, ignore_errors=True)
