@@ -63,6 +63,13 @@ def main() -> int:
             "ddp": [tuple(r) for r in dedup_against_index_prebuilt(spark, sf_dir, ddp_path).collect()],
             "pq": [tuple(r) for r in ann_pq_query_prebuilt(spark, sf_dir, pq_path).collect()],
             "bm25": [tuple(r) for r in bm25_query_prebuilt(spark, sf_dir, bm_path).collect()],
+            # the deployment story for the r16 parameterization: a cold
+            # session answers the USER's OWN (non-pinned) query from
+            # nothing but the stored index bytes
+            "tri_user": [tuple(r) for r in trigram_query_prebuilt(
+                spark, sf_dir, tri_path, needle="window").collect()],
+            "bm25_user": [tuple(r) for r in bm25_query_prebuilt(
+                spark, sf_dir, bm_path, terms=("scan", "merge")).collect()],
         }
 
     # --- session A: build + answer -------------------------------------

@@ -3547,7 +3547,9 @@ def test_cold_session_index_reads(tmp_path):
         timeout=300,
     )
     assert res.returncode == 0, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr[-2000:]}"
-    assert res.stdout.count("cold == warm") == 6, res.stdout
+    # 6 pinned registry reads + 2 USER-query reads (r16: a cold session
+    # answers an arbitrary non-pinned needle/term set from index bytes)
+    assert res.stdout.count("cold == warm") == 8, res.stdout
 
 
 def test_dedup_index_append_equals_rebuild(spark, tmp_path):
