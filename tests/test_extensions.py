@@ -3927,6 +3927,63 @@ def test_manifest_generation_contracts(tmp_path):
     assert os.path.isdir(claimed)  # claim creates (atomically owns) it
 
 
+def _lease_worker(args):
+    """Cross-process lease contender (module-level for spawn pickling):
+    acquires the slot lease N times, appending ENTER/EXIT records to a
+    shared O_APPEND log while inside the critical section."""
+    import os
+    import time
+
+    slot, log, wid, n = args
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from weather_database_system_spark.session import slot_writer_lease
+
+    for i in range(n):
+        with slot_writer_lease(slot, f"w{wid}", wait_s=30):
+            with open(log, "a", encoding="utf-8") as fh:
+                fh.write(f"ENTER {wid} {i}\n")
+            time.sleep(0.01)
+            with open(log, "a", encoding="utf-8") as fh:
+                fh.write(f"EXIT {wid} {i}\n")
+    return wid
+
+
+def test_slot_writer_lease_cross_process_serialization(tmp_path):
+    """The lease's atomic claim is os.mkdir, which is atomic ACROSS
+    PROCESSES — the thread-based contract test cannot prove that, and
+    cross-process is the deployment case (an ingest job racing a
+    maintenance cron on one scratch volume). Four processes each take
+    the lease five times and write ENTER/EXIT records while inside; the
+    merged log must show strictly alternating critical sections — every
+    ENTER immediately followed by its own EXIT, 40 records, no
+    interleave."""
+    import json
+    import multiprocessing as mp
+    import os
+
+    slot = str(tmp_path / "slot")
+    os.makedirs(os.path.join(slot, "gen-0001"))
+    with open(os.path.join(slot, "_WDSS_MANIFEST.json"), "w",
+              encoding="utf-8") as fh:
+        json.dump({"generation": "gen-0001"}, fh)
+    log = str(tmp_path / "log.txt")
+
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(4) as pool:
+        done = pool.map(_lease_worker, [(slot, log, w, 5) for w in range(4)])
+    assert sorted(done) == [0, 1, 2, 3]
+
+    lines = open(log, encoding="utf-8").read().splitlines()
+    assert len(lines) == 40
+    for j in range(0, 40, 2):
+        e_op, e_w, e_i = lines[j].split()
+        x_op, x_w, x_i = lines[j + 1].split()
+        assert (e_op, x_op) == ("ENTER", "EXIT"), lines[j : j + 2]
+        assert (e_w, e_i) == (x_w, x_i), lines[j : j + 2]
+
+
 def test_slot_writer_lease_contracts(tmp_path):
     """The single-writer MECHANISM (r16, VERDICT r15 task #4 — replacing
     the documented-only contract): mkdir of <slot>/_WDSS_LEASE is the
