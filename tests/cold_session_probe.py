@@ -54,8 +54,12 @@ def main() -> int:
         ensure_trigram_postings,
         trigram_query_prebuilt,
     )
+    from weather_database_system_spark.operators.trainprep import (
+        contamination_query_prebuilt,
+        ensure_contamination_index,
+    )
 
-    def answers(spark, tri_path, ivf_path, ddp_path, pq_path, bm_path):
+    def answers(spark, tri_path, ivf_path, ddp_path, pq_path, bm_path, ct_path):
         return {
             "tri": [tuple(r) for r in trigram_query_prebuilt(spark, sf_dir, tri_path).collect()],
             "ivf1": [tuple(r) for r in ann_ivf_query_prebuilt(spark, sf_dir, ivf_path, 1).collect()],
@@ -70,6 +74,8 @@ def main() -> int:
                 spark, sf_dir, tri_path, needle="window").collect()],
             "bm25_user": [tuple(r) for r in bm25_query_prebuilt(
                 spark, sf_dir, bm_path, terms=("scan", "merge")).collect()],
+            "contam": [tuple(r) for r in contamination_query_prebuilt(
+                spark, sf_dir, ct_path).collect()],
         }
 
     # --- session A: build + answer -------------------------------------
@@ -80,13 +86,14 @@ def main() -> int:
     ddp_path = ensure_dedup_index(spark, sf_dir)
     pq_path = ensure_pq_index(spark, sf_dir)
     bm_path = ensure_bm25_index(spark, sf_dir)
-    warm = answers(spark, tri_path, ivf_path, ddp_path, pq_path, bm_path)
+    ct_path = ensure_contamination_index(spark, sf_dir)
+    warm = answers(spark, tri_path, ivf_path, ddp_path, pq_path, bm_path, ct_path)
     spark.stop()
 
     # --- session B: cold, query-only ------------------------------------
     spark = fresh_session()
     spark.sparkContext.setLogLevel("ERROR")
-    cold = answers(spark, tri_path, ivf_path, ddp_path, pq_path, bm_path)
+    cold = answers(spark, tri_path, ivf_path, ddp_path, pq_path, bm_path, ct_path)
     spark.stop()
 
     ok = True

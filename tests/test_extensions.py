@@ -3547,9 +3547,10 @@ def test_cold_session_index_reads(tmp_path):
         timeout=300,
     )
     assert res.returncode == 0, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr[-2000:]}"
-    # 6 pinned registry reads + 2 USER-query reads (r16: a cold session
-    # answers an arbitrary non-pinned needle/term set from index bytes)
-    assert res.stdout.count("cold == warm") == 8, res.stdout
+    # 7 pinned registry reads (all SIX stored families, IVF twice) +
+    # 2 USER-query reads (r16: a cold session answers an arbitrary
+    # non-pinned needle/term set from index bytes)
+    assert res.stdout.count("cold == warm") == 9, res.stdout
 
 
 def test_dedup_index_append_equals_rebuild(spark, tmp_path):
@@ -4364,6 +4365,84 @@ def test_bm25_prebuilt_snapshot_time_travel(spark, tmp_path, monkeypatch):
     assert snap_rows == expected  # immutable: pre-append state preserved
     assert live_rows != snap_rows  # live took the append
     assert any(r[1] == 1_000_001 for r in live_rows)
+
+
+def test_contamination_index_lifecycle(spark, tmp_path):
+    """The SIXTH stored family (r16): eval-set fingerprints. (1)
+    build(suite A) + append(suite B) screens a training batch EXACTLY
+    like a one-shot build of the full eval set, which equals the
+    in-query form; (2) a retried at-least-once append leaves results
+    unchanged — free by construction here, every aggregate is
+    countDistinct/min; (3) compaction is row-preserving and leaves
+    screening unchanged; (4) the probe plan reads the documents table
+    exactly once (the training side) — the eval corpus is never
+    re-read or re-tokenized."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.trainprep import (
+        EVAL_SET_MAX_DOC,
+        build_contamination_index,
+        append_contamination_grams,
+        compact_contamination_index,
+        contamination_eval_overlap,
+        contamination_query_prebuilt,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    sf = SF_SMOKE
+    docs = load_table(spark, sf, "documents")
+    ev = docs.filter(F.col("doc_id") < EVAL_SET_MAX_DOC)
+    half = EVAL_SET_MAX_DOC // 2
+
+    whole = str(tmp_path / "contam_whole")
+    incr = str(tmp_path / "contam_incr")
+    build_contamination_index(ev, whole)
+    build_contamination_index(ev.filter(F.col("doc_id") < half), incr)
+    append_contamination_grams(ev.filter(F.col("doc_id") >= half), incr)
+
+    expected = sorted(
+        tuple(r) for r in contamination_eval_overlap(spark, sf).collect()
+    )
+    assert len(expected) > 0
+    got_whole = sorted(
+        tuple(r)
+        for r in contamination_query_prebuilt(spark, sf, whole).collect()
+    )
+    got_incr = sorted(
+        tuple(r)
+        for r in contamination_query_prebuilt(spark, sf, incr).collect()
+    )
+    assert got_whole == expected  # stored round-trip == in-query form
+    assert got_incr == expected   # append == rebuild
+
+    # retry storm: a suite ingests AGAIN — distinct/min aggregates absorb it
+    append_contamination_grams(ev.filter(F.col("doc_id") >= half), incr)
+    assert sorted(
+        tuple(r)
+        for r in contamination_query_prebuilt(spark, sf, incr).collect()
+    ) == expected
+
+    # compaction: row-preserving (duplicates included), screening unchanged
+    before = sorted(tuple(r) for r in spark.read.parquet(incr).collect())
+    compact_contamination_index(spark, incr)
+    assert sorted(tuple(r) for r in spark.read.parquet(incr).collect()) == before
+    assert sorted(
+        tuple(r)
+        for r in contamination_query_prebuilt(spark, sf, incr).collect()
+    ) == expected
+
+    # plan pin: ONE documents scan (train side); eval text never read
+    plan = (
+        contamination_query_prebuilt(spark, sf, whole)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Location.*documents", plan)) == 1
+    # the index scan (plan strings abbreviate paths — pin its schema)
+    assert plan.count("struct<eval_doc_id:bigint,gram:string>") == 1
 
 
 def test_bm25_index_lifecycle(spark, tmp_path):
