@@ -1004,3 +1004,67 @@ def test_streaming_pq_index_maintenance(spark, tmp_path):
     assert got == want and len(got) > 0
     run()
     assert spark.read.parquet(f"{streamed}/codes").count() == len(a)
+
+
+def test_streaming_contamination_index_maintenance(spark, tmp_path):
+    """STREAMING maintenance of the stored contamination index (the
+    sixth stored family): eval suites arrive as micro-batches — the
+    benchmark-release ingest loop — and each foreachBatch blind-appends
+    their fingerprints via append_contamination_grams. The streamed
+    multi-generation index must screen a training batch EXACTLY like a
+    one-shot build over the same eval set, and an availableNow restart
+    from the same checkpoint appends nothing twice (row count stable;
+    results were already duplicate-proof — every aggregate is
+    countDistinct/min — so the restart pin is about index BYTES)."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.trainprep import (
+        EVAL_SET_MAX_DOC,
+        append_contamination_grams,
+        build_contamination_index,
+        contamination_query_prebuilt,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") < EVAL_SET_MAX_DOC)
+    src = str(tmp_path / "eval_src")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    idx_stream = str(tmp_path / "contam_stream")
+    idx_oneshot = str(tmp_path / "contam_oneshot")
+    schema = spark.read.parquet(src).schema
+
+    def handle(batch_df, batch_id):
+        append_contamination_grams(batch_df, idx_stream)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", str(tmp_path / "ckpt_contam"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run()
+    build_contamination_index(ev, idx_oneshot)
+
+    got_stream = sorted(
+        tuple(r)
+        for r in contamination_query_prebuilt(spark, SF_SMOKE, idx_stream).collect()
+    )
+    got_oneshot = sorted(
+        tuple(r)
+        for r in contamination_query_prebuilt(spark, SF_SMOKE, idx_oneshot).collect()
+    )
+    assert got_stream == got_oneshot
+    assert len(got_stream) > 0
+    n_rows = spark.read.parquet(idx_stream).count()
+    assert n_rows == spark.read.parquet(idx_oneshot).count()
+    # restart from the same checkpoint: drained stream, zero re-appends
+    run()
+    assert spark.read.parquet(idx_stream).count() == n_rows
