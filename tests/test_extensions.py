@@ -3527,6 +3527,64 @@ def test_ivf_duplicate_append_and_compaction(spark, tmp_path):
     assert got2 == clean
 
 
+def test_lease_race_across_processes(spark, tmp_path):
+    """The REAL append-vs-compaction race (r16): two separate Spark
+    PROCESSES hammer one manifest-managed BM25 slot concurrently — an
+    appender ingesting 4 batches of 10 new docs, a compactor looping 3
+    row-preserving compactions. The per-slot writer lease serializes
+    them, so the live generation must end containing EVERY appended
+    document — without the lease an append landing inside a compactor's
+    read-then-promote window would be stranded in the superseded
+    generation and vanish from the live view. (The in-process threaded
+    test pins the mechanism; this pins it where it matters, across
+    JVMs on one scratch volume.)"""
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.textan import (
+        build_bm25_index,
+    )
+    from weather_database_system_spark.session import ensure_index, slot_live
+    from weather_database_system_spark.sources.star import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    slot = str(tmp_path / "bm25_race_slot")
+    ensure_index(
+        slot,
+        {"kind": "bm25_index", "test": "cross-process-race"},
+        lambda gen: build_bm25_index(docs, gen),
+    )
+    base_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+
+    probe = os.path.join(os.path.dirname(__file__), "lease_race_probe.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, probe, slot, role, n, "2000000"],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for role, n in (("appender", "4"), ("compactor", "3"))
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"stdout:\n{out}\nstderr:\n{err[-2000:]}"
+
+    live = slot_live(slot)
+    got_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{live}/doclens")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    appended = {2_000_000 + i * 10 + j for i in range(4) for j in range(10)}
+    assert appended <= got_ids  # no appended row was silently dropped
+    assert got_ids == base_ids | appended  # and nothing else appeared
+
+
 def test_cold_session_index_reads(tmp_path):
     """The stored indexes must be the ONLY load-bearing state for the
     prebuilt query paths (r14 VERDICT task #4): a subprocess builds the

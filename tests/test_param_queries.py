@@ -160,6 +160,33 @@ def test_ivf_prebuilt_answers_arbitrary_query_vectors(spark):
         nbrs.append(r.neighbor_id)
     assert {q: (c, n) for q, (c, n) in got_by_q.items()} == expect
 
+    # multi-probe over caller vectors: top-NPROBE cells by (d2, cell),
+    # candidates from their union, same cosine top-3 — replayed densely
+    from weather_database_system_spark.operators.similarity import NPROBE
+
+    got_n = ann_ivf_query_prebuilt(
+        spark, SF_SMOKE, idx, nprobe=NPROBE, queries_df=qdf
+    ).collect()
+    expect_n = {}
+    for q in qdf.collect():
+        qv = np.array(q.emb)
+        ranked = sorted((((qv - c) ** 2).sum(), cell) for cell, c in cents.items())
+        cand = set().union(
+            *(assigned.get(cell, set()) for _, cell in ranked[:NPROBE])
+        )
+        scored = sorted(
+            (
+                -(qv @ X[i]) / (np.linalg.norm(qv) * np.linalg.norm(X[i])),
+                i,
+            )
+            for i in cand
+        )
+        expect_n[q.query_id] = [i for _, i in scored[:3]]
+    got_n_by_q = {}
+    for r in sorted(got_n, key=lambda r: (r.query_id, r.rank)):
+        got_n_by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert got_n_by_q == expect_n
+
 
 def test_pq_prebuilt_answers_arbitrary_query_vectors(spark):
     """Out-of-corpus query vectors ADC-scored against the STORED PQ
