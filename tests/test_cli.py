@@ -222,3 +222,26 @@ def test_cli_index_ops_inventory_and_sweep(tmp_path, capsys):
     assert code == 0
     assert out["swept"] == {"trigram_postings_test": ["gen-0002"]}
     assert not crash.is_dir() and live.is_dir()
+
+    # --check reads every parquet FOOTER (pyarrow, still no Spark): a
+    # marker certifies the build happened, the footer walk certifies the
+    # bytes are still all there — a torn/truncated file (the footer is
+    # written last) flips the exit code for the cron
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "tri": ["abc", "bcd"]}),
+        str(live / "part-0.parquet"),
+    )
+    code, out = _run(capsys, ["index-ops", "--scratch", str(scratch), "--check"])
+    assert code == 0
+    chk = out["slots"][0]["check"]
+    assert chk["n_files"] == 1 and chk["n_corrupt"] == 0
+
+    (live / "part-1.parquet").write_bytes(b"PAR1 torn, no footer")
+    code, out = _run(capsys, ["index-ops", "--scratch", str(scratch), "--check"])
+    assert code == 1
+    chk = out["slots"][0]["check"]
+    assert chk["n_files"] == 2 and chk["n_corrupt"] == 1
+    assert chk["corrupt"] == ["part-1.parquet"]

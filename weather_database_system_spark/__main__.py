@@ -202,13 +202,27 @@ def _cmd_index_ops(args: argparse.Namespace) -> int:
             )
             if removed:
                 swept[row["slot"]] = removed
+    bad = 0
+    if args.check:
+        from weather_database_system_spark.session import (
+            resolve_generation,
+            verify_index_files,
+        )
+
+        for row in catalog:
+            live = resolve_generation(os.path.join(root, row["slot"]))
+            row["check"] = verify_index_files(live) if live else None
+            if row["check"] and (
+                row["check"]["n_corrupt"] or not row["check"]["n_files"]
+            ):
+                bad += 1
     print(
         json.dumps(
             {"scratch": root, "slots": catalog}
             | ({"swept": swept} if args.sweep else {})
         )
     )
-    return 0
+    return 1 if bad else 0
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -317,6 +331,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="reclaim unstamped generations older than --max-age-s",
     )
     io_.add_argument("--max-age-s", type=float, default=24 * 3600)
+    io_.add_argument(
+        "--check",
+        action="store_true",
+        help="verify every live generation's parquet footers (pyarrow, "
+        "no Spark); exit 1 if any slot is corrupt or empty",
+    )
     io_.set_defaults(func=_cmd_index_ops)
     return p
 

@@ -685,6 +685,38 @@ def index_catalog(scratch: str | None = None) -> list[dict]:
     return out
 
 
+def verify_index_files(gen: str) -> dict:
+    """Footer-level integrity check of a generation's parquet files
+    (r16, the ops half of the marker contract): a marker asserts the
+    generation was BUILT completely, but cannot see bytes lost after
+    the fact (a partial rmtree, a torn copy, filesystem rot). Walk every
+    ``*.parquet`` under the generation and read its FOOTER via pyarrow
+    — the footer is written last, so a readable footer certifies a
+    complete file — and report file/corrupt counts per subdir. Pure
+    pyarrow, no SparkSession: ``index-ops --check`` runs it from a cron
+    and exits non-zero on any corrupt or file-less live generation."""
+    import pyarrow.parquet as pq
+
+    out: dict = {"n_files": 0, "n_corrupt": 0, "corrupt": [], "tables": {}}
+    for dirpath, _dirs, files in os.walk(gen):
+        pf = [f for f in files if f.endswith(".parquet")]
+        if not pf:
+            continue
+        rel = os.path.relpath(dirpath, gen)
+        t = out["tables"].setdefault(rel, {"n_files": 0, "n_corrupt": 0})
+        for f in pf:
+            full = os.path.join(dirpath, f)
+            out["n_files"] += 1
+            t["n_files"] += 1
+            try:
+                pq.read_metadata(full)
+            except Exception:
+                out["n_corrupt"] += 1
+                t["n_corrupt"] += 1
+                out["corrupt"].append(os.path.relpath(full, gen))
+    return out
+
+
 def ensure_index(slot: str, meta: dict, build) -> str:
     """The shared build-once contract for every stored index (trigram
     postings, IVF, dedup, PQ): resolve the slot's live generation; if
