@@ -462,3 +462,55 @@ def test_vocab_growth_curve_exact_on_constructed_corpus(spark, tmp_path):
         assert r.cum_tokens == run_tokens, (b, r)
         assert r.cum_vocab == 1 + b // 5, (b, r)
         assert r.new_types == (1 if b % 5 == 0 else 0), (b, r)
+
+
+def test_tokenizer_fertility_grounds_against_python_replay(spark):
+    """Per-language fertility must equal a pure-Python replay of the
+    greedy closed-vocab segmenter: top-FERT_VOCAB words (count desc,
+    term asc) are single pieces, OOV words split into ceil(len/P)
+    character pieces. Also pins the metric's defining properties:
+    fertility >= 1 and oov_rate in [0, 1] per language."""
+    import math
+    from collections import Counter
+
+    from tests.conftest import SF_SMOKE
+    from weather_database_system_spark.operators.trainprep import (
+        FERT_PIECE_LEN,
+        FERT_VOCAB,
+        tokenizer_fertility,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    rows = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("lang", "text")
+        .collect()
+    )
+    counts = Counter()
+    for r in rows:
+        counts.update(r.text.split(" "))
+    vocab = {
+        t
+        for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :FERT_VOCAB
+        ]
+    }
+    exp = {}
+    for r in rows:
+        st = exp.setdefault(r.lang, [0, 0, 0])  # words, subwords, oov
+        for t in r.text.split(" "):
+            st[0] += 1
+            if t in vocab:
+                st[1] += 1
+            else:
+                st[1] += math.ceil(len(t) / FERT_PIECE_LEN)
+                st[2] += 1
+
+    got = {r.lang: r for r in tokenizer_fertility(spark, SF_SMOKE).collect()}
+    assert set(got) == set(exp)
+    for lang, (w, s, o) in exp.items():
+        g = got[lang]
+        assert (g.n_words, g.n_subwords) == (w, s), lang
+        assert abs(g.fertility - s / w) < 2e-6, lang
+        assert abs(g.oov_rate - o / w) < 2e-6, lang
+        assert g.fertility >= 1.0 and 0.0 <= g.oov_rate <= 1.0, lang

@@ -346,6 +346,70 @@ def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FERT_VOCAB = 256    # closed word vocabulary: top-V by (count desc, term)
+FERT_PIECE_LEN = 4  # OOV fallback: character pieces of this length
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — the table that drives tokenizer
+    choice for a multilingual corpus (Rust et al. 2021, "How Good is
+    Your Tokenizer?"; SentencePiece's fertility metric): subword tokens
+    emitted per whitespace word, under a greedy closed-vocabulary
+    segmenter — the corpus's top-FERT_VOCAB words tokenize as ONE piece,
+    every out-of-vocabulary word falls back to ⌈len/FERT_PIECE_LEN⌉
+    character pieces (the unk→pieces behavior every subword scheme
+    shares). Languages with rarer/longer words earn higher fertility,
+    which is exactly the training-cost and context-budget skew the
+    metric exists to expose; oov_rate separates the vocabulary-miss
+    component from the word-length component.
+
+    Scale shape: one (doc, term) explode with lang carried; the
+    vocabulary is a |vocab|-bounded aggregate + ONE vocab-sized window
+    (the tokenize_to_ids rank machinery — never a corpus-sized sort)
+    joined back by broadcast; the final aggregate is |languages|-keyed
+    with map-side combine. Integer piece counts ((len+P−1) div P) keep
+    every intermediate engine-exact; the two ratios floor-round to 6
+    decimals over exact BIGINT sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    counts = words.groupBy("term").agg(F.count("*").alias("c"))
+    wv = W.orderBy(F.col("c").desc(), F.col("term"))
+    vocab = (
+        counts.select("term", F.row_number().over(wv).alias("r"))
+        .filter(F.col("r") <= FERT_VOCAB)
+        .select("term")
+        .withColumn("in_vocab", F.lit(True))
+    )
+    pieces = F.when(
+        F.col("in_vocab").isNotNull(), F.lit(1).cast("long")
+    ).otherwise(
+        F.expr(
+            f"CAST((length(term) + {FERT_PIECE_LEN - 1}) "
+            f"DIV {FERT_PIECE_LEN} AS LONG)"
+        )
+    )
+    per = (
+        words.join(F.broadcast(vocab), "term", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(pieces).alias("n_subwords"),
+            F.sum(
+                F.when(F.col("in_vocab").isNotNull(), 0).otherwise(1)
+            ).alias("n_oov"),
+        )
+    )
+    return per.select(
+        "lang",
+        "n_words",
+        "n_subwords",
+        _fr(F.col("n_subwords") / F.col("n_words"), 6).alias("fertility"),
+        _fr(F.col("n_oov") / F.col("n_words"), 6).alias("oov_rate"),
+    ).orderBy("lang")
+
+
 CONTAM_INDEX_ALGO = 1  # bump on any gram/layout/semantics change
 
 
@@ -1787,6 +1851,34 @@ ORACLE["contamination_against_index_prebuilt"] = ORACLE[
     "contamination_eval_overlap"
 ]
 
+ORACLE["tokenizer_fertility"] = f"""
+    WITH d AS ({_SQL_TOKS}),
+    w AS (SELECT lang, unnest(toks) AS term FROM d),
+    counts AS (SELECT term, count(*) AS c FROM w GROUP BY term),
+    vocab AS (
+        SELECT term FROM (
+            SELECT term, row_number() OVER (ORDER BY c DESC, term) AS r
+            FROM counts
+        ) WHERE r <= {FERT_VOCAB}
+    ),
+    per AS (
+        SELECT w.lang,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(CASE WHEN v.term IS NOT NULL THEN 1
+                        ELSE (length(w.term) + {FERT_PIECE_LEN - 1})
+                             // {FERT_PIECE_LEN} END) AS BIGINT)
+                   AS n_subwords,
+               CAST(sum(CASE WHEN v.term IS NOT NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_oov
+        FROM w LEFT JOIN vocab v ON w.term = v.term
+        GROUP BY w.lang
+    )
+    SELECT lang, n_words, n_subwords,
+           {_sql_fr('CAST(n_subwords AS DOUBLE) / n_words', 6)} AS fertility,
+           {_sql_fr('CAST(n_oov AS DOUBLE) / n_words', 6)} AS oov_rate
+    FROM per ORDER BY lang
+"""
+
 QUERIES = {
     "dsir_importance_weights": dsir_importance_weights,
     "source_temperature_mix": source_temperature_mix,
@@ -1808,5 +1900,6 @@ QUERIES = {
     "pii_redaction": pii_redaction,
     "contamination_eval_overlap": contamination_eval_overlap,
     "contamination_against_index_prebuilt": contamination_against_index_prebuilt,
+    "tokenizer_fertility": tokenizer_fertility,
     "duplicate_span_extraction": duplicate_span_extraction,
 }
