@@ -3968,6 +3968,16 @@ def test_manifest_generation_contracts(tmp_path):
         fh.write("x")
     assert resolve_generation(slot2) is None
 
+    # bookkeeping-only slot → None: a managed slot whose generations
+    # were all deleted holds only _WDSS artifacts (manifest, a crashed
+    # writer's lease) — that is NOT a legacy flat index, and resolving
+    # to the empty root would serve nothing as something
+    slot3 = str(tmp_path / "slot3")
+    os.makedirs(os.path.join(slot3, "_WDSS_LEASE"))
+    with open(os.path.join(slot3, INDEX_MANIFEST), "w", encoding="utf-8") as fh:
+        fh.write('{"generation": "gen-0009"}')
+    assert resolve_generation(slot3) is None
+
     # legacy flat layout (pre-manifest): index files at the slot root
     flat = str(tmp_path / "flat")
     os.makedirs(flat)

@@ -334,7 +334,16 @@ def resolve_generation(slot: str) -> str | None:
     if gens:
         return None  # only unstamped (possibly half-built) generations
     try:
-        entries = [e for e in os.listdir(slot) if e != INDEX_MANIFEST]
+        # legacy flat layout = index content (files or a build marker)
+        # at the slot root; pure bookkeeping (the manifest, a crashed
+        # writer's lease) doesn't count — else a managed slot whose
+        # generations were all deleted would resolve to its own empty
+        # root and be served as an "index" (r16 self-review)
+        entries = [
+            e
+            for e in os.listdir(slot)
+            if e not in (INDEX_MANIFEST, INDEX_LEASE)
+        ]
     except OSError:
         return None
     return slot if entries else None  # legacy flat layout
