@@ -215,13 +215,40 @@ def test_cli_index_ops_inventory_and_sweep(tmp_path, capsys):
     code, out = _run(capsys, ["index-ops", "--scratch", str(scratch), "--sweep"])
     assert code == 0 and out["swept"] == {}
     assert crash.is_dir()
-    # ... and is reclaimed once past it; live + stamped stay untouched
+    # ... a too-short --max-age-s is FLOORED unless --force-age (ADVICE
+    # r16 #4: a typo'd cron age must not reap an in-flight build) ...
     code, out = _run(capsys, [
         "index-ops", "--scratch", str(scratch), "--sweep", "--max-age-s", "0",
+    ])
+    assert code == 0 and out["swept"] == {} and out["max_age_s_floored"] == 3600
+    assert crash.is_dir()
+    # ... and is reclaimed once past the (deliberately forced) gate;
+    # live + stamped stay untouched
+    code, out = _run(capsys, [
+        "index-ops", "--scratch", str(scratch), "--sweep",
+        "--max-age-s", "0", "--force-age",
     ])
     assert code == 0
     assert out["swept"] == {"trigram_postings_test": ["gen-0002"]}
     assert not crash.is_dir() and live.is_dir()
+
+    # a slot holding ONLY unstamped generations (crashed before its first
+    # promote) is SURFACED with live_generation None and is sweepable —
+    # previously it was invisible to both (ADVICE r16 #3)
+    orphan = scratch / "half_built_index"
+    os.makedirs(orphan / "gen-0001")
+    code, out = _run(capsys, ["index-ops", "--scratch", str(scratch)])
+    assert code == 0
+    by_slot = {s["slot"]: s for s in out["slots"]}
+    assert by_slot["half_built_index"]["live_generation"] is None
+    assert by_slot["half_built_index"]["n_generations"] == 1
+    code, out = _run(capsys, [
+        "index-ops", "--scratch", str(scratch), "--sweep",
+        "--max-age-s", "0", "--force-age",
+    ])
+    assert code == 0
+    assert out["swept"]["half_built_index"] == ["gen-0001"]
+    assert not (orphan / "gen-0001").is_dir()
 
     # --check reads every parquet FOOTER (pyarrow, still no Spark): a
     # marker certifies the build happened, the footer walk certifies the

@@ -4159,6 +4159,227 @@ def test_slot_writer_lease_contracts(tmp_path):
         shutil.rmtree(lease_dir, ignore_errors=True)
 
 
+def test_lease_takeover_atomic_and_heartbeat(tmp_path):
+    """r17 lease hardening (ADVICE r16 #1 + VERDICT r16 next-round #6).
+    Pins: (1) TTL takeover of one stale lease by MANY concurrent waiters
+    admits exactly one holder at a time (the rename-aside fix — the old
+    direct rmtree let a slow second rmtree delete the winner's fresh
+    lease, i.e. two holders); (2) a heartbeat-FRESH lease is never taken
+    over even when its acquisition mtime is long past the TTL and its
+    owner pid is dead (the shared-storage liveness signal) — while a
+    heartbeat-DEAD lease is; (3) the holder's heartbeat thread actually
+    re-touches the beacon while the context is held; (4) release is
+    inode-guarded: a holder whose lease was externally replaced must NOT
+    delete the successor's live lease on exit."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import threading
+    import time
+
+    import pytest as _pytest
+
+    from weather_database_system_spark.session import (
+        INDEX_LEASE,
+        INDEX_MANIFEST,
+        SlotBusyError,
+        slot_writer_lease,
+    )
+
+    slot = str(tmp_path / "slot")
+    os.makedirs(os.path.join(slot, "gen-0001"))
+    with open(os.path.join(slot, INDEX_MANIFEST), "w", encoding="utf-8") as fh:
+        json.dump({"generation": "gen-0001"}, fh)
+    lease_dir = os.path.join(slot, INDEX_LEASE)
+
+    def _make_stale_lease() -> None:
+        child = subprocess.Popen(["true"])
+        child.wait()  # a real, certainly-dead pid
+        os.mkdir(lease_dir)
+        with open(os.path.join(lease_dir, "owner.json"), "w",
+                  encoding="utf-8") as fh:
+            json.dump({"pid": child.pid, "purpose": "crashed"}, fh)
+        old = time.time() - 7200
+        os.utime(lease_dir, (old, old))
+
+    # (1) concurrent takeover: 8 waiters race one stale lease; a shared
+    # counter asserts the critical section is single-occupancy throughout
+    _make_stale_lease()
+    inside = 0
+    max_inside = 0
+    errors: list[BaseException] = []
+    guard = threading.Lock()
+    barrier = threading.Barrier(8)
+
+    def _contender() -> None:
+        nonlocal inside, max_inside
+        barrier.wait()
+        try:
+            with slot_writer_lease(slot, "race", wait_s=30, ttl_s=0.5):
+                with guard:
+                    inside += 1
+                    max_inside = max(max_inside, inside)
+                time.sleep(0.02)
+                with guard:
+                    inside -= 1
+        except BaseException as exc:  # noqa: BLE001 — surfaced below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=_contender) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert max_inside == 1  # never two holders, even during takeover
+    assert not os.path.isdir(lease_dir)  # last holder released
+    leftovers = [e for e in os.listdir(slot) if "__takeover" in e]
+    assert leftovers == []  # rename-aside remnants are cleaned up
+
+    # (2a) dead pid + ancient acquisition, but a FRESH heartbeat: the
+    # holder is alive somewhere (shared storage) — takeover refused
+    _make_stale_lease()
+    with open(os.path.join(lease_dir, "heartbeat"), "w", encoding="utf-8") as fh:
+        fh.write(str(time.time()))
+    with _pytest.raises(SlotBusyError):
+        with slot_writer_lease(slot, "steal", wait_s=0.3, ttl_s=600):
+            pass
+    assert os.path.isdir(lease_dir)
+    # (2b) heartbeat gone stale too → genuinely crashed: takeover
+    old = time.time() - 7200
+    os.utime(os.path.join(lease_dir, "heartbeat"), (old, old))
+    os.utime(lease_dir, (old, old))
+    with slot_writer_lease(slot, "takeover", wait_s=0.5, ttl_s=600):
+        assert os.path.isdir(lease_dir)
+    assert not os.path.isdir(lease_dir)
+
+    # (3) the holder's heartbeat thread re-touches the beacon
+    with slot_writer_lease(slot, "beating", ttl_s=0.2, heartbeat_s=0.05):
+        hb = os.path.join(lease_dir, "heartbeat")
+        first = os.stat(hb).st_mtime
+        deadline = time.time() + 5.0
+        while os.stat(hb).st_mtime == first and time.time() < deadline:
+            time.sleep(0.02)
+        assert os.stat(hb).st_mtime > first
+    assert not os.path.isdir(lease_dir)
+
+    # (4) inode-guarded release: replace the holder's lease externally;
+    # the holder's exit must leave the successor's lease alone. The old
+    # lease is renamed aside (not rmtree'd) so its inode stays allocated
+    # and the successor's mkdir is GUARANTEED a different inode.
+    stolen = lease_dir + ".stolen"
+    with slot_writer_lease(slot, "victim"):
+        os.rename(lease_dir, stolen)
+        os.mkdir(lease_dir)  # successor's live lease (different inode)
+        with open(os.path.join(lease_dir, "owner.json"), "w",
+                  encoding="utf-8") as fh:
+            json.dump({"pid": os.getpid(), "purpose": "successor"}, fh)
+    assert os.path.isdir(lease_dir)  # survived the victim's release
+    with open(os.path.join(lease_dir, "owner.json"), encoding="utf-8") as fh:
+        assert json.load(fh)["purpose"] == "successor"
+    shutil.rmtree(lease_dir)
+    shutil.rmtree(stolen, ignore_errors=True)
+
+
+def test_flat_dir_lease_survives_compaction(tmp_path):
+    """ADVICE r16 #2: for a flat (non-manifest) directory the lease must
+    live OUTSIDE the directory being compacted — the in-place swap_dir
+    renames the flat dir away and back, so a lease INSIDE it would be
+    silently relocated out of the live path mid-compaction (releasing it
+    to a second writer whose fresh lease the compactor's exit then
+    deletes). Pins: the flat-dir lease is a sibling path; it still
+    excludes a second writer across an entire in-place compaction; and
+    compact_into_generation on a flat dir never disturbs it."""
+    import os
+    import threading
+    import time
+
+    import pytest as _pytest
+
+    from weather_database_system_spark.session import (
+        INDEX_LEASE,
+        SlotBusyError,
+        _lease_dir,
+        compact_into_generation,
+        slot_writer_lease,
+        write_index_marker,
+    )
+
+    flat = str(tmp_path / "flat_index")
+    os.makedirs(flat)
+    with open(os.path.join(flat, "data.txt"), "w", encoding="utf-8") as fh:
+        fh.write("v1")
+    write_index_marker(flat, {"kind": "flat_test", "algo": 1})
+
+    sibling = flat + "." + INDEX_LEASE
+    assert _lease_dir(flat) == sibling
+
+    excluded_during_compaction: list[bool] = []
+
+    def _rewrite(dst: str) -> None:
+        os.makedirs(dst, exist_ok=True)
+        with open(os.path.join(dst, "data.txt"), "w", encoding="utf-8") as fh:
+            fh.write("v2")
+        # mid-compaction: the lease must still be held at its stable
+        # sibling path, and a second writer must still be excluded
+        try:
+            with slot_writer_lease(flat, "intruder", wait_s=0.2):
+                excluded_during_compaction.append(False)
+        except SlotBusyError:
+            excluded_during_compaction.append(True)
+
+    with slot_writer_lease(flat, "compact") as root:
+        assert root == flat
+        assert os.path.isdir(sibling)
+        assert not os.path.isdir(os.path.join(flat, INDEX_LEASE))
+        compact_into_generation(flat, _rewrite)
+        # the swap did NOT relocate the held lease
+        assert os.path.isdir(sibling)
+    assert excluded_during_compaction == [True]
+    assert not os.path.isdir(sibling)  # released at the stable path
+    with open(os.path.join(flat, "data.txt"), encoding="utf-8") as fh:
+        assert fh.read() == "v2"
+
+    # and a fresh writer can now acquire immediately (nothing leaked)
+    with slot_writer_lease(flat, "next", wait_s=1):
+        pass
+
+
+def test_sweep_ages_by_tree_mtime(tmp_path):
+    """ADVICE r16 #4: sweep_stale_generations must age a generation by
+    the newest mtime anywhere under its TREE — parquet writes land in
+    subdirectories (assignments/, postings/, …) and do not bump the
+    generation root, so root-mtime aging wrongly reaped a long in-flight
+    build whose root went quiet while its subdirs were actively written."""
+    import os
+    import time
+
+    from weather_database_system_spark.session import sweep_stale_generations
+
+    slot = str(tmp_path / "slot")
+    gen = os.path.join(slot, "gen-0001")
+    sub = os.path.join(gen, "assignments")
+    os.makedirs(sub)
+    with open(os.path.join(sub, "part-0.parquet"), "w", encoding="utf-8") as fh:
+        fh.write("bytes")
+
+    # root looks ancient, but a file deep in the tree is FRESH — a live
+    # builder mid-write: must survive any age gate the root would fail
+    old = time.time() - 7200
+    os.utime(gen, (old, old))
+    assert sweep_stale_generations(slot, max_age_s=3600) == []
+    assert os.path.isdir(gen)
+
+    # the whole tree gone quiet past the gate → genuinely abandoned
+    for dirpath, dirs, files in os.walk(gen):
+        for n in dirs + files:
+            os.utime(os.path.join(dirpath, n), (old, old))
+    os.utime(gen, (old, old))
+    assert sweep_stale_generations(slot, max_age_s=3600) == ["gen-0001"]
+    assert not os.path.isdir(gen)
+
+
 def test_append_vs_compaction_lease_serializes(spark, tmp_path, monkeypatch):
     """End-to-end pin for VERDICT r15 task #4's done-criterion: a
     compaction racing an append either SERIALIZES or RAISES — appended

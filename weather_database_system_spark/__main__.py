@@ -36,6 +36,11 @@ import json
 import sys
 from typing import Any
 
+# Safety floor for index-ops --sweep's age gate (ADVICE r16 #4): one hour
+# — short enough that crashed half-builds reclaim same-day, long enough
+# that no real per-generation build window fits under it twice.
+SWEEP_AGE_FLOOR_S = 3600.0
+
 
 def _spark(cpus: str | None):
     from weather_database_system_spark.session import get_spark
@@ -195,10 +200,22 @@ def _cmd_index_ops(args: argparse.Namespace) -> int:
     root = scratch_root(args.scratch)
     catalog = index_catalog(root)
     swept: dict[str, list[str]] = {}
+    floored = False
     if args.sweep:
+        # Floor the age gate (ADVICE r16 #4): sweeping at an age shorter
+        # than a real build can run would reap in-flight builds; the
+        # tree-mtime aging makes that unlikely, the floor makes a typo'd
+        # --max-age-s 0 from a cron harmless. --force-age is the
+        # deliberate-ops override (tests, post-mortem cleanup).
+        max_age_s = args.max_age_s
+        if max_age_s < SWEEP_AGE_FLOOR_S and not args.force_age:
+            max_age_s, floored = SWEEP_AGE_FLOOR_S, True
+        # Catalog rows include live=None slots (only-unstamped crashed
+        # half-builds — ADVICE r16 #3), so the sweep sees exactly the
+        # slots it exists to reclaim.
         for row in catalog:
             removed = sweep_stale_generations(
-                os.path.join(root, row["slot"]), max_age_s=args.max_age_s
+                os.path.join(root, row["slot"]), max_age_s=max_age_s
             )
             if removed:
                 swept[row["slot"]] = removed
@@ -220,6 +237,7 @@ def _cmd_index_ops(args: argparse.Namespace) -> int:
         json.dumps(
             {"scratch": root, "slots": catalog}
             | ({"swept": swept} if args.sweep else {})
+            | ({"max_age_s_floored": SWEEP_AGE_FLOOR_S} if floored else {})
         )
     )
     return 1 if bad else 0
@@ -330,7 +348,19 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="reclaim unstamped generations older than --max-age-s",
     )
-    io_.add_argument("--max-age-s", type=float, default=24 * 3600)
+    io_.add_argument(
+        "--max-age-s",
+        type=float,
+        default=24 * 3600,
+        help=f"age gate for --sweep (floored at {SWEEP_AGE_FLOOR_S:.0f}s "
+        "unless --force-age)",
+    )
+    io_.add_argument(
+        "--force-age",
+        action="store_true",
+        help="allow --max-age-s below the safety floor (deliberate ops "
+        "cleanup; a too-short age can reap an in-flight build)",
+    )
     io_.add_argument(
         "--check",
         action="store_true",

@@ -336,13 +336,14 @@ def resolve_generation(slot: str) -> str | None:
     try:
         # legacy flat layout = index content (files or a build marker)
         # at the slot root; pure bookkeeping (the manifest, a crashed
-        # writer's lease) doesn't count — else a managed slot whose
-        # generations were all deleted would resolve to its own empty
-        # root and be served as an "index" (r16 self-review)
+        # writer's lease, a takeover-aside remnant) doesn't count — else
+        # a managed slot whose generations were all deleted would
+        # resolve to its own empty root and be served as an "index"
+        # (r16 self-review; lease-remnant exclusion widened r17)
         entries = [
             e
             for e in os.listdir(slot)
-            if e not in (INDEX_MANIFEST, INDEX_LEASE)
+            if e != INDEX_MANIFEST and INDEX_LEASE not in e
         ]
     except OSError:
         return None
@@ -441,7 +442,7 @@ def _lease_owner_alive(lease: str) -> bool:
 
 
 def _lease_root(path: str) -> str:
-    """The directory the writer lease lives in: the SLOT for manifest-
+    """The directory the writer lease PROTECTS: the SLOT for manifest-
     managed paths (whether the caller passed the slot itself or one of
     its generation dirs — one lease must cover every generation of a
     slot, or an append into gen-N and a compaction promoting gen-N+1
@@ -455,30 +456,113 @@ def _lease_root(path: str) -> str:
     return p
 
 
+def _lease_dir(path: str) -> str:
+    """The lease DIRECTORY guarding ``path``: ``<slot>/_WDSS_LEASE``
+    inside a manifest-managed slot (generation swaps happen a level
+    below it, so the lease path is stable across promotes), but a
+    SIBLING ``<dir>._WDSS_LEASE`` for a flat directory (ADVICE r16 #2:
+    a lease INSIDE a flat dir is relocated by compact_into_generation's
+    in-place swap_dir — the holder's lease silently leaves the live
+    path mid-compaction, a second writer acquires, and the compactor's
+    release then deletes that successor's live lease)."""
+    root = _lease_root(path)
+    if os.path.isfile(os.path.join(root, INDEX_MANIFEST)):
+        return os.path.join(root, INDEX_LEASE)
+    return root + "." + INDEX_LEASE
+
+
+def _lease_age(lease: str) -> float:
+    """Seconds since the lease last showed LIFE: the newest of the lease
+    dir's own mtime (bumped by acquisition — mkdir, then owner.json /
+    heartbeat creation inside it) and the heartbeat file's mtime (the
+    holder's liveness beacon, re-touched on a timer — meaningful on
+    shared storage where pid liveness is not). owner.json's mtime is
+    deliberately NOT a signal: it is written once at acquisition and
+    carries identity, not liveness. Raises OSError if the lease vanished
+    between the caller's existence check and this stat."""
+    import time
+
+    newest = os.stat(lease).st_mtime
+    try:
+        newest = max(newest, os.stat(os.path.join(lease, "heartbeat")).st_mtime)
+    except OSError:
+        pass
+    return time.time() - newest
+
+
+def _lease_takeover(lease: str, judged_ino: int) -> None:
+    """Atomically remove a STALE lease (ADVICE r16 #1): rmtree-ing the
+    live lease path directly is a TOCTOU race — two waiters that both
+    judged the same lease stale would each rmtree+mkdir, and the slower
+    rmtree deletes the faster waiter's freshly created lease, leaving
+    two concurrent holders. Instead os.rename the lease ASIDE to a
+    unique name: rename is atomic, so exactly one renamer owns the
+    removed instance and the loser's rename raises (back to the wait
+    loop). ``judged_ino`` is the inode the caller's staleness stat saw;
+    if the renamed dir's inode differs, a successor's FRESH lease landed
+    at the path between the stat and the rename — undo by renaming it
+    back (retried briefly: the path can only be re-occupied by a third
+    waiter's mkdir in that window, and leases are held far longer than
+    the retry). The release path's inode guard makes even the
+    theoretical triple-race residue a lost lease for ONE holder rather
+    than a silent double-delete."""
+    import shutil
+    import time
+
+    aside = f"{lease}.__takeover_{os.getpid()}_{time.monotonic_ns()}"
+    os.rename(lease, aside)  # OSError → caller retries the wait loop
+    try:
+        actual_ino = os.stat(aside).st_ino
+    except OSError:
+        return
+    if actual_ino == judged_ino:
+        shutil.rmtree(aside, ignore_errors=True)
+        return
+    # renamed a successor's fresh lease — put it back
+    deadline = time.monotonic() + 5.0
+    while True:
+        try:
+            os.rename(aside, lease)
+            return
+        except OSError:
+            if time.monotonic() >= deadline:
+                shutil.rmtree(aside, ignore_errors=True)
+                return
+            time.sleep(0.01)
+
+
 def slot_writer_lease(path: str, purpose: str = "write",
                       wait_s: float | None = None,
-                      ttl_s: float | None = None):
+                      ttl_s: float | None = None,
+                      heartbeat_s: float | None = None):
     """Per-slot single-writer LEASE (r16, VERDICT r15 task #4 — the
     mechanism behind the previously documented-only contract): mkdir of
-    ``<slot>/_WDSS_LEASE`` is the atomic claim (the claim_new_generation
-    precedent), an ``owner.json`` inside records pid/purpose/time for
-    ops. A second writer waits up to ``wait_s`` (default 120 s, env
-    WDSS_LEASE_WAIT_S) polling for release — so an append racing a
-    compaction SERIALIZES behind it — and then raises SlotBusyError —
-    so a pathological overlap FAILS LOUDLY instead of silently dropping
-    the appended rows between a compactor's scan and its promote. A
-    lease older than ``ttl_s`` (default 3600 s, env WDSS_LEASE_TTL_S)
-    is a crashed writer and is taken over — UNLESS its owner.json names
-    a pid still alive on THIS host (os.kill(pid, 0)): a legitimately
-    long writer (a multi-hour compaction at real scale) must not have
-    its lease stolen mid-write, which would recreate the exact silent
-    interleave the lease exists to prevent. Same-host liveness is the
-    strong signal; on a shared (NFS-class) scratch the pid is only
-    meaningful on the owner's host, so a remote crash recovers via the
-    TTL while a remote LONG writer must raise WDSS_LEASE_TTL_S —
-    erring toward SlotBusyError (fail loud) over takeover (silent
-    corruption). Used as a context manager by
-    every ``append_*`` and ``compact_*``; builds stay serialized by
+    the lease dir (``_lease_dir``: inside a manifest slot, a SIBLING of
+    a flat dir — ADVICE r16 #2) is the atomic claim (the
+    claim_new_generation precedent), an ``owner.json`` inside records
+    pid/purpose/time for ops. A second writer waits up to ``wait_s``
+    (default 120 s, env WDSS_LEASE_WAIT_S) polling for release — so an
+    append racing a compaction SERIALIZES behind it — and then raises
+    SlotBusyError — so a pathological overlap FAILS LOUDLY instead of
+    silently dropping the appended rows between a compactor's scan and
+    its promote.
+
+    Liveness (r17): while held, a daemon thread re-touches a
+    ``heartbeat`` file inside the lease every ``heartbeat_s`` (default
+    ttl/4, clamped to [0.02 s, 30 s]) — a beacon that works on shared
+    (NFS-class) storage where pid liveness cannot, so WDSS_LEASE_TTL_S
+    can be set far below any real write duration without stealing a
+    live long writer's lease. A lease whose newest life signal
+    (acquisition mtime or heartbeat) is older than ``ttl_s`` (default
+    3600 s, env WDSS_LEASE_TTL_S) is a crashed writer and is taken
+    over — UNLESS its owner.json names a pid still alive on THIS host
+    (os.kill(pid, 0)): the same-host backstop for holders whose
+    heartbeat thread died. Takeover is ATOMIC via rename-aside
+    (``_lease_takeover`` — ADVICE r16 #1), and release is inode-guarded:
+    a holder only removes the exact lease instance it created, so a
+    stolen/renamed lease can never make an exiting holder delete a
+    successor's live lease. Used as a context manager by every
+    ``append_*`` and ``compact_*``; builds stay serialized by
     claim_new_generation's mkdir instead (racing build-if-absent is
     benign end to end — both produce equivalent generations — and must
     not deadlock against the append an ensure-build performs inside its
@@ -486,6 +570,7 @@ def slot_writer_lease(path: str, purpose: str = "write",
     import contextlib
     import json
     import shutil
+    import threading
     import time
 
     wait_s = float(
@@ -494,12 +579,16 @@ def slot_writer_lease(path: str, purpose: str = "write",
     ttl_s = float(
         os.environ.get("WDSS_LEASE_TTL_S", 3600.0) if ttl_s is None else ttl_s
     )
+    hb_s = (
+        max(0.02, min(30.0, ttl_s / 4.0)) if heartbeat_s is None
+        else float(heartbeat_s)
+    )
 
     @contextlib.contextmanager
     def _ctx():
         root = _lease_root(path)
-        os.makedirs(root, exist_ok=True)
-        lease = os.path.join(root, INDEX_LEASE)
+        lease = _lease_dir(path)
+        os.makedirs(root, exist_ok=True)  # also creates the lease's parent
         deadline = time.monotonic() + wait_s
         while True:
             try:
@@ -507,14 +596,16 @@ def slot_writer_lease(path: str, purpose: str = "write",
                 break
             except FileExistsError:
                 try:
-                    age = time.time() - os.stat(lease).st_mtime
+                    judged_ino = os.stat(lease).st_ino
+                    age = _lease_age(lease)
                 except OSError:
                     continue  # holder released between mkdir and stat — retry
                 if age > ttl_s and not _lease_owner_alive(lease):
-                    # crashed writer: take the lease over (rmtree + retry;
-                    # a concurrent takeover race is settled by the mkdir)
-                    shutil.rmtree(lease, ignore_errors=True)
-                    continue
+                    try:
+                        _lease_takeover(lease, judged_ino)
+                    except OSError:
+                        pass  # another waiter won the takeover
+                    continue  # retry the mkdir either way
                 if time.monotonic() >= deadline:
                     raise SlotBusyError(
                         f"slot {root!r} is lease-held by another writer "
@@ -522,15 +613,45 @@ def slot_writer_lease(path: str, purpose: str = "write",
                         f"{wait_s} expired — append/compact must be "
                         f"single-writer per slot"
                     )
-                time.sleep(min(0.1, max(wait_s, 0.01)))
+                # fixed 100 ms poll; total wait is bounded by the
+                # deadline check above, not by this interval
+                time.sleep(0.1)
+        held_ino = os.stat(lease).st_ino
+        hb = os.path.join(lease, "heartbeat")
+        stop = threading.Event()
+
+        def _beat() -> None:
+            while not stop.wait(hb_s):
+                try:
+                    with open(hb, "w", encoding="utf-8") as fh:
+                        fh.write(str(time.time()))
+                except OSError:
+                    return  # lease removed under us — nothing to beat
+
+        beater = threading.Thread(
+            target=_beat, name=f"wdss-lease-heartbeat:{root}", daemon=True
+        )
         try:
             with open(os.path.join(lease, "owner.json"), "w",
                       encoding="utf-8") as fh:
                 json.dump({"pid": os.getpid(), "purpose": purpose,
                            "at": time.time()}, fh)
+            with open(hb, "w", encoding="utf-8") as fh:
+                fh.write(str(time.time()))
+            beater.start()
             yield root
         finally:
-            shutil.rmtree(lease, ignore_errors=True)
+            stop.set()
+            if beater.is_alive():
+                beater.join(timeout=5.0)
+            # inode guard: remove only the instance WE created — if the
+            # lease was (wrongly or via TTL) taken over, the path now
+            # holds a successor's live lease and must survive our exit
+            try:
+                if os.stat(lease).st_ino == held_ino:
+                    shutil.rmtree(lease, ignore_errors=True)
+            except OSError:
+                pass  # already gone
 
     return _ctx()
 
@@ -567,16 +688,37 @@ def promote_generation(slot: str, gen_dir: str) -> str:
     return gen_dir
 
 
+def _tree_mtime(p: str) -> float:
+    """Newest mtime anywhere under ``p`` (including ``p`` itself). The
+    aging signal sweep_stale_generations needs: parquet writes land in
+    SUBDIRECTORIES (assignments/, postings/, …) and do not bump the
+    generation ROOT's mtime (ADVICE r16 #4), so root-mtime aging could
+    reap a legitimately long in-flight build mid-write."""
+    newest = os.stat(p).st_mtime
+    for dirpath, dirs, files in os.walk(p):
+        for n in dirs + files:
+            try:
+                newest = max(newest, os.stat(os.path.join(dirpath, n)).st_mtime)
+            except OSError:
+                pass  # writer racing the walk — its next write re-youngs
+    return newest
+
+
 def sweep_stale_generations(slot: str, max_age_s: float = 24 * 3600) -> list[str]:
     """Age-gated reclaim of abandoned UNSTAMPED generations — the cleanup
     half of promote_generation's never-prune-unstamped rule. A generation
-    with no marker that hasn't been written to for ``max_age_s`` is a
-    crashed or abandoned half-build (any live builder would have written
-    files — bumping the mtime — or stamped it by then); remove it. The
-    live generation and every stamped generation are never touched.
-    Returns the removed generation names. Maintenance crons call this
-    beside index_catalog; the default age is far beyond any real build
-    duration, so a concurrent in-flight build is never at risk."""
+    with no marker whose ENTIRE TREE hasn't been written to for
+    ``max_age_s`` is a crashed or abandoned half-build (any live builder
+    would have written files — somewhere under the generation — or
+    stamped it by then); remove it. Aging uses the newest mtime across
+    the whole tree (``_tree_mtime``, ADVICE r16 #4): parquet writes land
+    in subdirectories and never bump the generation root, so root-mtime
+    aging wrongly reaped long in-flight builds. The live generation and
+    every stamped generation are never touched. Returns the removed
+    generation names. Maintenance crons call this beside index_catalog;
+    the default age is far beyond any real build duration (and the CLI
+    floors --max-age-s), so a concurrent in-flight build is never at
+    risk."""
     import shutil
     import time
 
@@ -588,7 +730,7 @@ def sweep_stale_generations(slot: str, max_age_s: float = 24 * 3600) -> list[str
         if p == live or os.path.isfile(os.path.join(p, INDEX_MARKER)):
             continue
         try:
-            age = now - os.stat(p).st_mtime
+            age = now - _tree_mtime(p)
         except OSError:
             continue
         if age > max_age_s:
@@ -676,6 +818,22 @@ def index_catalog(scratch: str | None = None) -> list[dict]:
             continue  # not an index slot — warehouse/rehearsal scratch
         live = resolve_generation(slot)
         if live is None:
+            # A slot holding ONLY unstamped generations — a crashed
+            # pre-promote half-build — is exactly what the sweep exists
+            # to reclaim: surface it (live_generation: None) instead of
+            # dropping it, or index-ops --sweep could never list nor
+            # reclaim it (ADVICE r16 #3).
+            out.append(
+                {
+                    "slot": name,
+                    "kind": None,
+                    "algo": None,
+                    "appends": 0,
+                    "live_generation": None,
+                    "n_generations": len(_generation_dirs(slot)),
+                    "live_bytes": None,
+                }
+            )
             continue
         meta, n_appends = read_index_marker(live)
         gens = list_generations(slot)
