@@ -40,59 +40,40 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # then ascending by staleness — the r01/r02-era greens re-verify before
 # anything newer. Two rounds of this rotation re-freshen the whole registry.
 #
-# Rotation executed at r16 start per the procedure above: all 50 keys
-# in CORRECTNESS_r15.json moved to 15 — 50/50 green (rows + schema +
-# hash); the whole map then regenerated from the fifteen files'
+# Rotation executed at r17 start per the procedure above: all 50 keys
+# in CORRECTNESS_r16.json moved to 16 — 50/50 green (rows + schema +
+# hash); the whole map then regenerated from the sixteen files'
 # last-occurrence rule (the one-liner above). REMOVED as
-# touched-this-round (re-enter the sample front): bm25_search /
-# bm25_prebuilt (terms parameterization of the query halves — VERDICT
-# r15 task #1), trigram_search_prebuilt (needle parameterization),
-# ann_ivf_prebuilt / ann_ivf_prebuilt_nprobe / ann_ivf_prebuilt_appended
-# (queries_df parameterization + query-norm derivation from the caller's
-# vectors + build_ivf_index k_cells restructure + lease-guarded
-# append), ann_pq_prebuilt (queries_df parameterization),
-# dedup_against_index_prebuilt (arbitrary-batch parameterization with
-# origin-tagged band union + lease-guarded append), ann_ivf_kmeans /
-# ann_ivf_kmeans_nprobe / ann_ivf_label (train_ivf_centroids gained the
-# k_cells parameter — behavior identical at the pinned default, but
-# touched code re-queues regardless).
-# Groups now: r11=25, r12=45, r13=47, r14=46, r15=40. The r16 sample
-# (first 50) = the 11 removals above + any new r16 entries + the ENTIRE
-# 25-entry r11 block + the front of the r12 block — after the r16
-# driver pass nothing is older than r12 (VERDICT r15 task #3).
+# touched-this-round (re-enter the sample front): ann_ivf_kmeans /
+# ann_ivf_kmeans_nprobe / ann_ivf_prebuilt / ann_ivf_prebuilt_nprobe /
+# ann_ivf_prebuilt_appended (the IVF oracle builder gained k_sql /
+# extra_cols parameters for the sqrt-sized entry and the query routing
+# was factored into _route_query_cells for the IVF+PQ composition —
+# default-geometry behavior identical, but touched code re-queues
+# regardless), tokenizer_fertility (vocabulary rank re-expressed as the
+# two-level bucket-prefiltered top-V — VERDICT r16 "what's wrong" #1).
+# Groups now: r12=34, r13=47, r14=46, r15=40, r16=50 (before removals).
+# The r17 sample (first 50) = the 6 removals above + the new r17
+# entries (ann_ivfpq_prebuilt, ann_ivf_sqrt_prebuilt,
+# ann_ivf_prebuilt_snapshot) + the ENTIRE 34-entry r12 block + the
+# front of the r13 block — after the r17 driver pass nothing is older
+# than r13 (VERDICT r16 task #3).
 _LAST_VERIFIED = {
-    # --- last green in r11 ---
-    **dict.fromkeys([
-        "ann_lsh_fixedpoint", "ann_lsh_hyperplane", "asof_attribution",
-        "changepoint_mean_shift", "corpus_curation", "correlation_matrix",
-        "dedup_clusters_fast", "dedup_minhash_lsh_fast",
-        "duplicate_span_extraction", "embedding_near_dup_lsh",
-        "embedding_pca_project", "jpeg_decode_features", "lang_id_stopword",
-        "linear_regression_trend", "multimodal_frame_sample",
-        "multimodal_metadata", "range_band_join", "session_path_analysis",
-        "stream_stream_join", "text_quality", "text_token_stats",
-        "tfidf_top_terms", "time_weighted_avg", "udf_tokenize_table",
-        "weighted_reservoir_sample"
-    ], 11),
     # --- last green in r12 ---
     **dict.fromkeys([
         "approx_distinct_users", "array_functions", "bpe_merge_pairs",
         "cache_freshness_ladder", "cache_ttl_introspection",
-        "coercion_fill_policy", "cohort_retention", "conditional_functions",
-        "datetime_functions", "dedup_clusters_logstar", "feature_scaling",
-        "funnel_conversion", "gap_fill_interpolate", "gap_fill_locf",
-        "hll_partial_rollup", "map_functions", "math_functions",
-        "monthly_filtered", "multi_band_counts", "projection_sort",
+        "cohort_retention", "conditional_functions", "datetime_functions",
+        "feature_scaling", "funnel_conversion", "hll_partial_rollup",
+        "map_functions", "math_functions", "multi_band_counts",
         "quantile_bucket_decile", "quantile_bucket_decile_approx",
         "rfm_segmentation", "rfm_segmentation_approx", "rollup_cascade_day",
-        "rollup_topk_per_grain", "semdedup_prune", "sessionize_events",
-        "shipmode_priority_counts", "skew_salted_agg", "skew_split_join",
+        "sessionize_events", "skew_salted_agg", "skew_split_join",
         "sql_correlated_exists", "sql_groupby_having", "sql_scalar_subquery",
         "stratified_sample", "stream_late_data_policy",
         "stream_session_window", "stream_sliding_window",
         "stream_tumbling_window", "stream_windowed_dedup",
-        "string_functions_extended", "tfidf_cosine_pairs", "train_test_split",
-        "udf_normalize_text", "yoy_revenue_delta"
+        "string_functions_extended", "train_test_split", "udf_normalize_text"
     ], 12),
     # --- last green in r13 ---
     **dict.fromkeys([
@@ -133,10 +114,11 @@ _LAST_VERIFIED = {
         "pmi_collocations", "quality_weighted_sample",
         "rollup_merge_incremental", "scd2_user_history",
         "seasonal_hourly_profile", "sequence_pack_bins",
-        "sequence_pack_bins_sharded", "shipping_priority", "split_by_cluster",
-        "station_density_grid", "string_functions", "time_proximity_join",
-        "trigram_index_search", "udf_weighted_mean_price",
-        "unigram_logprob_quality", "winnow_fingerprints", "zorder_layout"
+        "sequence_pack_bins_sharded", "shipping_priority",
+        "split_by_cluster", "station_density_grid", "string_functions",
+        "time_proximity_join", "trigram_index_search",
+        "udf_weighted_mean_price", "unigram_logprob_quality",
+        "winnow_fingerprints", "zorder_layout"
     ], 14),
     # --- last green in r15 ---
     **dict.fromkeys([
@@ -160,6 +142,27 @@ _LAST_VERIFIED = {
         "tokenize_to_ids", "vocab_growth_curve", "wealthy_idle_customers",
         "window_running_sum"
     ], 15),
+    # --- last green in r16 ---
+    **dict.fromkeys([
+        "ann_ivf_label", "ann_lsh_fixedpoint", "ann_lsh_hyperplane",
+        "ann_pq_prebuilt", "asof_attribution", "bm25_prebuilt",
+        "bm25_prebuilt_snapshot", "bm25_search", "changepoint_mean_shift",
+        "coercion_fill_policy", "contamination_against_index_prebuilt",
+        "corpus_curation", "correlation_matrix",
+        "dedup_against_index_prebuilt", "dedup_clusters_fast",
+        "dedup_clusters_logstar", "dedup_minhash_lsh_fast",
+        "duplicate_span_extraction", "embedding_near_dup_lsh",
+        "embedding_pca_project", "gap_fill_interpolate", "gap_fill_locf",
+        "jpeg_decode_features", "lang_id_stopword",
+        "linear_regression_trend", "monthly_filtered",
+        "multimodal_frame_sample", "multimodal_metadata", "projection_sort",
+        "range_band_join", "rollup_topk_per_grain", "semdedup_prune",
+        "session_path_analysis", "shipmode_priority_counts",
+        "stream_stream_join", "text_quality", "text_token_stats",
+        "tfidf_cosine_pairs", "tfidf_top_terms", "time_weighted_avg",
+        "trigram_search_prebuilt", "udf_tokenize_table",
+        "weighted_reservoir_sample", "yoy_revenue_delta"
+    ], 16),
 }
 
 

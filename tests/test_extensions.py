@@ -3814,6 +3814,273 @@ def test_pq_duplicate_append_and_compaction(spark, tmp_path):
     assert got2 == clean
 
 
+def test_ivfpq_matches_numpy_replay_from_stored_bytes(spark, tmp_path):
+    """IVF+PQ composition (r17) grounded against a dense numpy replay
+    OVER THE STORED BYTES: read back centroids/codebooks/codes with
+    plain parquet reads, route each pinned query to its argmin stored
+    centroid, ADC-score ONLY that cell's stored codes, rank by
+    (adc_d2, vec_id) — the engine's top-5 neighbor sets must match
+    exactly. The replay never touches the Spark expressions, so a
+    store/layout/router defect cannot hide behind a shared bug. Also
+    pins the composition's defining property: every returned neighbor
+    is stored in the query's routed cell."""
+    import numpy as np
+
+    from weather_database_system_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_M,
+        PQ_SUBDIM,
+        PQ_TOPK,
+        ann_ivfpq_query_prebuilt,
+        build_ivfpq_index,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(spark, SF_SMOKE, path)
+    got = ann_ivfpq_query_prebuilt(spark, SF_SMOKE, path).collect()
+    spark_top: dict[int, list] = {}
+    for r in got:
+        spark_top.setdefault(r.query_id, []).append(r.neighbor_id)
+
+    cents = {
+        int(r.cell): np.array([float(v) for v in r.emb])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    books: dict[tuple[int, int], np.ndarray] = {
+        (int(r.m), int(r.code)): np.array([float(v) for v in r.vals])
+        for r in spark.read.parquet(f"{path}/codebooks").collect()
+    }
+    stored: dict[int, dict] = {}
+    cell_of: dict[int, int] = {}
+    for r in spark.read.parquet(f"{path}/codes").collect():
+        stored.setdefault(int(r.vec_id), {})[int(r.m)] = int(r.code)
+        cell_of[int(r.vec_id)] = int(r.cell)
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").collect()
+    X = {r.vec_id: np.array([float(v) for v in r.embedding]) for r in emb}
+    q_ids = sorted(i for i in X if i < N_QUERIES)
+
+    for qi in q_ids:
+        best = min(
+            (((X[qi] - c) ** 2).sum(), k) for k, c in cents.items()
+        )[1]
+        members = sorted(v for v, c in cell_of.items() if c == best)
+        adc = sorted(
+            (
+                sum(
+                    (
+                        (
+                            X[qi][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+                            - books[(m, stored[v][m])]
+                        )
+                        ** 2
+                    ).sum()
+                    for m in range(PQ_M)
+                ),
+                v,
+            )
+            for v in members
+        )
+        want = [v for _, v in adc[:PQ_TOPK]]
+        assert spark_top[qi] == want, qi
+        assert all(cell_of[v] == best for v in spark_top[qi])
+
+
+def test_ivfpq_append_equals_rebuild_and_duplicate_safe(spark, tmp_path):
+    """The IVF+PQ lifecycle contracts, mirroring the per-family pins:
+    (1) append ≡ rebuild — routing AND encoding are pure functions of
+    (emb, stored centroids, stored books), so a base build + appended
+    batch holds exactly the bulk build's (cell, vec_id, m, code)
+    multiset and answers queries identically; (2) a retried
+    at-least-once append (duplicate code rows, which would DOUBLE a
+    subspace's ADC contribution) leaves results unchanged — the query
+    distincts (query, vec, m) before the sum; (3) compact_ivfpq_codes
+    is row-preserving and leaves the probe unchanged."""
+    from weather_database_system_spark.operators.dedup import _emb_double
+    from weather_database_system_spark.operators.similarity import (
+        N_QUERIES,
+        ann_ivfpq_query_prebuilt,
+        append_ivfpq_vectors,
+        build_ivfpq_index,
+        compact_ivfpq_codes,
+    )
+
+    vecs = _emb_double(spark, SF_SMOKE).select("vec_id", "emb")
+    cand = vecs.filter(f"vec_id >= {N_QUERIES}")
+    is_batch = f"vec_id % 3 = 1"
+
+    bulk = str(tmp_path / "ivfpq_bulk")
+    build_ivfpq_index(spark, SF_SMOKE, bulk)
+    clean = [
+        tuple(r)
+        for r in ann_ivfpq_query_prebuilt(spark, SF_SMOKE, bulk).collect()
+    ]
+    assert len(clean) > 0
+
+    # (1) same trained state, base codes only, then append the batch
+    import shutil
+
+    appended = str(tmp_path / "ivfpq_appended")
+    import os
+
+    os.makedirs(appended)
+    shutil.copytree(f"{bulk}/centroids", f"{appended}/centroids")
+    shutil.copytree(f"{bulk}/codebooks", f"{appended}/codebooks")
+    from weather_database_system_spark.operators.similarity import (
+        _encode_ivfpq,
+        _write_ivfpq_codes,
+        read_ivf_centroids,
+        read_pq_books,
+    )
+
+    cents = read_ivf_centroids(spark, bulk)
+    books = read_pq_books(spark, bulk)
+    _write_ivfpq_codes(
+        _encode_ivfpq(cand.filter(f"not ({is_batch})"), cents, books), appended
+    )
+    append_ivfpq_vectors(spark, cand.filter(is_batch), appended)
+    a = sorted(
+        tuple(r) for r in spark.read.parquet(f"{appended}/codes").collect()
+    )
+    b = sorted(tuple(r) for r in spark.read.parquet(f"{bulk}/codes").collect())
+    assert a == b
+    got = [
+        tuple(r)
+        for r in ann_ivfpq_query_prebuilt(spark, SF_SMOKE, appended).collect()
+    ]
+    assert got == clean
+
+    # (2) retry storm: a slice appends AGAIN — results unchanged
+    retry = cand.filter(f"vec_id % 2 = 0")
+    append_ivfpq_vectors(spark, retry, appended)
+    got = [
+        tuple(r)
+        for r in ann_ivfpq_query_prebuilt(spark, SF_SMOKE, appended).collect()
+    ]
+    assert got == clean
+
+    # (3) compaction: row-preserving (duplicates included), probe unchanged
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(f"{appended}/codes").collect()
+    )
+    compact_ivfpq_codes(spark, appended)
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(f"{appended}/codes").collect()
+    )
+    assert after == before
+    got2 = [
+        tuple(r)
+        for r in ann_ivfpq_query_prebuilt(spark, SF_SMOKE, appended).collect()
+    ]
+    assert got2 == clean
+
+
+def test_ivf_snapshot_immutable_under_diverging_append(spark, tmp_path, monkeypatch):
+    """IVF twin of the bm25 snapshot-immutability pin (r17, the second
+    family to surface grace-generation time travel): after the snapshot
+    state exists, an APPEND into the live generation diverges live from
+    snapshot — the snapshot's answers must not move (generations are
+    immutable once superseded), while the live read sees the appended
+    rows' effect on its candidate sets. Also pins creation-once: a
+    repeat call reuses the two-generation state without another
+    compaction (no generation churn)."""
+    from weather_database_system_spark.operators.similarity import (
+        ann_ivf_prebuilt_snapshot,
+        ann_ivf_query_prebuilt,
+        append_ivf_vectors,
+    )
+    from weather_database_system_spark.session import (
+        list_generations,
+        scratch_path,
+        snapshot_generation,
+    )
+
+    monkeypatch.setenv("WDSS_SCRATCH_DIR", str(tmp_path / "scratch"))
+    first = [tuple(r) for r in ann_ivf_prebuilt_snapshot(spark, SF_SMOKE).collect()]
+    assert len(first) > 0 and all(r[-1] == 1 for r in first)  # claim TRUE
+    slot = scratch_path("ivf_index", SF_SMOKE)
+    gens = [g["generation"] for g in list_generations(slot)]
+    again = [tuple(r) for r in ann_ivf_prebuilt_snapshot(spark, SF_SMOKE).collect()]
+    assert again == first
+    assert [g["generation"] for g in list_generations(slot)] == gens  # no churn
+
+    snap = snapshot_generation(slot)
+    snap_before = [
+        tuple(r)
+        for r in ann_ivf_query_prebuilt(spark, SF_SMOKE, snap).collect()
+    ]
+    n_snap = spark.read.parquet(f"{snap}/assignments").count()
+    # diverge LIVE: append new vector ids into the live generation's
+    # cell directories (the snapshot's directories must not move)
+    from weather_database_system_spark.operators.dedup import _emb_double
+    from weather_database_system_spark.session import slot_live
+    from pyspark.sql import functions as F
+
+    batch = (
+        _emb_double(spark, SF_SMOKE)
+        .filter("vec_id < 3")
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "emb")
+    )
+    append_ivf_vectors(spark, batch, slot)
+    assert (
+        spark.read.parquet(f"{slot_live(slot)}/assignments").count()
+        == n_snap + 3
+    )  # live grew by the appended rows
+    assert spark.read.parquet(f"{snap}/assignments").count() == n_snap
+    snap_after = [
+        tuple(r)
+        for r in ann_ivf_query_prebuilt(spark, SF_SMOKE, snap).collect()
+    ]
+    assert snap_after == snap_before  # the snapshot's answers never moved
+
+
+def test_migrate_flat_slot_contracts(spark, tmp_path):
+    """migrate_flat_slot (r17): a legacy FLAT index layout is wrapped
+    into manifest-managed form IN PLACE — bytes preserved (no rebuild),
+    the marker moves with the content so ensure_* still reads the index
+    as current, queries answer identically, and generation-level
+    features (snapshots, atomic promotes) become available. A
+    manifest-managed slot passes through untouched; the sibling flat
+    lease is never swept into the generation."""
+    import os
+
+    from weather_database_system_spark.operators.similarity import (
+        ann_ivf_query_prebuilt,
+        build_ivf_index,
+    )
+    from weather_database_system_spark.session import (
+        INDEX_MANIFEST,
+        list_generations,
+        migrate_flat_slot,
+        resolve_generation,
+    )
+
+    slot = str(tmp_path / "flat_ivf")
+    build_ivf_index(spark, SF_SMOKE, slot)  # legacy flat: files at root
+    before = [
+        tuple(r) for r in ann_ivf_query_prebuilt(spark, SF_SMOKE, slot).collect()
+    ]
+    assert resolve_generation(slot) == slot  # flat layout resolves to root
+
+    live = migrate_flat_slot(slot)
+    assert os.path.basename(live).startswith("gen-")
+    assert os.path.isfile(os.path.join(slot, INDEX_MANIFEST))
+    assert resolve_generation(slot) == live
+    gens = list_generations(slot)
+    assert len(gens) == 1
+    after = [
+        tuple(r) for r in ann_ivf_query_prebuilt(spark, SF_SMOKE, slot).collect()
+    ]
+    assert after == before  # bytes preserved, answers identical
+
+    # idempotent: a second call is a no-op returning the same live path
+    assert migrate_flat_slot(slot) == live
+    assert [g["generation"] for g in list_generations(slot)] == [
+        g["generation"] for g in gens
+    ]
+
+
 def test_index_marker_and_swap_dir_contracts(tmp_path):
     """Unit pins for the build-once index plumbing (no Spark needed):
     (1) marker round-trip — index_is_current is True only for the EXACT

@@ -140,6 +140,10 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
                                 # (ADC qtable) + 1-row claims broadcast
         "bm25_prebuilt_snapshot",  # 1-row snapshot==live claims broadcast
                                    # (the salted-join claim idiom, r16)
+        "ann_ivf_prebuilt_snapshot",  # same 1-row snapshot==live claims
+                                      # broadcast, IVF family (r17)
+        "ann_ivfpq_prebuilt",   # M·K stored codebook rows broadcast (ADC
+                                # qtable) + 1-row claims broadcast (r17)
         "embedding_near_dup",   # exact baseline; REFUSES >MAX_EXACT_VECTORS
                                 # (test_extensions guard test) — LSH is the
                                 # canonical scale path
@@ -1307,4 +1311,31 @@ def test_ann_pq_query_prebuilt_reads_codes_not_floats(spark):
     plan = formatted_plan(df)
     assert len(re.findall(r"Location:.*pq_index", plan)) == 1
     assert len(re.findall(r"Location:.*embeddings", plan)) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_ivfpq_query_prices_at_probed_cells_codes(spark):
+    """The IVF+PQ composition's defining plan property (r17, the FAISS
+    IVFADC shape): exactly ONE scan of the ivfpq_index codes store, with
+    a dynamic-partition-pruning filter on cell — a probe reads nprobe/K
+    of a 16×-compressed store BY DIRECTORY — and no raw candidate floats
+    anywhere: the only embeddings scans are the N_QUERIES query rows
+    (routing + ADC table + the DPP subquery duplicate, ≤ 3 scans of 10
+    rows; the candidate corpus never appears). No stored-IVF
+    assignments table, no cartesian."""
+    import re
+
+    from weather_database_system_spark.operators.similarity import (
+        ann_ivfpq_query_prebuilt,
+        ensure_ivfpq_index,
+    )
+    from weather_database_system_spark.plans import formatted_plan
+
+    path = ensure_ivfpq_index(spark, SF_SMOKE)
+    df = ann_ivfpq_query_prebuilt(spark, SF_SMOKE, path)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"Location:.*ivfpq_index", plan)) == 1
+    assert "dynamicpruning" in plan.lower()  # cell-directory pruning
+    assert len(re.findall(r"Location:.*embeddings", plan)) <= 3
+    assert "assignments" not in plan  # codes ARE the candidate store
     assert "CartesianProduct" not in plan

@@ -1,7 +1,8 @@
 """Stored-index economics: measure build-once vs query-many for all six
 index families (trigram postings, IVF, dedup, PQ, BM25, eval-set
-contamination fingerprints), the numbers behind the "queries price at
-index bytes, not corpus bytes" claim.
+contamination fingerprints) plus the IVF+PQ composition (r17), the
+numbers behind the "queries price at index bytes, not corpus bytes"
+claim.
 
 Per family, on one warm session: the in-query form (first + repeat), the
 build-once into a HERMETIC scratch slot (real cold build, manifest
@@ -83,6 +84,18 @@ def measure_family(spark, family: str, sf_dir: str) -> dict:
             lambda: similarity.ensure_pq_index(spark, sf_dir),
             lambda p: similarity.ann_pq_query_prebuilt(spark, sf_dir, p),
         ),
+        # the IVF+PQ composition (r17): same in-query comparator as pq
+        # (the full train + encode + whole-corpus ADC pipeline); the
+        # prebuilt form prices at Σ|probed cells| CODE rows — cell
+        # pruning × 16× code compression compound, so the warm win
+        # should exceed the pq row's at every growth point and keep
+        # growing with the corpus (the probed fraction shrinks as √N
+        # cells multiply)
+        "ivfpq": (
+            lambda: similarity.ann_product_quantization(spark, sf_dir),
+            lambda: similarity.ensure_ivfpq_index(spark, sf_dir),
+            lambda p: similarity.ann_ivfpq_query_prebuilt(spark, sf_dir, p),
+        ),
         "bm25": (
             lambda: textan.bm25_search(spark, sf_dir),
             lambda: textan.ensure_bm25_index(spark, sf_dir),
@@ -149,7 +162,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--families",
-                    default="trigram,ivf,dedup,pq,bm25,contamination")
+                    default="trigram,ivf,dedup,pq,ivfpq,bm25,contamination")
     ap.add_argument("--multiples", default="",
                     help="grow the corpus m× per point instead of --sf-dir")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))

@@ -845,6 +845,56 @@ def ann_ivf_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_query_prebuilt(spark, sf_dir, path, nprobe=1)
 
 
+def _route_query_cells(
+    spark: SparkSession,
+    q: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    nprobe: int = 1,
+) -> DataFrame:
+    """Route (vec_id, emb) query rows to their ``nprobe`` nearest stored
+    centroids → (query_id, cell) rows. Factored out of
+    ann_ivf_query_prebuilt (r17) so the IVF+PQ composition routes with
+    the IDENTICAL expressions: single-probe is the argmin fold
+    (_assign_cells — literal centroids or the 1-row broadcast anchor
+    past IVF_LITERAL_ROUTER_MAX), multi-probe the array_sort-and-slice
+    over the same (d², cell) entries — lexicographic sort = d² asc then
+    cell asc, the argmin's tie-break."""
+    if nprobe == 1:
+        return _assign_cells(q, cents).select(
+            F.col("vec_id").alias("query_id"), F.col("cell")
+        )
+    if len(cents) <= IVF_LITERAL_ROUTER_MAX:
+        return q.select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(_cell_entries_expr(cents)), 1, nprobe),
+                    lambda e: e["cell"],
+                )
+            ).alias("cell"),
+        )
+    # large-K transport: same entries fold off a 1-row broadcast
+    return q.crossJoin(
+        F.broadcast(_centroid_row_of(spark, cents))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        _cell_entries_from(
+                            F.col("ids"), F.col("vals"), F.col("emb")
+                        )
+                    ),
+                    1,
+                    nprobe,
+                ),
+                lambda e: e["cell"],
+            )
+        ).alias("cell"),
+    )
+
+
 def ann_ivf_query_prebuilt(
     spark: SparkSession,
     sf_dir: str,
@@ -885,40 +935,7 @@ def ann_ivf_query_prebuilt(
     else:
         q = queries_df.select(F.col("query_id").alias("vec_id"), "emb")
     single = nprobe == 1
-    if single:
-        qcells = _assign_cells(q, cents).select(
-            F.col("vec_id").alias("query_id"), F.col("cell")
-        )
-    elif len(cents) <= IVF_LITERAL_ROUTER_MAX:
-        qcells = q.select(
-            F.col("vec_id").alias("query_id"),
-            F.explode(
-                F.transform(
-                    F.slice(F.array_sort(_cell_entries_expr(cents)), 1, nprobe),
-                    lambda e: e["cell"],
-                )
-            ).alias("cell"),
-        )
-    else:  # large-K transport: same entries fold off a 1-row broadcast
-        qcells = q.crossJoin(
-            F.broadcast(_centroid_row_of(spark, cents))
-        ).select(
-            F.col("vec_id").alias("query_id"),
-            F.explode(
-                F.transform(
-                    F.slice(
-                        F.array_sort(
-                            _cell_entries_from(
-                                F.col("ids"), F.col("vals"), F.col("emb")
-                            )
-                        ),
-                        1,
-                        nprobe,
-                    ),
-                    lambda e: e["cell"],
-                )
-            ).alias("cell"),
-        )
+    qcells = _route_query_cells(spark, q, cents, nprobe)
 
     out_cols = (
         ["query_id", "best_cell", "rank", "neighbor_id"]
@@ -1042,6 +1059,103 @@ def ann_ivf_prebuilt_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = ensure_index(scratch_path("ivf_index_appended", sf_dir), meta, _build)
     return ann_ivf_query_prebuilt(spark, sf_dir, path, nprobe=1)
+
+
+def ann_ivf_sqrt_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The √N-SIZED stored IVF configuration under the FULL value-exact
+    oracle (r17, VERDICT r16 task #2 — previously the deployment
+    geometry was only tool-measured while every registry entry pinned
+    k_cells=K_CELLS): builds/reuses the ``ivf_index_sqrt`` slot
+    (``ensure_ivf_index(k_cells=None)`` — K = max(IVF_K_MIN,
+    round(coef·√N)), the FAISS nlist rule) and runs the standard
+    single-probe stored-index search against it. The DuckDB oracle
+    replays the ENTIRE √N-sized Lloyd training with K computed
+    DYNAMICALLY in SQL (greatest(K_MIN, floor(coef·√n)+0.5) over the
+    candidate count — exact at every SF, since √integer is never an
+    exact half, floor(x+0.5) equals Python's round here), so the
+    deployment-recommended configuration gets the same bit-exact
+    value/hash gate as the pinned-K entries — stronger than a
+    claims-only check. One engine-decided claim rides along:
+    ``sized_ok`` pins that the STORED centroid count actually equals
+    ivf_cell_count(N) for the corpus it indexes (the stored bytes match
+    the sizing rule, not merely the query math). Recall/cost trade of
+    this geometry vs pinned-K is measured in tools/ivf_recall.py; the
+    warm economics in tools/index_economics.py --multiples (NOTES r16).
+    Reference parity: extension surface; cf. FAISS nlist guidance."""
+    path = ensure_ivf_index(spark, sf_dir, k_cells=None)
+    cents = read_ivf_centroids(spark, path)
+    n_cand = (
+        _emb_double(spark, sf_dir).filter(F.col("vec_id") >= N_QUERIES).count()
+    )
+    sized_ok = int(len(cents) == ivf_cell_count(n_cand))
+    return (
+        ann_ivf_query_prebuilt(spark, sf_dir, path, nprobe=1)
+        .select(
+            "query_id",
+            "best_cell",
+            "rank",
+            "neighbor_id",
+            "cosine",
+            F.lit(sized_ok).cast("int").alias("sized_ok"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_ivf_prebuilt_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT read of the stored IVF index — the second family to
+    surface the grace-generation time travel as a registry query (r17,
+    VERDICT r16 task #5; bm25_prebuilt_snapshot is the template and the
+    proof ``session.snapshot_generation`` generalizes). IVF is where a
+    snapshot diverging from live matters most: appends mutate cell
+    directories, so an in-flight training job reading the retained
+    pre-compaction generation must see the index AS OF its promote, not
+    the compactor's rewrite. The two-generation state is created once
+    through the REAL maintenance path (ensure-build, then one gated
+    row-preserving ``compact_ivf_assignments`` whose promote retains the
+    pre-compaction generation); because compaction preserves rows and
+    centroids verbatim, the snapshot's search answers equal the live
+    ones — pinned by the engine-decided ``snapshot_equals_live`` claim
+    (anti-joined both ways over the full output), so the standard
+    full-Lloyd DuckDB oracle with the claim pinned TRUE proves the
+    retained generation is a faithful, readable snapshot. Snapshot
+    immutability under a post-snapshot append that diverges live is
+    pytest-pinned for the family lifecycle."""
+    from weather_database_system_spark.session import (
+        migrate_flat_slot,
+        scratch_path,
+        slot_live,
+        snapshot_generation,
+    )
+
+    ensure_ivf_index(spark, sf_dir)
+    slot = scratch_path("ivf_index", sf_dir)
+    # a pre-manifest flat layout has no generations to snapshot — wrap
+    # it into gen-0001 in place (bytes preserved, marker carried, no
+    # retrain); manifest-managed slots pass through untouched
+    migrate_flat_slot(slot)
+    if snapshot_generation(slot) is None:
+        compact_ivf_assignments(spark, slot)
+    snap = snapshot_generation(slot)
+    snap_df = ann_ivf_query_prebuilt(spark, sf_dir, snap, nprobe=1)
+    live_df = ann_ivf_query_prebuilt(spark, sf_dir, slot_live(slot), nprobe=1)
+    on = ["query_id", "best_cell", "rank", "neighbor_id", "cosine"]
+    a_sl = snap_df.join(live_df, on, "left_anti").agg(
+        F.count("*").alias("n_only_snap")
+    )
+    a_ls = live_df.join(snap_df, on, "left_anti").agg(
+        F.count("*").alias("n_only_live")
+    )
+    claims = a_sl.crossJoin(F.broadcast(a_ls)).select(
+        ((F.col("n_only_snap") == 0) & (F.col("n_only_live") == 0))
+        .cast("int")
+        .alias("snapshot_equals_live")
+    )
+    return (
+        snap_df.crossJoin(F.broadcast(claims))
+        .select(*on, "snapshot_equals_live")
+        .orderBy("query_id", "rank")
+    )
 
 
 PQ_M = 4        # subspaces (EMB_DIMS / PQ_SUBDIM)
@@ -1536,6 +1650,329 @@ def ann_pq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay pytest."""
     path = ensure_pq_index(spark, sf_dir)
     return _pq_checked(spark, sf_dir, ann_pq_query_prebuilt(spark, sf_dir, path))
+
+
+# --- IVF+PQ composition (FAISS IVFADC — Jégou, Douze, Schmid 2011 §IV) ---
+#
+# The production shape at 100 TB (r17, VERDICT r16 task #1): the stored
+# IVF index re-ranks gathered raw floats and the stored PQ index scans
+# the WHOLE code table; composing them prices a query at Σ|probed
+# cells| CODE rows — √N-sized cells route the query, asymmetric
+# distance computation scores only the probed cells' M-byte codes, raw
+# candidate floats appear NOWHERE in the query plan. Codes are encoded
+# against the raw vectors (the FAISS ``by_residual=false`` variant) so
+# encoding stays a pure function of (emb, books) — the property that
+# makes append ≡ rebuild exactly and lets the PQ claims idiom transfer
+# verbatim; residual encoding (quantize x − centroid) trades that
+# replay-exactness for lower distortion and is the documented variant
+# at real scale.
+
+IVFPQ_INDEX_ALGO = 1  # bump on any training/encoding/layout change
+
+
+def _encode_ivfpq(
+    vecs: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    books,
+) -> DataFrame:
+    """(cell, vec_id, m, code) rows: the routing cell comes from the
+    argmin projection in its OWN select below the Generate (one
+    evaluation per vector — the _lloyd_round barrier rationale) and all
+    M subspace codes unfold from one array-of-structs generator input
+    (the encode_pq_codes shape). Pure deterministic function of (emb,
+    stored centroids, stored books) — append ≡ bulk-encode of the union
+    exactly."""
+    assigned = _assign_cells(vecs.select("vec_id", "emb"), cents)
+    return assigned.select(
+        "vec_id",
+        "cell",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    _cell_argmin_expr(books[m], _pq_sub(m)).alias("code"),
+                )
+                for m in range(PQ_M)
+            ])
+        ).alias("mc"),
+    ).select(
+        "cell", "vec_id", F.col("mc.m").alias("m"), F.col("mc.code").alias("code")
+    )
+
+
+def _write_ivfpq_codes(codes: DataFrame, path: str, mode: str = "overwrite") -> None:
+    (
+        codes.select("cell", "vec_id", "m", "code")
+        .repartition("cell")
+        .write.mode(mode)
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+
+
+def build_ivfpq_index(
+    spark: SparkSession, sf_dir: str, path: str, k_cells: int | None = None
+) -> None:
+    """Build the IVF+PQ index ONCE (FAISS IndexIVFPQ train()+add()):
+    train the √N-sized coarse quantizer (``k_cells=None`` → the
+    ivf_cell_count rule; an explicit K pins test geometry) and the M
+    subspace codebooks with the shared deterministic Lloyd trainers,
+    then persist all three halves — ``centroids/`` (K rows, the routing
+    table), ``codebooks/`` (M·K rows, the ADC tables' source), and
+    ``codes/`` PARTITIONED BY CELL (cell, vec_id, m, code): each learned
+    cell IS a directory of M-byte codes, so a probe reads nprobe/K of a
+    16×-compressed store by directory — the only layout in the ANN
+    family where BOTH prunings (cell partition + float→code compression)
+    compound."""
+    vecs = _emb_double(spark, sf_dir).select("vec_id", "emb")
+    cand = track_persisted(
+        vecs.filter(F.col("vec_id") >= N_QUERIES)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .persist()
+    )
+    if k_cells is None:
+        k_cells = ivf_cell_count(cand.count())
+    cents = train_ivf_centroids(cand, k_cells)
+    books = train_pq_books(cand)
+    _write_ivf_centroids(spark, cents, path)
+    _write_pq_codebooks(spark, books, path)
+    _write_ivfpq_codes(_encode_ivfpq(cand, cents, books), path)
+
+
+def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Marker-gated build of the IVF+PQ slot at the DEPLOYMENT geometry
+    (√N cells — the configuration the sizing rule recommends is exactly
+    what this index stores and the registry entry oracle-checks)."""
+    from weather_database_system_spark.session import (
+        ensure_index,
+        scratch_path,
+        source_signature,
+    )
+
+    meta = {
+        "kind": "ivfpq_index",
+        "algo": IVFPQ_INDEX_ALGO,
+        "k_cells": "sqrt",
+        "coef": IVF_CELL_COEF,
+        "iters": KMEANS_ITERS,
+        "pq_m": PQ_M,
+        "pq_subdim": PQ_SUBDIM,
+        "pq_k": PQ_K,
+        "n_queries": N_QUERIES,
+        "source": source_signature(sf_dir, "embeddings"),
+    }
+    return ensure_index(
+        scratch_path("ivfpq_index", sf_dir),
+        meta,
+        lambda gen: build_ivfpq_index(spark, sf_dir, gen),
+    )
+
+
+def append_ivfpq_vectors(spark: SparkSession, vecs: DataFrame, path: str) -> None:
+    """Incremental add to a STORED IVF+PQ index: route the new (vec_id,
+    emb array<double>) batch with the stored centroids AND encode it
+    with the stored codebooks in the one shared projection
+    (_encode_ivfpq — both pure functions, so append ≡ bulk build of the
+    union exactly, pytest-pinned), then blind-append into the cell
+    directories. A retried at-least-once batch duplicates code rows;
+    the query path distincts (query, vec, m) before the ADC sum (the
+    append_pq_codes hazard — a duplicate would double one subspace's
+    distance). Chains the append onto the generation's stamp and runs
+    under the slot writer lease, exactly as the other five families."""
+    from weather_database_system_spark.session import (
+        append_index_marker,
+        slot_live,
+        slot_writer_lease,
+    )
+
+    with slot_writer_lease(path, "append_ivfpq"):
+        live = slot_live(path)
+        cents = read_ivf_centroids(spark, live)
+        books = read_pq_books(spark, live)
+        _write_ivfpq_codes(
+            _encode_ivfpq(vecs.select("vec_id", "emb"), cents, books),
+            live,
+            mode="append",
+        )
+        append_index_marker(live)
+
+
+def compact_ivfpq_codes(spark: SparkSession, path: str) -> str:
+    """Row-preserving layout restore for the cell-partitioned code store
+    after appended file generations (centroids + codebooks — KB-scale —
+    carried over verbatim). Manifest-managed slots promote an atomic
+    pointer; flat directories swap in place. Returns the live path."""
+    import shutil
+
+    from weather_database_system_spark.session import (
+        compact_into_generation,
+        slot_live,
+        slot_writer_lease,
+    )
+
+    with slot_writer_lease(path, "compact_ivfpq"):
+        live = slot_live(path)
+
+        def rewrite(dst: str) -> None:
+            shutil.copytree(f"{live}/centroids", f"{dst}/centroids")
+            shutil.copytree(f"{live}/codebooks", f"{dst}/codebooks")
+            (
+                spark.read.parquet(f"{live}/codes")
+                .repartition("cell")
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(f"{dst}/codes")
+            )
+
+        return compact_into_generation(live, rewrite)
+
+
+def ann_ivfpq_query_prebuilt(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str | None = None,
+    nprobe: int = 1,
+    queries_df: DataFrame | None = None,
+) -> DataFrame:
+    """QUERY-ONLY half of IVF+PQ search: route via the stored centroids
+    (the IDENTICAL _route_query_cells expressions the stored-IVF query
+    uses), then ADC-score ONLY the probed cells' stored codes — the
+    (query, cell) pairs broadcast against the cell-partitioned codes
+    directory (dynamic partition pruning reads nprobe/K of the store by
+    directory), the per-query M×K distance table broadcasts KB-scale,
+    and the score is a (query, vec)-keyed sum of M table entries. Raw
+    candidate floats appear NOWHERE: query cost = Σ|probed cells| code
+    rows — cell pruning × 16× code compression, the FAISS IVFADC
+    promise. Probed codes dedup on (query, vec, m) BEFORE the sum
+    (at-least-once appends; a duplicate row would double one subspace's
+    contribution). ``queries_df``: the caller's (query_id long, emb
+    array<double>) rows, in-corpus or not — routing and the ADC table
+    both derive from the raw caller vector."""
+    from weather_database_system_spark.session import scratch_path, slot_live
+
+    path = slot_live(
+        path if path is not None else scratch_path("ivfpq_index", sf_dir)
+    )
+    cents = read_ivf_centroids(spark, path)
+    books = read_pq_books(spark, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    if queries_df is None:
+        q = _emb_double(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).select(
+            "vec_id", "emb"
+        )
+    else:
+        q = queries_df.select(F.col("query_id").alias("vec_id"), "emb")
+    qcells = _route_query_cells(spark, q, cents, nprobe)
+    qtable = _pq_qtable(
+        q.select(F.col("vec_id").alias("query_id"), "emb"), books
+    )
+    cand = (
+        F.broadcast(qcells)
+        .join(codes, "cell")
+        .select("query_id", "vec_id", "m", "code")
+        .dropDuplicates(["query_id", "vec_id", "m"])
+    )
+    adc = (
+        cand.join(F.broadcast(qtable), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    wk = W.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            _fr(F.col("adc_d2"), 6).alias("adc_d2"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_ivfpq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry surface of the IVF+PQ composition (r17, VERDICT r16 task
+    #1): per-query EXACT spine + engine-decided claims, the
+    ann_pq_prebuilt oracle pattern widened with routing:
+
+    - ``best_cell``   — exact column: the query's routed cell; the
+      oracle replays the √N-sized Lloyd training (dynamic K in SQL) and
+      routes each query itself.
+    - ``n_results``   — exact column: min(PQ_TOPK, |probed cell|); the
+      oracle counts each cell's distinct members from its replayed
+      final assignment.
+    - ``adc_err_ok``  — max |adc_d2 − true d²| over returned pairs ≤
+      PQ_ADC_ERR_MAX (same books, same raw-vector encoding → the same
+      measured quantization-distortion bound as the PQ entries).
+    - ``cells_ok``    — every returned neighbor's cell, RECOMPUTED from
+      its raw embedding against the stored centroids, equals the
+      query's probed cell: candidates ⊆ probed cells checked against an
+      independent derivation, not the join that produced them.
+
+    The audit joins touch only N_QUERIES×PQ_TOPK rows (test-SF bolt-on);
+    the deployable plan (ann_ivfpq_query_prebuilt) is what a cluster
+    runs and is plan-pinned to ONE cell-pruned codes scan with no raw
+    candidate floats."""
+    path = ensure_ivfpq_index(spark, sf_dir)
+    top = track_persisted(
+        ann_ivfpq_query_prebuilt(spark, sf_dir, path).persist()
+    )
+    cents = read_ivf_centroids(spark, path)
+
+    vecs = _emb_double(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "emb")
+    qcells = _route_query_cells(spark, q, cents, 1)
+
+    counts = top.groupBy("query_id").agg(
+        F.count("*").cast("int").alias("n_results")
+    )
+    spine = (
+        qcells.join(counts, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("cell").alias("best_cell"),
+            F.coalesce(F.col("n_results"), F.lit(0)).cast("int").alias("n_results"),
+        )
+    )
+
+    # claims audit: true d² + independently recomputed neighbor cell on
+    # the ≤ N_QUERIES×PQ_TOPK returned pairs only
+    qe = q.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+    ce = vecs.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("cemb")
+    )
+    sq = F.aggregate(
+        F.zip_with("qemb", "cemb", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        top.join(F.broadcast(qcells), "query_id")
+        .join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_d2",
+            "cell",
+            sq.alias("true_d2"),
+            _cell_argmin_expr(cents, F.col("cemb")).alias("ncell"),
+        )
+    )
+    claims = pairs.agg(
+        (F.max(F.abs(F.col("adc_d2") - F.col("true_d2"))) <= F.lit(PQ_ADC_ERR_MAX))
+        .cast("int")
+        .alias("adc_err_ok"),
+        (F.sum((F.col("ncell") != F.col("cell")).cast("int")) == 0)
+        .cast("int")
+        .alias("cells_ok"),
+    )
+    return (
+        spine.crossJoin(F.broadcast(claims))
+        .select("query_id", "best_cell", "n_results", "adc_err_ok", "cells_ok")
+        .orderBy("query_id")
+    )
 
 
 def ann_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2201,11 +2638,29 @@ def _sql_near_dup_lsh() -> str:
     """
 
 
-def _sql_ann_ivf_kmeans(nprobe: int = 1) -> str:
-    """DuckDB replay of the ENTIRE k-means training loop, long-form, with
-    the Lloyd rounds unrolled as CTE pairs (dist_i/assign_i → cent_{i+1}).
-    ``nprobe`` widens the query-routing CTE from rk = 1 to rk <= nprobe
-    (the multi-probe variant); training is byte-identical either way."""
+def _sql_ivf_sqrt_k() -> str:
+    """The √N cell count as a DuckDB scalar subquery over the candidate
+    CTE — the SQL twin of ``ivf_cell_count``. floor(x + 0.5) equals
+    Python's round() here because √integer is never an exact half
+    (n = (k+0.5)² = k²+k+0.25 has no integer solution), so the dynamic-K
+    oracle replays the sizing rule bit-exactly at every SF."""
+    return (
+        f"(SELECT greatest({IVF_K_MIN}, "
+        f"CAST(floor({IVF_CELL_COEF!r} * sqrt(count(DISTINCT vec_id)) + 0.5) "
+        f"AS INT)) FROM cand)"
+    )
+
+
+def _sql_ivf_train_prefix(nprobe: int = 1, k_sql: str | None = None) -> str:
+    """WITH-body replaying the ENTIRE deterministic k-means training,
+    long-form, Lloyd rounds unrolled as CTE pairs (dist_i/assign_i →
+    cent_{i+1}), through the final assignment (``fassign``) and query
+    routing (``qbest``). ``nprobe`` widens the routing CTE from rk = 1
+    to rk <= nprobe; ``k_sql`` overrides the pinned K_CELLS init size
+    with an arbitrary SQL expression (``_sql_ivf_sqrt_k`` — the √N
+    deployment geometry, r17). The IVF search oracle appends its
+    re-rank tail; the IVF+PQ oracle appends a cell-census tail."""
+    k = k_sql if k_sql is not None else str(K_CELLS)
     iters = []
     for i in range(KMEANS_ITERS):
         iters.append(f"""
@@ -2235,7 +2690,7 @@ def _sql_ann_ivf_kmeans(nprobe: int = 1) -> str:
         q AS (SELECT * FROM long WHERE vec_id < {N_QUERIES}),
         init AS (
             SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
-            FROM (SELECT DISTINCT vec_id FROM cand ORDER BY vec_id LIMIT {K_CELLS})
+            FROM (SELECT DISTINCT vec_id FROM cand ORDER BY vec_id LIMIT {k})
         ),
         cent0 AS (
             SELECT i.cell, v.dim, v.val AS cval
@@ -2266,7 +2721,17 @@ def _sql_ann_ivf_kmeans(nprobe: int = 1) -> str:
                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
                 FROM qdist
             ) WHERE rk <= {nprobe}
-        ),
+        )"""
+
+
+def _sql_ann_ivf_kmeans(
+    nprobe: int = 1, k_sql: str | None = None, extra_cols: str = ""
+) -> str:
+    """DuckDB replay of IVF search end to end: the full Lloyd training
+    prefix (``_sql_ivf_train_prefix``) plus the exact-cosine re-rank of
+    the probed cells. ``extra_cols`` appends pinned-TRUE claim literals
+    to the final projection (sized_ok / snapshot_equals_live entries)."""
+    return f"""{_sql_ivf_train_prefix(nprobe, k_sql)},
         norms AS (
             SELECT vec_id, sqrt(CAST(sum(CAST(val*val AS DECIMAL(30,10))) AS DOUBLE)) AS nrm
             FROM long GROUP BY 1
@@ -2291,9 +2756,32 @@ def _sql_ann_ivf_kmeans(nprobe: int = 1) -> str:
             JOIN norms nc ON neighbor_id = nc.vec_id
         )
         SELECT query_id, {"best_cell," if nprobe == 1 else ""} rank, neighbor_id,
-               floor(cos * 1000000 + 0.5) / 1000000 AS cosine
+               floor(cos * 1000000 + 0.5) / 1000000 AS cosine{extra_cols}
         FROM ranked WHERE rank <= 3
         ORDER BY query_id, rank
+    """
+
+
+def _sql_ann_ivfpq() -> str:
+    """DuckDB replay of the IVF+PQ registry spine: the √N-sized Lloyd
+    training prefix (dynamic K in SQL) routes every query and yields the
+    final assignment; the tail is a per-cell member census — n_results
+    is min(PQ_TOPK, |probed cell|) because ADC scores every distinct
+    member of the probed cell (each vector's M codes all hit the
+    query's M×K table). The float-ADC interior is not SQL-replayable
+    (same as the PQ entries — M coupled Lloyd loops + float table
+    sums); its claims replay as pinned-TRUE literals and the numpy
+    replay pytest carries the exact neighbor-set check."""
+    return f"""{_sql_ivf_train_prefix(nprobe=1, k_sql=_sql_ivf_sqrt_k())},
+        cellsz AS (
+            SELECT cell, count(DISTINCT vec_id) AS n FROM fassign GROUP BY 1
+        )
+        SELECT b.query_id, b.best_cell,
+               CAST(least({PQ_TOPK}, coalesce(sz.n, 0)) AS INT) AS n_results,
+               CAST(1 AS INT) AS adc_err_ok,
+               CAST(1 AS INT) AS cells_ok
+        FROM qbest b LEFT JOIN cellsz sz ON b.best_cell = sz.cell
+        ORDER BY query_id
     """
 
 
@@ -2402,6 +2890,23 @@ ORACLE: dict[str, str] = {
     # the two-generation (bulk build + incremental append) index answers
     # bit-identically to the one-shot build — same full-Lloyd replay
     "ann_ivf_prebuilt_appended": _sql_ann_ivf_kmeans(),
+    # the √N-sized deployment geometry under the full value/hash gate:
+    # the SAME Lloyd replay with K computed dynamically in SQL (r17)
+    "ann_ivf_sqrt_prebuilt": _sql_ann_ivf_kmeans(
+        k_sql=_sql_ivf_sqrt_k(),
+        extra_cols=""",
+               CAST(1 AS INT) AS sized_ok""",
+    ),
+    # the retained grace generation answers identically to live after a
+    # row-preserving compaction — same replay + the claim pinned TRUE
+    "ann_ivf_prebuilt_snapshot": _sql_ann_ivf_kmeans(
+        extra_cols=""",
+               CAST(1 AS INT) AS snapshot_equals_live""",
+    ),
+    # IVF+PQ composition: exact routing/census spine from the dynamic-K
+    # replay; float-ADC claims pinned TRUE (numpy replay pytest carries
+    # the exact neighbor-set check, as for the PQ entries)
+    "ann_ivfpq_prebuilt": _sql_ann_ivfpq(),
     "embedding_near_dup_lsh": _sql_near_dup_lsh(),
     "ann_brute_force": f"""
         WITH long AS ({_SQL_LONG}),
@@ -2534,6 +3039,9 @@ QUERIES = {
     "ann_ivf_prebuilt": ann_ivf_prebuilt,
     "ann_ivf_prebuilt_nprobe": ann_ivf_prebuilt_nprobe,
     "ann_ivf_prebuilt_appended": ann_ivf_prebuilt_appended,
+    "ann_ivf_sqrt_prebuilt": ann_ivf_sqrt_prebuilt,
+    "ann_ivf_prebuilt_snapshot": ann_ivf_prebuilt_snapshot,
+    "ann_ivfpq_prebuilt": ann_ivfpq_prebuilt,
     # registry surface for the float-ADC path: replayable per-query spine
     # + pinned quantization-error / gain claims; the raw PQ plan stays
     # importable (bench would time it; numpy replay pytest pins it)

@@ -767,6 +767,43 @@ def list_generations(slot: str) -> list[dict]:
     return out
 
 
+def migrate_flat_slot(slot: str) -> str:
+    """Wrap a legacy FLAT index layout (pre-r15: index files at the slot
+    root, no manifest) into manifest-managed form IN PLACE: move the
+    slot's content into a claimed generation and atomically promote a
+    fresh manifest at it — bytes preserved, no rebuild, the marker moves
+    with the content so ``ensure_*`` still reads the index as current.
+    Returns the live generation path; a slot that is already
+    manifest-managed (or empty) is returned as-is via its resolved live
+    path. Needed by snapshot readers (r17): generation-level features
+    (grace-window time travel, atomic promotes) are meaningless on a
+    flat layout, and deriving the slot as dirname(live) walks to the
+    SCRATCH ROOT when live IS the flat slot. Runs under the writer
+    lease — the flat-dir lease lives at a sibling path, so it is not
+    part of the moved content."""
+    import shutil  # noqa: F401 — parity with sibling helpers
+
+    with slot_writer_lease(slot, "migrate_flat"):
+        if os.path.isfile(os.path.join(slot, INDEX_MANIFEST)):
+            live = resolve_generation(slot)
+            if live is not None and live != slot:
+                return live
+        live = resolve_generation(slot)
+        if live != slot:
+            return live if live is not None else slot
+        entries = [
+            e
+            for e in os.listdir(slot)
+            if e != INDEX_MANIFEST
+            and INDEX_LEASE not in e
+            and not (e.startswith("gen-") and e[4:].isdigit())
+        ]
+        gen = claim_new_generation(slot)
+        for e in entries:
+            os.rename(os.path.join(slot, e), os.path.join(gen, e))
+        return promote_generation(slot, gen)
+
+
 def snapshot_generation(slot: str) -> str | None:
     """Path of the retained NON-LIVE generation — the reader-grace
     window surfaced as a snapshot read (r16, VERDICT r15 task #7):
