@@ -348,6 +348,9 @@ def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FERT_VOCAB = 256    # closed word vocabulary: top-V by (count desc, term)
 FERT_PIECE_LEN = 4  # OOV fallback: character pieces of this length
+FERT_RANK_BUCKETS = 32  # per-hash-bucket prefilter width for the top-V
+# rank: the global single-partition window sees at most BUCKETS×V rows
+# (a constant), never the distinct vocabulary (r17)
 
 
 def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,20 +367,36 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     component from the word-length component.
 
     Scale shape: one (doc, term) explode with lang carried; the
-    vocabulary is a |vocab|-bounded aggregate + ONE vocab-sized window
-    (the tokenize_to_ids rank machinery — never a corpus-sized sort)
-    joined back by broadcast; the final aggregate is |languages|-keyed
-    with map-side combine. Integer piece counts ((len+P−1) div P) keep
-    every intermediate engine-exact; the two ratios floor-round to 6
-    decimals over exact BIGINT sums."""
+    vocabulary rank is TWO-LEVEL (r17, removing the last
+    single-partition window over an unbounded table — the
+    curriculum_pack_epochs prefix-sum idiom applied to top-V): a
+    per-hash-bucket row_number prefilters each bucket to its own top
+    FERT_VOCAB (any global top-V term is necessarily in its bucket's
+    top-V under the same total order), and only the ≤
+    FERT_RANK_BUCKETS·FERT_VOCAB survivors reach the global
+    single-partition rank — a CONSTANT-bounded set, never the distinct
+    vocabulary. Both levels order by the identical (count desc, term)
+    total order, so the selected vocabulary — and the DuckDB oracle —
+    are unchanged. The vocab joins back by broadcast; the final
+    aggregate is |languages|-keyed with map-side combine. Integer piece
+    counts ((len+P−1) div P) keep every intermediate engine-exact; the
+    two ratios floor-round to 6 decimals over exact BIGINT sums."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "lang", F.explode(_tokens(F.col("text"))).alias("term")
     )
     counts = words.groupBy("term").agg(F.count("*").alias("c"))
-    wv = W.orderBy(F.col("c").desc(), F.col("term"))
+    order = (F.col("c").desc(), F.col("term"))
+    wb = W.partitionBy("b").orderBy(*order)
+    wv = W.orderBy(*order)
     vocab = (
-        counts.select("term", F.row_number().over(wv).alias("r"))
+        counts.withColumn(
+            "b", F.pmod(F.xxhash64("term"), F.lit(FERT_RANK_BUCKETS))
+        )
+        .withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= FERT_VOCAB)  # bounded: ≤ buckets × V rows
+        .select("term", "c")
+        .withColumn("r", F.row_number().over(wv))
         .filter(F.col("r") <= FERT_VOCAB)
         .select("term")
         .withColumn("in_vocab", F.lit(True))
