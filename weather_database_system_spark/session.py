@@ -490,45 +490,68 @@ def _lease_age(lease: str) -> float:
     return time.time() - newest
 
 
-def _lease_takeover(lease: str, judged_ino: int) -> None:
+TAKEOVER_LOCK_TTL_S = 60.0  # a takeover lock is held for microseconds;
+# one older than this is a crashed taker's leak and is cleared
+
+
+def _lease_takeover(lease: str, judged_ino: int, ttl_s: float) -> None:
     """Atomically remove a STALE lease (ADVICE r16 #1): rmtree-ing the
     live lease path directly is a TOCTOU race — two waiters that both
     judged the same lease stale would each rmtree+mkdir, and the slower
     rmtree deletes the faster waiter's freshly created lease, leaving
-    two concurrent holders. Instead os.rename the lease ASIDE to a
-    unique name: rename is atomic, so exactly one renamer owns the
-    removed instance and the loser's rename raises (back to the wait
-    loop). ``judged_ino`` is the inode the caller's staleness stat saw;
-    if the renamed dir's inode differs, a successor's FRESH lease landed
-    at the path between the stat and the rename — undo by renaming it
-    back (retried briefly: the path can only be re-occupied by a third
-    waiter's mkdir in that window, and leases are held far longer than
-    the retry). The release path's inode guard makes even the
-    theoretical triple-race residue a lost lease for ONE holder rather
-    than a silent double-delete."""
+    two concurrent holders.
+
+    Takeovers therefore (1) SERIALIZE through a short-lived takeover
+    lock (mkdir of ``<lease>.__takeover_lock`` — one taker at a time;
+    losers return to the wait loop), and (2) RE-VERIFY under the lock
+    that the lease at the path is still the judged instance (same
+    inode), still past the TTL, and still owner-dead — only then is it
+    renamed aside (so a mid-delete lease never looks live) and removed.
+    The re-verify matters: a first-cut design renamed on the stale
+    observation alone and renamed back on an inode mismatch, but
+    between the wrongful rename and its undo the lease path was
+    momentarily FREE for a third waiter's mkdir — a live holder's lease
+    sat renamed aside while another writer acquired, the exact
+    double-holder the lease exists to prevent (caught by the r17
+    concurrency pin under full-suite load). Under the lock the only
+    concurrent mutation left is a release by the lease's owner — whom
+    the caller just verified dead on this host — so the remaining
+    residue is the cross-host case TTL takeover has always accepted
+    (and the heartbeat now mitigates). A leaked takeover lock (taker
+    crashed between mkdir and rmdir) clears after
+    TAKEOVER_LOCK_TTL_S."""
     import shutil
     import time
 
-    aside = f"{lease}.__takeover_{os.getpid()}_{time.monotonic_ns()}"
-    os.rename(lease, aside)  # OSError → caller retries the wait loop
+    tl = lease + ".__takeover_lock"
     try:
-        actual_ino = os.stat(aside).st_ino
+        os.mkdir(tl)
+    except FileExistsError:
+        try:
+            if time.time() - os.stat(tl).st_mtime > TAKEOVER_LOCK_TTL_S:
+                os.rmdir(tl)
+        except OSError:
+            pass
+        return
     except OSError:
         return
-    if actual_ino == judged_ino:
-        shutil.rmtree(aside, ignore_errors=True)
-        return
-    # renamed a successor's fresh lease — put it back
-    deadline = time.monotonic() + 5.0
-    while True:
+    try:
+        st = os.stat(lease)
+        if (
+            st.st_ino == judged_ino
+            and _lease_age(lease) > ttl_s
+            and not _lease_owner_alive(lease)
+        ):
+            aside = f"{lease}.__takeover_{os.getpid()}_{time.monotonic_ns()}"
+            os.rename(lease, aside)
+            shutil.rmtree(aside, ignore_errors=True)
+    except OSError:
+        pass  # released (or re-created fresh) between checks — nothing to do
+    finally:
         try:
-            os.rename(aside, lease)
-            return
+            os.rmdir(tl)
         except OSError:
-            if time.monotonic() >= deadline:
-                shutil.rmtree(aside, ignore_errors=True)
-                return
-            time.sleep(0.01)
+            pass
 
 
 def slot_writer_lease(path: str, purpose: str = "write",
@@ -601,10 +624,7 @@ def slot_writer_lease(path: str, purpose: str = "write",
                 except OSError:
                     continue  # holder released between mkdir and stat — retry
                 if age > ttl_s and not _lease_owner_alive(lease):
-                    try:
-                        _lease_takeover(lease, judged_ino)
-                    except OSError:
-                        pass  # another waiter won the takeover
+                    _lease_takeover(lease, judged_ino, ttl_s)
                     continue  # retry the mkdir either way
                 if time.monotonic() >= deadline:
                     raise SlotBusyError(
