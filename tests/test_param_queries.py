@@ -239,6 +239,78 @@ def test_pq_prebuilt_answers_arbitrary_query_vectors(spark):
     assert got_by_q == expect
 
 
+def test_ivfpq_prebuilt_answers_arbitrary_query_vectors(spark):
+    """Out-of-corpus query vectors through the STORED IVF+PQ index (r17)
+    must match a dense numpy replay of the composition's contract:
+    best_cell = argmin (d2, cell) over the stored centroids, neighbors =
+    ADC top-PQ_TOPK among ONLY that cell's stored codes (ties by
+    vec_id) — routing AND the asymmetric distance table both derive
+    from the raw caller vector, so vectors that exist nowhere in the
+    index are the normal case. The default (no queries_df) stays
+    bit-identical to the pinned registry form."""
+    from weather_database_system_spark.operators.similarity import (
+        PQ_M,
+        PQ_SUBDIM,
+        PQ_TOPK,
+        ann_ivfpq_query_prebuilt,
+        ensure_ivfpq_index,
+        read_ivf_centroids,
+    )
+
+    idx = ensure_ivfpq_index(spark, SF_SMOKE)
+    qdf = _perturbed_queries(spark, SF_SMOKE)
+    got = ann_ivfpq_query_prebuilt(
+        spark, SF_SMOKE, idx, queries_df=qdf
+    ).collect()
+    assert len(got) > 0
+
+    cents = {c: np.array(v) for c, v in read_ivf_centroids(spark, idx)}
+    books = {}
+    for r in spark.read.parquet(f"{idx}/codebooks").collect():
+        books[(int(r.m), int(r.code))] = np.array([float(v) for v in r.vals])
+    cell_of, codes = {}, {}
+    for r in (
+        spark.read.parquet(f"{idx}/codes")
+        .dropDuplicates(["vec_id", "m"])
+        .collect()
+    ):
+        cell_of[int(r.vec_id)] = int(r.cell)
+        codes.setdefault(int(r.vec_id), {})[int(r.m)] = int(r.code)
+
+    expect = {}
+    for q in qdf.collect():
+        qv = np.array(q.emb)
+        best = min((((qv - c) ** 2).sum(), cell) for cell, c in cents.items())[1]
+        adc = sorted(
+            (
+                sum(
+                    (
+                        (
+                            qv[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+                            - books[(m, codes[v][m])]
+                        )
+                        ** 2
+                    ).sum()
+                    for m in range(PQ_M)
+                ),
+                v,
+            )
+            for v, c in cell_of.items()
+            if c == best
+        )
+        expect[q.query_id] = [v for _, v in adc[:PQ_TOPK]]
+
+    got_by_q = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        got_by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert got_by_q == expect
+
+    # default == pinned registry form, bit-identical
+    assert _rows(ann_ivfpq_query_prebuilt(spark, SF_SMOKE, idx)) == _rows(
+        ann_ivfpq_query_prebuilt(spark, SF_SMOKE, idx, queries_df=None)
+    )
+
+
 def test_dedup_prebuilt_answers_arbitrary_batch(spark):
     """An arbitrary caller batch probed against the stored dedup index:
     an exact copy of an indexed doc verdicts exact_dup with the right

@@ -18,6 +18,11 @@ synthetic near-orthogonal embeddings recall is data-limited (the same
 corpus property the PQ recall pytest documents), so the shape of the
 curve, not its absolute height, is the result.
 
+r17 adds the IVF+PQ composition's operating points at the same nprobes:
+its recall stacks ADC quantization distortion on top of cell pruning
+(expect ≤ the float-re-rank sqrt rows at equal nprobe), while its probe
+scans only the probed cells' code rows.
+
 Usage:
   python tools/ivf_recall.py [--sf-dir /root/testdata/sf0.1]
       [--nprobes 1,2,4,8] [--cpus 32]
@@ -93,6 +98,31 @@ def main() -> int:
     rows = [measure(f"fixed K={k_fixed}", p_fixed, 1)]
     for n in (int(x) for x in args.nprobes.split(",")):
         rows.append(measure(f"sqrt K={k_sqrt}", p_sqrt, n))
+
+    # the IVF+PQ composition (r17): same routing geometry, but the
+    # re-rank runs on stored ADC codes instead of gathered raw floats —
+    # recall stacks the quantization distortion on top of cell pruning,
+    # probe cost drops to Σ|probed cells| code rows. Same warm protocol.
+    p_ivfpq = S.ensure_ivfpq_index(spark, args.sf_dir)
+    k_ivfpq = len(S.read_ivf_centroids(spark, p_ivfpq))
+
+    def measure_ivfpq(nprobe):
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows_ = S.ann_ivfpq_query_prebuilt(
+                spark, args.sf_dir, p_ivfpq, nprobe=nprobe
+            ).collect()
+            dt = time.perf_counter() - t0
+            release_persisted()
+        return {
+            "config": f"ivfpq K={k_ivfpq}",
+            "nprobe": nprobe,
+            "recall_at_3": round(_recall(_topk(rows_), truth), 3),
+            "probe_s_warm": round(dt, 2),
+        }
+
+    for n in (int(x) for x in args.nprobes.split(",")):
+        rows.append(measure_ivfpq(n))
 
     print("\n| config | nprobe | recall@3 | probe s (warm) |")
     print("|---|---|---|---|")
