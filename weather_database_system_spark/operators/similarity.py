@@ -1915,23 +1915,59 @@ def ann_ivfpq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs and is plan-pinned to ONE cell-pruned codes scan with no raw
     candidate floats."""
     path = ensure_ivfpq_index(spark, sf_dir)
+    return _ivfpq_checked(spark, sf_dir, path, nprobe=1)
+
+
+def ann_ivfpq_prebuilt_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall knob on the COMPOSED index (r17): NPROBE nearest √N
+    stored centroids per query, ADC over the UNION of those cells'
+    stored codes — the same dynamic partition pruning now keeps
+    nprobe/K directories instead of one. Same spine/claims surface as
+    ann_ivfpq_prebuilt minus best_cell (multi-probe has no single
+    routed cell); n_results = min(PQ_TOPK, |union of probed cells|) is
+    replayed exactly by the dynamic-K oracle's member census over the
+    widened routing CTE, and cells_ok verifies every returned
+    neighbor's independently recomputed cell lies IN the query's probed
+    set. Shares the stored build with ann_ivfpq_prebuilt
+    (ensure_ivfpq_index — one composed build per sweep)."""
+    path = ensure_ivfpq_index(spark, sf_dir)
+    return _ivfpq_checked(spark, sf_dir, path, nprobe=NPROBE)
+
+
+def _ivfpq_checked(
+    spark: SparkSession, sf_dir: str, path: str, nprobe: int
+) -> DataFrame:
+    """Spine + claims audit shared by the single- and multi-probe
+    IVF+PQ registry forms (the _pq_checked factoring): replayable
+    per-query result counts (plus best_cell when nprobe=1), ADC-error
+    bound, and candidates ⊆ probed cells — the neighbor's cell
+    RECOMPUTED from its raw embedding against the stored centroids,
+    not read back from the join that produced it."""
+    single = nprobe == 1
     top = track_persisted(
-        ann_ivfpq_query_prebuilt(spark, sf_dir, path).persist()
+        ann_ivfpq_query_prebuilt(spark, sf_dir, path, nprobe=nprobe).persist()
     )
     cents = read_ivf_centroids(spark, path)
 
     vecs = _emb_double(spark, sf_dir)
     q = vecs.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "emb")
-    qcells = _route_query_cells(spark, q, cents, 1)
+    qcells = _route_query_cells(spark, q, cents, nprobe)
 
     counts = top.groupBy("query_id").agg(
         F.count("*").cast("int").alias("n_results")
     )
+    spine_cols = (
+        ["query_id", "best_cell", "n_results"]
+        if single
+        else ["query_id", "n_results"]
+    )
     spine = (
-        qcells.join(counts, "query_id", "left")
+        qcells.select("query_id", *(["cell"] if single else []))
+        .dropDuplicates(["query_id"])
+        .join(counts, "query_id", "left")
         .select(
             "query_id",
-            F.col("cell").alias("best_cell"),
+            *([F.col("cell").alias("best_cell")] if single else []),
             F.coalesce(F.col("n_results"), F.lit(0)).cast("int").alias("n_results"),
         )
     )
@@ -1960,17 +1996,20 @@ def ann_ivfpq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cell_argmin_expr(cents, F.col("cemb")).alias("ncell"),
         )
     )
-    claims = pairs.agg(
-        (F.max(F.abs(F.col("adc_d2") - F.col("true_d2"))) <= F.lit(PQ_ADC_ERR_MAX))
-        .cast("int")
-        .alias("adc_err_ok"),
-        (F.sum((F.col("ncell") != F.col("cell")).cast("int")) == 0)
-        .cast("int")
-        .alias("cells_ok"),
+    # multi-probe duplicates each returned pair once per probed cell:
+    # the membership flag is max(ncell == cell) per pair, and the error
+    # audit dedups pairs before the max
+    per_pair = pairs.groupBy("query_id", "neighbor_id").agg(
+        F.max(F.abs(F.col("adc_d2") - F.col("true_d2"))).alias("err"),
+        F.max((F.col("ncell") == F.col("cell")).cast("int")).alias("in_probed"),
+    )
+    claims = per_pair.agg(
+        (F.max("err") <= F.lit(PQ_ADC_ERR_MAX)).cast("int").alias("adc_err_ok"),
+        (F.min("in_probed") == 1).cast("int").alias("cells_ok"),
     )
     return (
         spine.crossJoin(F.broadcast(claims))
-        .select("query_id", "best_cell", "n_results", "adc_err_ok", "cells_ok")
+        .select(*spine_cols, "adc_err_ok", "cells_ok")
         .orderBy("query_id")
     )
 
@@ -2762,17 +2801,20 @@ def _sql_ann_ivf_kmeans(
     """
 
 
-def _sql_ann_ivfpq() -> str:
+def _sql_ann_ivfpq(nprobe: int = 1) -> str:
     """DuckDB replay of the IVF+PQ registry spine: the √N-sized Lloyd
     training prefix (dynamic K in SQL) routes every query and yields the
     final assignment; the tail is a per-cell member census — n_results
-    is min(PQ_TOPK, |probed cell|) because ADC scores every distinct
-    member of the probed cell (each vector's M codes all hit the
-    query's M×K table). The float-ADC interior is not SQL-replayable
-    (same as the PQ entries — M coupled Lloyd loops + float table
-    sums); its claims replay as pinned-TRUE literals and the numpy
-    replay pytest carries the exact neighbor-set check."""
-    return f"""{_sql_ivf_train_prefix(nprobe=1, k_sql=_sql_ivf_sqrt_k())},
+    is min(PQ_TOPK, |probed cell(s)|) because ADC scores every distinct
+    member of the probed cell(s) (each vector's M codes all hit the
+    query's M×K table). ``nprobe`` widens the census from the single
+    best cell (with best_cell in the spine) to the distinct-member
+    UNION of the probed cells. The float-ADC interior is not
+    SQL-replayable (same as the PQ entries — M coupled Lloyd loops +
+    float table sums); its claims replay as pinned-TRUE literals and
+    the numpy replay pytests carry the exact neighbor-set check."""
+    if nprobe == 1:
+        return f"""{_sql_ivf_train_prefix(nprobe=1, k_sql=_sql_ivf_sqrt_k())},
         cellsz AS (
             SELECT cell, count(DISTINCT vec_id) AS n FROM fassign GROUP BY 1
         )
@@ -2781,6 +2823,22 @@ def _sql_ann_ivfpq() -> str:
                CAST(1 AS INT) AS adc_err_ok,
                CAST(1 AS INT) AS cells_ok
         FROM qbest b LEFT JOIN cellsz sz ON b.best_cell = sz.cell
+        ORDER BY query_id
+    """
+    return f"""{_sql_ivf_train_prefix(nprobe=nprobe, k_sql=_sql_ivf_sqrt_k())},
+        members AS (
+            SELECT DISTINCT b.query_id, m.vec_id
+            FROM qbest b JOIN fassign m ON m.cell = b.best_cell
+        ),
+        census AS (
+            SELECT query_id, count(*) AS n FROM members GROUP BY 1
+        )
+        SELECT qq.vec_id AS query_id,
+               CAST(least({PQ_TOPK}, coalesce(c.n, 0)) AS INT) AS n_results,
+               CAST(1 AS INT) AS adc_err_ok,
+               CAST(1 AS INT) AS cells_ok
+        FROM (SELECT DISTINCT vec_id FROM q) qq
+        LEFT JOIN census c ON qq.vec_id = c.query_id
         ORDER BY query_id
     """
 
@@ -2907,6 +2965,7 @@ ORACLE: dict[str, str] = {
     # replay; float-ADC claims pinned TRUE (numpy replay pytest carries
     # the exact neighbor-set check, as for the PQ entries)
     "ann_ivfpq_prebuilt": _sql_ann_ivfpq(),
+    "ann_ivfpq_prebuilt_nprobe": _sql_ann_ivfpq(nprobe=NPROBE),
     "embedding_near_dup_lsh": _sql_near_dup_lsh(),
     "ann_brute_force": f"""
         WITH long AS ({_SQL_LONG}),
@@ -3042,6 +3101,7 @@ QUERIES = {
     "ann_ivf_sqrt_prebuilt": ann_ivf_sqrt_prebuilt,
     "ann_ivf_prebuilt_snapshot": ann_ivf_prebuilt_snapshot,
     "ann_ivfpq_prebuilt": ann_ivfpq_prebuilt,
+    "ann_ivfpq_prebuilt_nprobe": ann_ivfpq_prebuilt_nprobe,
     # registry surface for the float-ADC path: replayable per-query spine
     # + pinned quantization-error / gain claims; the raw PQ plan stays
     # importable (bench would time it; numpy replay pytest pins it)
