@@ -3976,6 +3976,115 @@ def test_ivfpq_append_equals_rebuild_and_duplicate_safe(spark, tmp_path):
     assert got2 == clean
 
 
+def test_ivfpq_residual_matches_numpy_replay_and_append(spark, tmp_path):
+    """Residual-encoded IVF+PQ (r17, FAISS by_residual=true) grounded
+    against a dense numpy replay OVER THE STORED BYTES: route each
+    pinned query by argmin stored centroid, residualize the query
+    against THAT cell's centroid, ADC-score only that cell's stored
+    residual codes — exact neighbor-set equality. Then the lifecycle
+    pin: appending a batch (assign + residualize + encode against the
+    STORED state — all pure functions) answers queries identically to
+    a bulk build containing the union."""
+    import numpy as np
+
+    from weather_database_system_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_M,
+        PQ_SUBDIM,
+        PQ_TOPK,
+        _encode_cell_codes,
+        _with_residual,
+        _write_ivfpq_codes,
+        ann_ivfpq_residual_query_prebuilt,
+        append_ivfpq_residual_vectors,
+        build_ivfpq_residual_index,
+        read_ivf_centroids,
+        read_pq_books,
+    )
+    from weather_database_system_spark.operators.dedup import _emb_double
+    from weather_database_system_spark.sources.star import load_table
+
+    path = str(tmp_path / "ivfpq_res")
+    build_ivfpq_residual_index(spark, SF_SMOKE, path)
+    got = ann_ivfpq_residual_query_prebuilt(spark, SF_SMOKE, path).collect()
+    spark_top: dict[int, list] = {}
+    for r in got:
+        spark_top.setdefault(r.query_id, []).append(r.neighbor_id)
+
+    cents = {
+        int(r.cell): np.array([float(v) for v in r.emb])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    books = {
+        (int(r.m), int(r.code)): np.array([float(v) for v in r.vals])
+        for r in spark.read.parquet(f"{path}/codebooks").collect()
+    }
+    stored: dict[int, dict] = {}
+    cell_of: dict[int, int] = {}
+    for r in spark.read.parquet(f"{path}/codes").collect():
+        stored.setdefault(int(r.vec_id), {})[int(r.m)] = int(r.code)
+        cell_of[int(r.vec_id)] = int(r.cell)
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").collect()
+    X = {r.vec_id: np.array([float(v) for v in r.embedding]) for r in emb}
+
+    for qi in sorted(i for i in X if i < N_QUERIES):
+        best = min((((X[qi] - c) ** 2).sum(), k) for k, c in cents.items())[1]
+        rq = X[qi] - cents[best]  # residual query against the probed cell
+        adc = sorted(
+            (
+                sum(
+                    (
+                        (
+                            rq[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+                            - books[(m, stored[v][m])]
+                        )
+                        ** 2
+                    ).sum()
+                    for m in range(PQ_M)
+                ),
+                v,
+            )
+            for v, c in cell_of.items()
+            if c == best
+        )
+        assert spark_top[qi] == [v for _, v in adc[:PQ_TOPK]], qi
+
+    # append ≡ rebuild: base codes + appended batch == bulk codes, and
+    # query answers are unchanged
+    import os
+    import shutil
+
+    cand = _emb_double(spark, SF_SMOKE).select("vec_id", "emb").filter(
+        f"vec_id >= {N_QUERIES}"
+    )
+    appended = str(tmp_path / "ivfpq_res_appended")
+    os.makedirs(appended)
+    shutil.copytree(f"{path}/centroids", f"{appended}/centroids")
+    shutil.copytree(f"{path}/codebooks", f"{appended}/codebooks")
+    cents_l = read_ivf_centroids(spark, path)
+    books_l = read_pq_books(spark, path)
+    _write_ivfpq_codes(
+        _encode_cell_codes(
+            _with_residual(cand.filter("vec_id % 3 != 1"), cents_l), books_l
+        ),
+        appended,
+    )
+    append_ivfpq_residual_vectors(spark, cand.filter("vec_id % 3 = 1"), appended)
+    a = sorted(
+        tuple(r) for r in spark.read.parquet(f"{appended}/codes").collect()
+    )
+    b = sorted(tuple(r) for r in spark.read.parquet(f"{path}/codes").collect())
+    assert a == b
+    got2 = [
+        tuple(r)
+        for r in ann_ivfpq_residual_query_prebuilt(
+            spark, SF_SMOKE, appended
+        ).collect()
+    ]
+    assert got2 == [tuple(r) for r in got]
+
+
 def test_ivf_snapshot_immutable_under_diverging_append(spark, tmp_path, monkeypatch):
     """IVF twin of the bm25 snapshot-immutability pin (r17, the second
     family to surface grace-generation time travel): after the snapshot

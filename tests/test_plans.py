@@ -145,6 +145,8 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
         "ann_ivfpq_prebuilt",   # M·K stored codebook rows broadcast (ADC
                                 # qtable) + 1-row claims broadcast (r17)
         "ann_ivfpq_prebuilt_nprobe",  # same broadcasts, multi-probe (r17)
+        "ann_ivfpq_residual_prebuilt",  # same broadcasts, residual
+                                        # encoding (r17)
         "embedding_near_dup",   # exact baseline; REFUSES >MAX_EXACT_VECTORS
                                 # (test_extensions guard test) — LSH is the
                                 # canonical scale path

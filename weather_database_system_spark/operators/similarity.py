@@ -1670,20 +1670,15 @@ def ann_pq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVFPQ_INDEX_ALGO = 1  # bump on any training/encoding/layout change
 
 
-def _encode_ivfpq(
-    vecs: DataFrame,
-    cents: list[tuple[int, list[float]]],
-    books,
-) -> DataFrame:
-    """(cell, vec_id, m, code) rows: the routing cell comes from the
-    argmin projection in its OWN select below the Generate (one
-    evaluation per vector — the _lloyd_round barrier rationale) and all
-    M subspace codes unfold from one array-of-structs generator input
-    (the encode_pq_codes shape). Pure deterministic function of (emb,
-    stored centroids, stored books) — append ≡ bulk-encode of the union
-    exactly."""
-    assigned = _assign_cells(vecs.select("vec_id", "emb"), cents)
-    return assigned.select(
+def _encode_cell_codes(frame: DataFrame, books) -> DataFrame:
+    """(cell, vec_id, m, code) rows from a (vec_id, cell, emb) frame:
+    all M subspace codes unfold from one array-of-structs generator
+    input (the encode_pq_codes shape); the cell column — computed in
+    its own select below the Generate (the _lloyd_round barrier
+    rationale) — passes through. ``emb`` is whatever the caller
+    quantizes: raw vectors for the plain composition, residuals for
+    the by_residual form."""
+    return frame.select(
         "vec_id",
         "cell",
         F.explode(
@@ -1697,6 +1692,60 @@ def _encode_ivfpq(
         ).alias("mc"),
     ).select(
         "cell", "vec_id", F.col("mc.m").alias("m"), F.col("mc.code").alias("code")
+    )
+
+
+def _encode_ivfpq(
+    vecs: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    books,
+) -> DataFrame:
+    """(cell, vec_id, m, code) rows for the RAW-vector composition:
+    route with the stored centroids, encode the raw subvectors. Pure
+    deterministic function of (emb, stored centroids, stored books) —
+    append ≡ bulk-encode of the union exactly."""
+    return _encode_cell_codes(
+        _assign_cells(vecs.select("vec_id", "emb"), cents), books
+    )
+
+
+def _residual_from(ids, vals, emb_col, cell_col):
+    """emb − centroid[cell], the residual every IVFADC ``by_residual``
+    stage quantizes: the centroid is looked up by CELL ID through a map
+    literal/column (Lloyd can drop emptied cells, so positional
+    element_at over a dense array would mis-index)."""
+    return F.zip_with(
+        emb_col,
+        F.element_at(F.map_from_arrays(ids, vals), cell_col),
+        lambda a, b: a - b,
+    )
+
+
+def _with_residual(
+    vecs: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """(vec_id, cell, emb=residual) for a (vec_id, emb) frame: assign
+    each vector to its stored cell, then subtract that cell's centroid.
+    Past IVF_LITERAL_ROUTER_MAX cells the centroid map rides the 1-row
+    broadcast anchor instead of a Py4J literal (the routing
+    transport)."""
+    assigned = _assign_cells(vecs.select("vec_id", "emb"), cents)
+    cs = sorted(cents)
+    if len(cs) <= IVF_LITERAL_ROUTER_MAX:
+        ids = F.lit([c for c, _ in cs])
+        vals = F.lit([v for _, v in cs])
+        return assigned.select(
+            "vec_id",
+            "cell",
+            _residual_from(ids, vals, F.col("emb"), F.col("cell")).alias("emb"),
+        )
+    anchor = _centroid_row_of(vecs.sparkSession, cents)
+    return assigned.crossJoin(F.broadcast(anchor)).select(
+        "vec_id",
+        "cell",
+        _residual_from(
+            F.col("ids"), F.col("vals"), F.col("emb"), F.col("cell")
+        ).alias("emb"),
     )
 
 
@@ -1935,17 +1984,25 @@ def ann_ivfpq_prebuilt_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_checked(
-    spark: SparkSession, sf_dir: str, path: str, nprobe: int
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    nprobe: int,
+    query_fn=None,
 ) -> DataFrame:
-    """Spine + claims audit shared by the single- and multi-probe
-    IVF+PQ registry forms (the _pq_checked factoring): replayable
-    per-query result counts (plus best_cell when nprobe=1), ADC-error
-    bound, and candidates ⊆ probed cells — the neighbor's cell
-    RECOMPUTED from its raw embedding against the stored centroids,
-    not read back from the join that produced it."""
+    """Spine + claims audit shared by the single-/multi-probe and
+    raw-/residual-encoded IVF+PQ registry forms (the _pq_checked
+    factoring): replayable per-query result counts (plus best_cell when
+    nprobe=1), ADC-error bound, and candidates ⊆ probed cells — the
+    neighbor's cell RECOMPUTED from its raw embedding against the
+    stored centroids, not read back from the join that produced it.
+    ``query_fn`` selects the query half; both encodings approximate the
+    same exact ‖q−x‖², so one audit serves both."""
     single = nprobe == 1
+    if query_fn is None:
+        query_fn = ann_ivfpq_query_prebuilt
     top = track_persisted(
-        ann_ivfpq_query_prebuilt(spark, sf_dir, path, nprobe=nprobe).persist()
+        query_fn(spark, sf_dir, path, nprobe=nprobe).persist()
     )
     cents = read_ivf_centroids(spark, path)
 
@@ -2011,6 +2068,246 @@ def _ivfpq_checked(
         spine.crossJoin(F.broadcast(claims))
         .select(*spine_cols, "adc_err_ok", "cells_ok")
         .orderBy("query_id")
+    )
+
+
+# --- residual-encoded IVF+PQ (FAISS by_residual=true, the IndexIVFPQ
+# default): quantize x − centroid[cell(x)] instead of x. Residuals
+# concentrate around the origin (the coarse quantizer has absorbed the
+# cell's mean), so the same M×K codebook budget spends its codewords on
+# a tighter distribution — lower ADC distortion for identical index
+# bytes. The target metric is unchanged (‖(q−c) − (x−c)‖² ≡ ‖q−x‖²);
+# only the quantization grid moves. The query-side cost is one residual
+# projection per (query, probed cell) and a (query, cell)-keyed ADC
+# table — both still KB-scale broadcasts.
+
+IVFPQ_RES_ALGO = 1  # bump on any training/encoding/layout change
+
+
+def _pq_qtable_cells(qr: DataFrame, books) -> DataFrame:
+    """Per-(query, probed-cell) ADC tables over RESIDUAL query vectors:
+    the _pq_qtable expansion with the cell column carried through, so
+    the ADC join matches a candidate's codes against the table of ITS
+    cell's residual frame. ``qr`` carries (query_id, cell, emb) where
+    emb is the residual q − centroid[cell]."""
+    ms_l = F.lit([m for m in range(PQ_M) for _ in books[m]])
+    codes_l = F.lit([cell for m in range(PQ_M) for cell, _ in books[m]])
+    vals_l = F.lit([cvals for m in range(PQ_M) for _, cvals in books[m]])
+    return qr.select(
+        "query_id",
+        "cell",
+        F.explode(
+            F.transform(
+                ms_l,
+                lambda mm, i: F.named_struct(
+                    F.lit("m"), mm,
+                    F.lit("code"), F.element_at(codes_l, i + 1),
+                    F.lit("d2"),
+                    _l2_dec(
+                        F.slice(F.col("emb"), mm * PQ_SUBDIM + 1, PQ_SUBDIM),
+                        F.element_at(vals_l, i + 1),
+                    ).cast("double"),
+                ),
+            )
+        ).alias("e"),
+    ).select(
+        "query_id",
+        "cell",
+        F.col("e.m").alias("m"),
+        F.col("e.code").alias("code"),
+        F.col("e.d2").alias("d2"),
+    )
+
+
+def build_ivfpq_residual_index(
+    spark: SparkSession, sf_dir: str, path: str, k_cells: int | None = None
+) -> None:
+    """Build the residual-encoded IVF+PQ index ONCE: train the √N coarse
+    quantizer, compute every candidate's residual against its assigned
+    centroid, train the M codebooks ON THE RESIDUALS (same deterministic
+    batched Lloyd — init is the PQ_K lowest-vec_id residuals), and
+    persist centroids + residual codebooks + cell-partitioned residual
+    codes. Same layout as the raw composition; only what the codes MEAN
+    differs (recorded in the marker's by_residual field)."""
+    vecs = _emb_double(spark, sf_dir).select("vec_id", "emb")
+    cand = track_persisted(
+        vecs.filter(F.col("vec_id") >= N_QUERIES)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .persist()
+    )
+    if k_cells is None:
+        k_cells = ivf_cell_count(cand.count())
+    cents = train_ivf_centroids(cand, k_cells)
+    resid = track_persisted(_with_residual(cand, cents).persist())
+    books = train_pq_books(resid.select("vec_id", "emb"))
+    _write_ivf_centroids(spark, cents, path)
+    _write_pq_codebooks(spark, books, path)
+    _write_ivfpq_codes(_encode_cell_codes(resid, books), path)
+
+
+def ensure_ivfpq_residual_index(spark: SparkSession, sf_dir: str) -> str:
+    """Marker-gated build of the residual-composition slot (√N cells —
+    the same deployment geometry as the raw composition, its own slot
+    so the two encodings never rebuild over each other's marker)."""
+    from weather_database_system_spark.session import (
+        ensure_index,
+        scratch_path,
+        source_signature,
+    )
+
+    meta = {
+        "kind": "ivfpq_res_index",
+        "algo": IVFPQ_RES_ALGO,
+        "by_residual": True,
+        "k_cells": "sqrt",
+        "coef": IVF_CELL_COEF,
+        "iters": KMEANS_ITERS,
+        "pq_m": PQ_M,
+        "pq_subdim": PQ_SUBDIM,
+        "pq_k": PQ_K,
+        "n_queries": N_QUERIES,
+        "source": source_signature(sf_dir, "embeddings"),
+    }
+    return ensure_index(
+        scratch_path("ivfpq_res_index", sf_dir),
+        meta,
+        lambda gen: build_ivfpq_residual_index(spark, sf_dir, gen),
+    )
+
+
+def append_ivfpq_residual_vectors(
+    spark: SparkSession, vecs: DataFrame, path: str
+) -> None:
+    """Incremental add to the residual composition: assign, residualize
+    against the STORED centroids, encode with the STORED residual books
+    — all pure functions, so append ≡ rebuild exactly (the same
+    property as every other family; pytest-pinned) — and blind-append
+    under the writer lease with a chained marker."""
+    from weather_database_system_spark.session import (
+        append_index_marker,
+        slot_live,
+        slot_writer_lease,
+    )
+
+    with slot_writer_lease(path, "append_ivfpq_res"):
+        live = slot_live(path)
+        cents = read_ivf_centroids(spark, live)
+        books = read_pq_books(spark, live)
+        _write_ivfpq_codes(
+            _encode_cell_codes(
+                _with_residual(vecs.select("vec_id", "emb"), cents), books
+            ),
+            live,
+            mode="append",
+        )
+        append_index_marker(live)
+
+
+def ann_ivfpq_residual_query_prebuilt(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str | None = None,
+    nprobe: int = 1,
+    queries_df: DataFrame | None = None,
+) -> DataFrame:
+    """QUERY-ONLY half of residual IVF+PQ search: route via the stored
+    centroids (identical _route_query_cells expressions), compute the
+    query's RESIDUAL against each probed cell's centroid, and ADC-score
+    only the probed cells' stored residual codes — the join carries the
+    cell key so a candidate's codes always meet the table of its own
+    cell's residual frame. Same index-priced plan shape as the raw
+    composition: one cell-pruned codes scan, KB-scale broadcasts, raw
+    candidate floats nowhere."""
+    from weather_database_system_spark.session import scratch_path, slot_live
+
+    path = slot_live(
+        path if path is not None else scratch_path("ivfpq_res_index", sf_dir)
+    )
+    cents = read_ivf_centroids(spark, path)
+    books = read_pq_books(spark, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    if queries_df is None:
+        q = _emb_double(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).select(
+            "vec_id", "emb"
+        )
+    else:
+        q = queries_df.select(F.col("query_id").alias("vec_id"), "emb")
+    qcells = _route_query_cells(spark, q, cents, nprobe)
+    cs = sorted(cents)
+    qe = q.select(F.col("vec_id").alias("query_id"), "emb")
+    if len(cs) <= IVF_LITERAL_ROUTER_MAX:
+        qr = qcells.join(qe, "query_id").select(
+            "query_id",
+            "cell",
+            _residual_from(
+                F.lit([c for c, _ in cs]),
+                F.lit([v for _, v in cs]),
+                F.col("emb"),
+                F.col("cell"),
+            ).alias("emb"),
+        )
+    else:
+        qr = (
+            qcells.join(qe, "query_id")
+            .crossJoin(F.broadcast(_centroid_row_of(spark, cents)))
+            .select(
+                "query_id",
+                "cell",
+                _residual_from(
+                    F.col("ids"), F.col("vals"), F.col("emb"), F.col("cell")
+                ).alias("emb"),
+            )
+        )
+    qtable = _pq_qtable_cells(qr, books)
+    cand = (
+        F.broadcast(qcells)
+        .join(codes, "cell")
+        .select("query_id", "cell", "vec_id", "m", "code")
+        .dropDuplicates(["query_id", "vec_id", "m"])
+    )
+    adc = (
+        cand.join(F.broadcast(qtable), ["query_id", "cell", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    wk = W.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            _fr(F.col("adc_d2"), 6).alias("adc_d2"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_ivfpq_residual_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry surface of the RESIDUAL composition — the FAISS
+    IndexIVFPQ default (by_residual=true): residuals concentrate around
+    the origin on clustered real-world distributions, so the same
+    codebook budget quantizes a tighter grid. Spine and oracle are
+    IDENTICAL to ann_ivfpq_prebuilt (same coarse quantizer, same
+    routing, same member census — encoding changes what the codes
+    mean, not which vectors sit in which cell); claims audit shared
+    (_ivfpq_checked with this query half): adc_err_ok under the same
+    distortion bound and cells_ok against the independently recomputed
+    cell.
+
+    Honest measurement (r17, NOTES): on THIS corpus residual and raw
+    distortion are statistically indistinguishable (mean |adc−true|
+    0.67–0.73 vs 0.61–0.69 across SFs; max ≈1.2 vs the 3.0 pin) — the
+    synthetic embeddings are near-orthogonal, so cell centroids have
+    small norms and residual ≈ raw. The entry therefore proves the
+    by_residual MACHINERY (per-cell residual tables, residual-trained
+    books, the cell-keyed ADC join) under the full oracle gate rather
+    than a distortion win the data cannot exhibit; the numpy replay
+    pytest pins exact neighbor sets either way."""
+    path = ensure_ivfpq_residual_index(spark, sf_dir)
+    return _ivfpq_checked(
+        spark, sf_dir, path, nprobe=1, query_fn=ann_ivfpq_residual_query_prebuilt
     )
 
 
@@ -2966,6 +3263,10 @@ ORACLE: dict[str, str] = {
     # the exact neighbor-set check, as for the PQ entries)
     "ann_ivfpq_prebuilt": _sql_ann_ivfpq(),
     "ann_ivfpq_prebuilt_nprobe": _sql_ann_ivfpq(nprobe=NPROBE),
+    # residual encoding changes what the codes MEAN, not which vectors
+    # sit in which cell — routing and the member census are identical,
+    # so the same dynamic-K spine oracle replays the residual form
+    "ann_ivfpq_residual_prebuilt": _sql_ann_ivfpq(),
     "embedding_near_dup_lsh": _sql_near_dup_lsh(),
     "ann_brute_force": f"""
         WITH long AS ({_SQL_LONG}),
@@ -3102,6 +3403,7 @@ QUERIES = {
     "ann_ivf_prebuilt_snapshot": ann_ivf_prebuilt_snapshot,
     "ann_ivfpq_prebuilt": ann_ivfpq_prebuilt,
     "ann_ivfpq_prebuilt_nprobe": ann_ivfpq_prebuilt_nprobe,
+    "ann_ivfpq_residual_prebuilt": ann_ivfpq_residual_prebuilt,
     # registry surface for the float-ADC path: replayable per-query spine
     # + pinned quantization-error / gain claims; the raw PQ plan stays
     # importable (bench would time it; numpy replay pytest pins it)
