@@ -44,8 +44,12 @@ def main() -> int:
     from weather_database_system_spark.operators.similarity import (
         NPROBE,
         ann_ivf_query_prebuilt,
+        ann_ivfpq_query_prebuilt,
+        ann_ivfpq_residual_query_prebuilt,
         ann_pq_query_prebuilt,
         ensure_ivf_index,
+        ensure_ivfpq_index,
+        ensure_ivfpq_residual_index,
         ensure_pq_index,
     )
     from weather_database_system_spark.operators.textan import (
@@ -59,7 +63,8 @@ def main() -> int:
         ensure_contamination_index,
     )
 
-    def answers(spark, tri_path, ivf_path, ddp_path, pq_path, bm_path, ct_path):
+    def answers(spark, tri_path, ivf_path, ddp_path, pq_path, bm_path, ct_path,
+                ipq_path, ipr_path):
         return {
             "tri": [tuple(r) for r in trigram_query_prebuilt(spark, sf_dir, tri_path).collect()],
             "ivf1": [tuple(r) for r in ann_ivf_query_prebuilt(spark, sf_dir, ivf_path, 1).collect()],
@@ -67,6 +72,10 @@ def main() -> int:
             "ddp": [tuple(r) for r in dedup_against_index_prebuilt(spark, sf_dir, ddp_path).collect()],
             "pq": [tuple(r) for r in ann_pq_query_prebuilt(spark, sf_dir, pq_path).collect()],
             "bm25": [tuple(r) for r in bm25_query_prebuilt(spark, sf_dir, bm_path).collect()],
+            # the r17 composition, both encodings: a cold session routes
+            # and ADC-scores from nothing but centroid/codebook/code bytes
+            "ivfpq": [tuple(r) for r in ann_ivfpq_query_prebuilt(spark, sf_dir, ipq_path).collect()],
+            "ivfpq_res": [tuple(r) for r in ann_ivfpq_residual_query_prebuilt(spark, sf_dir, ipr_path).collect()],
             # the deployment story for the r16 parameterization: a cold
             # session answers the USER's OWN (non-pinned) query from
             # nothing but the stored index bytes
@@ -87,13 +96,17 @@ def main() -> int:
     pq_path = ensure_pq_index(spark, sf_dir)
     bm_path = ensure_bm25_index(spark, sf_dir)
     ct_path = ensure_contamination_index(spark, sf_dir)
-    warm = answers(spark, tri_path, ivf_path, ddp_path, pq_path, bm_path, ct_path)
+    ipq_path = ensure_ivfpq_index(spark, sf_dir)
+    ipr_path = ensure_ivfpq_residual_index(spark, sf_dir)
+    warm = answers(spark, tri_path, ivf_path, ddp_path, pq_path, bm_path,
+                   ct_path, ipq_path, ipr_path)
     spark.stop()
 
     # --- session B: cold, query-only ------------------------------------
     spark = fresh_session()
     spark.sparkContext.setLogLevel("ERROR")
-    cold = answers(spark, tri_path, ivf_path, ddp_path, pq_path, bm_path, ct_path)
+    cold = answers(spark, tri_path, ivf_path, ddp_path, pq_path, bm_path,
+                   ct_path, ipq_path, ipr_path)
     spark.stop()
 
     ok = True

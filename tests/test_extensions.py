@@ -3605,10 +3605,11 @@ def test_cold_session_index_reads(tmp_path):
         timeout=300,
     )
     assert res.returncode == 0, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr[-2000:]}"
-    # 7 pinned registry reads (all SIX stored families, IVF twice) +
-    # 2 USER-query reads (r16: a cold session answers an arbitrary
-    # non-pinned needle/term set from index bytes)
-    assert res.stdout.count("cold == warm") == 9, res.stdout
+    # 9 pinned registry reads (all six stored families + the r17 IVF+PQ
+    # composition in both encodings, IVF twice) + 2 USER-query reads
+    # (r16: a cold session answers an arbitrary non-pinned needle/term
+    # set from index bytes)
+    assert res.stdout.count("cold == warm") == 11, res.stdout
 
 
 def test_dedup_index_append_equals_rebuild(spark, tmp_path):

@@ -864,6 +864,90 @@ def test_streaming_ivf_index_maintenance(spark, tmp_path):
     assert spark.read.parquet(f"{streamed}/assignments").count() == len(got)
 
 
+def test_streaming_ivfpq_index_maintenance(spark, tmp_path):
+    """STREAMING maintenance of the composed IVF+PQ index (r17,
+    completing the family-grade lifecycle): coarse quantizer and
+    codebooks train ONCE on the base corpus; new vectors arrive as
+    micro-batches and each foreachBatch routes + encodes them against
+    the STORED state and blind-appends into the cell directories via
+    append_ivfpq_vectors. Asserts the streamed code store equals a bulk
+    encode of the union (routing and encoding are pure functions of the
+    stored state), queries answer identically, and an availableNow
+    restart from the same checkpoint appends nothing twice."""
+    from weather_database_system_spark.operators.dedup import _emb_double
+    from weather_database_system_spark.operators.similarity import (
+        N_QUERIES,
+        _assign_cells,
+        _encode_cell_codes,
+        _write_ivf_centroids,
+        _write_ivfpq_codes,
+        _write_pq_codebooks,
+        append_ivfpq_vectors,
+        ann_ivfpq_query_prebuilt,
+        read_pq_books,
+        train_ivf_centroids,
+        train_pq_books,
+    )
+
+    vecs = _emb_double(spark, SF_SMOKE).select("vec_id", "emb")
+    cand = vecs.filter(f"vec_id >= {N_QUERIES}")
+    base, arriving = cand.filter("vec_id % 3 != 0"), cand.filter("vec_id % 3 = 0")
+    cents = train_ivf_centroids(base)
+    books = train_pq_books(base)
+
+    streamed = str(tmp_path / "ivfpq_streamed")
+    _write_ivf_centroids(spark, cents, streamed)
+    _write_pq_codebooks(spark, books, streamed)
+    _write_ivfpq_codes(_encode_cell_codes(_assign_cells(base, cents), books), streamed)
+
+    src = str(tmp_path / "vec_src")
+    arriving.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def handle(batch_df, batch_id):
+        append_ivfpq_vectors(batch_df.sparkSession, batch_df, streamed)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", str(tmp_path / "ckpt_ivfpq"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run()
+
+    bulk = str(tmp_path / "ivfpq_bulk")
+    _write_ivf_centroids(spark, cents, bulk)
+    _write_pq_codebooks(spark, books, bulk)
+    _write_ivfpq_codes(_encode_cell_codes(_assign_cells(cand, cents), books), bulk)
+
+    assert read_pq_books(spark, streamed) == read_pq_books(spark, bulk)
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(f"{streamed}/codes").collect()
+    )
+    want = sorted(
+        tuple(r) for r in spark.read.parquet(f"{bulk}/codes").collect()
+    )
+    assert got == want and len(got) > 0
+    ans_streamed = [
+        tuple(r)
+        for r in ann_ivfpq_query_prebuilt(spark, SF_SMOKE, streamed).collect()
+    ]
+    ans_bulk = [
+        tuple(r) for r in ann_ivfpq_query_prebuilt(spark, SF_SMOKE, bulk).collect()
+    ]
+    assert ans_streamed == ans_bulk and len(ans_streamed) > 0
+    # restart from the same checkpoint: drained stream, zero re-appends
+    run()
+    assert spark.read.parquet(f"{streamed}/codes").count() == len(got)
+
+
 def test_streaming_dedup_index_maintenance(spark, tmp_path):
     """STREAMING maintenance of the stored dedup index: ingested docs
     arrive as micro-batches and each foreachBatch blind-appends its
