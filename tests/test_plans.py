@@ -142,6 +142,14 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
                                    # (the salted-join claim idiom, r16)
         "ann_ivf_prebuilt_snapshot",  # same 1-row snapshot==live claims
                                       # broadcast, IVF family (r17)
+        # r17: snapshot reads generalized to every stored family — each
+        # crossJoins the same 1-row snapshot==live claims broadcast
+        # (plus the family's own sanctioned KB-scale broadcasts)
+        "trigram_prebuilt_snapshot",
+        "dedup_prebuilt_snapshot",
+        "ann_pq_prebuilt_snapshot",
+        "ann_ivfpq_prebuilt_snapshot",
+        "contamination_prebuilt_snapshot",
         "ann_ivfpq_prebuilt",   # M·K stored codebook rows broadcast (ADC
                                 # qtable) + 1-row claims broadcast (r17)
         "ann_ivfpq_prebuilt_nprobe",  # same broadcasts, multi-probe (r17)

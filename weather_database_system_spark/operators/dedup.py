@@ -1033,6 +1033,48 @@ def dedup_against_index_prebuilt(
     )
 
 
+def dedup_prebuilt_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT read of the stored dedup index (r17 — snapshot reads
+    generalized to every stored family via
+    session.ensure_snapshot_state): the arriving batch probes the
+    RETAINED pre-compaction generation, answering as of the previous
+    promote, with the engine-decided ``snapshot_equals_live`` claim
+    pinned TRUE by the row-preserving compaction. The nullable
+    matched_doc_id is coalesced to a sentinel for the claim's
+    anti-joins (plain column equality treats NULL ≠ NULL, which would
+    flag every 'unique' row as divergent). Same in-query oracle +
+    claim."""
+    from weather_database_system_spark.session import (
+        ensure_snapshot_state,
+        scratch_path,
+        slot_live,
+        snapshot_equals_live_claim,
+    )
+
+    ensure_dedup_index(spark, sf_dir)
+    slot = scratch_path("dedup_index", sf_dir)
+    snap = ensure_snapshot_state(slot, lambda s: compact_dedup_index(spark, s))
+    out = ["doc_id", "status", "matched_doc_id"]
+
+    def _nullsafe(df):
+        return df.select(
+            "doc_id",
+            "status",
+            F.coalesce("matched_doc_id", F.lit(-1)).alias("m_ns"),
+        )
+
+    snap_df = dedup_against_index_prebuilt(spark, sf_dir, snap)
+    live_df = dedup_against_index_prebuilt(spark, sf_dir, slot_live(slot))
+    claims = snapshot_equals_live_claim(
+        _nullsafe(snap_df), _nullsafe(live_df), ["doc_id", "status", "m_ns"]
+    )
+    return (
+        snap_df.crossJoin(F.broadcast(claims))
+        .select(*out, "snapshot_equals_live")
+        .orderBy("doc_id")
+    )
+
+
 def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting + local clustering coefficient (Watts-Strogatz)
     over the near-dup similarity graph: per document, its degree, the
@@ -2206,6 +2248,13 @@ ORACLE["dedup_minhash_lsh_fast"] = f"""
 # digests + band signatures; the identical in-query-form oracle proves the
 # index round-trip (build -> append -> parquet -> probe) loses nothing
 ORACLE["dedup_against_index_prebuilt"] = ORACLE["dedup_against_index"]
+# snapshot read of the retained generation (r17): row-preserving
+# compaction ⇒ the same oracle + the claim pinned TRUE
+ORACLE["dedup_prebuilt_snapshot"] = (
+    "SELECT *, 1 AS snapshot_equals_live FROM ("
+    + ORACLE["dedup_against_index"]
+    + ") dedup_snapshot_base"
+)
 
 QUERIES = {
     "dedup_exact": dedup_exact,
@@ -2228,6 +2277,7 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "dedup_against_index": dedup_against_index,
     "dedup_against_index_prebuilt": dedup_against_index_prebuilt,
+    "dedup_prebuilt_snapshot": dedup_prebuilt_snapshot,
     "graph_clustering_coeff": graph_clustering_coeff,
     "embedding_near_dup": embedding_near_dup,
 }

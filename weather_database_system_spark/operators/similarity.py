@@ -2311,6 +2311,77 @@ def ann_ivfpq_residual_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_pq_prebuilt_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT read of the stored PQ index (r17 — snapshot reads
+    generalized to every stored family): the ADC query answers from the
+    RETAINED pre-compaction generation, wrapped in the same replayable
+    spine + claims as ann_pq_prebuilt (_pq_checked), plus the
+    engine-decided ``snapshot_equals_live`` claim over the raw ADC
+    outputs — pinned TRUE by the row-preserving compaction."""
+    from weather_database_system_spark.session import (
+        ensure_snapshot_state,
+        scratch_path,
+        slot_live,
+        snapshot_equals_live_claim,
+    )
+
+    ensure_pq_index(spark, sf_dir)
+    slot = scratch_path("pq_index", sf_dir)
+    snap = ensure_snapshot_state(slot, lambda s: compact_pq_codes(spark, s))
+    snap_raw = ann_pq_query_prebuilt(spark, sf_dir, snap)
+    live_raw = ann_pq_query_prebuilt(spark, sf_dir, slot_live(slot))
+    on = ["query_id", "rank", "neighbor_id", "adc_d2"]
+    claims = snapshot_equals_live_claim(snap_raw, live_raw, on)
+    return (
+        _pq_checked(spark, sf_dir, ann_pq_query_prebuilt(spark, sf_dir, snap))
+        .crossJoin(F.broadcast(claims))
+        .select(
+            "query_id",
+            "n_results",
+            "adc_err_ok",
+            "pq_gain_ok",
+            "snapshot_equals_live",
+        )
+        .orderBy("query_id")
+    )
+
+
+def ann_ivfpq_prebuilt_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT read of the composed IVF+PQ index (r17): cell-partitioned
+    code directories mutate under appends, so reading the retained
+    generation answers exactly as of the previous promote — same spine +
+    claims as ann_ivfpq_prebuilt (_ivfpq_checked over the snapshot path)
+    plus the engine-decided ``snapshot_equals_live`` claim over the raw
+    ADC outputs, pinned TRUE by the row-preserving compaction."""
+    from weather_database_system_spark.session import (
+        ensure_snapshot_state,
+        scratch_path,
+        slot_live,
+        snapshot_equals_live_claim,
+    )
+
+    ensure_ivfpq_index(spark, sf_dir)
+    slot = scratch_path("ivfpq_index", sf_dir)
+    snap = ensure_snapshot_state(slot, lambda s: compact_ivfpq_codes(spark, s))
+    snap_raw = ann_ivfpq_query_prebuilt(spark, sf_dir, snap)
+    live_raw = ann_ivfpq_query_prebuilt(spark, sf_dir, slot_live(slot))
+    on = ["query_id", "rank", "neighbor_id", "adc_d2"]
+    claims = snapshot_equals_live_claim(snap_raw, live_raw, on)
+    return (
+        _ivfpq_checked(spark, sf_dir, snap, nprobe=1)
+        .crossJoin(F.broadcast(claims))
+        .select(
+            "query_id",
+            "best_cell",
+            "n_results",
+            "adc_err_ok",
+            "cells_ok",
+            "snapshot_equals_live",
+        )
+        .orderBy("query_id")
+    )
+
+
 def ann_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized brute-force scoring via mapInPandas: queries are collected
     once (tiny, bounded by N_QUERIES), broadcast into each Arrow batch, and
@@ -3267,6 +3338,13 @@ ORACLE: dict[str, str] = {
     # sit in which cell — routing and the member census are identical,
     # so the same dynamic-K spine oracle replays the residual form
     "ann_ivfpq_residual_prebuilt": _sql_ann_ivfpq(),
+    # snapshot reads of the retained generation (r17): row-preserving
+    # compaction ⇒ the family oracle + the claim pinned TRUE
+    "ann_ivfpq_prebuilt_snapshot": (
+        "SELECT *, 1 AS snapshot_equals_live FROM ("
+        + _sql_ann_ivfpq()
+        + ") ivfpq_snapshot_base"
+    ),
     "embedding_near_dup_lsh": _sql_near_dup_lsh(),
     "ann_brute_force": f"""
         WITH long AS ({_SQL_LONG}),
@@ -3390,6 +3468,13 @@ ORACLE["ann_product_quantization"] = f"""
 # training on the full candidate sample, pure-function encoding), so the
 # same spine+claims oracle replays it
 ORACLE["ann_pq_prebuilt"] = ORACLE["ann_product_quantization"]
+# snapshot read of the retained generation (r17): row-preserving
+# compaction ⇒ the same spine oracle + the claim pinned TRUE
+ORACLE["ann_pq_prebuilt_snapshot"] = (
+    "SELECT *, 1 AS snapshot_equals_live FROM ("
+    + ORACLE["ann_product_quantization"]
+    + ") pq_snapshot_base"
+)
 
 QUERIES = {
     "ann_brute_force": ann_brute_force,
@@ -3409,6 +3494,8 @@ QUERIES = {
     # importable (bench would time it; numpy replay pytest pins it)
     "ann_product_quantization": ann_product_quantization_checked,
     "ann_pq_prebuilt": ann_pq_prebuilt,
+    "ann_pq_prebuilt_snapshot": ann_pq_prebuilt_snapshot,
+    "ann_ivfpq_prebuilt_snapshot": ann_ivfpq_prebuilt_snapshot,
     "semdedup_prune": semdedup_prune,
     "ann_bruteforce_pandas": ann_bruteforce_pandas,  # oracle shared w/ brute_force
     "ann_lsh_hyperplane": ann_lsh_hyperplane,

@@ -1412,6 +1412,35 @@ def trigram_query_prebuilt(
     return _verify_contains(docs, cand, needle)
 
 
+def trigram_prebuilt_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT read of the stored trigram posting index (r17 —
+    snapshot reads generalized from the bm25/IVF pair to EVERY stored
+    family via session.ensure_snapshot_state): the grace generation
+    answers the pinned search as of the previous promote, with the
+    engine-decided ``snapshot_equals_live`` claim pinned TRUE by the
+    row-preserving compaction; same unindexed-LIKE oracle + claim."""
+    from weather_database_system_spark.session import (
+        ensure_snapshot_state,
+        slot_live,
+        snapshot_equals_live_claim,
+    )
+
+    ensure_trigram_postings(spark, sf_dir)
+    slot = _trigram_index_path(sf_dir)
+    snap = ensure_snapshot_state(
+        slot, lambda s: compact_trigram_postings(spark, s)
+    )
+    snap_df = trigram_query_prebuilt(spark, sf_dir, snap)
+    live_df = trigram_query_prebuilt(spark, sf_dir, slot_live(slot))
+    on = ["doc_id", "lang", "first_pos", "n_occurrences"]
+    claims = snapshot_equals_live_claim(snap_df, live_df, on)
+    return (
+        snap_df.crossJoin(F.broadcast(claims))
+        .select(*on, "snapshot_equals_live")
+        .orderBy("doc_id")
+    )
+
+
 _SQL_TOKS = "SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents"
 
 ORACLE: dict[str, str] = {
@@ -1779,10 +1808,18 @@ ORACLE["bm25_prebuilt_snapshot"] = (
     + ORACLE["bm25_search"]
     + ") bm25_snapshot_base"
 )
+# same generalization for the trigram family (r17): snapshot read of the
+# retained generation, row-preserving compaction ⇒ claim pinned TRUE
+ORACLE["trigram_prebuilt_snapshot"] = (
+    "SELECT *, 1 AS snapshot_equals_live FROM ("
+    + ORACLE["trigram_search_prebuilt"]
+    + ") trigram_snapshot_base"
+)
 
 QUERIES = {
     "trigram_index_search": trigram_index_search,
     "trigram_search_prebuilt": trigram_search_prebuilt,
+    "trigram_prebuilt_snapshot": trigram_prebuilt_snapshot,
     "heavy_hitters_cms": heavy_hitters_cms,
     "heavy_hitters_cms_stream": heavy_hitters_cms_stream,
     "pmi_collocations": pmi_collocations,

@@ -607,6 +607,38 @@ def contamination_against_index_prebuilt(
     return contamination_query_prebuilt(spark, sf_dir, path)
 
 
+def contamination_prebuilt_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT read of the stored eval-fingerprint index (r17 —
+    snapshot reads generalized to every stored family): the training
+    batch is screened against the RETAINED pre-compaction generation —
+    the audit-grade shape: a decontamination report can be re-derived
+    against the exact index state a training run screened with, even
+    after later suites were appended and compacted. Engine-decided
+    ``snapshot_equals_live`` claim pinned TRUE by the row-preserving
+    compaction; same full-replay oracle + claim."""
+    from weather_database_system_spark.session import (
+        ensure_snapshot_state,
+        scratch_path,
+        slot_live,
+        snapshot_equals_live_claim,
+    )
+
+    ensure_contamination_index(spark, sf_dir)
+    slot = scratch_path("contamination_index", sf_dir)
+    snap = ensure_snapshot_state(
+        slot, lambda s: compact_contamination_index(spark, s)
+    )
+    snap_df = contamination_query_prebuilt(spark, sf_dir, snap)
+    live_df = contamination_query_prebuilt(spark, sf_dir, slot_live(slot))
+    on = ["doc_id", "n_shared_ngrams", "n_eval_docs_hit", "first_eval_doc"]
+    claims = snapshot_equals_live_claim(snap_df, live_df, on)
+    return (
+        snap_df.crossJoin(F.broadcast(claims))
+        .select(*on, "snapshot_equals_live")
+        .orderBy("doc_id")
+    )
+
+
 def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture audit + reweighting (The Pile's per-set epochs /
     DoReMi's domain weights, as a table): per source domain, doc and token
@@ -1869,6 +1901,13 @@ ORACLE: dict[str, str] = {
 ORACLE["contamination_against_index_prebuilt"] = ORACLE[
     "contamination_eval_overlap"
 ]
+# snapshot read of the retained generation (r17): row-preserving
+# compaction ⇒ the same oracle + the claim pinned TRUE
+ORACLE["contamination_prebuilt_snapshot"] = (
+    "SELECT *, 1 AS snapshot_equals_live FROM ("
+    + ORACLE["contamination_eval_overlap"]
+    + ") contam_snapshot_base"
+)
 
 ORACLE["tokenizer_fertility"] = f"""
     WITH d AS ({_SQL_TOKS}),
@@ -1919,6 +1958,7 @@ QUERIES = {
     "pii_redaction": pii_redaction,
     "contamination_eval_overlap": contamination_eval_overlap,
     "contamination_against_index_prebuilt": contamination_against_index_prebuilt,
+    "contamination_prebuilt_snapshot": contamination_prebuilt_snapshot,
     "tokenizer_fertility": tokenizer_fertility,
     "duplicate_span_extraction": duplicate_span_extraction,
 }

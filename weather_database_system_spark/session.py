@@ -845,6 +845,44 @@ def snapshot_generation(slot: str) -> str | None:
     return None
 
 
+def ensure_snapshot_state(slot: str, compact) -> str:
+    """Two-generation snapshot state for an index slot, created ONCE
+    through the REAL maintenance path (r17 — generalizing the
+    bm25/IVF snapshot entries to every family): migrate a legacy flat
+    layout into manifest form in place, run ONE row-preserving
+    compaction if no retained snapshot exists (gated, so repeat calls
+    and sweeps reuse the state), and return the snapshot generation
+    path. ``compact`` is the family's compact_* taking the slot path."""
+    migrate_flat_slot(slot)
+    if snapshot_generation(slot) is None:
+        compact(slot)
+    snap = snapshot_generation(slot)
+    if snap is None:
+        raise RuntimeError(f"no snapshot generation after compaction of {slot!r}")
+    return snap
+
+
+def snapshot_equals_live_claim(snap_df, live_df, on: list[str]):
+    """1-row engine-decided claim frame (``snapshot_equals_live``): the
+    snapshot query output equals the live one — anti-joined BOTH ways
+    over the full output columns, the salted-join claim idiom
+    (bm25_prebuilt_snapshot is the r16 template). Row-preserving
+    compaction guarantees the claim TRUE; the oracle pins it."""
+    from pyspark.sql import functions as F
+
+    a_sl = snap_df.join(live_df, on, "left_anti").agg(
+        F.count("*").alias("n_only_snap")
+    )
+    a_ls = live_df.join(snap_df, on, "left_anti").agg(
+        F.count("*").alias("n_only_live")
+    )
+    return a_sl.crossJoin(F.broadcast(a_ls)).select(
+        ((F.col("n_only_snap") == 0) & (F.col("n_only_live") == 0))
+        .cast("int")
+        .alias("snapshot_equals_live")
+    )
+
+
 def index_catalog(scratch: str | None = None) -> list[dict]:
     """Inventory of every stored-index slot under the scratch root (the
     ops surface for the five index families): slot name, index kind +
