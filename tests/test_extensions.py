@@ -3977,6 +3977,38 @@ def test_ivfpq_append_equals_rebuild_and_duplicate_safe(spark, tmp_path):
     assert got2 == clean
 
 
+def test_pq_qtable_twins_stay_in_lockstep(spark):
+    """_pq_qtable_cells is a deliberate twin of _pq_qtable (it adds the
+    per-probed-cell passthrough the residual composition's ADC join
+    keys on); the two ~30-line expansion bodies must stay in lockstep
+    or the residual path would silently score with a stale formula.
+    Lock them together on real data: with a constant cell column, the
+    cells variant must emit exactly the base variant's (query_id, m,
+    code, d2) rows."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.dedup import _emb_double
+    from weather_database_system_spark.operators.similarity import (
+        N_QUERIES,
+        _pq_qtable,
+        _pq_qtable_cells,
+        train_pq_books,
+    )
+
+    vecs = _emb_double(spark, SF_SMOKE).select("vec_id", "emb")
+    books = train_pq_books(
+        vecs.filter(f"vec_id >= {N_QUERIES}").repartition(8, "vec_id").persist()
+    )
+    q = vecs.filter(f"vec_id < {N_QUERIES}").select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    base = sorted(tuple(r) for r in _pq_qtable(q, books).collect())
+    withc = _pq_qtable_cells(q.withColumn("cell", F.lit(7)), books).collect()
+    assert all(r.cell == 7 for r in withc)
+    got = sorted((r.query_id, r.m, r.code, r.d2) for r in withc)
+    assert got == base and len(got) > 0
+
+
 def test_ivfpq_residual_matches_numpy_replay_and_append(spark, tmp_path):
     """Residual-encoded IVF+PQ (r17, FAISS by_residual=true) grounded
     against a dense numpy replay OVER THE STORED BYTES: route each

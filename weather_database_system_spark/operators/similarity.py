@@ -1084,8 +1084,17 @@ def ann_ivf_sqrt_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: extension surface; cf. FAISS nlist guidance."""
     path = ensure_ivf_index(spark, sf_dir, k_cells=None)
     cents = read_ivf_centroids(spark, path)
+    # the sizing audit reads INDEX bytes, not the corpus (review r17 —
+    # a per-call corpus count() taxed every replay of a query advertised
+    # as index-priced): the stored assignment table's own distinct
+    # vector population must size K per the rule, which also makes the
+    # claim a stored-state consistency check rather than a rebuild of
+    # build-time input
     n_cand = (
-        _emb_double(spark, sf_dir).filter(F.col("vec_id") >= N_QUERIES).count()
+        spark.read.parquet(f"{path}/assignments")
+        .select("vec_id")
+        .distinct()
+        .count()
     )
     sized_ok = int(len(cents) == ivf_cell_count(n_cand))
     return (
@@ -1122,35 +1131,25 @@ def ann_ivf_prebuilt_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     immutability under a post-snapshot append that diverges live is
     pytest-pinned for the family lifecycle."""
     from weather_database_system_spark.session import (
-        migrate_flat_slot,
+        ensure_snapshot_state,
         scratch_path,
         slot_live,
-        snapshot_generation,
+        snapshot_equals_live_claim,
     )
 
     ensure_ivf_index(spark, sf_dir)
     slot = scratch_path("ivf_index", sf_dir)
-    # a pre-manifest flat layout has no generations to snapshot — wrap
-    # it into gen-0001 in place (bytes preserved, marker carried, no
-    # retrain); manifest-managed slots pass through untouched
-    migrate_flat_slot(slot)
-    if snapshot_generation(slot) is None:
-        compact_ivf_assignments(spark, slot)
-    snap = snapshot_generation(slot)
+    snap = ensure_snapshot_state(
+        slot, lambda s: compact_ivf_assignments(spark, s)
+    )
     snap_df = ann_ivf_query_prebuilt(spark, sf_dir, snap, nprobe=1)
     live_df = ann_ivf_query_prebuilt(spark, sf_dir, slot_live(slot), nprobe=1)
+    # cosine is safe in the claim key: the dot products accumulate in
+    # DECIMAL (order-independent), so identical generation content gives
+    # bit-identical cosines regardless of file layout — unlike the
+    # float-summed adc_d2 the PQ-family snapshots must exclude
     on = ["query_id", "best_cell", "rank", "neighbor_id", "cosine"]
-    a_sl = snap_df.join(live_df, on, "left_anti").agg(
-        F.count("*").alias("n_only_snap")
-    )
-    a_ls = live_df.join(snap_df, on, "left_anti").agg(
-        F.count("*").alias("n_only_live")
-    )
-    claims = a_sl.crossJoin(F.broadcast(a_ls)).select(
-        ((F.col("n_only_snap") == 0) & (F.col("n_only_live") == 0))
-        .cast("int")
-        .alias("snapshot_equals_live")
-    )
+    claims = snapshot_equals_live_claim(snap_df, live_df, on)
     return (
         snap_df.crossJoin(F.broadcast(claims))
         .select(*on, "snapshot_equals_live")
@@ -1989,6 +1988,7 @@ def _ivfpq_checked(
     path: str,
     nprobe: int,
     query_fn=None,
+    top_df: DataFrame | None = None,
 ) -> DataFrame:
     """Spine + claims audit shared by the single-/multi-probe and
     raw-/residual-encoded IVF+PQ registry forms (the _pq_checked
@@ -1997,12 +1997,18 @@ def _ivfpq_checked(
     neighbor's cell RECOMPUTED from its raw embedding against the
     stored centroids, not read back from the join that produced it.
     ``query_fn`` selects the query half; both encodings approximate the
-    same exact ‖q−x‖², so one audit serves both."""
+    same exact ‖q−x‖², so one audit serves both. ``top_df`` lets a
+    caller that already built (and will reuse) the query frame share
+    ONE persisted plan instead of constructing a second."""
     single = nprobe == 1
     if query_fn is None:
         query_fn = ann_ivfpq_query_prebuilt
     top = track_persisted(
-        query_fn(spark, sf_dir, path, nprobe=nprobe).persist()
+        (
+            top_df
+            if top_df is not None
+            else query_fn(spark, sf_dir, path, nprobe=nprobe)
+        ).persist()
     )
     cents = read_ivf_centroids(spark, path)
 
@@ -2328,13 +2334,21 @@ def ann_pq_prebuilt_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_pq_index(spark, sf_dir)
     slot = scratch_path("pq_index", sf_dir)
     snap = ensure_snapshot_state(slot, lambda s: compact_pq_codes(spark, s))
+    # ONE snapshot query feeds both the claim and the checked spine
+    # (persisted inside _pq_checked); the claim joins on the DISCRETE
+    # columns only — adc_d2 is a float sum whose partial-aggregation
+    # order can differ between the two generations' file layouts by an
+    # ulp, and an ulp at a 1e-6 rounding boundary would flip the
+    # pinned-TRUE claim (review r17)
     snap_raw = ann_pq_query_prebuilt(spark, sf_dir, snap)
+    checked = _pq_checked(spark, sf_dir, snap_raw)
     live_raw = ann_pq_query_prebuilt(spark, sf_dir, slot_live(slot))
-    on = ["query_id", "rank", "neighbor_id", "adc_d2"]
-    claims = snapshot_equals_live_claim(snap_raw, live_raw, on)
+    on = ["query_id", "rank", "neighbor_id"]
+    claims = snapshot_equals_live_claim(
+        snap_raw.select(*on), live_raw.select(*on), on
+    )
     return (
-        _pq_checked(spark, sf_dir, ann_pq_query_prebuilt(spark, sf_dir, snap))
-        .crossJoin(F.broadcast(claims))
+        checked.crossJoin(F.broadcast(claims))
         .select(
             "query_id",
             "n_results",
@@ -2363,13 +2377,18 @@ def ann_ivfpq_prebuilt_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_ivfpq_index(spark, sf_dir)
     slot = scratch_path("ivfpq_index", sf_dir)
     snap = ensure_snapshot_state(slot, lambda s: compact_ivfpq_codes(spark, s))
+    # one snapshot query shared by claim and spine; claim on DISCRETE
+    # columns only (the adc_d2 float-sum/layout caveat — see
+    # ann_pq_prebuilt_snapshot)
     snap_raw = ann_ivfpq_query_prebuilt(spark, sf_dir, snap)
+    checked = _ivfpq_checked(spark, sf_dir, snap, nprobe=1, top_df=snap_raw)
     live_raw = ann_ivfpq_query_prebuilt(spark, sf_dir, slot_live(slot))
-    on = ["query_id", "rank", "neighbor_id", "adc_d2"]
-    claims = snapshot_equals_live_claim(snap_raw, live_raw, on)
+    on = ["query_id", "rank", "neighbor_id"]
+    claims = snapshot_equals_live_claim(
+        snap_raw.select(*on), live_raw.select(*on), on
+    )
     return (
-        _ivfpq_checked(spark, sf_dir, snap, nprobe=1)
-        .crossJoin(F.broadcast(claims))
+        checked.crossJoin(F.broadcast(claims))
         .select(
             "query_id",
             "best_cell",

@@ -646,7 +646,14 @@ def slot_writer_lease(path: str, purpose: str = "write",
                     with open(hb, "w", encoding="utf-8") as fh:
                         fh.write(str(time.time()))
                 except OSError:
-                    return  # lease removed under us — nothing to beat
+                    # exit only if the lease is actually GONE; a
+                    # transient write failure (EIO/ESTALE/ENOSPC on
+                    # shared storage) must not silently disable the
+                    # beacon for the rest of a long write — that is
+                    # exactly when a short TTL would let a remote
+                    # waiter steal the lease mid-write
+                    if not os.path.isdir(lease):
+                        return
 
         beater = threading.Thread(
             target=_beat, name=f"wdss-lease-heartbeat:{root}", daemon=True
@@ -818,6 +825,12 @@ def migrate_flat_slot(slot: str) -> str:
             and INDEX_LEASE not in e
             and not (e.startswith("gen-") and e[4:].isdigit())
         ]
+        # the MARKER moves LAST: a crash mid-migration must leave the
+        # claimed generation UNSTAMPED (resolve_generation → None →
+        # ensure rebuilds), never a stamped-but-partial generation that
+        # manifest-loss recovery would serve and index_is_current would
+        # endorse forever
+        entries.sort(key=lambda e: e == INDEX_MARKER)
         gen = claim_new_generation(slot)
         for e in entries:
             os.rename(os.path.join(slot, e), os.path.join(gen, e))
