@@ -249,6 +249,10 @@ def test_cli_index_ops_inventory_and_sweep(tmp_path, capsys):
     assert code == 0
     assert out["swept"]["half_built_index"] == ["gen-0001"]
     assert not (orphan / "gen-0001").is_dir()
+    # the printed inventory reflects POST-sweep state (ADVICE r17 #4): a
+    # cron reading this document must not see live=None rows for slots
+    # the same document says were just reclaimed
+    assert "half_built_index" not in {s["slot"] for s in out["slots"]}
 
     # --check reads every parquet FOOTER (pyarrow, still no Spark): a
     # marker certifies the build happened, the footer walk certifies the

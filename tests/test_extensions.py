@@ -4691,6 +4691,278 @@ def test_lease_takeover_atomic_and_heartbeat(tmp_path):
     shutil.rmtree(stolen, ignore_errors=True)
 
 
+def test_lease_path_recomputed_across_migration(tmp_path):
+    """ADVICE r17 #1: the lease PATH moves when a flat slot migrates to
+    manifest form (sibling '<slot>._WDSS_LEASE' → in-slot
+    '<slot>/_WDSS_LEASE'). A waiter that computed the sibling path
+    before the migration must not acquire it afterwards — it would hold
+    a lease no newer writer contends on (two holders on one slot). Pins:
+    (1) a waiter blocked on the sibling lease re-resolves after the
+    migration and acquires the IN-SLOT lease; (2) while it holds, a
+    second writer contends (SlotBusyError) and no sibling lease dir
+    exists — single-holder preserved across the path transition."""
+    import json
+    import os
+    import threading
+    import time
+
+    import pytest as _pytest
+
+    from weather_database_system_spark.session import (
+        INDEX_LEASE,
+        INDEX_MANIFEST,
+        SlotBusyError,
+        _lease_dir,
+        slot_writer_lease,
+        write_index_marker,
+    )
+
+    slot = str(tmp_path / "flatslot")
+    os.makedirs(slot)
+    with open(os.path.join(slot, "data.parquet"), "w", encoding="utf-8") as fh:
+        fh.write("x")
+    write_index_marker(slot, {"kind": "t", "algo": 1})
+    sibling = slot + "." + INDEX_LEASE
+    assert _lease_dir(slot) == sibling  # flat → sibling path
+
+    acquired = threading.Event()
+    release = threading.Event()
+    got: dict = {}
+
+    def waiter() -> None:
+        with slot_writer_lease(slot, "late-waiter", wait_s=30):
+            got["lease"] = _lease_dir(slot)
+            acquired.set()
+            release.wait(30)
+
+    # hold the SIBLING lease so the waiter loops on the pre-migration path
+    with slot_writer_lease(slot, "pre-migration-holder"):
+        t = threading.Thread(target=waiter)
+        t.start()
+        time.sleep(0.3)  # waiter observes the sibling lease and polls
+        # migrate IN PLACE while holding the writer lease (what
+        # migrate_flat_slot does; inlined because the lease is ours)
+        gen = os.path.join(slot, "gen-0001")
+        os.makedirs(gen)
+        for e in list(os.listdir(slot)):
+            if e != "gen-0001" and INDEX_LEASE not in e:
+                os.rename(os.path.join(slot, e), os.path.join(gen, e))
+        with open(os.path.join(slot, INDEX_MANIFEST), "w",
+                  encoding="utf-8") as fh:
+            json.dump({"generation": "gen-0001"}, fh)
+    # release → the waiter's NEXT retry must recompute the lease path
+    assert acquired.wait(10)
+    try:
+        assert got["lease"] == os.path.join(slot, INDEX_LEASE)
+        assert os.path.isdir(got["lease"])
+        assert not os.path.isdir(sibling)  # no stale sibling holder
+        with _pytest.raises(SlotBusyError):
+            with slot_writer_lease(slot, "contender", wait_s=0.3):
+                pass
+    finally:
+        release.set()
+        t.join(10)
+    assert not os.path.isdir(os.path.join(slot, INDEX_LEASE))  # released
+
+
+def test_promote_fencing_rejects_taken_over_writer(tmp_path):
+    """r18 fencing tokens (VERDICT r17 task #4): a writer paused
+    pre-promote whose lease was TTL-taken-over must get its promote
+    REJECTED once the successor has published, not silently clobber the
+    successor's generation. Pins: (1) the zombie's promote raises
+    FencedWriterError and the manifest still points at the successor's
+    generation; (2) fences are strictly monotonic across acquisitions
+    and the published fence rides the manifest; (3) an UNFENCED promote
+    (ensure-build path, no lease) still works and carries the published
+    fence forward unchanged."""
+    import json
+    import os
+    import subprocess
+    import threading
+    import time
+
+    import pytest as _pytest
+
+    from weather_database_system_spark.session import (
+        INDEX_LEASE,
+        INDEX_MANIFEST,
+        FencedWriterError,
+        claim_new_generation,
+        promote_generation,
+        resolve_generation,
+        slot_writer_lease,
+        write_index_marker,
+    )
+
+    slot = str(tmp_path / "slot")
+    g1 = os.path.join(slot, "gen-0001")
+    os.makedirs(g1)
+    write_index_marker(g1, {"kind": "t", "algo": 1})
+    with open(os.path.join(slot, INDEX_MANIFEST), "w", encoding="utf-8") as fh:
+        json.dump({"generation": "gen-0001"}, fh)
+    lease_dir = os.path.join(slot, INDEX_LEASE)
+
+    zombie_holding = threading.Event()
+    takeover_done = threading.Event()
+    outcome: dict = {}
+
+    def zombie() -> None:
+        # heartbeat_s huge: after the initial beat the beacon never
+        # re-touches, so back-dating below makes the lease takeover-able
+        try:
+            with slot_writer_lease(slot, "zombie", ttl_s=0.5,
+                                   heartbeat_s=3600):
+                gen = claim_new_generation(slot)
+                write_index_marker(gen, {"kind": "t", "algo": 1})
+                outcome["zombie_gen"] = gen
+                zombie_holding.set()
+                takeover_done.wait(30)  # paused pre-promote
+                try:
+                    promote_generation(slot, gen)
+                    outcome["promoted"] = True
+                except FencedWriterError as exc:
+                    outcome["promoted"] = False
+                    outcome["err"] = str(exc)
+        except BaseException as exc:  # noqa: BLE001 — surfaced below
+            outcome["crash"] = exc
+            zombie_holding.set()
+
+    t = threading.Thread(target=zombie)
+    t.start()
+    assert zombie_holding.wait(10) and "crash" not in outcome
+
+    # manufacture the crash signature: owner pid dead, every life signal
+    # (acquisition mtime + heartbeat) far past the TTL
+    child = subprocess.Popen(["true"])
+    child.wait()
+    with open(os.path.join(lease_dir, "owner.json"), "w",
+              encoding="utf-8") as fh:
+        json.dump({"pid": child.pid, "purpose": "zombie"}, fh)
+    old = time.time() - 7200
+    os.utime(os.path.join(lease_dir, "heartbeat"), (old, old))
+    os.utime(lease_dir, (old, old))
+
+    # successor takes over, builds, and PUBLISHES
+    with slot_writer_lease(slot, "successor", wait_s=10, ttl_s=0.5):
+        with open(os.path.join(lease_dir, "owner.json"),
+                  encoding="utf-8") as fh:
+            successor_fence = json.load(fh)["fence"]
+        gen2 = claim_new_generation(slot)
+        write_index_marker(gen2, {"kind": "t", "algo": 1})
+        promote_generation(slot, gen2)
+    with open(os.path.join(slot, INDEX_MANIFEST), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    assert manifest["fence"] == successor_fence  # publish carries fence
+    assert successor_fence >= 2  # strictly after the zombie's
+
+    # the zombie wakes and tries to publish its stale work
+    takeover_done.set()
+    t.join(30)
+    assert outcome["promoted"] is False
+    assert "fence" in outcome["err"]
+    assert resolve_generation(slot) == os.path.join(
+        slot, manifest["generation"]
+    )  # successor's publish survived
+
+    # (3) an unfenced promote (no lease — the ensure-build path) is
+    # allowed and carries the published fence forward unchanged
+    g4 = claim_new_generation(slot)
+    write_index_marker(g4, {"kind": "t", "algo": 2})
+    promote_generation(slot, g4)
+    with open(os.path.join(slot, INDEX_MANIFEST), encoding="utf-8") as fh:
+        m2 = json.load(fh)
+    assert m2["generation"] == os.path.basename(g4)
+    assert m2["fence"] == manifest["fence"]
+
+    # fence counter recovery: lose the counter file — the next lease
+    # re-derives monotonicity from the manifest's published fence
+    from weather_database_system_spark.session import INDEX_FENCE
+
+    os.remove(os.path.join(slot, INDEX_FENCE))
+    with slot_writer_lease(slot, "post-loss"):
+        with open(os.path.join(lease_dir, "owner.json"),
+                  encoding="utf-8") as fh:
+            assert json.load(fh)["fence"] == manifest["fence"] + 1
+
+
+def test_ensure_snapshot_state_meta_gate_and_require(tmp_path):
+    """ensure_snapshot_state hardening (ADVICE r17 #2 + VERDICT r17 task
+    #5). Pins: (1) a retained generation whose marker meta does NOT
+    match the live generation's (the live index was rebuilt over a
+    source/algo change) is never served as the snapshot — the compaction
+    re-runs and mints a snapshot of the CURRENT lineage; (2) a
+    lineage-matching snapshot is reused without compacting (gated); (3)
+    require=True raises SnapshotMissingError on a miss instead of
+    mutating the slot — the serving-side contract."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from weather_database_system_spark.session import (
+        INDEX_MANIFEST,
+        SnapshotMissingError,
+        claim_new_generation,
+        ensure_snapshot_state,
+        promote_generation,
+        read_index_marker,
+        snapshot_generation,
+        write_index_marker,
+    )
+
+    slot = str(tmp_path / "slot")
+    meta_a = {"kind": "t", "algo": 1, "source": "v1"}
+    g1 = os.path.join(slot, "gen-0001")
+    os.makedirs(g1)
+    write_index_marker(g1, meta_a)
+    with open(os.path.join(slot, INDEX_MANIFEST), "w", encoding="utf-8") as fh:
+        json.dump({"generation": "gen-0001"}, fh)
+
+    calls = {"n": 0}
+
+    def compact(s: str) -> None:
+        # row-preserving stand-in: new generation, marker carried from
+        # the live one (what every family's compact_* does)
+        calls["n"] += 1
+        from weather_database_system_spark.session import resolve_generation
+
+        live = resolve_generation(s)
+        gen = claim_new_generation(s)
+        meta, _ = read_index_marker(live)
+        write_index_marker(gen, meta)
+        promote_generation(s, gen)
+
+    # (3) serving mode on a snapshot-less slot: raise, do not compact
+    with _pytest.raises(SnapshotMissingError):
+        ensure_snapshot_state(slot, compact, require=True)
+    assert calls["n"] == 0 and snapshot_generation(slot) is None
+
+    # manufacturing default: one compaction mints the snapshot …
+    snap = ensure_snapshot_state(slot, compact)
+    assert calls["n"] == 1 and snap == g1
+    # … and repeat calls (and require=True now) reuse it without another
+    assert ensure_snapshot_state(slot, compact) == g1
+    assert ensure_snapshot_state(slot, compact, require=True) == g1
+    assert calls["n"] == 1
+
+    # (1) the live index is REBUILT under a new meta (source changed):
+    # the retained pre-rebuild generation no longer matches the live
+    # lineage and must NOT be served as the snapshot
+    meta_b = {"kind": "t", "algo": 1, "source": "v2"}
+    g3 = claim_new_generation(slot)
+    write_index_marker(g3, meta_b)
+    promote_generation(slot, g3)  # prunes g1; g2 (meta_a) is retained
+    stale = snapshot_generation(slot)
+    assert stale is not None
+    assert read_index_marker(stale)[0] == meta_a  # the trap ADVICE names
+    with _pytest.raises(SnapshotMissingError):
+        ensure_snapshot_state(slot, compact, require=True)
+    snap2 = ensure_snapshot_state(slot, compact)
+    assert calls["n"] == 2  # re-minted through the compaction
+    assert read_index_marker(snap2)[0] == meta_b  # current lineage
+    assert snapshot_generation(slot) == snap2
+
+
 def test_flat_dir_lease_survives_compaction(tmp_path):
     """ADVICE r16 #2: for a flat (non-manifest) directory the lease must
     live OUTSIDE the directory being compacted — the in-place swap_dir

@@ -219,6 +219,11 @@ def _cmd_index_ops(args: argparse.Namespace) -> int:
             )
             if removed:
                 swept[row["slot"]] = removed
+        # Re-inventory AFTER the sweep (ADVICE r17 #4): the printed
+        # catalog must describe post-sweep state — a cron reading the
+        # JSON would otherwise see n_generations / live=None rows for
+        # slots the same document says were just reclaimed.
+        catalog = index_catalog(root)
     bad = 0
     if args.check:
         from weather_database_system_spark.session import (

@@ -204,10 +204,14 @@ def append_index_marker(path: str, note: dict | None = None) -> None:
 
     ``note`` is recorded verbatim in the append event (batch ids, row
     counts — whatever the ingest loop knows); a wall-clock stamp is
-    added for ops traceability. Chaining onto an unstamped generation
-    records ``base: null`` (the ensure-build flow appends into a claimed
-    generation BEFORE stamping it; the final full-lifecycle stamp then
-    overwrites this)."""
+    added for ops traceability, and when the caller's thread holds the
+    slot's writer lease the event also records the lease's FENCE number
+    (r18 — publish provenance: a post-mortem can tell which lease
+    instance wrote each append; rejection of lower-fenced publishes is
+    enforced at promote_generation, the pointer write). Chaining onto an
+    unstamped generation records ``base: null`` (the ensure-build flow
+    appends into a claimed generation BEFORE stamping it; the final
+    full-lifecycle stamp then overwrites this)."""
     import json
     import time
 
@@ -221,7 +225,12 @@ def append_index_marker(path: str, note: dict | None = None) -> None:
         base, appends = cur["base"], list(cur["appends"])
     else:
         base, appends = cur, []
-    appends.append({"at_ns": time.time_ns(), **(note or {})})
+    fence = _held_fence(path)
+    appends.append(
+        {"at_ns": time.time_ns()}
+        | ({"fence": fence} if fence is not None else {})
+        | (note or {})
+    )
     tmp = marker + ".tmp"
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump({"base": base, "appends": appends}, fh, sort_keys=True)
@@ -410,11 +419,103 @@ def claim_new_generation(slot: str) -> str:
 
 
 INDEX_LEASE = "_WDSS_LEASE"  # underscore prefix: invisible to Spark readers
+INDEX_FENCE = "_WDSS_FENCE.json"  # per-slot fence counter (see fencing below)
 
 
 class SlotBusyError(RuntimeError):
     """Another writer holds the slot's lease and the bounded wait
     expired — the fail-loud half of the single-writer mechanism."""
+
+
+class FencedWriterError(RuntimeError):
+    """A lease holder whose lease was taken over (TTL + heartbeat both
+    expired — e.g. a long storage partition) tried to PUBLISH after a
+    higher-fenced successor already had: the promote is rejected instead
+    of silently clobbering the successor's generation (r18, VERDICT r17
+    task #4 — the fencing-token belt for the one residue TTL takeover
+    has always accepted)."""
+
+
+# --- write fencing (r18) ----------------------------------------------------
+#
+# The lease + heartbeat close every same-host and most cross-host races,
+# but one residue remained (documented since r17): two hosts that BOTH
+# pass the TTL+heartbeat gate during a storage partition each believe
+# they hold the lease, and nothing on the DATA path distinguished their
+# writes. The standard fix is a fencing token (Gray/Lampson lease
+# literature; ZooKeeper/Chubby practice): every lease acquisition draws
+# a strictly monotonic FENCE NUMBER from a per-slot counter (acquisition
+# is serialized by the lease mkdir itself, and the counter recovers from
+# the manifest's last published fence if the counter file is lost), the
+# holder's publishes carry it, and a publish whose fence is LOWER than
+# the newest already-published fence is rejected. Guarantee: once a
+# higher-fenced writer has PUBLISHED, no lower-fenced (taken-over)
+# writer can clobber it — promote raises FencedWriterError. It does not
+# serialize unpublished work (that is the lease's job); it fences the
+# zombie's late publish, which is exactly the data-loss case.
+#
+# Plumbing: the held fence is recorded per (thread, lease root) — a
+# writer is a thread of control, and promote/append run in the thread
+# that holds the lease — so no operator-facing signature changes.
+# Unfenced promotes (ensure_* builds, serialized by
+# claim_new_generation, which never take the lease) keep today's
+# last-promote-wins semantics and carry the manifest's fence forward
+# unchanged.
+
+_HELD_FENCES: dict[tuple[int, str], int] = {}
+
+
+def _fence_file(root: str) -> str:
+    """The fence counter's path: inside a manifest-managed slot (stable
+    across promotes, like the lease), a SIBLING for a flat directory
+    (the same rationale as _lease_dir: in-place compaction swaps the
+    flat dir away and back, and slot metadata must not ride along)."""
+    if os.path.isfile(os.path.join(root, INDEX_MANIFEST)):
+        return os.path.join(root, INDEX_FENCE)
+    return root.rstrip("/") + "." + INDEX_FENCE
+
+
+def _manifest_fence(slot: str) -> int:
+    """The newest PUBLISHED fence: the fence field of the slot's
+    manifest (0 when absent/unfenced — legacy manifests parse fine)."""
+    import json
+
+    try:
+        with open(os.path.join(slot, INDEX_MANIFEST), encoding="utf-8") as fh:
+            v = json.load(fh).get("fence")
+        return int(v) if v is not None else 0
+    except (OSError, ValueError, TypeError):
+        return 0
+
+
+def _draw_fence(root: str) -> int:
+    """Next fence number for a freshly acquired lease on ``root``:
+    max(counter file, manifest's published fence) + 1 — the manifest
+    half makes counter-file loss (or the flat→manifest migration seam,
+    where the counter moves from the sibling path to the in-slot path)
+    recover monotonicity from the last publish."""
+    import json
+
+    ff = _fence_file(root)
+    try:
+        with open(ff, encoding="utf-8") as fh:
+            cur = int(json.load(fh)["fence"])
+    except (OSError, ValueError, TypeError, KeyError):
+        cur = 0
+    fence = max(cur, _manifest_fence(root)) + 1
+    tmp = ff + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"fence": fence}, fh)
+    os.replace(tmp, ff)
+    return fence
+
+
+def _held_fence(path: str) -> int | None:
+    """The fence this THREAD holds for the slot owning ``path`` (None
+    when the caller is not inside a slot_writer_lease — ensure builds)."""
+    import threading
+
+    return _HELD_FENCES.get((threading.get_ident(), _lease_root(path)))
 
 
 def _lease_owner_alive(lease: str) -> bool:
@@ -516,9 +617,11 @@ def _lease_takeover(lease: str, judged_ino: int, ttl_s: float) -> None:
     concurrency pin under full-suite load). Under the lock the only
     concurrent mutation left is a release by the lease's owner — whom
     the caller just verified dead on this host — so the remaining
-    residue is the cross-host case TTL takeover has always accepted
-    (and the heartbeat now mitigates). A leaked takeover lock (taker
-    crashed between mkdir and rmdir) clears after
+    residue is the cross-host case TTL takeover has always accepted —
+    mitigated by the heartbeat, and since r18 FENCED on the data path:
+    a taken-over writer's late promote is rejected by its stale fence
+    number (see the fencing block above promote_generation). A leaked
+    takeover lock (taker crashed between mkdir and rmdir) clears after
     TAKEOVER_LOCK_TTL_S."""
     import shutil
     import time
@@ -610,12 +713,28 @@ def slot_writer_lease(path: str, purpose: str = "write",
     @contextlib.contextmanager
     def _ctx():
         root = _lease_root(path)
-        lease = _lease_dir(path)
         os.makedirs(root, exist_ok=True)  # also creates the lease's parent
         deadline = time.monotonic() + wait_s
         while True:
+            # recomputed EVERY iteration (ADVICE r17 #1): across a
+            # migrate_flat_slot transition the lease path moves from the
+            # sibling '<slot>._WDSS_LEASE' to the in-slot
+            # '<slot>/_WDSS_LEASE' — a waiter that kept the pre-migration
+            # sibling path could acquire it while a newer writer holds
+            # the in-slot lease: two holders on one slot
+            lease = _lease_dir(path)
             try:
                 os.mkdir(lease)
+                # re-verify AFTER the claim: if the slot became
+                # manifest-managed between computing the path and the
+                # mkdir, we hold the wrong (sibling) lease — nothing has
+                # been written under it yet, so release and retry. Until
+                # this check passes the claim guards nothing and no
+                # writes happen, so the transient wrong-path dir is
+                # benign.
+                if _lease_dir(path) != lease:
+                    os.rmdir(lease)
+                    continue
                 break
             except FileExistsError:
                 try:
@@ -637,6 +756,12 @@ def slot_writer_lease(path: str, purpose: str = "write",
                 # deadline check above, not by this interval
                 time.sleep(0.1)
         held_ino = os.stat(lease).st_ino
+        # fencing token (r18): drawn AFTER the claim, so acquisition
+        # order serializes the counter bump; recorded per (thread, root)
+        # so promote/append in this thread of control publish with it
+        fence = _draw_fence(root)
+        fence_key = (threading.get_ident(), root)
+        _HELD_FENCES[fence_key] = fence
         hb = os.path.join(lease, "heartbeat")
         stop = threading.Event()
 
@@ -662,12 +787,13 @@ def slot_writer_lease(path: str, purpose: str = "write",
             with open(os.path.join(lease, "owner.json"), "w",
                       encoding="utf-8") as fh:
                 json.dump({"pid": os.getpid(), "purpose": purpose,
-                           "at": time.time()}, fh)
+                           "fence": fence, "at": time.time()}, fh)
             with open(hb, "w", encoding="utf-8") as fh:
                 fh.write(str(time.time()))
             beater.start()
             yield root
         finally:
+            _HELD_FENCES.pop(fence_key, None)
             stop.set()
             if beater.is_alive():
                 beater.join(timeout=5.0)
@@ -694,15 +820,37 @@ def promote_generation(slot: str, gen_dir: str) -> str:
     and promote the partially-deleted result would publish a corrupt
     index with a valid marker. Abandoned unstamped generations (crashed
     half-builds) are reclaimed by the age-gated
-    ``sweep_stale_generations`` instead. Returns ``gen_dir``."""
+    ``sweep_stale_generations`` instead. Returns ``gen_dir``.
+
+    Fencing (r18, VERDICT r17 task #4): a promote by a LEASED writer
+    carries the writer's fence number; if the manifest already holds a
+    HIGHER published fence, this writer's lease was taken over and a
+    successor has published — raise FencedWriterError instead of
+    clobbering the successor's generation. Unfenced promotes (ensure_*
+    builds, serialized by claim_new_generation) keep last-promote-wins
+    and carry the published fence forward unchanged, so a zombie can
+    never launder its late write through an unfenced path's stamp."""
     import json
     import shutil
 
+    fence = _held_fence(slot)
+    published = _manifest_fence(slot)
+    if fence is not None and published > fence:
+        raise FencedWriterError(
+            f"promote of {gen_dir!r} carries fence {fence} but "
+            f"{published} is already published for {slot!r} — this "
+            f"writer's lease was taken over and the successor has "
+            f"promoted; re-acquire and redo the work"
+        )
     prev = resolve_generation(slot)
     manifest = os.path.join(slot, INDEX_MANIFEST)
     tmp = manifest + ".tmp"
+    doc: dict = {"generation": os.path.basename(gen_dir)}
+    newest = max(fence or 0, published)
+    if newest:
+        doc["fence"] = newest
     with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump({"generation": os.path.basename(gen_dir)}, fh)
+        json.dump(doc, fh)
     os.replace(tmp, manifest)
     keep = {os.path.basename(gen_dir)}
     if prev is not None and prev != slot:
@@ -808,8 +956,6 @@ def migrate_flat_slot(slot: str) -> str:
     SCRATCH ROOT when live IS the flat slot. Runs under the writer
     lease — the flat-dir lease lives at a sibling path, so it is not
     part of the moved content."""
-    import shutil  # noqa: F401 — parity with sibling helpers
-
     with slot_writer_lease(slot, "migrate_flat"):
         if os.path.isfile(os.path.join(slot, INDEX_MANIFEST)):
             live = resolve_generation(slot)
@@ -858,18 +1004,48 @@ def snapshot_generation(slot: str) -> str | None:
     return None
 
 
-def ensure_snapshot_state(slot: str, compact) -> str:
+class SnapshotMissingError(RuntimeError):
+    """ensure_snapshot_state(require=True) found no current snapshot —
+    the serving-side contract raises instead of mutating the slot."""
+
+
+def ensure_snapshot_state(slot: str, compact, require: bool = False) -> str:
     """Two-generation snapshot state for an index slot, created ONCE
     through the REAL maintenance path (r17 — generalizing the
     bm25/IVF snapshot entries to every family): migrate a legacy flat
     layout into manifest form in place, run ONE row-preserving
     compaction if no retained snapshot exists (gated, so repeat calls
     and sweeps reuse the state), and return the snapshot generation
-    path. ``compact`` is the family's compact_* taking the slot path."""
+    path. ``compact`` is the family's compact_* taking the slot path.
+
+    A retained generation only counts as the snapshot if its marker's
+    BUILD META matches the live generation's (ADVICE r17 #2): after a
+    source/algo change rebuilds the live generation, the retained
+    pre-rebuild generation is a DIFFERENT index's history — serving it
+    as the snapshot would make every snapshot==live claim false. A
+    lineage-mismatched retainee is treated as no-snapshot and a fresh
+    one is minted by re-running the compaction (whose promote also
+    prunes the stale generation).
+
+    ``require=True`` is the SERVING-side contract (r18, VERDICT r17
+    task #5): raise SnapshotMissingError instead of compacting, so a
+    deployment read path never mutates the slot on a miss. Registry
+    entries keep the manufacturing default (require=False)."""
     migrate_flat_slot(slot)
-    if snapshot_generation(slot) is None:
-        compact(slot)
     snap = snapshot_generation(slot)
+    if snap is not None:
+        live = resolve_generation(slot)
+        live_meta = read_index_marker(live)[0] if live is not None else None
+        if read_index_marker(snap)[0] != live_meta:
+            snap = None  # stale lineage — not this index's history
+    if snap is None:
+        if require:
+            raise SnapshotMissingError(
+                f"slot {slot!r} holds no snapshot generation matching its "
+                f"live lineage; run the family's compaction to mint one"
+            )
+        compact(slot)
+        snap = snapshot_generation(slot)
     if snap is None:
         raise RuntimeError(f"no snapshot generation after compaction of {slot!r}")
     return snap
