@@ -5337,6 +5337,96 @@ def test_bm25_prebuilt_snapshot_time_travel(spark, tmp_path, monkeypatch):
     assert any(r[1] == 1_000_001 for r in live_rows)
 
 
+def test_bm25_diverged_snapshot_state_and_answers(spark, tmp_path, monkeypatch):
+    """The DIVERGED snapshot entry (r18, VERDICT r17 task #1 — actual
+    time travel, snapshot ≠ live). Pins: (1) the snapshot half answers
+    BM25 over the BASE SUBSET exactly (ground truth: a throwaway
+    one-shot index of the same subset) while live answers the full
+    corpus (= bm25_search); (2) the divergence counts are the true
+    both-ways anti-join of the two ranked lists and are NONZERO; (3)
+    the state manufacture is gated — repeat calls reuse the
+    two-generation diverged state with identical output and no
+    generation churn; (4) an externally over-appended slot fails the
+    closing invariant and is rebuilt from scratch once, converging
+    instead of serving an unknown state."""
+    import os
+
+    from weather_database_system_spark.operators.textan import (
+        BM25_APPEND_MOD,
+        _ensure_bm25_diverged_state,
+        append_bm25_docs,
+        bm25_prebuilt_diverged_snapshot,
+        bm25_query_prebuilt,
+        bm25_search,
+        build_bm25_index,
+    )
+    from weather_database_system_spark.session import (
+        _generation_dirs,
+        read_index_marker,
+        scratch_path,
+        slot_live,
+    )
+    from weather_database_system_spark.sources.star import load_table
+
+    monkeypatch.setenv("WDSS_SCRATCH_DIR", str(tmp_path / "scratch"))
+    got = bm25_prebuilt_diverged_snapshot(spark, SF_SMOKE).collect()
+    assert got
+    n_only_live = {r.n_only_live for r in got}
+    n_only_snap = {r.n_only_snap for r in got}
+    assert len(n_only_live) == 1 and len(n_only_snap) == 1  # 1-row claims
+    assert n_only_live.pop() > 0 and n_only_snap.pop() > 0  # truly diverged
+
+    # (1) ground truth for the snapshot half: a throwaway ONE-SHOT index
+    # of the same base subset (doc_id % MOD != MOD-1)
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    subset = docs.filter(f"doc_id % {BM25_APPEND_MOD} != {BM25_APPEND_MOD - 1}")
+    ref = str(tmp_path / "ref_subset_index")
+    build_bm25_index(subset, ref)
+    expected_snap = sorted(
+        tuple(r) for r in bm25_query_prebuilt(spark, SF_SMOKE, ref).collect()
+    )
+    assert sorted((r.rank, r.doc_id, r.bm25) for r in got) == expected_snap
+
+    # live half = the full corpus (in-query form is the yardstick), and
+    # the divergence counts are the true both-ways anti-join
+    slot = scratch_path("bm25_diverged", SF_SMOKE)
+    live_rows = sorted(
+        tuple(r)
+        for r in bm25_query_prebuilt(spark, SF_SMOKE, slot_live(slot)).collect()
+    )
+    assert live_rows == sorted(
+        tuple(r) for r in bm25_search(spark, SF_SMOKE).collect()
+    )
+    assert got[0].n_only_live == len(set(live_rows) - set(expected_snap))
+    assert got[0].n_only_snap == len(set(expected_snap) - set(live_rows))
+
+    # (3) gated reuse: same generations, same marker state, same output
+    gens = sorted(_generation_dirs(slot))
+    _, n_app = read_index_marker(slot_live(slot))
+    assert n_app == 1
+    got2 = bm25_prebuilt_diverged_snapshot(spark, SF_SMOKE).collect()
+    assert sorted(_generation_dirs(slot)) == gens
+    assert read_index_marker(slot_live(slot))[1] == 1
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, got))
+
+    # (4) sabotage: a SECOND append breaks the recorded invariant (live
+    # must carry exactly one ingest batch) — the state machine rebuilds
+    # from scratch and converges to the same answer
+    append_bm25_docs(
+        spark.createDataFrame(
+            [(2_000_001, "hash join stream")], "doc_id long, text string"
+        ),
+        slot,
+    )
+    assert read_index_marker(slot_live(slot))[1] == 2
+    snap3, live3 = _ensure_bm25_diverged_state(spark, SF_SMOKE)
+    assert read_index_marker(live3)[1] == 1  # rebuilt, re-diverged once
+    assert read_index_marker(snap3)[1] == 0
+    assert os.path.dirname(snap3.rstrip("/")) == slot
+    got3 = bm25_prebuilt_diverged_snapshot(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, got3)) == sorted(map(tuple, got))
+
+
 def test_contamination_index_lifecycle(spark, tmp_path):
     """The SIXTH stored family (r16): eval-set fingerprints. (1)
     build(suite A) + append(suite B) screens a training batch EXACTLY

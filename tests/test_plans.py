@@ -140,6 +140,9 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
                                 # (ADC qtable) + 1-row claims broadcast
         "bm25_prebuilt_snapshot",  # 1-row snapshot==live claims broadcast
                                    # (the salted-join claim idiom, r16)
+        "bm25_prebuilt_diverged_snapshot",  # 1-row divergence-count claims
+                                            # broadcast (n_only_live/
+                                            # n_only_snap, r18)
         "ann_ivf_prebuilt_snapshot",  # same 1-row snapshot==live claims
                                       # broadcast, IVF family (r17)
         # r17: snapshot reads generalized to every stored family — each

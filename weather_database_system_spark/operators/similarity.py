@@ -1078,7 +1078,14 @@ def ann_ivf_sqrt_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     claims-only check. One engine-decided claim rides along:
     ``sized_ok`` pins that the STORED centroid count actually equals
     ivf_cell_count(N) for the corpus it indexes (the stored bytes match
-    the sizing rule, not merely the query math). Recall/cost trade of
+    the sizing rule, not merely the query math). Since r18 (ADVICE r17
+    #3) the oracle COMPUTES the same claim from its own replayed
+    training — count of surviving final centroids vs the SQL sizing
+    rule — instead of pinning TRUE: a data distribution that empties a
+    Lloyd cell reads as sized_ok=0 on BOTH sides (a surfaced sizing
+    signal, not an opaque hash mismatch), while a mis-sized or stale
+    STORE still fails the gate against the clean replay. Recall/cost
+    trade of
     this geometry vs pinned-K is measured in tools/ivf_recall.py; the
     warm economics in tools/index_economics.py --multiples (NOTES r16).
     Reference parity: extension surface; cf. FAISS nlist guidance."""
@@ -1086,16 +1093,15 @@ def ann_ivf_sqrt_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = read_ivf_centroids(spark, path)
     # the sizing audit reads INDEX bytes, not the corpus (review r17 —
     # a per-call corpus count() taxed every replay of a query advertised
-    # as index-priced): the stored assignment table's own distinct
-    # vector population must size K per the rule, which also makes the
-    # claim a stored-state consistency check rather than a rebuild of
-    # build-time input
-    n_cand = (
-        spark.read.parquet(f"{path}/assignments")
-        .select("vec_id")
-        .distinct()
-        .count()
-    )
+    # as index-priced): the stored assignment table's own vector
+    # population must size K per the rule, which also makes the claim a
+    # stored-state consistency check rather than a rebuild of build-time
+    # input. A parquet count() is footer-metadata-only (no column scan —
+    # ADVICE r17 #3 flagged the previous distinct().count()), exact here
+    # because this slot is ensure-built once and never appended (the
+    # append lifecycle runs in its own ivf_index_appended slot), so rows
+    # == distinct vec_ids by construction.
+    n_cand = spark.read.parquet(f"{path}/assignments").count()
     sized_ok = int(len(cents) == ivf_cell_count(n_cand))
     return (
         ann_ivf_query_prebuilt(spark, sf_dir, path, nprobe=1)
@@ -3336,11 +3342,17 @@ ORACLE: dict[str, str] = {
     # bit-identically to the one-shot build — same full-Lloyd replay
     "ann_ivf_prebuilt_appended": _sql_ann_ivf_kmeans(),
     # the √N-sized deployment geometry under the full value/hash gate:
-    # the SAME Lloyd replay with K computed dynamically in SQL (r17)
+    # the SAME Lloyd replay with K computed dynamically in SQL (r17).
+    # sized_ok is COMPUTED from the replayed training (ADVICE r17 #3),
+    # not pinned: surviving final centroids vs the SQL sizing rule —
+    # the exact twin of the engine's len(stored centroids) ==
+    # ivf_cell_count(stored assignment rows), so an emptied Lloyd cell
+    # reads 0 on both sides instead of failing as a hash mismatch
     "ann_ivf_sqrt_prebuilt": _sql_ann_ivf_kmeans(
         k_sql=_sql_ivf_sqrt_k(),
-        extra_cols=""",
-               CAST(1 AS INT) AS sized_ok""",
+        extra_cols=f""",
+               CAST((SELECT count(DISTINCT cell) FROM cent{KMEANS_ITERS})
+                    = {_sql_ivf_sqrt_k()} AS INT) AS sized_ok""",
     ),
     # the retained grace generation answers identically to live after a
     # row-preserving compaction — same replay + the claim pinned TRUE
