@@ -4428,6 +4428,34 @@ def _lease_worker(args):
     return wid
 
 
+def _fence_promote_worker(args):
+    """Cross-process fenced writer (module-level for spawn pickling):
+    acquires the slot lease, claims + stamps a generation, promotes it,
+    and returns the fence its lease drew."""
+    import json
+    import os
+    import sys
+
+    slot, = args
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from weather_database_system_spark.session import (
+        INDEX_LEASE,
+        claim_new_generation,
+        promote_generation,
+        slot_writer_lease,
+        write_index_marker,
+    )
+
+    with slot_writer_lease(slot, "xproc-writer", wait_s=30):
+        with open(os.path.join(slot, INDEX_LEASE, "owner.json"),
+                  encoding="utf-8") as fh:
+            fence = json.load(fh)["fence"]
+        gen = claim_new_generation(slot)
+        write_index_marker(gen, {"kind": "t", "algo": 1})
+        promote_generation(slot, gen)
+    return fence
+
+
 def test_slot_writer_lease_cross_process_serialization(tmp_path):
     """The lease's atomic claim is os.mkdir, which is atomic ACROSS
     PROCESSES — the thread-based contract test cannot prove that, and
@@ -4885,6 +4913,42 @@ def test_promote_fencing_rejects_taken_over_writer(tmp_path):
             assert json.load(fh)["fence"] == manifest["fence"] + 1
 
 
+def test_fence_monotonic_across_processes(tmp_path):
+    """Fence numbers must be monotonic ACROSS PROCESSES — the deployment
+    case is separate hosts/jobs on one scratch volume, where the
+    per-thread held-fence registry cannot help and monotonicity rests
+    entirely on the on-disk counter + manifest recovery. Four spawned
+    writers serialize through the lease, each promoting a generation;
+    their drawn fences must be four DISTINCT ascending values, the
+    manifest must publish the highest, and a subsequent in-process
+    acquisition must draw a strictly higher fence than all of them."""
+    import json
+    import multiprocessing as mp
+    import os
+
+    from weather_database_system_spark.session import (
+        INDEX_LEASE,
+        INDEX_MANIFEST,
+        slot_writer_lease,
+    )
+
+    slot = str(tmp_path / "slot")
+    os.makedirs(os.path.join(slot, "gen-0001"))
+    with open(os.path.join(slot, INDEX_MANIFEST), "w", encoding="utf-8") as fh:
+        json.dump({"generation": "gen-0001"}, fh)
+
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(4) as pool:
+        fences = pool.map(_fence_promote_worker, [(slot,)] * 4)
+    assert len(set(fences)) == 4  # no two writers shared a fence
+    with open(os.path.join(slot, INDEX_MANIFEST), encoding="utf-8") as fh:
+        assert json.load(fh)["fence"] == max(fences)
+    with slot_writer_lease(slot, "after"):
+        with open(os.path.join(slot, INDEX_LEASE, "owner.json"),
+                  encoding="utf-8") as fh:
+            assert json.load(fh)["fence"] > max(fences)
+
+
 def test_ensure_snapshot_state_meta_gate_and_require(tmp_path):
     """ensure_snapshot_state hardening (ADVICE r17 #2 + VERDICT r17 task
     #5). Pins: (1) a retained generation whose marker meta does NOT
@@ -5268,6 +5332,9 @@ def test_index_catalog_and_snapshot_reads(spark, tmp_path, monkeypatch):
     assert row["appends"] == 1
     assert row["live_generation"] == "gen-0002"
     assert row["n_generations"] == 2
+    # the compaction ran under the writer lease, so its promote
+    # published a fence — surfaced in the catalog for ops (r18)
+    assert row["fence"] >= 1
 
     # ADVICE r15 #3: non-index scratch dirs (warehouse tables, rehearsal
     # data) are NOT listed as slots — a manifest, gen-NNNN subdirs, or a

@@ -1131,6 +1131,9 @@ def index_catalog(scratch: str | None = None) -> list[dict]:
                 "live_generation": os.path.basename(live),
                 "n_generations": len(gens) or 1,  # legacy flat = 1
                 "live_bytes": live_row["bytes"] if live_row else None,
+                # the newest PUBLISHED fence (r18): which lease instance
+                # last promoted — 0 for never-leased/legacy slots
+                "fence": _manifest_fence(slot),
             }
         )
     return out
