@@ -242,6 +242,9 @@ def test_cli_index_ops_inventory_and_sweep(tmp_path, capsys):
     by_slot = {s["slot"]: s for s in out["slots"]}
     assert by_slot["half_built_index"]["live_generation"] is None
     assert by_slot["half_built_index"]["n_generations"] == 1
+    # uniform row schema (r18): the crashed-slot branch carries the same
+    # fence key as live rows, so row["fence"] never KeyErrors in a cron
+    assert by_slot["half_built_index"]["fence"] == 0
     code, out = _run(capsys, [
         "index-ops", "--scratch", str(scratch), "--sweep",
         "--max-age-s", "0", "--force-age",

@@ -4913,6 +4913,135 @@ def test_promote_fencing_rejects_taken_over_writer(tmp_path):
             assert json.load(fh)["fence"] == manifest["fence"] + 1
 
 
+def test_promote_fence_gate_is_atomic_under_lock(tmp_path):
+    """r18 self-review #1: the fence gate must be check-AND-write atomic,
+    not check-then-write — a zombie that read the manifest fence just
+    before the successor's publish landed must still be rejected. Pins:
+    (1) promote_generation WAITS on a held promote lock and re-reads the
+    published fence after acquiring it, so a successor publish that
+    lands while the zombie is blocked still rejects the zombie; (2) the
+    successor's manifest and generation survive untouched; (3) a LEAKED
+    promote lock (crashed promoter) is age-cleared, not waited on
+    forever."""
+    import json
+    import os
+    import threading
+    import time
+
+    import pytest as _pytest
+
+    from weather_database_system_spark.session import (
+        INDEX_MANIFEST,
+        PROMOTE_LOCK,
+        FencedWriterError,
+        claim_new_generation,
+        promote_generation,
+        slot_writer_lease,
+        write_index_marker,
+    )
+
+    slot = str(tmp_path / "slot")
+    g1 = os.path.join(slot, "gen-0001")
+    os.makedirs(g1)
+    write_index_marker(g1, {"kind": "t", "algo": 1})
+    manifest = os.path.join(slot, INDEX_MANIFEST)
+    with open(manifest, "w", encoding="utf-8") as fh:
+        json.dump({"generation": "gen-0001"}, fh)
+    lock = os.path.join(slot, PROMOTE_LOCK)
+
+    with slot_writer_lease(slot, "zombie"):  # draws fence 1
+        gen = claim_new_generation(slot)
+        write_index_marker(gen, {"kind": "t", "algo": 1})
+        # a successor is mid-promote: it holds the promote lock and its
+        # publish (fence 2) lands WHILE the zombie is blocked on it
+        os.mkdir(lock)
+
+        def successor_publish() -> None:
+            time.sleep(0.4)
+            with open(manifest + ".tmp", "w", encoding="utf-8") as fh:
+                json.dump({"generation": "gen-0001", "fence": 2}, fh)
+            os.replace(manifest + ".tmp", manifest)
+            os.rmdir(lock)  # successor's promote completes
+
+        t = threading.Thread(target=successor_publish)
+        t.start()
+        t0 = time.monotonic()
+        with _pytest.raises(FencedWriterError):
+            promote_generation(slot, gen)  # zombie: fence 1 < published 2
+        assert time.monotonic() - t0 > 0.3  # it actually waited on the lock
+        t.join(10)
+    with open(manifest, encoding="utf-8") as fh:
+        m = json.load(fh)
+    assert m == {"generation": "gen-0001", "fence": 2}  # publish survived
+    assert os.path.isdir(g1)  # the zombie's prune never ran
+
+    # (3) a crashed promoter's leaked lock is age-cleared
+    os.mkdir(lock)
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+    promote_generation(slot, gen)  # unfenced (no lease) — succeeds
+    assert not os.path.isdir(lock)
+    with open(manifest, encoding="utf-8") as fh:
+        assert json.load(fh)["generation"] == os.path.basename(gen)
+
+
+def test_fence_bookkeeping_never_reads_as_index_content(tmp_path, monkeypatch):
+    """r18 self-review #2/#3: fence counters and promote locks are slot
+    BOOKKEEPING. Pins: (1) a managed slot whose generations were all
+    deleted but which retains fence files / a promote-lock remnant
+    resolves to None (not to its own root as a phantom flat index); (2)
+    migrate_flat_slot leaves an in-slot stray fence file behind instead
+    of moving it into the new generation; (3) a failure while drawing
+    the fence RELEASES the freshly-claimed lease instead of leaking an
+    ownerless lease that waiters can only clear by TTL."""
+    import os
+
+    import pytest as _pytest
+
+    from weather_database_system_spark import session as S
+
+    # (1) bookkeeping-only slot resolves to None
+    slot = str(tmp_path / "emptied")
+    os.makedirs(slot)
+    with open(os.path.join(slot, S.INDEX_FENCE), "w", encoding="utf-8") as fh:
+        fh.write('{"fence": 3}')
+    with open(
+        os.path.join(slot, "gen-0001." + S.INDEX_FENCE), "w", encoding="utf-8"
+    ) as fh:
+        fh.write('{"fence": 1}')  # a pre-manifest build's sibling remnant
+    os.mkdir(os.path.join(slot, S.PROMOTE_LOCK))
+    assert S.resolve_generation(slot) is None
+
+    # (2) migration leaves the stray fence file at the slot root
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    with open(os.path.join(flat, "data.parquet"), "w", encoding="utf-8") as fh:
+        fh.write("x")
+    S.write_index_marker(flat, {"kind": "t", "algo": 1})
+    with open(os.path.join(flat, S.INDEX_FENCE), "w", encoding="utf-8") as fh:
+        fh.write('{"fence": 9}')
+    live = S.migrate_flat_slot(flat)
+    assert os.path.isfile(os.path.join(flat, S.INDEX_FENCE))
+    assert not os.path.isfile(os.path.join(live, S.INDEX_FENCE))
+    assert os.path.isfile(os.path.join(live, "data.parquet"))
+
+    # (3) a fence-draw failure releases the claimed lease
+    slot2 = str(tmp_path / "slot2")
+    os.makedirs(slot2)
+
+    def _boom(root: str) -> int:
+        raise OSError("disk full")
+
+    monkeypatch.setattr(S, "_draw_fence", _boom)
+    with _pytest.raises(OSError, match="disk full"):
+        with S.slot_writer_lease(slot2, "doomed"):
+            pass
+    monkeypatch.undo()
+    assert not os.path.isdir(S._lease_dir(slot2))  # released, not leaked
+    with S.slot_writer_lease(slot2, "next", wait_s=0.5):
+        pass  # immediately acquirable — no TTL wait needed
+
+
 def test_fence_monotonic_across_processes(tmp_path):
     """Fence numbers must be monotonic ACROSS PROCESSES — the deployment
     case is separate hosts/jobs on one scratch volume, where the

@@ -345,14 +345,19 @@ def resolve_generation(slot: str) -> str | None:
     try:
         # legacy flat layout = index content (files or a build marker)
         # at the slot root; pure bookkeeping (the manifest, a crashed
-        # writer's lease, a takeover-aside remnant) doesn't count — else
-        # a managed slot whose generations were all deleted would
-        # resolve to its own empty root and be served as an "index"
-        # (r16 self-review; lease-remnant exclusion widened r17)
+        # writer's lease, a takeover-aside remnant, a fence counter, a
+        # promote lock) doesn't count — else a managed slot whose
+        # generations were all deleted would resolve to its own empty
+        # root and be served as an "index" (r16 self-review;
+        # lease-remnant exclusion widened r17; fence/promote-lock
+        # exclusion r18 self-review #2)
         entries = [
             e
             for e in os.listdir(slot)
-            if e != INDEX_MANIFEST and INDEX_LEASE not in e
+            if e != INDEX_MANIFEST
+            and INDEX_LEASE not in e
+            and INDEX_FENCE not in e
+            and PROMOTE_LOCK not in e
         ]
     except OSError:
         return None
@@ -516,6 +521,59 @@ def _held_fence(path: str) -> int | None:
     import threading
 
     return _HELD_FENCES.get((threading.get_ident(), _lease_root(path)))
+
+
+PROMOTE_LOCK = "_WDSS_PROMOTE_LOCK"
+PROMOTE_LOCK_TTL_S = 60.0  # a promote lock is held for the O(1) pointer
+# write + prune; one older than this is a crashed promoter's leak
+PROMOTE_LOCK_WAIT_S = 120.0
+
+
+def _promote_lock(slot: str):
+    """Serialize the fence-check → manifest-write → prune sequence of
+    promote_generation (r18 self-review #1): the fence gate is
+    check-then-write, so WITHOUT serialization a lower-fenced zombie
+    that reads the manifest before a higher-fenced successor publishes
+    could still pass the check and clobber the successor's promote —
+    the exact race the fence exists to close, merely narrowed. Same
+    mkdir/age-clear/bounded-wait pattern as the takeover lock; promotes
+    are O(1) metadata so contention is microseconds."""
+    import contextlib
+    import time
+
+    @contextlib.contextmanager
+    def _ctx():
+        tl = os.path.join(slot, PROMOTE_LOCK)
+        deadline = time.monotonic() + PROMOTE_LOCK_WAIT_S
+        while True:
+            try:
+                os.mkdir(tl)
+                break
+            except FileNotFoundError:
+                os.makedirs(slot, exist_ok=True)
+                continue
+            except FileExistsError:
+                try:
+                    if time.time() - os.stat(tl).st_mtime > PROMOTE_LOCK_TTL_S:
+                        os.rmdir(tl)
+                        continue
+                except OSError:
+                    continue  # holder released between mkdir and stat
+                if time.monotonic() >= deadline:
+                    raise RuntimeError(
+                        f"promote lock {tl!r} held past the bounded wait — "
+                        f"a promoter is stuck or the clock is wrong"
+                    )
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            try:
+                os.rmdir(tl)
+            except OSError:
+                pass
+
+    return _ctx()
 
 
 def _lease_owner_alive(lease: str) -> bool:
@@ -756,12 +814,7 @@ def slot_writer_lease(path: str, purpose: str = "write",
                 # deadline check above, not by this interval
                 time.sleep(0.1)
         held_ino = os.stat(lease).st_ino
-        # fencing token (r18): drawn AFTER the claim, so acquisition
-        # order serializes the counter bump; recorded per (thread, root)
-        # so promote/append in this thread of control publish with it
-        fence = _draw_fence(root)
         fence_key = (threading.get_ident(), root)
-        _HELD_FENCES[fence_key] = fence
         hb = os.path.join(lease, "heartbeat")
         stop = threading.Event()
 
@@ -784,6 +837,15 @@ def slot_writer_lease(path: str, purpose: str = "write",
             target=_beat, name=f"wdss-lease-heartbeat:{root}", daemon=True
         )
         try:
+            # fencing token (r18): drawn AFTER the claim, so acquisition
+            # order serializes the counter bump; recorded per
+            # (thread, root) so promote/append in this thread of control
+            # publish with it. Inside the releasing try (self-review
+            # #3): a failed counter write must release the claimed
+            # lease, not leak an ownerless one that waiters can only
+            # clear by TTL.
+            fence = _draw_fence(root)
+            _HELD_FENCES[fence_key] = fence
             with open(os.path.join(lease, "owner.json"), "w",
                       encoding="utf-8") as fh:
                 json.dump({"pid": os.getpid(), "purpose": purpose,
@@ -826,40 +888,46 @@ def promote_generation(slot: str, gen_dir: str) -> str:
     carries the writer's fence number; if the manifest already holds a
     HIGHER published fence, this writer's lease was taken over and a
     successor has published — raise FencedWriterError instead of
-    clobbering the successor's generation. Unfenced promotes (ensure_*
-    builds, serialized by claim_new_generation) keep last-promote-wins
-    and carry the published fence forward unchanged, so a zombie can
-    never launder its late write through an unfenced path's stamp."""
+    clobbering the successor's generation. The check, the pointer
+    write, and the prune run under a short-lived promote lock
+    (``_promote_lock``) so the gate is atomic, not check-then-write —
+    without it a zombie that read the manifest just before the
+    successor's publish landed would still clobber it (r18 self-review
+    #1). Unfenced promotes (ensure_* builds, serialized by
+    claim_new_generation) keep last-promote-wins and carry the
+    published fence forward unchanged, so a zombie can never launder
+    its late write through an unfenced path's stamp."""
     import json
     import shutil
 
-    fence = _held_fence(slot)
-    published = _manifest_fence(slot)
-    if fence is not None and published > fence:
-        raise FencedWriterError(
-            f"promote of {gen_dir!r} carries fence {fence} but "
-            f"{published} is already published for {slot!r} — this "
-            f"writer's lease was taken over and the successor has "
-            f"promoted; re-acquire and redo the work"
-        )
-    prev = resolve_generation(slot)
-    manifest = os.path.join(slot, INDEX_MANIFEST)
-    tmp = manifest + ".tmp"
-    doc: dict = {"generation": os.path.basename(gen_dir)}
-    newest = max(fence or 0, published)
-    if newest:
-        doc["fence"] = newest
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(doc, fh)
-    os.replace(tmp, manifest)
-    keep = {os.path.basename(gen_dir)}
-    if prev is not None and prev != slot:
-        keep.add(os.path.basename(prev))
-    for n in _generation_dirs(slot):
-        if n not in keep and os.path.isfile(
-            os.path.join(slot, n, INDEX_MARKER)
-        ):
-            shutil.rmtree(os.path.join(slot, n), ignore_errors=True)
+    with _promote_lock(slot):
+        fence = _held_fence(slot)
+        published = _manifest_fence(slot)
+        if fence is not None and published > fence:
+            raise FencedWriterError(
+                f"promote of {gen_dir!r} carries fence {fence} but "
+                f"{published} is already published for {slot!r} — this "
+                f"writer's lease was taken over and the successor has "
+                f"promoted; re-acquire and redo the work"
+            )
+        prev = resolve_generation(slot)
+        manifest = os.path.join(slot, INDEX_MANIFEST)
+        tmp = manifest + ".tmp"
+        doc: dict = {"generation": os.path.basename(gen_dir)}
+        newest = max(fence or 0, published)
+        if newest:
+            doc["fence"] = newest
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp, manifest)
+        keep = {os.path.basename(gen_dir)}
+        if prev is not None and prev != slot:
+            keep.add(os.path.basename(prev))
+        for n in _generation_dirs(slot):
+            if n not in keep and os.path.isfile(
+                os.path.join(slot, n, INDEX_MARKER)
+            ):
+                shutil.rmtree(os.path.join(slot, n), ignore_errors=True)
     return gen_dir
 
 
@@ -969,6 +1037,8 @@ def migrate_flat_slot(slot: str) -> str:
             for e in os.listdir(slot)
             if e != INDEX_MANIFEST
             and INDEX_LEASE not in e
+            and INDEX_FENCE not in e
+            and PROMOTE_LOCK not in e
             and not (e.startswith("gen-") and e[4:].isdigit())
         ]
         # the MARKER moves LAST: a crash mid-migration must leave the
@@ -1116,6 +1186,11 @@ def index_catalog(scratch: str | None = None) -> list[dict]:
                     "live_generation": None,
                     "n_generations": len(_generation_dirs(slot)),
                     "live_bytes": None,
+                    # same schema as live rows (r18 self-review #4): a
+                    # cron reading row["fence"] uniformly must not
+                    # KeyError on exactly the crashed slots the sweep
+                    # surfaces
+                    "fence": _manifest_fence(slot),
                 }
             )
             continue
