@@ -4985,6 +4985,179 @@ def test_promote_fence_gate_is_atomic_under_lock(tmp_path):
         assert json.load(fh)["generation"] == os.path.basename(gen)
 
 
+def test_fenced_writes_reject_zombie_before_successor_publishes(tmp_path):
+    """r18 lease_soak finding: fence ORDERING alone cannot stop a zombie
+    whose successor has not published yet — the manifest still carries
+    the older fence, so the promote comparison passes while the
+    successor's un-published acked appends get clobbered from the live
+    view (the soak measured real record loss through exactly this).
+    _verify_held_lease closes it by checking the lease INSTANCE at the
+    storage boundary. Pins: a writer paused mid-section whose lease was
+    TTL-taken-over gets BOTH its append-stamp and its promote rejected
+    even though the successor never promoted; the successor's appended
+    state survives untouched."""
+    import json
+    import os
+    import subprocess
+    import threading
+    import time
+
+    from weather_database_system_spark.session import (
+        INDEX_LEASE,
+        INDEX_MANIFEST,
+        FencedWriterError,
+        append_index_marker,
+        claim_new_generation,
+        promote_generation,
+        read_index_marker,
+        resolve_generation,
+        slot_writer_lease,
+        write_index_marker,
+    )
+
+    slot = str(tmp_path / "slot")
+    g1 = os.path.join(slot, "gen-0001")
+    os.makedirs(g1)
+    write_index_marker(g1, {"kind": "t", "algo": 1})
+    with open(os.path.join(slot, INDEX_MANIFEST), "w", encoding="utf-8") as fh:
+        json.dump({"generation": "gen-0001"}, fh)
+    lease_dir = os.path.join(slot, INDEX_LEASE)
+
+    zombie_holding = threading.Event()
+    takeover_done = threading.Event()
+    outcome: dict = {}
+
+    def zombie() -> None:
+        try:
+            with slot_writer_lease(slot, "zombie", ttl_s=0.5,
+                                   heartbeat_s=3600):
+                gen2 = claim_new_generation(slot)
+                write_index_marker(gen2, {"kind": "t", "algo": 1})
+                zombie_holding.set()
+                takeover_done.wait(30)  # frozen mid-section
+                try:
+                    append_index_marker(g1, {"rec": "zombie-append"})
+                    outcome["append"] = "acked"
+                except FencedWriterError:
+                    outcome["append"] = "rejected"
+                try:
+                    promote_generation(slot, gen2)
+                    outcome["promote"] = "published"
+                except FencedWriterError:
+                    outcome["promote"] = "rejected"
+        except BaseException as exc:  # noqa: BLE001 — surfaced below
+            outcome["crash"] = exc
+            zombie_holding.set()
+
+    t = threading.Thread(target=zombie)
+    t.start()
+    assert zombie_holding.wait(10) and "crash" not in outcome
+
+    # crash signature: owner pid dead, all life signals far past the TTL
+    child = subprocess.Popen(["true"])
+    child.wait()
+    with open(os.path.join(lease_dir, "owner.json"), "w",
+              encoding="utf-8") as fh:
+        json.dump({"pid": child.pid, "purpose": "zombie"}, fh)
+    old = time.time() - 7200
+    os.utime(os.path.join(lease_dir, "heartbeat"), (old, old))
+    os.utime(lease_dir, (old, old))
+
+    # successor takes over and APPENDS ONLY — no promote, so the
+    # manifest fence is still the pre-takeover one when the zombie wakes
+    with slot_writer_lease(slot, "successor", wait_s=10, ttl_s=0.5):
+        append_index_marker(g1, {"rec": "successor-append"})
+
+    takeover_done.set()
+    t.join(30)
+    assert outcome == {"append": "rejected", "promote": "rejected"}
+    # the successor's un-published state survived the zombie entirely
+    assert resolve_generation(slot) == g1
+    meta, n_appends = read_index_marker(g1)
+    assert meta == {"kind": "t", "algo": 1} and n_appends == 1
+    from weather_database_system_spark.session import INDEX_MARKER
+
+    with open(os.path.join(g1, INDEX_MARKER), encoding="utf-8") as fh:
+        recs = [e.get("rec") for e in json.load(fh)["appends"]]
+    assert recs == ["successor-append"]
+
+
+def test_lease_identity_is_fence_not_inode(tmp_path):
+    """r18 lease_soak finding #2: ext4 hands a freed inode straight back
+    to the next mkdir at the same path, so inode equality is NOT
+    instance identity — an inode-guarded release or verify silently
+    passes against a successor's lease (the soak caught a zombie append
+    ACKing through exactly this). Identity must be the acquisition's
+    fence in owner.json. Pins: with a successor lease at the SAME path
+    (inode typically reused), (1) the zombie's fenced append and promote
+    both reject, (2) the zombie's release leaves the successor's lease
+    intact, (3) the zombie's heartbeat thread stops re-touching the
+    successor's beacon."""
+    import json
+    import os
+    import shutil
+    import time
+
+    import pytest as _pytest
+
+    from weather_database_system_spark.session import (
+        INDEX_LEASE,
+        INDEX_MANIFEST,
+        FencedWriterError,
+        append_index_marker,
+        claim_new_generation,
+        promote_generation,
+        slot_writer_lease,
+        write_index_marker,
+    )
+
+    slot = str(tmp_path / "slot")
+    g1 = os.path.join(slot, "gen-0001")
+    os.makedirs(g1)
+    write_index_marker(g1, {"kind": "t", "algo": 1})
+    with open(os.path.join(slot, INDEX_MANIFEST), "w", encoding="utf-8") as fh:
+        json.dump({"generation": "gen-0001"}, fh)
+    lease_dir = os.path.join(slot, INDEX_LEASE)
+
+    # ttl 0.4 → heartbeat every 0.1 s: fast enough to pin (3) below
+    with slot_writer_lease(slot, "zombie", ttl_s=0.4):
+        old_ino = os.stat(lease_dir).st_ino
+        time.sleep(0.25)  # let the beater establish its rhythm
+        # simulate the takeover: instance removed, successor recreates
+        # at the same path — on ext4 with the SAME inode
+        shutil.rmtree(lease_dir)
+        os.mkdir(lease_dir)
+        with open(os.path.join(lease_dir, "owner.json"), "w",
+                  encoding="utf-8") as fh:
+            json.dump({"pid": os.getpid(), "purpose": "successor",
+                       "fence": 99999}, fh)
+        hb = os.path.join(lease_dir, "heartbeat")
+        with open(hb, "w", encoding="utf-8") as fh:
+            fh.write(str(time.time()))
+        # (1) both fenced writes reject despite any inode reuse
+        with _pytest.raises(FencedWriterError):
+            append_index_marker(g1, {"rec": "zombie"})
+        gen2 = claim_new_generation(slot)
+        write_index_marker(gen2, {"kind": "t", "algo": 1})
+        with _pytest.raises(FencedWriterError):
+            promote_generation(slot, gen2)
+        # (3) the zombie's beater must stop touching the successor's
+        # beacon once the instance is no longer its own
+        m1 = os.stat(hb).st_mtime
+        time.sleep(0.35)  # > 3 beat intervals
+        assert os.stat(hb).st_mtime == m1
+        reused = os.stat(lease_dir).st_ino == old_ino
+    # (2) the zombie's release left the successor's lease alone
+    assert os.path.isdir(lease_dir)
+    with open(os.path.join(lease_dir, "owner.json"), encoding="utf-8") as fh:
+        assert json.load(fh)["purpose"] == "successor"
+    # on ext4 the reuse actually happens, which is what makes this test
+    # meaningful there; on filesystems with monotonic inode allocation
+    # the pins above still hold (identity never consults the inode)
+    del reused
+    shutil.rmtree(lease_dir)
+
+
 def test_fence_bookkeeping_never_reads_as_index_content(tmp_path, monkeypatch):
     """r18 self-review #2/#3: fence counters and promote locks are slot
     BOOKKEEPING. Pins: (1) a managed slot whose generations were all

@@ -226,6 +226,13 @@ def append_index_marker(path: str, note: dict | None = None) -> None:
     else:
         base, appends = cur, []
     fence = _held_fence(path)
+    if fence is not None:
+        # the append's ACK is this marker stamp — verify the lease
+        # instance before it lands (r18 lease_soak finding: a resumed
+        # zombie's append into a generation its successor had already
+        # compacted away was ACKed and then lost; the data file may
+        # remain as an un-ACKed orphan, which compactions tolerate)
+        _verify_held_lease(path)
     appends.append(
         {"at_ns": time.time_ns()}
         | ({"fence": fence} if fence is not None else {})
@@ -234,6 +241,11 @@ def append_index_marker(path: str, note: dict | None = None) -> None:
     tmp = marker + ".tmp"
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump({"base": base, "appends": appends}, fh, sort_keys=True)
+    if fence is not None:
+        # final check DIRECTLY before the ACKing rename (mirrors
+        # promote_generation): shrink the freeze window between the
+        # entry check and the publish to one syscall
+        _verify_held_lease(path)
     os.replace(tmp, marker)
 
 
@@ -459,6 +471,23 @@ class FencedWriterError(RuntimeError):
 # serialize unpublished work (that is the lease's job); it fences the
 # zombie's late publish, which is exactly the data-loss case.
 #
+# Fence ORDERING alone is not enough (r18 lease_soak finding): the
+# published fence only advances at PROMOTE, so a zombie that resumes
+# BEFORE its successor's first publish compares its fence against a
+# stale manifest, passes, and publishes a generation missing the
+# successor's acked appends — tools/lease_soak.py reproduced exactly
+# this (two zombie promotes + four lost acked records in one 60 s run
+# with blinded cross-host liveness). The companion check is therefore
+# verification of the lease INSTANCE at the storage boundary
+# (_verify_held_lease — Kleppmann's "check the token on every write"):
+# every fenced promote and every fenced append-stamp first confirms the
+# exact lease directory (path + inode) this thread claimed still
+# exists. A takeover renames that instance aside, so a zombie's write
+# raises FencedWriterError even when the fence comparison would pass.
+# Residual window after both checks: a writer frozen for > TTL between
+# the verify and the following os.replace — microseconds of in-kernel
+# time instead of the whole post-takeover critical section.
+#
 # Plumbing: the held fence is recorded per (thread, lease root) — a
 # writer is a thread of control, and promote/append run in the thread
 # that holds the lease — so no operator-facing signature changes.
@@ -468,6 +497,7 @@ class FencedWriterError(RuntimeError):
 # unchanged.
 
 _HELD_FENCES: dict[tuple[int, str], int] = {}
+_HELD_LEASES: dict[tuple[int, str], tuple[str, int]] = {}
 
 
 def _fence_file(root: str) -> str:
@@ -521,6 +551,46 @@ def _held_fence(path: str) -> int | None:
     import threading
 
     return _HELD_FENCES.get((threading.get_ident(), _lease_root(path)))
+
+
+def _verify_held_lease(path: str) -> None:
+    """Fencing at the STORAGE BOUNDARY (r18, found by tools/lease_soak.py):
+    confirm the lease instance this thread claimed is still the one at
+    the lease path before a fenced write lands. Fence-number ordering
+    cannot catch a zombie whose successor has not published yet — the
+    manifest still carries an older fence, so the promote-time
+    comparison passes while the successor's un-published appends are
+    clobbered from the live view.
+
+    Identity is the FENCE NUMBER in the instance's ``owner.json`` —
+    unique per acquisition by construction — NOT the directory inode:
+    ext4 hands a freed inode straight back to the next mkdir at the
+    same path (verified: five mkdir/rmdir cycles, one inode), so a
+    successor's lease can be inode-identical to the zombie's and the
+    soak caught exactly one zombie append slipping through an
+    inode-based check. A missing/unreadable owner.json also rejects:
+    our own instance always has the owner.json we wrote before yielding,
+    so an absent one means the path holds a successor mid-acquisition.
+    No-op for unfenced callers (ensure_* builds never take the lease)."""
+    import json
+    import threading
+
+    rec = _HELD_LEASES.get((threading.get_ident(), _lease_root(path)))
+    if rec is None:
+        return
+    lease, fence = rec
+    try:
+        with open(os.path.join(lease, "owner.json"), encoding="utf-8") as fh:
+            if json.load(fh).get("fence") == fence:
+                return
+    except (OSError, ValueError):
+        pass
+    raise FencedWriterError(
+        f"lease instance {lease!r} with fence {fence} is no longer the "
+        f"holder of record — it was TTL-taken-over (or released) while "
+        f"this write was in flight; re-acquire the lease and redo the "
+        f"work from current state"
+    )
 
 
 PROMOTE_LOCK = "_WDSS_PROMOTE_LOCK"
@@ -742,10 +812,17 @@ def slot_writer_lease(path: str, purpose: str = "write",
     over — UNLESS its owner.json names a pid still alive on THIS host
     (os.kill(pid, 0)): the same-host backstop for holders whose
     heartbeat thread died. Takeover is ATOMIC via rename-aside
-    (``_lease_takeover`` — ADVICE r16 #1), and release is inode-guarded:
-    a holder only removes the exact lease instance it created, so a
-    stolen/renamed lease can never make an exiting holder delete a
-    successor's live lease. Used as a context manager by every
+    (``_lease_takeover`` — ADVICE r16 #1), and release is
+    FENCE-guarded (r18, superseding the r17 inode guard: ext4 reuses a
+    freed inode for the very next mkdir at the same path, so inode
+    equality is not instance identity — found by tools/lease_soak.py):
+    a holder only removes the lease when the owner.json at the path
+    still carries ITS OWN fence number, so a stolen/renamed lease can
+    never make an exiting holder delete a successor's live lease.
+    While held, every fenced promote/append-stamp re-verifies the same
+    identity at the storage boundary (``_verify_held_lease``), which
+    fences a resumed zombie's writes even BEFORE its successor first
+    publishes. Used as a context manager by every
     ``append_*`` and ``compact_*``; builds stay serialized by
     claim_new_generation's mkdir instead (racing build-if-absent is
     benign end to end — both produce equivalent generations — and must
@@ -817,9 +894,29 @@ def slot_writer_lease(path: str, purpose: str = "write",
         fence_key = (threading.get_ident(), root)
         hb = os.path.join(lease, "heartbeat")
         stop = threading.Event()
+        fence: int | None = None
+        owner_written = False
+
+        def _ours() -> bool:
+            """Is the instance at the lease path still THIS acquisition?
+            Identity = the fence in owner.json, never the inode — ext4
+            reuses a freed inode for the very next mkdir at the path, so
+            a successor's lease can be inode-identical to ours (the r18
+            lease_soak finding that broke the inode-guarded release)."""
+            try:
+                with open(os.path.join(lease, "owner.json"),
+                          encoding="utf-8") as fh:
+                    return json.load(fh).get("fence") == fence
+            except (OSError, ValueError):
+                return False
 
         def _beat() -> None:
             while not stop.wait(hb_s):
+                if not _ours():
+                    # taken over (or released): beating on would refresh
+                    # the SUCCESSOR's heartbeat file and could keep a
+                    # crashed successor's lease looking alive forever
+                    return
                 try:
                     with open(hb, "w", encoding="utf-8") as fh:
                         fh.write(str(time.time()))
@@ -846,24 +943,38 @@ def slot_writer_lease(path: str, purpose: str = "write",
             # clear by TTL.
             fence = _draw_fence(root)
             _HELD_FENCES[fence_key] = fence
+            _HELD_LEASES[fence_key] = (lease, fence)
             with open(os.path.join(lease, "owner.json"), "w",
                       encoding="utf-8") as fh:
                 json.dump({"pid": os.getpid(), "purpose": purpose,
                            "fence": fence, "at": time.time()}, fh)
+            owner_written = True
             with open(hb, "w", encoding="utf-8") as fh:
                 fh.write(str(time.time()))
             beater.start()
             yield root
         finally:
             _HELD_FENCES.pop(fence_key, None)
+            _HELD_LEASES.pop(fence_key, None)
             stop.set()
             if beater.is_alive():
                 beater.join(timeout=5.0)
-            # inode guard: remove only the instance WE created — if the
-            # lease was (wrongly or via TTL) taken over, the path now
-            # holds a successor's live lease and must survive our exit
+            # release guard: remove only the instance WE created — if
+            # the lease was (wrongly or via TTL) taken over, the path
+            # now holds a successor's live lease and must survive our
+            # exit. Identity is the owner.json fence (_ours); the inode
+            # comparison survives ONLY as the fallback for an
+            # acquisition that failed before ITS OWN owner.json write
+            # landed (owner_written False) — that failure path releases
+            # within microseconds of the claim, far inside any TTL, so
+            # no takeover (and hence no inode reuse at this path) can
+            # have happened yet. Everywhere else the inode is NOT
+            # identity: ext4 hands a freed inode straight back to the
+            # next mkdir here (the r18 lease_soak finding)
             try:
-                if os.stat(lease).st_ino == held_ino:
+                if _ours() or (
+                    not owner_written and os.stat(lease).st_ino == held_ino
+                ):
                     shutil.rmtree(lease, ignore_errors=True)
             except OSError:
                 pass  # already gone
@@ -902,6 +1013,11 @@ def promote_generation(slot: str, gen_dir: str) -> str:
 
     with _promote_lock(slot):
         fence = _held_fence(slot)
+        if fence is not None:
+            # instance check FIRST (r18 lease_soak finding): the fence
+            # comparison below cannot see a takeover whose successor has
+            # not published yet — the manifest fence is still stale
+            _verify_held_lease(slot)
         published = _manifest_fence(slot)
         if fence is not None and published > fence:
             raise FencedWriterError(
@@ -919,6 +1035,14 @@ def promote_generation(slot: str, gen_dir: str) -> str:
             doc["fence"] = newest
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(doc, fh)
+        if fence is not None:
+            # final check DIRECTLY before the publish rename: the entry
+            # check above leaves a milliseconds-wide window (manifest
+            # read + resolve + tmp write) in which a writer frozen past
+            # the TTL resumes and publishes over its successor — the
+            # soak caught promotes slipping through exactly there. After
+            # this line the exposure is one syscall
+            _verify_held_lease(slot)
         os.replace(tmp, manifest)
         keep = {os.path.basename(gen_dir)}
         if prev is not None and prev != slot:
