@@ -5134,6 +5134,11 @@ def test_lease_identity_is_fence_not_inode(tmp_path):
         hb = os.path.join(lease_dir, "heartbeat")
         with open(hb, "w", encoding="utf-8") as fh:
             fh.write(str(time.time()))
+        # absorb any beat already in flight across the swap: a beater
+        # descheduled between its identity check (pre-swap: ours) and
+        # its write would otherwise bump the successor's beacon AFTER
+        # m1 is read below and flake the frozen-mtime assertion
+        time.sleep(0.15)
         # (1) both fenced writes reject despite any inode reuse
         with _pytest.raises(FencedWriterError):
             append_index_marker(g1, {"rec": "zombie"})
@@ -5156,6 +5161,162 @@ def test_lease_identity_is_fence_not_inode(tmp_path):
     # the pins above still hold (identity never consults the inode)
     del reused
     shutil.rmtree(lease_dir)
+
+
+def test_usurped_claim_never_overwrites_successor_owner(tmp_path, monkeypatch):
+    """r18 review #1: a writer frozen past the TTL between its lease
+    mkdir and its owner.json write must NOT, on resume, overwrite the
+    successor's owner.json — a plain open('w') would invert the fence
+    identity (successor fenced out of its own lease, zombie's verifies
+    passing). Pins: the resumed claim raises FencedWriterError (O_EXCL
+    lost the exclusive-create), the successor's owner.json is
+    untouched, and the usurped writer's release leaves the successor's
+    populated lease in place (rmdir-only fallback, no inode check)."""
+    import json
+    import os
+    import shutil
+    import threading
+
+    from weather_database_system_spark import session as S
+    from weather_database_system_spark.session import (
+        INDEX_LEASE,
+        INDEX_MANIFEST,
+        FencedWriterError,
+        slot_writer_lease,
+        write_index_marker,
+    )
+
+    slot = str(tmp_path / "slot")
+    g1 = os.path.join(slot, "gen-0001")
+    os.makedirs(g1)
+    write_index_marker(g1, {"kind": "t", "algo": 1})
+    with open(os.path.join(slot, INDEX_MANIFEST), "w", encoding="utf-8") as fh:
+        json.dump({"generation": "gen-0001"}, fh)
+    lease_dir = os.path.join(slot, INDEX_LEASE)
+
+    orig_draw = S._draw_fence
+    claimed = threading.Event()
+    takeover_done = threading.Event()
+    outcome: dict = {}
+
+    def frozen_draw(root: str) -> int:
+        # freeze point: after the mkdir claim, before the owner stamp
+        claimed.set()
+        takeover_done.wait(10)
+        return orig_draw(root)
+
+    monkeypatch.setattr(S, "_draw_fence", frozen_draw)
+
+    def victim() -> None:
+        try:
+            with slot_writer_lease(slot, "victim", ttl_s=0.5):
+                outcome["acquired"] = True
+        except FencedWriterError:
+            outcome["fenced"] = True
+        except BaseException as exc:  # noqa: BLE001 — surfaced below
+            outcome["crash"] = exc
+
+    t = threading.Thread(target=victim)
+    t.start()
+    assert claimed.wait(10)
+    # the takeover while the victim is frozen: instance replaced at the
+    # same path (ext4 would even reuse the inode), successor stamped
+    shutil.rmtree(lease_dir)
+    os.mkdir(lease_dir)
+    with open(os.path.join(lease_dir, "owner.json"), "w",
+              encoding="utf-8") as fh:
+        json.dump({"pid": os.getpid(), "purpose": "successor",
+                   "fence": 12345}, fh)
+    takeover_done.set()
+    t.join(10)
+    assert outcome == {"fenced": True}, outcome
+    # successor's lease and stamp survived the victim's failure path
+    assert os.path.isdir(lease_dir)
+    with open(os.path.join(lease_dir, "owner.json"), encoding="utf-8") as fh:
+        doc = json.load(fh)
+    assert doc["purpose"] == "successor" and doc["fence"] == 12345
+    shutil.rmtree(lease_dir)
+
+
+def test_prune_never_deletes_currently_published_generation(
+    tmp_path, monkeypatch
+):
+    """r18 review #2: promote's prune runs after the publish, so a
+    promoter frozen past the lock TTL between its os.replace and its
+    prune could delete the STAMPED generation its successor has since
+    published — the manifest would point at a rmtree'd directory and
+    manifest-loss recovery would revert to stale state, losing the
+    successor's acked appends. The prune now re-reads the manifest
+    directly before each rmtree and never removes the generation it
+    currently names."""
+    import json
+    import os
+    import threading
+
+    from weather_database_system_spark import session as S
+    from weather_database_system_spark.session import (
+        INDEX_MANIFEST,
+        claim_new_generation,
+        promote_generation,
+        resolve_generation,
+        write_index_marker,
+    )
+
+    slot = str(tmp_path / "slot")
+    g1 = os.path.join(slot, "gen-0001")
+    os.makedirs(g1)
+    write_index_marker(g1, {"kind": "t", "algo": 1})
+    with open(os.path.join(slot, INDEX_MANIFEST), "w", encoding="utf-8") as fh:
+        json.dump({"generation": "gen-0001"}, fh)
+
+    g2 = claim_new_generation(slot)
+    write_index_marker(g2, {"kind": "t", "algo": 1})
+
+    orig_dirs = S._generation_dirs
+    frozen_tid: set = set()
+    at_prune = threading.Event()
+    resume = threading.Event()
+
+    def gated_dirs(s: str):
+        # freeze ONLY the victim thread's prune-time listing; every
+        # other caller (the successor's promote below) passes through
+        if threading.get_ident() in frozen_tid:
+            frozen_tid.clear()  # freeze once — the victim's retry passes
+            at_prune.set()
+            assert resume.wait(30)
+        return orig_dirs(s)
+
+    monkeypatch.setattr(S, "_generation_dirs", gated_dirs)
+
+    def victim() -> None:
+        frozen_tid.add(threading.get_ident())
+        promote_generation(slot, g2)  # unfenced: publish then freeze
+
+    t = threading.Thread(target=victim)
+    t.start()
+    assert at_prune.wait(10)
+    # victim has PUBLISHED g2 and is frozen before its prune, still
+    # holding the promote lock — exactly a promoter frozen past the
+    # lock TTL. The successor age-clears the stale lock (backdated
+    # here, as sweep/test precedent does for the lease TTL) and
+    # publishes g3
+    import time as _time
+
+    lock = os.path.join(slot, S.PROMOTE_LOCK)
+    old = _time.time() - 7200
+    os.utime(lock, (old, old))
+    g3 = claim_new_generation(slot)
+    write_index_marker(g3, {"kind": "t", "algo": 1})
+    promote_generation(slot, g3)
+    assert resolve_generation(slot) == g3
+    resume.set()
+    t.join(10)
+    # the victim's resumed prune must NOT have deleted the successor's
+    # currently-published generation
+    assert os.path.isdir(g3)
+    assert resolve_generation(slot) == g3
+    meta, _ = S.read_index_marker(g3)
+    assert meta == {"kind": "t", "algo": 1}
 
 
 def test_fence_bookkeeping_never_reads_as_index_content(tmp_path, monkeypatch):

@@ -76,12 +76,17 @@ def main() -> int:
         release_persisted()
         return round(time.perf_counter() - t0, 3)
 
-    # The bench warm-up sequence: flagship query (JVM/codegen/footers)
-    # plus one Arrow round-trip (Python worker pool).
+    # The bench warm-up sequence, ALL THREE steps (r18 review #5 —
+    # omitting any one makes readings non-comparable to the BENCH
+    # series, the exact mis-adjudication this tool exists to prevent):
+    # flagship query (JVM/codegen/footers), one Arrow round-trip
+    # (Python worker pool), and one feed query (the partitioned Python
+    # DataSource machinery the feed_* headliners depend on).
     run("pricing_summary")
     spark.range(2).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
         "overwrite"
     ).save()
+    run("feed_daily_rollup")
 
     print(f"sentinel pricing_summary: {[run('pricing_summary') for _ in range(2)]}")
     for name in args.names:

@@ -245,7 +245,14 @@ def append_index_marker(path: str, note: dict | None = None) -> None:
         # final check DIRECTLY before the ACKing rename (mirrors
         # promote_generation): shrink the freeze window between the
         # entry check and the publish to one syscall
-        _verify_held_lease(path)
+        try:
+            _verify_held_lease(path)
+        except FencedWriterError:
+            try:
+                os.remove(tmp)  # r18 review #8: no stale-stamp orphan
+            except OSError:
+                pass
+            raise
     os.replace(tmp, marker)
 
 
@@ -553,6 +560,40 @@ def _held_fence(path: str) -> int | None:
     return _HELD_FENCES.get((threading.get_ident(), _lease_root(path)))
 
 
+def _lease_instance_state(lease: str, fence: int) -> str:
+    """Classify the instance at ``lease`` against OUR acquisition:
+    ``"ours"`` (owner.json carries our fence), ``"other"`` (it parses
+    and carries a DIFFERENT fence — positively taken over or released
+    and re-acquired), or ``"unreadable"`` (missing/unparseable/IO error
+    — cannot tell). The single identity primitive behind the boundary
+    verify, the heartbeat thread, and the release guard — they differ
+    only in how they treat ``"unreadable"``, and keeping one copy stops
+    their error semantics drifting apart (r18 review #9)."""
+    import json
+
+    try:
+        with open(os.path.join(lease, "owner.json"), encoding="utf-8") as fh:
+            other = json.load(fh).get("fence")
+    except (OSError, ValueError):
+        return "unreadable"
+    return "ours" if other == fence else "other"
+
+
+def _still_holds(path: str) -> bool:
+    """Non-raising sibling of ``_verify_held_lease`` for callers that
+    want to STOP quietly instead of failing (the post-publish prune):
+    True when this thread's lease instance is still the holder of
+    record, or when the caller is unfenced. ``"unreadable"`` reads as
+    not-holding — the callers use this before destructive deletes, where
+    unconfirmed ownership must halt the delete, not excuse it."""
+    import threading
+
+    rec = _HELD_LEASES.get((threading.get_ident(), _lease_root(path)))
+    if rec is None:
+        return True
+    return _lease_instance_state(*rec) == "ours"
+
+
 def _verify_held_lease(path: str) -> None:
     """Fencing at the STORAGE BOUNDARY (r18, found by tools/lease_soak.py):
     confirm the lease instance this thread claimed is still the one at
@@ -568,28 +609,38 @@ def _verify_held_lease(path: str) -> None:
     same path (verified: five mkdir/rmdir cycles, one inode), so a
     successor's lease can be inode-identical to the zombie's and the
     soak caught exactly one zombie append slipping through an
-    inode-based check. A missing/unreadable owner.json also rejects:
-    our own instance always has the owner.json we wrote before yielding,
-    so an absent one means the path holds a successor mid-acquisition.
-    No-op for unfenced callers (ensure_* builds never take the lease)."""
-    import json
+    inode-based check.
+
+    An UNREADABLE owner.json gets one short retry (a transient
+    EIO/ESTALE on shared storage must not abort a whole compaction —
+    r18 review #4), then fails CLOSED with an honest message: ownership
+    that cannot be confirmed must not publish, but the error says
+    "cannot confirm", not "taken over". No-op for unfenced callers
+    (ensure_* builds never take the lease)."""
     import threading
+    import time
 
     rec = _HELD_LEASES.get((threading.get_ident(), _lease_root(path)))
     if rec is None:
         return
     lease, fence = rec
-    try:
-        with open(os.path.join(lease, "owner.json"), encoding="utf-8") as fh:
-            if json.load(fh).get("fence") == fence:
-                return
-    except (OSError, ValueError):
-        pass
+    state = _lease_instance_state(lease, fence)
+    if state == "unreadable":
+        time.sleep(0.01)
+        state = _lease_instance_state(lease, fence)
+    if state == "ours":
+        return
+    if state == "other":
+        raise FencedWriterError(
+            f"lease instance {lease!r} with fence {fence} is no longer "
+            f"the holder of record — it was TTL-taken-over (or released) "
+            f"while this write was in flight; re-acquire the lease and "
+            f"redo the work from current state"
+        )
     raise FencedWriterError(
-        f"lease instance {lease!r} with fence {fence} is no longer the "
-        f"holder of record — it was TTL-taken-over (or released) while "
-        f"this write was in flight; re-acquire the lease and redo the "
-        f"work from current state"
+        f"cannot confirm ownership of lease {lease!r} (fence {fence}): "
+        f"owner.json is unreadable after retry — refusing to publish "
+        f"unverified; retry the operation when storage recovers"
     )
 
 
@@ -614,6 +665,7 @@ def _promote_lock(slot: str):
     @contextlib.contextmanager
     def _ctx():
         tl = os.path.join(slot, PROMOTE_LOCK)
+        token_file = os.path.join(tl, "owner")
         deadline = time.monotonic() + PROMOTE_LOCK_WAIT_S
         while True:
             try:
@@ -625,7 +677,10 @@ def _promote_lock(slot: str):
             except FileExistsError:
                 try:
                     if time.time() - os.stat(tl).st_mtime > PROMOTE_LOCK_TTL_S:
-                        os.rmdir(tl)
+                        # rmtree, not rmdir: a tokened lock is non-empty
+                        import shutil as _sh
+
+                        _sh.rmtree(tl, ignore_errors=True)
                         continue
                 except OSError:
                     continue  # holder released between mkdir and stat
@@ -635,11 +690,28 @@ def _promote_lock(slot: str):
                         f"a promoter is stuck or the clock is wrong"
                     )
                 time.sleep(0.05)
+        # identity token (r18 review follow-up): a promoter frozen past
+        # the lock's age-clear TTL resumes after a successor has
+        # re-created the lock — an unconditional release rmdir would
+        # delete the SUCCESSOR's active lock and void the very
+        # atomicity this lock provides. Release only removes a lock
+        # still carrying our token; a foreign/unreadable token leaves
+        # it for its holder (or the age-clear)
+        token = os.urandom(8).hex()
+        try:
+            with open(token_file, "w", encoding="utf-8") as fh:
+                fh.write(token)
+        except OSError:
+            pass  # unreadable token → release leaves it to age-clear
         try:
             yield
         finally:
             try:
-                os.rmdir(tl)
+                with open(token_file, encoding="utf-8") as fh:
+                    ours = fh.read() == token
+                if ours:
+                    os.remove(token_file)
+                    os.rmdir(tl)
             except OSError:
                 pass
 
@@ -890,32 +962,25 @@ def slot_writer_lease(path: str, purpose: str = "write",
                 # fixed 100 ms poll; total wait is bounded by the
                 # deadline check above, not by this interval
                 time.sleep(0.1)
-        held_ino = os.stat(lease).st_ino
         fence_key = (threading.get_ident(), root)
         hb = os.path.join(lease, "heartbeat")
         stop = threading.Event()
         fence: int | None = None
         owner_written = False
 
-        def _ours() -> bool:
-            """Is the instance at the lease path still THIS acquisition?
-            Identity = the fence in owner.json, never the inode — ext4
-            reuses a freed inode for the very next mkdir at the path, so
-            a successor's lease can be inode-identical to ours (the r18
-            lease_soak finding that broke the inode-guarded release)."""
-            try:
-                with open(os.path.join(lease, "owner.json"),
-                          encoding="utf-8") as fh:
-                    return json.load(fh).get("fence") == fence
-            except (OSError, ValueError):
-                return False
-
         def _beat() -> None:
             while not stop.wait(hb_s):
-                if not _ours():
-                    # taken over (or released): beating on would refresh
-                    # the SUCCESSOR's heartbeat file and could keep a
-                    # crashed successor's lease looking alive forever
+                # identity check each beat (fence in owner.json, never
+                # the inode — ext4 reuses a freed inode for the very
+                # next mkdir at the path): beating on a POSITIVELY
+                # foreign instance would refresh the SUCCESSOR's
+                # heartbeat and could keep a crashed successor's lease
+                # looking alive forever. An UNREADABLE owner.json is NOT
+                # a takeover verdict (r18 review #3): a transient
+                # EIO/ESTALE on shared storage must not silently disable
+                # the beacon mid-write — keep beating and let the next
+                # beat re-check
+                if _lease_instance_state(lease, fence) == "other":
                     return
                 try:
                     with open(hb, "w", encoding="utf-8") as fh:
@@ -944,8 +1009,27 @@ def slot_writer_lease(path: str, purpose: str = "write",
             fence = _draw_fence(root)
             _HELD_FENCES[fence_key] = fence
             _HELD_LEASES[fence_key] = (lease, fence)
-            with open(os.path.join(lease, "owner.json"), "w",
-                      encoding="utf-8") as fh:
+            # O_EXCL (r18 review #1): a writer frozen past the TTL
+            # between its mkdir and this write resumes AFTER a takeover
+            # — a plain open('w') would overwrite the successor's
+            # owner.json and INVERT the fence identity (the successor
+            # gets fenced out of its own lease while the zombie's
+            # verifies pass). Our own fresh instance never has an
+            # owner.json, so exclusive-create succeeds exactly when the
+            # instance is still ours
+            try:
+                fd = os.open(
+                    os.path.join(lease, "owner.json"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            except FileExistsError:
+                raise FencedWriterError(
+                    f"lease claim at {lease!r} was usurped before its "
+                    f"owner stamp landed — this writer was frozen past "
+                    f"the TTL between claim and stamp and a successor "
+                    f"holds the slot now; retry the acquisition"
+                ) from None
+            with os.fdopen(fd, "w", encoding="utf-8") as fh:
                 json.dump({"pid": os.getpid(), "purpose": purpose,
                            "fence": fence, "at": time.time()}, fh)
             owner_written = True
@@ -962,22 +1046,28 @@ def slot_writer_lease(path: str, purpose: str = "write",
             # release guard: remove only the instance WE created — if
             # the lease was (wrongly or via TTL) taken over, the path
             # now holds a successor's live lease and must survive our
-            # exit. Identity is the owner.json fence (_ours); the inode
-            # comparison survives ONLY as the fallback for an
-            # acquisition that failed before ITS OWN owner.json write
-            # landed (owner_written False) — that failure path releases
-            # within microseconds of the claim, far inside any TTL, so
-            # no takeover (and hence no inode reuse at this path) can
-            # have happened yet. Everywhere else the inode is NOT
-            # identity: ext4 hands a freed inode straight back to the
-            # next mkdir here (the r18 lease_soak finding)
+            # exit. Identity is the owner.json fence (never the inode:
+            # ext4 hands a freed inode straight back to the next mkdir
+            # here — the r18 lease_soak finding). An unreadable
+            # owner.json gets one short retry, then the lease is LEFT
+            # for TTL reclaim (fail-safe: never delete what might be a
+            # successor's). For an acquisition that failed before its
+            # own owner stamp landed (owner_written False), the
+            # instance is EMPTY, so a plain rmdir removes exactly it
+            # and fails harmlessly on a successor's populated lease —
+            # no inode comparison anywhere
             try:
-                if _ours() or (
-                    not owner_written and os.stat(lease).st_ino == held_ino
-                ):
-                    shutil.rmtree(lease, ignore_errors=True)
+                if owner_written:
+                    state = _lease_instance_state(lease, fence)
+                    if state == "unreadable":
+                        time.sleep(0.01)
+                        state = _lease_instance_state(lease, fence)
+                    if state == "ours":
+                        shutil.rmtree(lease, ignore_errors=True)
+                else:
+                    os.rmdir(lease)
             except OSError:
-                pass  # already gone
+                pass  # already gone / a successor's populated lease
 
     return _ctx()
 
@@ -1042,16 +1132,43 @@ def promote_generation(slot: str, gen_dir: str) -> str:
             # the TTL resumes and publishes over its successor — the
             # soak caught promotes slipping through exactly there. After
             # this line the exposure is one syscall
-            _verify_held_lease(slot)
+            try:
+                _verify_held_lease(slot)
+            except FencedWriterError:
+                # never leave a tmp carrying the fenced-out writer's
+                # stale stamp behind (r18 review #8)
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+                raise
         os.replace(tmp, manifest)
         keep = {os.path.basename(gen_dir)}
         if prev is not None and prev != slot:
             keep.add(os.path.basename(prev))
         for n in _generation_dirs(slot):
-            if n not in keep and os.path.isfile(
+            if n in keep or not os.path.isfile(
                 os.path.join(slot, n, INDEX_MARKER)
             ):
-                shutil.rmtree(os.path.join(slot, n), ignore_errors=True)
+                continue
+            # destructive guard (r18 review #2): a promoter frozen past
+            # the TTL between its publish and this prune must not delete
+            # a generation its SUCCESSOR has since published — re-read
+            # the manifest directly before each rmtree and never remove
+            # the generation it currently names; a fenced promoter that
+            # lost its lease mid-prune just stops (the publish already
+            # landed; stale generations are age-swept later, so an
+            # abandoned prune costs disk, never correctness)
+            if fence is not None and not _still_holds(slot):
+                break
+            try:
+                with open(manifest, encoding="utf-8") as fh:
+                    current = json.load(fh).get("generation")
+            except (OSError, ValueError):
+                break  # cannot confirm what is live — stop deleting
+            if n == current:
+                continue
+            shutil.rmtree(os.path.join(slot, n), ignore_errors=True)
     return gen_dir
 
 
