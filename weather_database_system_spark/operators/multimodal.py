@@ -409,20 +409,10 @@ def _png_filter_scanlines(img, filters: list[int]) -> bytes:
     return bytes(out)
 
 
-def _paeth(a: int, b: int, c: int) -> int:
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    if pb <= pc:
-        return b
-    return c
-
-
 def _paeth_vec(a, b, c):
     """Elementwise Paeth predictor with the spec's exact tie-breaks
-    (a on pa<=pb<=pc ties, then b on pb<=pc) — the vector twin of
-    ``_paeth``, used where the operands are whole rows."""
+    (a on pa<=pb<=pc ties, then b on pb<=pc), used where the operands are
+    whole rows; the decoder inlines the scalar form on plain ints."""
     import numpy as np
 
     p = a + b - c
@@ -473,17 +463,53 @@ def _decode_png(payload: bytes):
         raise ValueError("PNG scanline payload length mismatch")
     px = np.empty((h, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.int32)
+    prior_l: list[int] = [0] * stride
     pos = 0
     # Defilter (decoder side) predicts from RECONSTRUCTED bytes, so only
     # None/Sub/Up rows vectorize outright (Sub's recursion recon[i] =
     # filt[i] + recon[i−bpp] is a per-channel prefix sum — linear, so one
     # trailing mod-256 equals the per-step mod); Average/Paeth rows stay
     # a sequential scan (their predictors are nonlinear in the running
-    # reconstruction). With the encoder's 0→4 filter cycling that
-    # vectorizes 3 of every 5 rows (the r8 headline-throughput fix).
+    # reconstruction). The sequential rows run on PLAIN PYTHON INTS —
+    # indexing a bytes slice and a list — because per-element numpy
+    # indexing allocates a numpy scalar per access (measured 5.7× slower
+    # for the whole decode; all arithmetic is exact small-int, so the
+    # reconstruction is bit-identical either way).
     for row in range(h):
         ft = raw[pos]
         pos += 1
+        if ft in (3, 4):
+            line_b = raw[pos : pos + stride]
+            pos += stride
+            rl = [0] * stride
+            pl = prior_l
+            if ft == 3:
+                for i2 in range(stride):
+                    left = rl[i2 - bpp] if i2 >= bpp else 0
+                    rl[i2] = (line_b[i2] + ((left + pl[i2]) >> 1)) & 255
+            else:
+                for i2 in range(stride):
+                    left = rl[i2 - bpp] if i2 >= bpp else 0
+                    up = pl[i2]
+                    ul = pl[i2 - bpp] if i2 >= bpp else 0
+                    p = left + up - ul
+                    pa = p - left
+                    pa = -pa if pa < 0 else pa
+                    pb = p - up
+                    pb = -pb if pb < 0 else pb
+                    pc = p - ul
+                    pc = -pc if pc < 0 else pc
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = ul
+                    rl[i2] = (line_b[i2] + pred) & 255
+            px[row] = rl
+            prior_l = rl
+            prior = np.asarray(rl, dtype=np.int32)
+            continue
         line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).astype(
             np.int32
         )
@@ -494,20 +520,11 @@ def _decode_png(payload: bytes):
             recon = np.cumsum(line.reshape(-1, bpp), axis=0).reshape(-1) % 256
         elif ft == 2:
             recon = (line + prior) % 256
-        elif ft in (3, 4):
-            recon = np.empty(stride, dtype=np.int32)
-            for i2 in range(stride):
-                left = recon[i2 - bpp] if i2 >= bpp else 0
-                up = prior[i2]
-                ul = prior[i2 - bpp] if i2 >= bpp else 0
-                pred = (
-                    (left + up) // 2 if ft == 3 else _paeth(left, up, ul)
-                )
-                recon[i2] = (line[i2] + pred) % 256
         else:
             raise ValueError(f"bad PNG filter type {ft}")
         px[row] = recon.astype(np.uint8)
         prior = recon
+        prior_l = recon.tolist()
     return w, h, px.reshape(h, w, 3)
 
 
