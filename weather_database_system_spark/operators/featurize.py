@@ -332,8 +332,10 @@ def _pca_pc_cols(dims: int, W, mu) -> list[Column]:
     mu_proj = mu @ W  # K offsets, folded into the per-row expression
     x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
     pcs = []
+    from weather_database_system_spark.operators.similarity import _lit_arr
+
     for k in range(W.shape[1]):
-        wk = F.array(*[F.lit(float(W[d, k])) for d in range(dims)])
+        wk = _lit_arr([float(W[d, k]) for d in range(dims)])
         dot = F.aggregate(
             F.zip_with(x, wk, lambda a, b: a * b),
             F.lit(0.0),
@@ -385,7 +387,9 @@ def embedding_pca_project_checked(spark: SparkSession, sf_dir: str) -> DataFrame
     emb, dims, mu, W, lam = _pca_fit(spark, sf_dir)
     ortho_dev = float(np.abs(W.T @ W - np.eye(W.shape[1])).max())
 
-    mu_arr = F.array(*[F.lit(float(mu[d])) for d in range(dims)])
+    from weather_database_system_spark.operators.similarity import _lit_arr
+
+    mu_arr = _lit_arr([float(mu[d]) for d in range(dims)])
     x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
     csq = F.aggregate(
         F.zip_with(x, mu_arr, lambda a, b: (a - b) * (a - b)),

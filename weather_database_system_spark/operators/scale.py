@@ -1261,7 +1261,9 @@ def _bloom_audit(spark: SparkSession, sf_dir: str):
         words[r.p // 64] |= 1 << (r.p % 64)
     # two's-complement into int64 range for the literal array
     words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    warr = F.array(*[F.lit(w) for w in words])
+    from weather_database_system_spark.operators.similarity import _lit_arr
+
+    warr = _lit_arr(words)
 
     probe = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", F.col("l_orderkey").alias("okey")

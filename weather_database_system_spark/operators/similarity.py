@@ -155,6 +155,61 @@ def _l2_dec(a, b):
     )
 
 
+def _lit_arr(values):
+    """Literal array column in ONE Py4J round trip.
+
+    ``F.lit(list)`` builds ``array(lit(v0), lit(v1), ...)`` — one Py4J
+    call PER ELEMENT, which at K×dims scale (512-1024 elements per Lloyd
+    codebook) costs 0.7-2.5 s of pure driver time PER EXPRESSION BUILD
+    and dominated semdedup_prune / ann_product_quantization wall-clock at
+    test SF (profiled r18: 5.8 s / 4.2 s of the queries' 8.7 s / 5.8 s sat
+    outside every Spark job). Rendering the same values as one SQL array
+    literal and parsing it is a single round trip (~3 ms) and
+    constant-folds to the identical Literal: ``repr(float)`` emits the
+    shortest digits that round-trip, and Spark's parser reads them with
+    Java's correctly-rounded ``Double.parseDouble``, so double values are
+    BIT-identical to the per-element path (validated against F.lit on
+    max-double / denormal / -0.0). The explicit CAST pins the exact
+    array type F.lit's element typing produced (INT leaves unless a
+    value needs BIGINT — F.array's own widening rule), so plan types are
+    unchanged too."""
+    def render(v) -> tuple[str, tuple[int, str]]:
+        """→ (sql, (array_depth, scalar_kind)); INT widens to BIGINT when
+        siblings mix (F.array's own coercion), other mixes are a bug."""
+        if isinstance(v, (list, tuple)):
+            parts = [render(x) for x in v]
+            kinds = {k for _, k in parts}
+            if not kinds:
+                raise ValueError("empty literal array (type is ambiguous)")
+            depths = {d for d, _ in kinds}
+            scalars = {s for _, s in kinds}
+            if len(depths) > 1 or not scalars <= {"INT", "BIGINT", "DOUBLE"}:
+                raise TypeError(f"incompatible literal array kinds: {kinds}")
+            if len(scalars) > 1:
+                if scalars != {"INT", "BIGINT"}:
+                    raise TypeError(f"mixed literal leaf types: {scalars}")
+                scalar = "BIGINT"
+            else:
+                scalar = scalars.pop()
+            sql = "array(" + ",".join(s for s, _ in parts) + ")"
+            return sql, (depths.pop() + 1, scalar)
+        if isinstance(v, bool):
+            raise TypeError("bool literal arrays unsupported")
+        if isinstance(v, float):
+            if v != v or v in (float("inf"), float("-inf")):
+                raise ValueError("non-finite literal")
+            return repr(v) + "D", (0, "DOUBLE")
+        if isinstance(v, int):
+            return str(v), (0, "INT" if -(2**31) <= v < 2**31 else "BIGINT")
+        raise TypeError(f"unsupported literal leaf {type(v)}")
+
+    sql, (depth, scalar) = render(list(values))
+    kind = scalar
+    for _ in range(depth):
+        kind = f"ARRAY<{kind}>"
+    return F.expr(f"CAST({sql} AS {kind})")
+
+
 def _cell_argmin_expr(cents: list[tuple[int, list[float]]], col=None):
     """Nearest-centroid cell id as ONE map-side expression over the ``emb``
     double array (or any array column passed as ``col`` — the PQ subspace
@@ -193,7 +248,7 @@ def _cell_entries_expr(cents: list[tuple[int, list[float]]], col=None):
         col = F.col("emb")
     cs = sorted(cents)
     return _cell_entries_from(
-        F.lit([c for c, _ in cs]), F.lit([v for _, v in cs]), col
+        _lit_arr([c for c, _ in cs]), _lit_arr([v for _, v in cs]), col
     )
 
 
@@ -1273,9 +1328,9 @@ def _pq_qtable(q: DataFrame, books) -> DataFrame:
     projection, no centroid DataFrame to cross-join and no M×K-arm
     expression tree (same analysis-cost rationale as _cell_argmin_expr).
     ``q`` carries (query_id, emb)."""
-    ms_l = F.lit([m for m in range(PQ_M) for _ in books[m]])
-    codes_l = F.lit([cell for m in range(PQ_M) for cell, _ in books[m]])
-    vals_l = F.lit([cvals for m in range(PQ_M) for _, cvals in books[m]])
+    ms_l = _lit_arr([m for m in range(PQ_M) for _ in books[m]])
+    codes_l = _lit_arr([cell for m in range(PQ_M) for cell, _ in books[m]])
+    vals_l = _lit_arr([cvals for m in range(PQ_M) for _, cvals in books[m]])
     return q.select(
         "query_id",
         F.explode(
@@ -1737,8 +1792,8 @@ def _with_residual(
     assigned = _assign_cells(vecs.select("vec_id", "emb"), cents)
     cs = sorted(cents)
     if len(cs) <= IVF_LITERAL_ROUTER_MAX:
-        ids = F.lit([c for c, _ in cs])
-        vals = F.lit([v for _, v in cs])
+        ids = _lit_arr([c for c, _ in cs])
+        vals = _lit_arr([v for _, v in cs])
         return assigned.select(
             "vec_id",
             "cell",
@@ -2102,9 +2157,9 @@ def _pq_qtable_cells(qr: DataFrame, books) -> DataFrame:
     the ADC join matches a candidate's codes against the table of ITS
     cell's residual frame. ``qr`` carries (query_id, cell, emb) where
     emb is the residual q − centroid[cell]."""
-    ms_l = F.lit([m for m in range(PQ_M) for _ in books[m]])
-    codes_l = F.lit([cell for m in range(PQ_M) for cell, _ in books[m]])
-    vals_l = F.lit([cvals for m in range(PQ_M) for _, cvals in books[m]])
+    ms_l = _lit_arr([m for m in range(PQ_M) for _ in books[m]])
+    codes_l = _lit_arr([cell for m in range(PQ_M) for cell, _ in books[m]])
+    vals_l = _lit_arr([cvals for m in range(PQ_M) for _, cvals in books[m]])
     return qr.select(
         "query_id",
         "cell",
@@ -2252,8 +2307,8 @@ def ann_ivfpq_residual_query_prebuilt(
             "query_id",
             "cell",
             _residual_from(
-                F.lit([c for c, _ in cs]),
-                F.lit([v for _, v in cs]),
+                _lit_arr([c for c, _ in cs]),
+                _lit_arr([v for _, v in cs]),
                 F.col("emb"),
                 F.col("cell"),
             ).alias("emb"),
@@ -2480,9 +2535,7 @@ def _lsh_tables(spark: SparkSession, sf_dir: str):
     planes = _hyperplanes()
     per_table = N_PLANES // N_TABLES
     bits = [
-        F.when(
-            _dot_dec(F.col("emb"), F.array(*[F.lit(x) for x in p])) >= 0, "1"
-        ).otherwise("0")
+        F.when(_dot_dec(F.col("emb"), _lit_arr(p)) >= 0, "1").otherwise("0")
         for p in planes
     ]
     # Lifecycle: tracked — callers release via session.release_persisted().
@@ -2609,7 +2662,7 @@ def _lsh_tables_fixedpoint(spark: SparkSession, sf_dir: str):
         q6.alias("q6"),
     )
     def idot(p: list[float]):
-        pint = F.array(*[F.lit(int(round(x * FP_SCALE))) for x in p])
+        pint = _lit_arr([int(round(x * FP_SCALE)) for x in p])
         return F.aggregate(
             F.zip_with(F.col("q6"), pint, lambda a, b: a * b),
             F.lit(0).cast("long"),
@@ -2711,9 +2764,9 @@ def _semdedup_cell_expr(cents: dict[int, list[int]]):
     analysis cost stays flat too."""
     cs = sorted(cents)
     return _semdedup_cell_from(
-        F.lit(cs),
-        F.lit([cents[c] for c in cs]),
-        F.lit([sum(v * v for v in cents[c]) for c in cs]),
+        _lit_arr(cs),
+        _lit_arr([cents[c] for c in cs]),
+        _lit_arr([sum(v * v for v in cents[c]) for c in cs]),
     )
 
 
