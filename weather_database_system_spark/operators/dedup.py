@@ -1413,10 +1413,10 @@ def _logstar_components(docs: DataFrame, edges: DataFrame, _rounds_out=None) -> 
     halves path lengths every alternation, so rounds grow with log
     diameter instead; each round is still edge-sized key-partitioned
     shuffles with zero driver state beyond the O(1) convergence probe.
-    Convergence = exact edge-set stability (count equality + an anti-join
-    emptiness probe on the canonical distinct edge set — no checksum
-    collisions). Labels read directly off the converged stars:
-    min(neighbor ∪ self).
+    Convergence = exact edge-set stability (count equality + a left-join
+    subset probe on the canonical distinct edge set, fused into one
+    aggregate action per round — no checksum collisions). Labels read
+    directly off the converged stars: min(neighbor ∪ self).
 
     Lineage discipline: each round references the previous edge set FOUR
     times (both sym directions, the large→small chain, the stability
@@ -1451,9 +1451,15 @@ def _logstar_components(docs: DataFrame, edges: DataFrame, _rounds_out=None) -> 
                 rdd.unpersist(False)
 
     snap = _persist_ids()
+    # eager=False everywhere: localCheckpoint registers its persist at
+    # call time (so the id bookkeeping below is unchanged) but the blocks
+    # materialize inside the NEXT action — the count here, the fused
+    # stability probe per round — so each round costs ONE job instead of
+    # three (checkpoint + count + anti-join probe; measured 61 jobs for
+    # dedup_clusters_logstar at sf0.1, job latency the dominant cost).
     E = _canon_edges(
         edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     e_ids = _persist_ids() - snap
     n_prev = E.count()
     for rnd in range(LOGSTAR_MAX_ROUNDS):
@@ -1477,12 +1483,19 @@ def _logstar_components(docs: DataFrame, edges: DataFrame, _rounds_out=None) -> 
             .select(F.col("v").alias("x"), F.col("m").alias("y"))
             .filter(F.col("x") != F.col("y"))
             .union(smins.select(F.col("u").alias("x"), F.col("m").alias("y")))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         new_ids = _persist_ids() - snap
-        n_new = E_new.count()
-        stable = n_new == n_prev and (
-            E_new.join(E, ["a", "b"], "left_anti").limit(1).count() == 0
+        # ONE action per round: |E_new| and the subset probe (E_new ⊆ E ⇔
+        # every left-join row matches ⇔ n_old == n) in a single aggregate —
+        # the same stability condition the count + left_anti pair computed,
+        # and the job that materializes the lazy checkpoint above.
+        probe = (
+            E_new.join(E.withColumn("_old", F.lit(1)), ["a", "b"], "left")
+            .agg(F.count("*").alias("n"), F.count("_old").alias("n_old"))
+            .collect()[0]
         )
+        n_new = probe["n"]
+        stable = n_new == n_prev and probe["n_old"] == n_new
         # the probe was the old edge set's last reader — free its blocks
         _release(e_ids)
         E, n_prev, e_ids = E_new, n_new, new_ids

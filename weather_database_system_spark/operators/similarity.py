@@ -155,6 +155,25 @@ def _l2_dec(a, b):
     )
 
 
+_CONST_COLS: dict = {}
+
+
+def _const_cols(key: str, build):
+    """Build-once cache for CONSTANT column expressions (column names and
+    literal constants only — never runtime data such as trained
+    centroids). Every Column operator is a Py4J round trip, so the
+    64-wide flat-column lists the int64-grid operators use (element_at
+    projections, per-dim sums, the unrolled pair dot) cost 0.5-1.5 s of
+    pure driver time PER QUERY CALL to rebuild — for expression trees
+    that are bit-identical every time. Columns are immutable unresolved
+    expression templates tied to the JVM, not to a session or plan, so
+    one instance serves every query in the process (PySpark resolves a
+    fresh copy per plan)."""
+    if key not in _CONST_COLS:
+        _CONST_COLS[key] = build()
+    return _CONST_COLS[key]
+
+
 def _lit_arr(values):
     """Literal array column in ONE Py4J round trip.
 
@@ -2847,7 +2866,13 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.col("q6").alias("qarr"),
             idot(F.col("q6"), F.col("q6")).alias("qq"),
-            *[F.element_at("q6", i + 1).alias(f"q{i}") for i in range(EMB_DIMS)],
+            *_const_cols(
+                "sem_fp_flat",
+                lambda: [
+                    F.element_at("q6", i + 1).alias(f"q{i}")
+                    for i in range(EMB_DIMS)
+                ],
+            ),
         )
         .withColumn("fnrm", F.sqrt(F.col("qq").cast("double")))
         .persist()
@@ -2860,7 +2885,10 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     def agg_by(cell_expr, src):
         return src.groupBy(cell_expr.alias("cell")).agg(
             F.count("*").alias("n"),
-            *[F.sum(f"q{i}").alias(f"s{i}") for i in range(EMB_DIMS)],
+            *_const_cols(
+                "sem_dim_sums",
+                lambda: [F.sum(f"q{i}").alias(f"s{i}") for i in range(EMB_DIMS)],
+            ),
         )
 
     def finish(rows):
@@ -2881,12 +2909,15 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ids, vals, Σc²) arrays, and round-2 assignment folds against those
     # columns; only round-2 partials cross the driver.
     def two_rounds(cents):
-        cent1 = F.array(*[
-            F.floor(
-                F.col(f"s{i}").cast("double") / F.col("n") + F.lit(0.5)
-            ).cast("long")
-            for i in range(EMB_DIMS)
-        ])
+        cent1 = _const_cols(
+            "sem_requant_cent",
+            lambda: F.array(*[
+                F.floor(
+                    F.col(f"s{i}").cast("double") / F.col("n") + F.lit(0.5)
+                ).cast("long")
+                for i in range(EMB_DIMS)
+            ]),
+        )
         c1 = (
             agg_by(_semdedup_cell_expr(cents), fp)
             .select("cell", cent1.alias("cent"))
@@ -2929,11 +2960,15 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = side.select("vec_id", "cell")
     a, b = side.alias("a"), side.alias("b")
-    dot = None
-    for i in range(EMB_DIMS):
-        term = F.col(f"a.q{i}") * F.col(f"b.q{i}")
-        dot = term if dot is None else dot + term
-    cos = dot / (F.col("a.fnrm") * F.col("b.fnrm"))
+
+    def _pair_cos():
+        dot = None
+        for i in range(EMB_DIMS):
+            term = F.col(f"a.q{i}") * F.col(f"b.q{i}")
+            dot = term if dot is None else dot + term
+        return dot / (F.col("a.fnrm") * F.col("b.fnrm"))
+
+    cos = _const_cols("sem_pair_cos", _pair_cos)
     dups = (
         a.join(
             b,
