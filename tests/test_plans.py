@@ -12,6 +12,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tests.conftest import SF_SMOKE
 
 
+def test_spread_fact_is_conditional(spark):
+    """spread_fact must round-robin a narrower-than-cores scan (the
+    one-row-group testdata) and be a LITERAL no-op — same DataFrame
+    object, no added exchange — once the input already has enough
+    partitions (the 100 TB case)."""
+    from weather_database_system_spark.operators.relational import (
+        load_table,
+        spread_fact,
+    )
+
+    n = spark.sparkContext.defaultParallelism
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    spread = spread_fact(li)
+    assert spread.rdd.getNumPartitions() == n
+    wide = li.repartition(n)  # already at cores — must pass through
+    assert spread_fact(wide) is wide
+
+
 def test_pricing_summary_pushdown_pruning_partial_agg(spark):
     """Flagship: the shipdate filter reaches the parquet scan, only needed
     columns are read, and aggregation is partial (map-side combine) — one
@@ -33,7 +51,12 @@ def test_pricing_summary_pushdown_pruning_partial_agg(spark):
     }
     plan = formatted_plan(df)
     assert plan.count("HashAggregate") >= 2  # partial + final
-    assert shuffle_count(df) <= 2  # group-by exchange + order-by range exchange
+    # group-by exchange + order-by range exchange, plus the conditional
+    # spread_fact round-robin over the single-row-group smoke scan (a
+    # no-op at real scale — relational.spread_fact). The filter must stay
+    # BELOW the spread (asserted above via PushedFilters).
+    assert shuffle_count(df) <= 3
+    assert plan.count("RoundRobinPartitioning") <= 1
 
 
 def test_star_join_broadcasts_all_dimensions(spark):
@@ -244,7 +267,10 @@ def test_grouping_sets_single_scan_with_expand(spark):
     assert "Expand" in plan
     # one scan = one file-index Location entry in the formatted detail
     assert plan.count("Location: InMemoryFileIndex") == 1
-    assert shuffle_count(df) <= 2  # agg exchange + presentation sort
+    # agg exchange + presentation sort + the conditional spread_fact
+    # round-robin over the single-row-group smoke scan (no-op at scale)
+    assert shuffle_count(df) <= 3
+    assert plan.count("RoundRobinPartitioning") <= 1
 
 
 def test_histogram_partial_aggregates(spark):
@@ -566,7 +592,10 @@ def test_quarterly_top_supplier_no_view_recompute(spark):
     assert len(re.findall(r"Location:.*lineitem", plan)) == 1, (
         "lineitem scanned more than once — the revenue view is being recomputed"
     )
-    assert shuffle_count(df) <= 3
+    # view agg + max agg + presentation sort + the conditional spread_fact
+    # round-robin over the single-row-group smoke scan (no-op at scale)
+    assert shuffle_count(df) <= 4
+    assert plan.count("RoundRobinPartitioning") <= 1
 
 
 def test_nation_trade_volume_dims_filter_before_fact(spark):

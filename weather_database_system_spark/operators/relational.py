@@ -69,6 +69,30 @@ def _dstr(c: Column) -> Column:
     return F.date_format(c, "yyyy-MM-dd")
 
 
+def spread_fact(df: DataFrame) -> DataFrame:
+    """Round-robin repartition AFTER a scan that produced fewer partitions
+    than cores — the optimization guide's unsplittable-input remedy
+    (§2.5). The driver testdata writes ONE parquet row group per table,
+    and a row group is the atomic split unit, so every fact scan is at
+    most one real task no matter the byte size — the whole
+    scan → partial-agg (or scan → probe-side join → agg) pipeline above
+    it serializes on one core. The exchange moves only the PROJECTED
+    columns once and unlocks the remaining cores for the heavy
+    aggregation work above the scan (pricing_summary measured 1.5-2.0 →
+    ~1.0 s warm at sf0.1/local[32]). Scale-adaptive by construction, not
+    a tuned constant: at 100 TB the scan has thousands of row-group
+    splits, the partition-count condition fails, and this returns the
+    input unchanged — so the repartition can never become an extra
+    fact-table shuffle on a real cluster. Round-robin is retry-safe
+    (spark.sql.execution.sortBeforeRepartition, on by default); every
+    consumer below is key-hashed aggregation/join, so results are
+    partitioning-independent."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)
+
+
 # SQL fragments mirroring the helpers above, for the DuckDB oracle.
 def _sql_fr(expr: str, nd: int = 2) -> str:
     s = 10 ** nd
@@ -101,7 +125,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        spread_fact(
+            li.filter(
+                F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _sum2(F.col("l_quantity")).alias("sum_qty"),
@@ -376,6 +404,9 @@ def sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", (F.col("l_returnflag") == "R").alias("is_r")
     )
+    # NOT spread_fact: the first groupBy is (order, supplier)-grained, so
+    # map-side combine barely collapses and the round-robin exchange would
+    # just add a second fact shuffle (A/B'd: 1.6 -> 1.74 s at sf0.1).
     pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("is_r").alias("has_r")
     )
@@ -600,7 +631,11 @@ def quarterly_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     — and therefore the tie set — is decided on identical bits
     cross-engine. The oracle runs the UNREWRITTEN correlated-max form
     over the same view, proving the window rewrite equivalent."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread_fact(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_shipdate", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+    )
     per = track_persisted(
         li.groupBy(
             F.concat(
@@ -895,6 +930,9 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").isin(*brands)
         & F.col("p_size").between(size_lo, size_hi)
     ).select("p_partkey", "p_brand", "p_size")
+    # NOT spread_fact: the broadcast part join prunes to 3 brands right
+    # after the scan, so the heavy work is already tiny — the round-robin
+    # exchange was pure overhead (A/B'd: 0.70 -> 1.31 s at sf0.1).
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_quantity").between(qty_lo, qty_hi)
     ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
@@ -1324,6 +1362,8 @@ def yoy_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the UNREWRITTEN two-CTE join form, proving the single-pass
     conditional rewrite."""
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # NOT spread_fact: the year filter + broadcast join leave too little
+    # aggregation CPU to pay for a round-robin exchange (A/B'd: wash).
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit(f"{YOY_PREV}-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(f"{YOY_CURR + 1}-01-01").cast("timestamp"))
@@ -1769,7 +1809,8 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return (
-        ev.select("event_id", k.alias("k"))
+        spread_fact(ev.select("event_id", "props"))
+        .select("event_id", k.alias("k"))
         .groupBy((F.col("k") % 10).alias("k_bucket"))
         .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
         .orderBy("k_bucket")
@@ -1866,7 +1907,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     still scanned once and the shuffle carries |sets|×|groups| rows — the
     same single-scan contract ClickHouse-style engines promise for
     WITH TOTALS. grouping_id disambiguates the null-as-subtotal rows."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread_fact(load_table(spark, sf_dir, "lineitem"))
     return (
         li.groupingSets(
             [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],

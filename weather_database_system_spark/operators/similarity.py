@@ -64,7 +64,12 @@ def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("qemb"),
         F.col("nrm").alias("qnrm"),
     )
-    c = vecs.filter(F.col("vec_id") >= N_QUERIES)
+    # spread the candidate scan: one parquet split at small SF = ONE task
+    # for the broadcast-NLJ probe side, serializing every decimal dot
+    # fold (the semdedup/PQ repartition rationale; no-op at 100 TB)
+    c = vecs.filter(F.col("vec_id") >= N_QUERIES).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
     cos = _dot_dec(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm"))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -2558,8 +2563,13 @@ def _lsh_tables(spark: SparkSession, sf_dir: str):
         for p in planes
     ]
     # Lifecycle: tracked — callers release via session.release_persisted().
+    # repartition first: the signature projection (N_PLANES decimal dots
+    # per vector) ran as ONE task off the single small-SF parquet split
+    # (the semdedup fp rationale; no-op at 100 TB).
     vecs = track_persisted(
-        _emb_double(spark, sf_dir).select(
+        _emb_double(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
             "vec_id",
             "emb",
             F.sqrt(_dot_dec(F.col("emb"), F.col("emb"))).alias("nrm"),
@@ -2674,11 +2684,16 @@ def _lsh_tables_fixedpoint(spark: SparkSession, sf_dir: str):
     planes = _hyperplanes()
     per_table = N_PLANES // N_TABLES
     q6 = F.transform(F.col("emb"), lambda x: F.floor(x * FP_SCALE + 0.5).cast("long"))
-    base = _emb_double(spark, sf_dir).select(
-        "vec_id",
-        "emb",
-        F.sqrt(_dot_dec(F.col("emb"), F.col("emb"))).alias("nrm"),
-        q6.alias("q6"),
+    # repartition first — same single-split serialization as _lsh_tables
+    base = (
+        _emb_double(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id",
+            "emb",
+            F.sqrt(_dot_dec(F.col("emb"), F.col("emb"))).alias("nrm"),
+            q6.alias("q6"),
+        )
     )
     def idot(p: list[float]):
         pint = _lit_arr([int(round(x * FP_SCALE)) for x in p])
@@ -2859,8 +2874,16 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+    # repartition before persist: a small-SF embeddings table is ONE
+    # parquet split, so the persisted fp — and every stage pipelined on
+    # it: the Lloyd aggregations AND the broadcast-hash pair join, whose
+    # probe side keeps fp's partitioning — ran as ONE task (profiled
+    # 1.2 s serial for the pair stage alone at sf0.1). Spread it across
+    # cores; a no-op at 100 TB where the input is many splits (the
+    # ann_product_quantization cand rationale, applied here).
     fp = track_persisted(
         _emb_double(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .select("vec_id", q6.alias("q6"))
         .select(
             "vec_id",

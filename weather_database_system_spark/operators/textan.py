@@ -863,7 +863,18 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum((F.col("w") * F.col("w")).cast(DEC)).cast("double")).alias("nrm")
     )
-    sh = base.select("doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("s"))
+    # persist the exploded shingle stream: _capped_postings reads it twice
+    # (count pre-pass + the capped join probe), and the interpreted
+    # 3-gram transform is the query's single heaviest stage (profiled
+    # 17.5 s + 6.2 s of executor time for the two evaluations at sf0.1) —
+    # the identical persist ngram_jaccard_pairs already carries, same
+    # 100 TB shape (MEMORY_AND_DISK spills rather than OOMs, and the
+    # (doc, shingle) stream is what both passes must touch anyway).
+    sh = track_persisted(
+        base.select(
+            "doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("s")
+        ).persist()
+    )
     # cap precedes the collect — see dedup._capped_postings
     postings = _capped_postings(sh, MAX_POSTING_LEN)
     cand = (
