@@ -333,7 +333,15 @@ def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_grams = grams(docs.filter(F.col("doc_id") < EVAL_SET_MAX_DOC)).select(
         F.col("doc_id").alias("eval_doc_id"), "gram"
     )
-    train_grams = grams(docs.filter(F.col("doc_id") >= EVAL_SET_MAX_DOC))
+    # spread the train side: the interpreted gram explode + broadcast
+    # probe + count agg all pipeline on the scan's partitioning, which is
+    # ONE task on the single-row-group testdata (relational.spread_fact —
+    # a literal no-op at real scale; the doc_id filter stays pushed below)
+    from weather_database_system_spark.operators.relational import spread_fact
+
+    train_grams = grams(
+        spread_fact(docs.filter(F.col("doc_id") >= EVAL_SET_MAX_DOC))
+    )
     hits = train_grams.join(F.broadcast(eval_grams), "gram")
     return (
         hits.groupBy("doc_id")
