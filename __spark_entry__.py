@@ -54,17 +54,24 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # entry"): the session.py fencing/lease/snapshot-gate hardening, whose
 # behavior on every green path is identical (proven by this round's
 # full 228/228 sf0.01 replay).
-# Groups now: r13=47, r14=46, r15=40, r16=44, r17=49. The r18 sample
-# (first 50) = ann_ivf_sqrt_prebuilt + the NEW
-# bm25_prebuilt_diverged_snapshot (VERDICT r17 task #1) + the ENTIRE
-# 47-entry r13 block + the front-most r14 entry — after the r18 driver
-# pass nothing is older than r14 (VERDICT r17 task #3). The prescribed
-# _pq_qtable twin merge was DEFERRED with evidence: r17's
-# ann_ivfpq_query_prebuilt also calls _pq_qtable (similarity.py:1914),
-# so an honest merge now re-queues SEVEN entries (pq ×3, ivfpq ×3,
-# residual), not the two the task budgeted — it would spill 5 r13
-# entries; the twins stay locked by their equivalence pytest until a
-# wide-budget round (r20: oldest block r15=40 → budget 10).
+# Groups after the build-round rotation: r13=47, r14=46, r15=40, r16=44,
+# r17=49, plus never-checked ann_ivf_sqrt_prebuilt and the NEW
+# bm25_prebuilt_diverged_snapshot at the sample front.
+#
+# r18 OPTIMIZATION-round maintenance (this round changed implementations,
+# never results — every change re-proven by four full 228/228 oracle
+# replays at sf0.01 this round): REMOVED as touched, per the rule above,
+# every query whose plan or Python path the optimization batches altered —
+# the _lit_arr literal transport (whole trained-ANN family, both LSH
+# banks, PCA, Bloom), the semdedup _const_cols + fp repartition, the
+# log-star probe fusion (both clusters twins), spread_fact (pricing /
+# grouping-sets / quarterly / json-extract / contamination), the tfidf
+# shingle persist, and the PNG defilter rewrite. They re-enter the
+# sample front so the driver re-greens exactly what this round touched;
+# the r13 block's remainder fills the rest of the 50. The _pq_qtable twin
+# merge stays DEFERRED (locked by its equivalence pytest) — unchanged
+# reasoning from the build round: an honest merge re-queues SEVEN
+# entries and this round already re-queues the PQ/IVFPQ family.
 _LAST_VERIFIED = {
     # --- last green in r13 ---
     **dict.fromkeys([
@@ -79,9 +86,8 @@ _LAST_VERIFIED = {
         "jaccard_prefix_pairs", "join_anti_unordered_parts",
         "join_full_outer_nation_presence", "join_left_order_counts",
         "join_semi_active_customers", "join_star_revenue",
-        "json_extract_props", "lineage_projection", "minmax_downsample",
-        "multimodal_features", "pivot_status_matrix", "png_decode_features",
-        "presentation_format", "rollup_totals", "salted_join_cms",
+        "lineage_projection", "minmax_downsample",
+        "multimodal_features", "pivot_status_matrix", "presentation_format", "rollup_totals", "salted_join_cms",
         "set_except_nations", "set_intersect_nations", "set_union_nations",
         "skyline_pareto", "table_fingerprint", "table_fingerprint_stream",
         "topk_global", "unpivot_measures", "window_distribution_funcs",
@@ -90,16 +96,14 @@ _LAST_VERIFIED = {
     ], 13),
     # --- last green in r14 ---
     **dict.fromkeys([
-        "agg_collect_sorted", "ann_brute_force", "anomaly_mad_zscore_approx",
+        "agg_collect_sorted", "anomaly_mad_zscore_approx",
         "approx_distinct_users_scale", "asof_attribution_tolerance",
-        "bigram_surprisal_quality", "bloom_prefilter_semi_join",
-        "corpus_dedup_apply", "dedup_against_index", "dedup_clusters",
+        "bigram_surprisal_quality", "corpus_dedup_apply", "dedup_against_index", "dedup_clusters",
         "dedup_containment", "dedup_exact", "dedup_minhash_lsh",
         "dedup_simhash", "diff_snapshots", "doc_chunk_windows",
         "domain_mixture_weights", "embedding_near_dup",
         "feed_station_monthly", "feed_station_rollup",
-        "graph_clustering_coeff", "grouping_sets_revenue",
-        "histogram_value_buckets", "image_decode_features",
+        "graph_clustering_coeff", "histogram_value_buckets", "image_decode_features",
         "late_orders_by_priority", "nearest_station_within_radius",
         "ngram_jaccard_pairs", "pagerank_near_dup", "pii_redaction",
         "pmi_collocations", "quality_weighted_sample",
@@ -112,8 +116,8 @@ _LAST_VERIFIED = {
     ], 14),
     # --- last green in r15 ---
     **dict.fromkeys([
-        "ann_product_quantization", "chunk_dedup_stats",
-        "contamination_eval_overlap", "curriculum_pack_epochs",
+        "chunk_dedup_stats",
+        "curriculum_pack_epochs",
         "customer_order_distribution", "data_quality_profile",
         "decayed_user_value", "discount_elimination_revenue",
         "disjunctive_brand_revenue", "dsir_importance_weights",
@@ -123,8 +127,7 @@ _LAST_VERIFIED = {
         "item_cooccurrence_similarity", "large_volume_orders",
         "min_cost_supplier", "monthly_rollup", "nation_profit",
         "nation_trade_volume", "nearest_station_salted_checked",
-        "pricing_summary", "promo_revenue_share", "quarterly_top_supplier",
-        "regional_market_share", "repetition_ngram_stats",
+        "promo_revenue_share", "regional_market_share", "repetition_ngram_stats",
         "returned_item_customers", "small_quantity_part_revenue",
         "sole_return_supplier", "source_kl_divergence",
         "source_overlap_jaccard", "source_temperature_mix",
@@ -134,31 +137,23 @@ _LAST_VERIFIED = {
     ], 15),
     # --- last green in r16 ---
     **dict.fromkeys([
-        "ann_ivf_label", "ann_lsh_fixedpoint", "ann_lsh_hyperplane",
-        "ann_pq_prebuilt", "asof_attribution", "bm25_prebuilt",
+        "ann_ivf_label", "asof_attribution", "bm25_prebuilt",
         "bm25_prebuilt_snapshot", "bm25_search", "changepoint_mean_shift",
         "coercion_fill_policy", "contamination_against_index_prebuilt",
         "corpus_curation", "correlation_matrix",
-        "dedup_against_index_prebuilt", "dedup_clusters_fast",
-        "dedup_clusters_logstar", "dedup_minhash_lsh_fast",
-        "duplicate_span_extraction", "embedding_near_dup_lsh",
-        "embedding_pca_project", "gap_fill_interpolate", "gap_fill_locf",
+        "dedup_against_index_prebuilt", "dedup_minhash_lsh_fast",
+        "duplicate_span_extraction", "gap_fill_interpolate", "gap_fill_locf",
         "jpeg_decode_features", "lang_id_stopword", "linear_regression_trend",
         "monthly_filtered", "multimodal_frame_sample", "multimodal_metadata",
         "projection_sort", "range_band_join", "rollup_topk_per_grain",
-        "semdedup_prune", "session_path_analysis", "shipmode_priority_counts",
+        "session_path_analysis", "shipmode_priority_counts",
         "stream_stream_join", "text_quality", "text_token_stats",
-        "tfidf_cosine_pairs", "tfidf_top_terms", "time_weighted_avg",
+        "tfidf_top_terms", "time_weighted_avg",
         "trigram_search_prebuilt", "udf_tokenize_table",
         "weighted_reservoir_sample", "yoy_revenue_delta"
     ], 16),
     # --- last green in r17 ---
     **dict.fromkeys([
-        "ann_ivf_kmeans", "ann_ivf_kmeans_nprobe", "ann_ivf_prebuilt",
-        "ann_ivf_prebuilt_appended", "ann_ivf_prebuilt_nprobe",
-        "ann_ivf_prebuilt_snapshot", "ann_ivfpq_prebuilt",
-        "ann_ivfpq_prebuilt_nprobe", "ann_ivfpq_prebuilt_snapshot",
-        "ann_ivfpq_residual_prebuilt", "ann_pq_prebuilt_snapshot",
         "approx_distinct_users", "array_functions", "bpe_merge_pairs",
         "cache_freshness_ladder", "cache_ttl_introspection",
         "cohort_retention", "conditional_functions",
