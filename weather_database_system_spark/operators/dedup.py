@@ -309,7 +309,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _banded_md5_candidates(spark, sf_dir)
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(
-            F.countDistinct("a.band").alias("n_shared_bands"),
+            # count(*) ≡ countDistinct(band) here: each doc emits exactly
+            # ONE (band, bsig) row per band (the band explode enumerates
+            # band literals 0..N_BANDS-1 once; _cap_band_buckets only
+            # filters rows), so a pair can match a given band at most
+            # once — (doc_a, doc_b, band) rows are distinct by
+            # construction. Dropping the distinct removes the rewrite's
+            # extra Expand/exchange pass (guide §2.4; r19, one Exchange
+            # fewer in the pair agg). Equivalence re-proven vs the oracle.
+            F.count("*").alias("n_shared_bands"),
             F.first(matched).cast("int").alias("matched_hashes"),
             _fr(F.first(matched) / F.lit(float(N_HASHES)), 4).alias("est_jaccard"),
         )
@@ -405,7 +413,8 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         _banded_fast_candidates(spark, sf_dir)
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(
-            F.countDistinct("a.band").alias("n_shared_bands"),
+            # count(*) ≡ countDistinct(band): see dedup_minhash_lsh.
+            F.count("*").alias("n_shared_bands"),
             F.first(matched).cast("int").alias("matched_hashes"),
             _fr(F.first(matched) / F.lit(float(N_HASHES)), 4).alias("est_jaccard"),
         )
@@ -1293,7 +1302,9 @@ def embedding_near_dup(
 MAX_CLUSTER_ROUNDS = 20  # fixpoint safety cap; raises instead of under-merging
 
 
-def _propagate_min_labels(docs: DataFrame, edges: DataFrame) -> DataFrame:
+def _propagate_min_labels(
+    docs: DataFrame, edges: DataFrame, *, canonical: bool = False
+) -> DataFrame:
     """Min-label propagation to FIXPOINT over a symmetrized edge list: each
     round joins labels across the edges, takes the per-node min, and stops
     the first round in which NO label moved — exact connected components for
@@ -1327,11 +1338,23 @@ def _propagate_min_labels(docs: DataFrame, edges: DataFrame) -> DataFrame:
     the same job that materializes the round's cache. The previous round's
     block is released eagerly; the cap bounds runaway graphs (a 100 TB
     corpus whose near-dup graph has diameter > 20 is a data bug, and
-    raising beats emitting clusters with no canonical row)."""
+    raising beats emitting clusters with no canonical row).
+
+    ``canonical=True`` declares ``edges`` an already-canonical (src < dst,
+    distinct) pair set — usually a persisted cache — and symmetrizes it
+    here as two projections off that cache instead of requiring the caller
+    to materialize the doubled union (r19, see _clusters_from_candidates)."""
     dec_sum = F.sum(F.col("cluster_id").cast("decimal(38,0)"))
-    touched = edges.select(F.col("src").alias("doc_id")).distinct()
-    eprime = track_persisted(
+    sym = (
         edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        if canonical
+        else edges
+    )
+    touched = sym.select(F.col("src").alias("doc_id")).distinct()
+    eprime = track_persisted(
+        sym.union(
             touched.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
         ).persist()
     )
@@ -1395,7 +1418,9 @@ def _canon_edges(df: DataFrame) -> DataFrame:
     )
 
 
-def _logstar_components(docs: DataFrame, edges: DataFrame, _rounds_out=None) -> DataFrame:
+def _logstar_components(
+    docs: DataFrame, edges: DataFrame, _rounds_out=None, *, canonical: bool = False
+) -> DataFrame:
     """Connected components in O(log n) rounds via alternating
     large-star / small-star (Kiveris, Lattanzi, Mirrokni, Rastogi,
     Vassilvitskii — "Connected Components in MapReduce and Beyond",
@@ -1450,16 +1475,30 @@ def _logstar_components(docs: DataFrame, edges: DataFrame, _rounds_out=None) -> 
             if rdd is not None:
                 rdd.unpersist(False)
 
-    snap = _persist_ids()
     # eager=False everywhere: localCheckpoint registers its persist at
     # call time (so the id bookkeeping below is unchanged) but the blocks
     # materialize inside the NEXT action — the count here, the fused
     # stability probe per round — so each round costs ONE job instead of
     # three (checkpoint + count + anti-join probe; measured 61 jobs for
     # dedup_clusters_logstar at sf0.1, job latency the dominant cost).
-    E = _canon_edges(
-        edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-    ).localCheckpoint(eager=False)
+    #
+    # canonical=True: the caller passes an already-canonical (src < dst,
+    # distinct) pair set, so round 0 skips the _canon_edges
+    # least/greatest + distinct exchange outright (r19; one full edge-set
+    # shuffle fewer per query). The localCheckpoint stays EITHER WAY: a
+    # raw cache reference would drag the whole candidate-pipeline LOGICAL
+    # tree into every round-1 reference (4 of them) and through AQE
+    # replanning — measured ~1 s/run SLOWER than checkpointing when this
+    # was tried without it (same-session A/B, r19).
+    snap = _persist_ids()
+    if canonical:
+        E = edges.select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        ).localCheckpoint(eager=False)
+    else:
+        E = _canon_edges(
+            edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+        ).localCheckpoint(eager=False)
     e_ids = _persist_ids() - snap
     n_prev = E.count()
     for rnd in range(LOGSTAR_MAX_ROUNDS):
@@ -1468,21 +1507,35 @@ def _logstar_components(docs: DataFrame, edges: DataFrame, _rounds_out=None) -> 
         )
         lmins = sym.groupBy("u").agg(F.min("v").alias("mn"))
         lmins = lmins.select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
-        large = _canon_edges(
+        # large-star emits (m(u), v) for every directed (u, v) with v > u.
+        # m(u) = min(neighborhood(u) ∪ {u}) ≤ u < v, so the edge is
+        # already canonically oriented and never degenerate — the old
+        # _canon_edges least/greatest + x≠y filter were provably no-ops
+        # (r19; dead expressions removed). The DISTINCT stays: it is the
+        # materialization point both small-star consumers (smins agg +
+        # the attach join) read — dropping it was A/B'd and REJECTED
+        # (the large-star join subtree then evaluates twice; measured
+        # ~1 s/run slower at sf0.1 together with the uncheckpointed-E0
+        # variant, and strictly more map work at any scale).
+        large = (
             sym.filter(F.col("v") > F.col("u"))
             .join(lmins, "u")
-            .select(F.col("v").alias("x"), F.col("m").alias("y"))
-            .filter(F.col("x") != F.col("y"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .distinct()
         )
         # small-star: key = the larger endpoint of each canonical edge
         dirn = large.select(F.col("b").alias("u"), F.col("a").alias("v"))
         smins = dirn.groupBy("u").agg(F.min("v").alias("m"))
         snap = _persist_ids()
-        E_new = _canon_edges(
+        # small-star edges (m, v) with m = min of u's smaller neighbors
+        # (so m ≤ v, equality filtered) plus (m, u) with m < u — again
+        # canonically oriented by construction; only the distinct is real.
+        E_new = (
             dirn.join(smins, "u")
-            .select(F.col("v").alias("x"), F.col("m").alias("y"))
-            .filter(F.col("x") != F.col("y"))
-            .union(smins.select(F.col("u").alias("x"), F.col("m").alias("y")))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .union(smins.select(F.col("m").alias("a"), F.col("u").alias("b")))
+            .distinct()
         ).localCheckpoint(eager=False)
         new_ids = _persist_ids() - snap
         # ONE action per round: |E_new| and the subset probe (E_new ⊆ E ⇔
@@ -1802,18 +1855,22 @@ def _round10(x: float) -> float:
 def _clusters_from_candidates(
     spark: SparkSession, sf_dir: str, cand_fn, propagate=None
 ) -> DataFrame:
-    pairs = (
+    # Persist the CANONICAL pair set (doc_a < doc_b by the candidate join
+    # condition, distinct) and let each components algorithm derive the
+    # orientation it needs as projections off this one cache. r18 persisted
+    # the SYMMETRIZED union instead — 2× the cached rows, the distinct
+    # subtree evaluated once per union branch at cache build, and the
+    # log-star path then collapsed the symmetric set straight back to
+    # canonical distinct form with one more full exchange plus a doubled
+    # initial localCheckpoint (guide §2.4; r19: all three removed).
+    pairs = track_persisted(
         cand_fn(spark, sf_dir)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
         .distinct()
-    )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    edges = track_persisted(
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("src", "dst")
         .persist()
     )
-    labels = (propagate or _propagate_min_labels)(docs, edges)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = (propagate or _propagate_min_labels)(docs, pairs, canonical=True)
     w = W.partitionBy("cluster_id")
     return (
         labels.withColumn("cluster_size", F.count("*").over(w).cast("int"))

@@ -1808,9 +1808,15 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON-parses at every boundary — clickhouseToRedis.js:71, monthly.js:23)."""
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
+    # spread_fact REVERTED here (r19, VERDICT r18 #1): the r18 spread put
+    # the raw `props` JSON string through the round-robin exchange —
+    # shuffling the payload cost more than the one-task JSON parse it
+    # parallelized (driver bench 0.413 → 0.714 s at 32c, break-even at
+    # 8c). Parsing below the exchange would serialize on the one-split
+    # scan anyway, so the scalable shape is simply no exchange: parse in
+    # the scan pipeline, shuffle only the (k_bucket, partials) agg rows.
     return (
-        spread_fact(ev.select("event_id", "props"))
-        .select("event_id", k.alias("k"))
+        ev.select(k.alias("k"))
         .groupBy((F.col("k") % 10).alias("k_bucket"))
         .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
         .orderBy("k_bucket")
