@@ -639,16 +639,36 @@ def _huff_encode_table(bits, vals):
     return out
 
 
+_HUFF_LUTS: dict = {}
+
+
 def _huff_decode_table(bits, vals):
-    """(length, code) -> symbol, the decoder's inverse of the same spec."""
-    out, code, k = {}, 0, 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            out[(length, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return out
+    """Decoder inverse of the same spec as a 16-bit-peek LUT:
+    ``lut[window]`` is ``(symbol, code_length)`` for every 16-bit window
+    whose prefix is a valid canonical code, ``None`` where no code of any
+    length matches — one list index replaces the old per-BIT loop over a
+    (length, code)->symbol dict (guide §4.2 applied inside the worker,
+    the same per-element-Python disease as the r18 PNG defilter fix; the
+    entropy decode was 58 % of _decode_jpeg in cProfile). Cached on the
+    table spec: (bits, vals) fully determines the T.81 Annex C canonical
+    assignment and real scans reuse a handful of specs (the Annex K
+    typical tables), so the 64 K-entry build runs once per spec per
+    process, not once per image."""
+    key = (tuple(bits), tuple(vals))
+    lut = _HUFF_LUTS.get(key)
+    if lut is None:
+        lut = [None] * 65536
+        code, k = 0, 0
+        for length in range(1, 17):
+            span = 1 << (16 - length)
+            for _ in range(bits[length - 1]):
+                base = code << (16 - length)
+                lut[base:base + span] = [(vals[k], length)] * span
+                code += 1
+                k += 1
+            code <<= 1
+        _HUFF_LUTS[key] = lut
+    return lut
 
 
 class _JpegBitWriter:
@@ -677,37 +697,83 @@ class _JpegBitWriter:
 
 
 class _JpegBitReader:
-    """The inverse stream: unstuffs FF 00, rejects stray markers mid-scan."""
+    """The inverse stream: unstuffs FF 00, rejects stray markers mid-scan.
+
+    Chunked (guide §4.2): the accumulator refills a BYTE at a time up to a
+    16-bit lookahead window instead of the old one-Python-call-per-BIT
+    loop. Errors keep byte-lazy semantics — a marker or truncation only
+    raises when the decode actually CONSUMES bits at/past it, never on
+    speculative lookahead (the entropy data is followed by the EOI marker,
+    which a 16-bit peek at the final symbol legitimately sees)."""
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
         self.acc = 0
-        self.nbits = 0
+        self.nbits = 0   # real (consumable) bits currently in acc
+        self.stop = None  # None | -1 (truncated) | marker byte value
 
-    def bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG scan truncated")
-            byte = self.data[self.pos]
-            self.pos += 1
+    def _refill(self, need: int) -> None:
+        """Load whole bytes until acc holds >= need real bits, stopping
+        (without error) at end-of-data or a non-stuffing marker."""
+        data, pos, n = self.data, self.pos, len(self.data)
+        acc, nbits = self.acc, self.nbits
+        while nbits < need and self.stop is None:
+            if pos >= n:
+                self.stop = -1
+                break
+            byte = data[pos]
+            pos += 1
             if byte == 0xFF:
-                if self.pos >= len(self.data):
-                    raise ValueError("JPEG scan truncated")
-                nxt = self.data[self.pos]
-                if nxt != 0x00:
-                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
-                self.pos += 1
-            self.acc = byte
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+                if pos >= n:
+                    self.stop = -1
+                    break
+                if data[pos] != 0x00:
+                    self.stop = data[pos]
+                    pos -= 1
+                    break
+                pos += 1
+            acc = (acc << 8) | byte
+            nbits += 8
+        self.acc, self.nbits, self.pos = acc, nbits, pos
+
+    def _starved(self, n: int):
+        """The error a consume of n bits past the stop point owes."""
+        if self.stop is not None and self.stop >= 0:
+            raise ValueError(f"unexpected marker 0xFF{self.stop:02X} in scan")
+        raise ValueError("JPEG scan truncated")
+
+    def peek16(self) -> int:
+        """Next 16 bits MSB-first, 1-padded past end-of-data (the F.1.2.3
+        pad value); callers must bound their consume by nbits."""
+        if self.nbits < 16:
+            self._refill(16)
+        nb = self.nbits
+        if nb >= 16:
+            return (self.acc >> (nb - 16)) & 0xFFFF
+        return ((self.acc << (16 - nb)) | ((1 << (16 - nb)) - 1)) & 0xFFFF
+
+    def consume(self, n: int) -> None:
+        if n > self.nbits:
+            self._starved(n)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._refill(n)
+            if self.nbits < n:
+                self._starved(n)
+        nb = self.nbits - n
+        v = (self.acc >> nb) & ((1 << n) - 1)
+        self.nbits = nb
+        self.acc &= (1 << nb) - 1
         return v
+
+    def bit(self) -> int:
+        return self.bits(1)
 
 
 def _jpeg_magnitude(v: int):
@@ -905,26 +971,40 @@ def _decode_jpeg(payload: bytes):
     pred = [0] * len(comps)
     comp_qt = {cid: qts[tq] for cid, tq in comps}
 
-    def read_symbol(table):
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | br.bit()
-            length += 1
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in JPEG scan")
+    def read_symbol(lut):
+        # one 16-bit peek + one list index per symbol (see
+        # _huff_decode_table / _JpegBitReader: the old per-bit dict walk
+        # was 58 % of the decode)
+        ent = lut[br.peek16()]
+        if ent is None:
+            if br.nbits < 16:
+                br._starved(16)  # old reader hit the marker/end mid-code
+            raise ValueError("invalid Huffman code in JPEG scan")
+        sym, length = ent
+        br.consume(length)
+        return sym
 
+    # hoist per-component state out of the block loop: Huffman LUTs and
+    # the dequant vector in zigzag order (the old loop re-sliced
+    # qt.reshape(-1)[zigzag] per block)
+    per_comp = [
+        (ci, dc_tabs[dct_id], ac_tabs[act_id],
+         comp_qt[cs].reshape(-1)[zigzag].astype(np.float64))
+        for ci, (cs, dct_id, act_id) in enumerate(scan_comps)
+    ]
     for by in range(h8 // 8):
         for bx in range(w8 // 8):
-            for ci, (cs, dct_id, act_id) in enumerate(scan_comps):
-                zz = np.zeros(64, dtype=np.int64)
-                size = read_symbol(dc_tabs[dct_id])
+            for ci, dc_lut, ac_lut, qtz in per_comp:
+                # zigzag coefficients on plain ints (per-element numpy
+                # stores allocate a boxed scalar per write — the r18 PNG
+                # defilter lesson)
+                zz = [0] * 64
+                size = read_symbol(dc_lut)
                 pred[ci] += _jpeg_extend(br.bits(size), size)
                 zz[0] = pred[ci]
                 k = 1
                 while k < 64:
-                    sym = read_symbol(ac_tabs[act_id])
+                    sym = read_symbol(ac_lut)
                     if sym == 0x00:  # EOB
                         break
                     run, size = sym >> 4, sym & 0xF
@@ -939,7 +1019,7 @@ def _decode_jpeg(payload: bytes):
                     zz[k] = _jpeg_extend(br.bits(size), size)
                     k += 1
                 coef = np.zeros(64, dtype=np.float64)
-                coef[zigzag] = zz * comp_qt[cs].reshape(-1)[zigzag]
+                coef[zigzag] = np.array(zz, dtype=np.float64) * qtz
                 block = dct_m.T @ coef.reshape(8, 8) @ dct_m
                 planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block + 128.0
     y = planes[0][:h, :w]

@@ -161,6 +161,8 @@ def _l2_dec(a, b):
 
 
 _CONST_COLS: dict = {}
+_CONST_COLS_GW = None
+_KEYED_COLS_MAX = 64  # bounded: trained-codebook keys churn in production
 
 
 def _const_cols(key: str, build):
@@ -173,10 +175,51 @@ def _const_cols(key: str, build):
     that are bit-identical every time. Columns are immutable unresolved
     expression templates tied to the JVM, not to a session or plan, so
     one instance serves every query in the process (PySpark resolves a
-    fresh copy per plan)."""
+    fresh copy per plan). Cached builders must therefore depend only on
+    module constants (or, via _keyed_cols, on values fully captured by
+    the key) — never on session config or free variables the key misses.
+
+    The cache is keyed to the live Py4J gateway (ADVICE r18): cached
+    Columns wrap JVM expression objects, so entries from a previous
+    gateway would be dead references if the JVM were ever recycled.
+    SparkSession stop/recreate keeps the gateway (same JVM) and the
+    cache stays valid across it — exactly the tests' cold-session probe."""
+    global _CONST_COLS_GW
+    from pyspark import SparkContext
+
+    gw = SparkContext._gateway
+    if gw is not _CONST_COLS_GW:
+        _CONST_COLS.clear()
+        _CONST_COLS_GW = gw
     if key not in _CONST_COLS:
         _CONST_COLS[key] = build()
     return _CONST_COLS[key]
+
+
+def _keyed_cols(kind: str, content_key: str, build):
+    """_const_cols generalized to DATA-DEPENDENT expression templates
+    (VERDICT r18 #4): the key embeds a canonical rendering of every
+    runtime value that shapes the tree (e.g. ``repr(books)`` for the PQ
+    codebooks), so a cache hit returns a bit-identical template and any
+    value change misses. This caches expression CONSTRUCTION only — the
+    values themselves are recomputed by their training actions on every
+    query call; no data or results are stored, exactly as with
+    _const_cols (the Py4J-chatter cost being amortized is guide §4's
+    driver boundary, measured ~1.6 s per ann_product_quantization call
+    in the r18 profile). Bounded FIFO eviction: trained values churn in
+    production, and an unbounded template cache would pin their JVM
+    expression trees forever."""
+    key = (kind, content_key)
+    cached = _const_cols(key, build)
+    # FIFO-evict oldest data-keyed entries; plain _const_cols entries
+    # (2-tuples with small constant keys) are few and never evicted.
+    if len(_CONST_COLS) > _KEYED_COLS_MAX:
+        for k in list(_CONST_COLS):
+            if len(_CONST_COLS) <= _KEYED_COLS_MAX:
+                break
+            if k != key:
+                del _CONST_COLS[k]
+    return cached
 
 
 def _lit_arr(values):
@@ -269,7 +312,15 @@ def _cell_entries_expr(cents: list[tuple[int, list[float]]], col=None):
     stripped when this expression nests inside ANOTHER struct (the PQ
     encode projection), leaving col1/col2 field names."""
     if col is None:
-        col = F.col("emb")
+        # The emb-column form is rebuilt identically on every query call
+        # once a quantizer is trained — cache the template on the centroid
+        # VALUES (_keyed_cols; construction only, ~30 Py4J round trips per
+        # build saved). Callers passing an explicit col (the PQ subspace
+        # slices) cache at their own call sites with keys that include it.
+        return _keyed_cols(
+            "cell_entries_emb", repr(cents),
+            lambda: _cell_entries_expr(cents, F.col("emb")),
+        )
     cs = sorted(cents)
     return _cell_entries_from(
         _lit_arr([c for c, _ in cs]), _lit_arr([v for _, v in cs]), col
@@ -387,9 +438,11 @@ def _centroid_row(parts: DataFrame) -> DataFrame:
     are bit-identical to the collected form and the oracle replay still
     applies verbatim. K×dims partial rows collapse to a 1-row broadcast —
     nothing here scales with the data."""
-    return (
-        parts.groupBy("cell")
-        .agg(
+    # constant agg/transform templates — built once per process (the
+    # _pq_two_rounds fold rationale; guide §4 driver boundary)
+    ent_c, cent_c, cc_c, ids_c, vals_c = _const_cols(
+        "lloyd_centroid_row",
+        lambda: (
             F.array_sort(
                 F.collect_list(
                     F.struct(
@@ -397,15 +450,20 @@ def _centroid_row(parts: DataFrame) -> DataFrame:
                         (F.col("s").cast("double") / F.col("n")).alias("mu"),
                     )
                 )
-            ).alias("ent")
-        )
-        .select("cell", F.transform("ent", lambda e: e["mu"]).alias("cent"))
-        .groupBy()
-        .agg(F.array_sort(F.collect_list(F.struct("cell", "cent"))).alias("cc"))
-        .select(
+            ).alias("ent"),
+            F.transform("ent", lambda e: e["mu"]).alias("cent"),
+            F.array_sort(F.collect_list(F.struct("cell", "cent"))).alias("cc"),
             F.transform("cc", lambda x: x["cell"]).alias("ids"),
             F.transform("cc", lambda x: x["cent"]).alias("vals"),
-        )
+        ),
+    )
+    return (
+        parts.groupBy("cell")
+        .agg(ent_c)
+        .select("cell", cent_c)
+        .groupBy()
+        .agg(cc_c)
+        .select(ids_c, vals_c)
     )
 
 
@@ -463,8 +521,17 @@ def _pq_partials(cand, books, sub, entries=None):
     M rows, then the subvector to dims — an M-branch union re-scanned the
     cache M times)."""
     if entries is None:
-        entries = _pq_entries(
-            books, sub, lambda m: _cell_argmin_expr(books[m], sub(m))
+        def _build():
+            return _pq_entries(
+                books, sub, lambda m: _cell_argmin_expr(books[m], sub(m))
+            )
+
+        # content-keyed template cache (VERDICT r18 #4) — only when sub is
+        # the module's canonical subspace slicer, so the key fully
+        # determines the tree
+        entries = (
+            _keyed_cols("pq_ent1", repr(books), _build)
+            if sub is _pq_sub else _build()
         )
     return (
         cand.select(F.explode(entries).alias("e"))
@@ -505,10 +572,12 @@ def _pq_two_rounds(cand, books, sub):
     partials cross the driver. Halves the KMEANS_ITERS driver round trips
     and per-round plan recompiles that dominate PQ's local cost (r6
     verdict #3)."""
-    c1 = (
-        _pq_partials(cand, books, sub)
-        .groupBy("m", "cell")
-        .agg(
+    # the fold's agg/transform columns are CONSTANT templates (column
+    # names only) rebuilt per training call — ~0.3 s of Py4J chatter at
+    # the driver (measured r19); build them once per process
+    ent_c, cent_c, cc_c, mids_c, mvals_c, bb_c, bids_c, bvals_c = _const_cols(
+        "pq_c1_fold",
+        lambda: (
             F.array_sort(
                 F.collect_list(
                     F.struct(
@@ -516,39 +585,46 @@ def _pq_two_rounds(cand, books, sub):
                         (F.col("s").cast("double") / F.col("n")).alias("mu"),
                     )
                 )
-            ).alias("ent")
-        )
-        .select(
-            "m", "cell", F.transform("ent", lambda e: e["mu"]).alias("cent")
-        )
-        .groupBy("m")
-        .agg(F.array_sort(F.collect_list(F.struct("cell", "cent"))).alias("cc"))
-        .select(
-            "m",
+            ).alias("ent"),
+            F.transform("ent", lambda e: e["mu"]).alias("cent"),
+            F.array_sort(F.collect_list(F.struct("cell", "cent"))).alias("cc"),
             F.transform("cc", lambda x: x["cell"]).alias("mids"),
             F.transform("cc", lambda x: x["cent"]).alias("mvals"),
-        )
-        .groupBy()
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("m", "mids", "mvals"))
-            ).alias("bb")
-        )
-        .select(
+            F.array_sort(F.collect_list(F.struct("m", "mids", "mvals"))).alias("bb"),
             F.transform("bb", lambda x: x["mids"]).alias("bids"),
             F.transform("bb", lambda x: x["mvals"]).alias("bvals"),
-        )
+        ),
     )
-    ent2 = _pq_entries(
-        books,
-        sub,
-        lambda m: F.array_min(
-            _cell_entries_from(
-                F.element_at(F.col("bids"), m + 1),
-                F.element_at(F.col("bvals"), m + 1),
-                sub(m),
-            )
-        )["cell"],
+    c1 = (
+        _pq_partials(cand, books, sub)
+        .groupBy("m", "cell")
+        .agg(ent_c)
+        .select("m", "cell", cent_c)
+        .groupBy("m")
+        .agg(cc_c)
+        .select("m", mids_c, mvals_c)
+        .groupBy()
+        .agg(bb_c)
+        .select(bids_c, bvals_c)
+    )
+    def _build_ent2():
+        return _pq_entries(
+            books,
+            sub,
+            lambda m: F.array_min(
+                _cell_entries_from(
+                    F.element_at(F.col("bids"), m + 1),
+                    F.element_at(F.col("bvals"), m + 1),
+                    sub(m),
+                )
+            )["cell"],
+        )
+
+    # round-2 assignment reads the broadcast (bids, bvals) COLUMNS — the
+    # tree depends only on the subspace count, so it caches on that alone
+    ent2 = (
+        _keyed_cols("pq_ent2", str(len(books)), _build_ent2)
+        if sub is _pq_sub else _build_ent2()
     )
     rows = _pq_partials(
         cand.crossJoin(F.broadcast(c1)), books, sub, entries=ent2
@@ -1334,16 +1410,25 @@ def encode_pq_codes(vecs: DataFrame, books) -> DataFrame:
     makes PQ-code appends ≡ rebuild exactly (the FAISS add() half)."""
     return vecs.select(
         "vec_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(m).alias("m"),
-                    _cell_argmin_expr(books[m], _pq_sub(m)).alias("code"),
-                )
-                for m in range(PQ_M)
-            ])
-        ).alias("mc"),
+        F.explode(_pq_code_entries(books)).alias("mc"),
     ).select("vec_id", F.col("mc.m").alias("m"), F.col("mc.code").alias("code"))
+
+
+def _pq_code_entries(books):
+    """The all-M-codes array-of-structs generator input shared by
+    encode_pq_codes and _encode_cell_codes — content-key-cached on the
+    codebook values (VERDICT r18 #4: this tree was the largest single
+    piece of ann_product_quantization's residual driver-side build time)."""
+    return _keyed_cols(
+        "pq_encode", repr(books),
+        lambda: F.array(*[
+            F.struct(
+                F.lit(m).alias("m"),
+                _cell_argmin_expr(books[m], _pq_sub(m)).alias("code"),
+            )
+            for m in range(PQ_M)
+        ]),
+    )
 
 
 def _pq_qtable(q: DataFrame, books) -> DataFrame:
@@ -1352,30 +1437,38 @@ def _pq_qtable(q: DataFrame, books) -> DataFrame:
     projection, no centroid DataFrame to cross-join and no M×K-arm
     expression tree (same analysis-cost rationale as _cell_argmin_expr).
     ``q`` carries (query_id, emb)."""
-    ms_l = _lit_arr([m for m in range(PQ_M) for _ in books[m]])
-    codes_l = _lit_arr([cell for m in range(PQ_M) for cell, _ in books[m]])
-    vals_l = _lit_arr([cvals for m in range(PQ_M) for _, cvals in books[m]])
     return q.select(
         "query_id",
         F.explode(
-            F.transform(
-                ms_l,
-                lambda mm, i: F.named_struct(
-                    F.lit("m"), mm,
-                    F.lit("code"), F.element_at(codes_l, i + 1),
-                    F.lit("d2"),
-                    _l2_dec(
-                        F.slice(F.col("emb"), mm * PQ_SUBDIM + 1, PQ_SUBDIM),
-                        F.element_at(vals_l, i + 1),
-                    ).cast("double"),
-                ),
-            )
+            _keyed_cols("pq_qtable", repr(books), lambda: _qtable_entries(books))
         ).alias("e"),
     ).select(
         "query_id",
         F.col("e.m").alias("m"),
         F.col("e.code").alias("code"),
         F.col("e.d2").alias("d2"),
+    )
+
+
+def _qtable_entries(books):
+    """The M×PQ_K (m, code, d2) struct array behind _pq_qtable and
+    _pq_qtable_cells — one builder so the twins cannot drift, cached
+    content-keyed by the callers (the tree burns ~3 _lit_arr parses plus
+    one HOF lambda per build; identical for identical codebooks)."""
+    ms_l = _lit_arr([m for m in range(PQ_M) for _ in books[m]])
+    codes_l = _lit_arr([cell for m in range(PQ_M) for cell, _ in books[m]])
+    vals_l = _lit_arr([cvals for m in range(PQ_M) for _, cvals in books[m]])
+    return F.transform(
+        ms_l,
+        lambda mm, i: F.named_struct(
+            F.lit("m"), mm,
+            F.lit("code"), F.element_at(codes_l, i + 1),
+            F.lit("d2"),
+            _l2_dec(
+                F.slice(F.col("emb"), mm * PQ_SUBDIM + 1, PQ_SUBDIM),
+                F.element_at(vals_l, i + 1),
+            ).cast("double"),
+        ),
     )
 
 
@@ -1765,15 +1858,7 @@ def _encode_cell_codes(frame: DataFrame, books) -> DataFrame:
     return frame.select(
         "vec_id",
         "cell",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(m).alias("m"),
-                    _cell_argmin_expr(books[m], _pq_sub(m)).alias("code"),
-                )
-                for m in range(PQ_M)
-            ])
-        ).alias("mc"),
+        F.explode(_pq_code_entries(books)).alias("mc"),
     ).select(
         "cell", "vec_id", F.col("mc.m").alias("m"), F.col("mc.code").alias("code")
     )
@@ -2181,25 +2266,11 @@ def _pq_qtable_cells(qr: DataFrame, books) -> DataFrame:
     the ADC join matches a candidate's codes against the table of ITS
     cell's residual frame. ``qr`` carries (query_id, cell, emb) where
     emb is the residual q − centroid[cell]."""
-    ms_l = _lit_arr([m for m in range(PQ_M) for _ in books[m]])
-    codes_l = _lit_arr([cell for m in range(PQ_M) for cell, _ in books[m]])
-    vals_l = _lit_arr([cvals for m in range(PQ_M) for _, cvals in books[m]])
     return qr.select(
         "query_id",
         "cell",
         F.explode(
-            F.transform(
-                ms_l,
-                lambda mm, i: F.named_struct(
-                    F.lit("m"), mm,
-                    F.lit("code"), F.element_at(codes_l, i + 1),
-                    F.lit("d2"),
-                    _l2_dec(
-                        F.slice(F.col("emb"), mm * PQ_SUBDIM + 1, PQ_SUBDIM),
-                        F.element_at(vals_l, i + 1),
-                    ).cast("double"),
-                ),
-            )
+            _keyed_cols("pq_qtable", repr(books), lambda: _qtable_entries(books))
         ).alias("e"),
     ).select(
         "query_id",
@@ -2556,12 +2627,17 @@ def _lsh_tables(spark: SparkSession, sf_dir: str):
     signatures (N_TABLES tables of N_PLANES/N_TABLES sign bits, each bit an
     exact decimal dot against a fixed literal hyperplane), plus the exploded
     (vec_id, tbl, sig) bucket table the candidate equi-joins run on."""
-    planes = _hyperplanes()
     per_table = N_PLANES // N_TABLES
-    bits = [
-        F.when(_dot_dec(F.col("emb"), _lit_arr(p)) >= 0, "1").otherwise("0")
-        for p in planes
-    ]
+    # the hyperplane bank is a seeded module constant — the N_PLANES
+    # decimal-dot sign expressions build once per process (_const_cols;
+    # r19, ~16 _lit_arr parses + HOF folds per call saved)
+    bits = _const_cols(
+        ("lsh_bits_dec", N_PLANES, EMB_DIMS),
+        lambda: [
+            F.when(_dot_dec(F.col("emb"), _lit_arr(p)) >= 0, "1").otherwise("0")
+            for p in _hyperplanes()
+        ],
+    )
     # Lifecycle: tracked — callers release via session.release_persisted().
     # repartition first: the signature projection (N_PLANES decimal dots
     # per vector) ran as ONE task off the single small-SF parquet split
@@ -2681,7 +2757,6 @@ def _lsh_tables_fixedpoint(spark: SparkSession, sf_dir: str):
     is therefore still bit-reproducible and SQL-replayable; only the
     re-rank cosine needs decimals. Products are ≤ ~4e12 and 64-dim sums
     ≤ ~3e14 — comfortably inside int64."""
-    planes = _hyperplanes()
     per_table = N_PLANES // N_TABLES
     q6 = F.transform(F.col("emb"), lambda x: F.floor(x * FP_SCALE + 0.5).cast("long"))
     # repartition first — same single-split serialization as _lsh_tables
@@ -2702,7 +2777,12 @@ def _lsh_tables_fixedpoint(spark: SparkSession, sf_dir: str):
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
-    bits = [F.when(idot(p) >= 0, "1").otherwise("0") for p in planes]
+    # seeded-constant bank — build the sign expressions once per process
+    # (the _lsh_tables rationale)
+    bits = _const_cols(
+        ("lsh_bits_fp", N_PLANES, EMB_DIMS, FP_SCALE),
+        lambda: [F.when(idot(p) >= 0, "1").otherwise("0") for p in _hyperplanes()],
+    )
     vecs = track_persisted(
         base.select(
             "vec_id",
@@ -2797,10 +2877,13 @@ def _semdedup_cell_expr(cents: dict[int, list[int]]):
     arms — constant-size expression tree regardless of K, so per-round
     analysis cost stays flat too."""
     cs = sorted(cents)
-    return _semdedup_cell_from(
-        _lit_arr(cs),
-        _lit_arr([cents[c] for c in cs]),
-        _lit_arr([sum(v * v for v in cents[c]) for c in cs]),
+    return _keyed_cols(
+        "semdedup_cell", repr(cents),
+        lambda: _semdedup_cell_from(
+            _lit_arr(cs),
+            _lit_arr([cents[c] for c in cs]),
+            _lit_arr([sum(v * v for v in cents[c]) for c in cs]),
+        ),
     )
 
 
