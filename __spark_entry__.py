@@ -72,6 +72,21 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # merge stays DEFERRED (locked by its equivalence pytest) — unchanged
 # reasoning from the build round: an honest merge re-queues SEVEN
 # entries and this round already re-queues the PQ/IVFPQ family.
+#
+# r19 OPTIMIZATION-round maintenance (optimization round 2 of 2; results
+# again unchanged — re-proven by full 228/228 oracle replays at sf0.01
+# before every commit batch): the 50 CORRECTNESS_r18.json queries went
+# green under the driver in r18 and enter as an r18 block below — EXCEPT
+# the ones this round touched again, which stay out (= sample front):
+# the reverted spreads (json_extract_props, quarterly_top_supplier), the
+# count(*) pair aggregates (both minhash twins), the canonical-pairs /
+# leaner-log-star components (all three clusters twins), the
+# content-keyed expression-template caches (the whole trained-IVF/PQ/
+# IVFPQ family, both LSH banks + embedding_near_dup_lsh, semdedup_prune),
+# and the chunked-bit-reader JPEG decode (jpeg_decode_features). Also
+# REMOVED from older blocks for the same reason: dedup_clusters,
+# dedup_minhash_lsh (r14), dedup_minhash_lsh_fast, jpeg_decode_features
+# (r16), quarterly_top_supplier was already absent (r18-touched).
 _LAST_VERIFIED = {
     # --- last green in r13 ---
     **dict.fromkeys([
@@ -98,8 +113,8 @@ _LAST_VERIFIED = {
     **dict.fromkeys([
         "agg_collect_sorted", "anomaly_mad_zscore_approx",
         "approx_distinct_users_scale", "asof_attribution_tolerance",
-        "bigram_surprisal_quality", "corpus_dedup_apply", "dedup_against_index", "dedup_clusters",
-        "dedup_containment", "dedup_exact", "dedup_minhash_lsh",
+        "bigram_surprisal_quality", "corpus_dedup_apply", "dedup_against_index",
+        "dedup_containment", "dedup_exact",
         "dedup_simhash", "diff_snapshots", "doc_chunk_windows",
         "domain_mixture_weights", "embedding_near_dup",
         "feed_station_monthly", "feed_station_rollup",
@@ -141,9 +156,9 @@ _LAST_VERIFIED = {
         "bm25_prebuilt_snapshot", "bm25_search", "changepoint_mean_shift",
         "coercion_fill_policy", "contamination_against_index_prebuilt",
         "corpus_curation", "correlation_matrix",
-        "dedup_against_index_prebuilt", "dedup_minhash_lsh_fast",
+        "dedup_against_index_prebuilt",
         "duplicate_span_extraction", "gap_fill_interpolate", "gap_fill_locf",
-        "jpeg_decode_features", "lang_id_stopword", "linear_regression_trend",
+        "lang_id_stopword", "linear_regression_trend",
         "monthly_filtered", "multimodal_frame_sample", "multimodal_metadata",
         "projection_sort", "range_band_join", "rollup_topk_per_grain",
         "session_path_analysis", "shipmode_priority_counts",
@@ -171,6 +186,21 @@ _LAST_VERIFIED = {
         "tokenizer_fertility", "train_test_split",
         "trigram_prebuilt_snapshot", "udf_normalize_text"
     ], 17),
+    # --- last green in r18 (driver sample CORRECTNESS_r18.json, minus the
+    # --- entries r19 touched again — see the r19 maintenance note) ---
+    **dict.fromkeys([
+        "pricing_summary", "grouping_sets_revenue", "ann_brute_force",
+        "tfidf_cosine_pairs", "bm25_prebuilt_diverged_snapshot",
+        "png_decode_features", "bloom_prefilter_semi_join",
+        "embedding_pca_project", "contamination_eval_overlap",
+        "skyline_pareto", "derived_revenue", "date_normalization",
+        "presentation_format", "lineage_projection", "count_diagnostic",
+        "filter_limit_sample", "join_star_revenue", "join_left_order_counts",
+        "join_semi_active_customers", "join_anti_unordered_parts",
+        "join_full_outer_nation_presence", "frequent_best_customer_revenue",
+        "agg_statistics", "agg_quantiles", "rollup_totals", "cube_totals",
+        "conditional_agg", "window_topk_per_group"
+    ], 18),
 }
 
 

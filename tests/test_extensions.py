@@ -2694,6 +2694,74 @@ def test_logstar_clusters_equal_fixpoint_twin_and_converge_in_log_rounds(spark):
     )
 
 
+def test_logstar_canonical_entry_equals_symmetric_entry(spark):
+    """r19: _clusters_from_candidates now hands the components algorithms
+    a CANONICAL (src < dst, distinct) pair set with canonical=True instead
+    of the old symmetrized union. Both entry forms must label identically
+    — for log-star AND the min-label fixpoint — on a graph with a chain,
+    a triangle, and singletons."""
+    from pyspark.sql import functions as F
+
+    from weather_database_system_spark.operators.dedup import (
+        _logstar_components,
+        _propagate_min_labels,
+    )
+
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12)]
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 12, 99)], "doc_id long"
+    )
+    canon = spark.createDataFrame(pairs, "src long, dst long")
+    sym = canon.union(canon.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+    for fn in (_logstar_components, _propagate_min_labels):
+        got_c = {r.doc_id: r.cluster_id for r in fn(docs, canon, canonical=True).collect()}
+        got_s = {r.doc_id: r.cluster_id for r in fn(docs, sym).collect()}
+        assert got_c == expect, (fn.__name__, got_c)
+        assert got_s == expect, (fn.__name__, got_s)
+
+
+def test_minhash_pair_agg_has_no_distinct_expand(spark):
+    """r19: the pair aggregate counts band rows directly (count(*) ≡
+    countDistinct(band) because (pair, band) rows are distinct by
+    construction) — the distinct rewrite's Expand pass must stay out of
+    both twins' plans."""
+    from weather_database_system_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_minhash_lsh_fast,
+    )
+    from weather_database_system_spark.plans import formatted_plan
+
+    for fn in (dedup_minhash_lsh, dedup_minhash_lsh_fast):
+        assert "Expand" not in formatted_plan(fn(spark, SF_SMOKE)), fn.__name__
+
+
+def test_keyed_cols_cache_semantics():
+    """r19 _keyed_cols contract: same (kind, content key) returns the
+    SAME template object (no rebuild); a different content key misses;
+    the data-keyed population is bounded (FIFO eviction)."""
+    from weather_database_system_spark.operators import similarity as S
+
+    calls = []
+
+    def build(tag):
+        def _b():
+            calls.append(tag)
+            return object()
+        return _b
+
+    a1 = S._keyed_cols("t_kc", "k1", build("k1"))
+    a2 = S._keyed_cols("t_kc", "k1", build("k1-again"))
+    b1 = S._keyed_cols("t_kc", "k2", build("k2"))
+    assert a1 is a2 and b1 is not a1
+    assert calls == ["k1", "k2"]
+    # eviction keeps the cache bounded
+    for i in range(S._KEYED_COLS_MAX + 10):
+        S._keyed_cols("t_kc_ev", f"k{i}", build(f"e{i}"))
+    assert len(S._CONST_COLS) <= S._KEYED_COLS_MAX
+
+
 def test_ivf_nprobe_dominates_single_probe_recall(spark):
     """Multi-probe IVF (nprobe=2) must (1) share training with the
     single-probe variant — every (query, neighbor) both return carries a
