@@ -1855,22 +1855,30 @@ def _round10(x: float) -> float:
 def _clusters_from_candidates(
     spark: SparkSession, sf_dir: str, cand_fn, propagate=None
 ) -> DataFrame:
-    # Persist the CANONICAL pair set (doc_a < doc_b by the candidate join
-    # condition, distinct) and let each components algorithm derive the
-    # orientation it needs as projections off this one cache. r18 persisted
-    # the SYMMETRIZED union instead — 2× the cached rows, the distinct
-    # subtree evaluated once per union branch at cache build, and the
-    # log-star path then collapsed the symmetric set straight back to
-    # canonical distinct form with one more full exchange plus a doubled
-    # initial localCheckpoint (guide §2.4; r19: all three removed).
-    pairs = track_persisted(
+    # Hand each components algorithm the CANONICAL pair set (doc_a <
+    # doc_b by the candidate join condition, distinct) and let it derive
+    # whatever orientation it needs. r18 persisted a SYMMETRIZED union
+    # instead — 2× the cached rows, the distinct subtree evaluated once
+    # per union branch at cache build, and the log-star path then
+    # collapsed the symmetric set straight back to canonical distinct
+    # form with one more full exchange plus a doubled initial
+    # localCheckpoint (guide §2.4; r19: all three removed).
+    pairs = (
         cand_fn(spark, sf_dir)
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
         .distinct()
-        .persist()
     )
+    prop = propagate or _propagate_min_labels
+    # Persist only for the fixpoint, which reads the pair set ~6× while
+    # materializing eprime/labels. Log-star reads it exactly ONCE — into
+    # its round-0 localCheckpoint — so a persist there writes every pair
+    # block twice for a single read (measured 4.21 → 3.84 s median on
+    # dedup_clusters_fast, 7-round interleaved A/B at sf0.1, r19; and one
+    # whole cached copy fewer at any scale).
+    if prop is _propagate_min_labels:
+        pairs = track_persisted(pairs.persist())
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    labels = (propagate or _propagate_min_labels)(docs, pairs, canonical=True)
+    labels = prop(docs, pairs, canonical=True)
     w = W.partitionBy("cluster_id")
     return (
         labels.withColumn("cluster_size", F.count("*").over(w).cast("int"))
